@@ -1,0 +1,368 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational operator coverage queries (SURVEY.md §2.1–§2.8) over the
+  * driver testdata, each with a DuckDB-oracle SQL twin in [[oracle]].
+  *
+  * Conventions shared with the oracle side (the driver hash-compares):
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - floating aggregates are rounded (sum order differs between engines,
+  *    last-bit drift is expected — rounding makes the comparison stable);
+  *  - timestamps leave the query as epoch microseconds (BIGINT) or
+  *    formatted strings, never raw timestamps (parquet ns vs µs physical
+  *    types would otherwise make schema comparison flaky);
+  *  - results carry an ORDER BY on a unique key so row order is total.
+  *
+  * Scale notes (100 TB design): every query here is a single declarative
+  * plan — scans prune columns/partitions, joins against the small dims
+  * (region/nation/supplier) are broadcast, aggregations are partial
+  * (map-side combine) before the single hash shuffle, and window stacks
+  * share one `(user_id)` partitioning so the whole feature pipeline costs
+  * exactly one shuffle.
+  */
+object CoreQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A1/A3-style global + grouped aggregation (TPC-H Q1 shape) ----
+    // SURVEY §2.4 A1/A3: grouped sum/avg/count over the fact table.
+    "q1_agg" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- J5 equi joins through the dimension chain + grouped agg ----
+    "q_join_agg" -> ((s, d) => {
+      val o = orders(s, d); val c = customer(s, d)
+      val n = nation(s, d); val r = region(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_revenue"))
+        .orderBy("r_name")
+    }),
+
+    // ---- J3 anti join: customers that never ordered ----
+    "q_anti_join" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d).where(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- J7 semi join: suppliers with shipped lineitems ----
+    "q_semi_join" -> ((s, d) => {
+      supplier(s, d)
+        .join(lineitem(s, d).where(col("l_quantity") > 25),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"))
+        .orderBy("n_name")
+    }),
+
+    // ---- J2 interval join (point-in-range, per key): the reference's
+    // label recombine join (02.1.2_...label_recombine.py:358-398) shape,
+    // expressed on orders×lineitem: ship within 90 days of order date.
+    "q_interval_join" -> ((s, d) => {
+      val l = lineitem(s, d); val o = orders(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") >= o("o_orderdate") &&
+          l("l_shipdate") <= date_add(o("o_orderdate"), 90))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- W1/W2/W5: lag + inter-row delta (04_worker_script.sql:23-24) ----
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("delta_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("value"),
+          coalesce(col("prev_value"), lit(-1.0)).as("prev_value"),
+          coalesce(col("delta_us"), lit(-1L)).as("delta_us"))
+        .orderBy("event_id")
+    }),
+
+    // ---- W3: centered 5-row rolling mean (04_worker_script.sql:25,59) ----
+    "q_window_rolling" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("value_smoothed", round(avg("value").over(w.rowsBetween(-2, 2)), 4))
+        .select("event_id", "user_id", "value_smoothed")
+        .orderBy("event_id")
+    }),
+
+    // ---- W4+W7: gaps-and-islands block id + running dwell time
+    // (04_worker_script.sql:23-34,63-66). is_active plays is_stationary.
+    "q_gaps_islands" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = events(s, d)
+        .withColumn("is_active", col("value") >= 50.0)
+        .withColumn("prev_active",
+          coalesce(lag("is_active", 1).over(w), lit(false)))
+        .withColumn("delta_s",
+          coalesce((unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)) / 1e6, lit(0.0)))
+        .withColumn("block_id",
+          sum(when(col("is_active") =!= col("prev_active"), 1).otherwise(0)).over(w))
+      val wb = Window.partitionBy("user_id", "block_id").orderBy("ts", "event_id")
+      base
+        .withColumn("dwell_s",
+          round(sum(when(col("is_active"), col("delta_s")).otherwise(0.0)).over(wb), 3))
+        .select("event_id", "user_id", "is_active", "block_id", "dwell_s")
+        .orderBy("event_id")
+    }),
+
+    // ---- A6: tumbling time-bucket aggregation (5s in the reference's CPD
+    // downsample, 05_cpd_orchestrator_polars.py:263-276; 1h here to match
+    // the events cadence). window() is streaming-compatible as-is.
+    "q_time_bucket" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(round(avg("value"), 4).as("avg_value"), count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("bucket_start_us"), col("event_type"),
+          col("avg_value"), col("n"))
+        .orderBy("bucket_start_us", "event_type")
+    }),
+
+    // ---- A1: global stats aggregation (01_ingest_raw_telemetry.py:318-327) ----
+    "q_stats_global" -> ((s, d) => {
+      events(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        unix_micros(min("ts")).as("min_ts_us"),
+        unix_micros(max("ts")).as("max_ts_us"),
+        round(sum("value"), 2).as("sum_value"))
+    }),
+
+    // ---- A4: conditional-count pivot by group (EDA notebook cell 8) ----
+    "q_cond_pivot" -> ((s, d) => {
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("user_id") % 2 === 0, 1)).as("n_even_users"),
+          count(when(col("value") > 50, 1)).as("n_high"),
+          round(avg(when(col("value") > 50, col("value"))), 4).as("avg_high"))
+        .orderBy("event_type")
+    }),
+
+    // ---- §2.8 string scalar functions + P6 LIKE predicate ----
+    "q_scalar_string" -> ((s, d) => {
+      customer(s, d)
+        .where(col("c_mktsegment").like("%BUILD%") || col("c_mktsegment").like("%AUTO%"))
+        .select(
+          col("c_custkey"),
+          lower(trim(col("c_name"))).as("name_lc"),
+          concat(col("c_mktsegment"), lit("_"), col("c_nationkey").cast("string")).as("seg_nation"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          length(col("c_name")).cast("long").as("name_len"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- §2.8 hash identity: sha2(key || '|' || ts_text) — the silver
+    // row id (02_raw_telemetry_transform.sql:39-47 semantics).
+    "q_hash_id" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_id"),
+          sha2(concat(col("user_id").cast("string"), lit("|"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")), 256).as("row_hash"))
+        .orderBy("event_id")
+    }),
+
+    // ---- §2.8 JSON extraction (extras JSONB semantics) ----
+    "q_json_extract" -> ((s, d) => {
+      events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("k")
+    }),
+
+    // ---- O4 top-k with total order (count desc, key tiebreak) ----
+    "q_topk" -> ((s, d) => {
+      events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(10)
+    }),
+
+    // ---- U1/U3: union + distinct ----
+    "q_distinct_union" -> ((s, d) => {
+      val e = events(s, d)
+      e.where(col("value") > 90).select(col("event_type"))
+        .union(e.where(col("user_id") < 5).select(col("event_type")))
+        .distinct()
+        .orderBy("event_type")
+    }),
+
+    // ---- P7/P8: threshold flags + clamping/sentinel cleaning
+    // (database_pipeline.py:299-327: speeds <0→0, >50→50; -99→NULL) ----
+    "q_clamp_flags" -> ((s, d) => {
+      events(s, d)
+        .select(
+          col("event_id"),
+          when(col("value") < 10, 0.0).when(col("value") > 90, 90.0)
+            .otherwise(col("value")).as("value_clamped"),
+          (col("value") < 0.5).as("is_stationary"),
+          when(col("value") === 6.55, null).otherwise(col("value")).as("value_desentineled"))
+        .orderBy("event_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |  round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT n_name, count(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity > 25)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id, value,
+        |  coalesce(lag(value) OVER w, -1.0) AS prev_value,
+        |  coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS delta_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_rolling" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS value_smoothed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_gaps_islands" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts, value >= 50.0 AS is_active,
+        |    coalesce(lag(value >= 50.0) OVER w, false) AS prev_active,
+        |    coalesce((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6, 0.0) AS delta_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), blocks AS (
+        |  SELECT *, sum(CASE WHEN is_active != prev_active THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS block_id
+        |  FROM base
+        |)
+        |SELECT event_id, user_id, is_active, block_id,
+        |  round(sum(CASE WHEN is_active THEN delta_s ELSE 0.0 END)
+        |    OVER (PARTITION BY user_id, block_id ORDER BY ts, event_id), 3) AS dwell_s
+        |FROM blocks ORDER BY event_id""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS bucket_start_us,
+        |  event_type, round(avg(value), 4) AS avg_value, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stats_global" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_type) AS n_types,
+        |  epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
+        |  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us,
+        |  round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        |FROM events""".stripMargin,
+
+    "q_cond_pivot" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_even_users,
+        |  count(CASE WHEN value > 50 THEN 1 END) AS n_high,
+        |  round(avg(CASE WHEN value > 50 THEN value END), 4) AS avg_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_scalar_string" ->
+      """SELECT c_custkey,
+        |  lower(trim(c_name)) AS name_lc,
+        |  c_mktsegment || '_' || CAST(c_nationkey AS VARCHAR) AS seg_nation,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  CAST(length(c_name) AS BIGINT) AS name_len
+        |FROM customer
+        |WHERE c_mktsegment LIKE '%BUILD%' OR c_mktsegment LIKE '%AUTO%'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_hash_id" ->
+      """SELECT event_id,
+        |  sha256(CAST(user_id AS VARCHAR) || '|' ||
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')) AS row_hash
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+
+    "q_distinct_union" ->
+      """SELECT DISTINCT event_type FROM (
+        |  SELECT event_type FROM events WHERE value > 90
+        |  UNION ALL
+        |  SELECT event_type FROM events WHERE user_id < 5
+        |) ORDER BY event_type""".stripMargin,
+
+    "q_clamp_flags" ->
+      """SELECT event_id,
+        |  CASE WHEN value < 10 THEN 0.0 WHEN value > 90 THEN 90.0 ELSE value END AS value_clamped,
+        |  value < 0.5 AS is_stationary,
+        |  CASE WHEN value = 6.55 THEN NULL ELSE value END AS value_desentineled
+        |FROM events ORDER BY event_id""".stripMargin)
+}
