@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Enums, Geo, Hashing}
+
+/** Bronze → silver transform: the whole of STEP 2 as one declarative plan
+  * (reference: `02_raw_telemetry_transform.py:265-343` — an
+  * `INSERT INTO ... SELECT` the Python driver batches by day; Catalyst's
+  * partitioning replaces the hand-rolled ~500k-row batch planner entirely,
+  * SURVEY §4).
+  *
+  * Scale design: the transform is a pure narrow map over the scan — no
+  * shuffle, fully codegen'd (enum CASE chains, sha2, regex position parse).
+  * Dedup modes add exactly one shuffle each:
+  *  - append: `left_anti` on the hash vs the existing table (J3,
+  *    `02_raw_telemetry_transform.py:374-378`);
+  *  - overwrite/upsert: union + keep-latest-by-ingested_at window (J4,
+  *    `ON CONFLICT DO UPDATE` semantics of `:347-365`) — plain Spark, no
+  *    Delta dependency.
+  */
+object TelemetryTransform {
+
+  /** The STEP 2 select list. Input must carry the F1 bronze columns.
+    * `passthrough` columns (e.g. a test row id) are appended unchanged. */
+  def transform(raw: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    raw
+      // WHERE timestamp IS NOT NULL AND device_id IS NOT NULL (:339-342)
+      .where(col("timestamp").isNotNull && col("device_id").isNotNull)
+      .select(passthrough.map(col) ++ Seq(
+        col("timestamp"),
+        current_timestamp().as("ingested_at"),
+        Hashing.rawEventHashId(col("device_id"), col("timestamp"))
+          .as("raw_event_hash_id"),
+        col("device_id"),
+        // device_id || '_' || DATE(timestamp) (:274)
+        concat(col("device_id"), lit("_"),
+          date_format(col("timestamp"), "yyyy-MM-dd")).as("device_date"),
+        Enums.parseBool(col("system_engaged")).as("system_engaged"),
+        Enums.parseBool(col("parking_brake_applied"))
+          .as("parking_brake_applied"),
+        Geo.parsePosition(col("current_position")).as("current_position"),
+        col("current_speed").cast("double").as("current_speed"),
+        col("load_weight").cast("double").as("load_weight"),
+        Enums.mapState(col("state")).as("state"),
+        Enums.mapSoftwareState(col("software_state")).as("software_state"),
+        Enums.mapPrndl(col("prndl")).as("prndl"),
+        normalizeExtras(raw).as("extras")): _*)
+  }
+
+  /** extras: NULL/blank → null; JSON-looking (`{...}`/`[...]`) → kept;
+    * anything else wrapped as a JSON string value — `to_jsonb(text)`
+    * fallback semantics (`02_raw_telemetry_transform.py:328-337`). */
+  private def normalizeExtras(raw: DataFrame) = {
+    val e = col("extras")
+    // JSON-encode the bare string: to_json gives {"v":<encoded>}; strip the
+    // 5-char prefix and closing brace to keep just <encoded>.
+    val wrapped = to_json(struct(e.as("v")))
+    val asJsonString = wrapped.substr(lit(6), length(wrapped) - 6)
+    when(e.isNull || trim(e) === "", lit(null).cast("string"))
+      .when(e.rlike("^\\s*\\{.*\\}\\s*$") || e.rlike("^\\s*\\[.*\\]\\s*$"), e)
+      .otherwise(asJsonString)
+  }
+
+  /** Incremental append: drop rows whose hash already exists in the target
+    * (`NOT EXISTS` anti-join, `:374-378`). */
+  def appendNew(newRows: DataFrame, existing: DataFrame): DataFrame =
+    newRows.join(existing.select("raw_event_hash_id"),
+      Seq("raw_event_hash_id"), "left_anti")
+
+  /** Upsert: new rows win over existing on hash collision
+    * (`ON CONFLICT (raw_event_hash_id) DO UPDATE`, `:347-365`). */
+  def upsert(newRows: DataFrame, existing: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = newRows.withColumn("_src", lit(1))
+      .unionByName(existing.withColumn("_src", lit(0)))
+    val w = Window.partitionBy("raw_event_hash_id")
+      .orderBy(col("_src").desc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_src", "_rn")
+  }
+}

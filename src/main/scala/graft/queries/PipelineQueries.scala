@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.{FeatureEngineering, TelemetryTransform}
+
+/** The reference pipeline stages (STEP 2 transform, STEP 4 features,
+  * spatial zone join) exercised through the DuckDB-oracle gate.
+  *
+  * The testdata has no telemetry table, so each query first synthesizes a
+  * telemetry-shaped frame from `events` with expressions that are written
+  * identically in Spark and in the oracle SQL (same arithmetic → bit-equal
+  * doubles), then applies the REAL library operator on the Spark side while
+  * the oracle transcribes the reference SQL semantics directly.
+  */
+object PipelineQueries {
+
+  /** Synthesized raw-telemetry columns from events, Spark side.
+    * Mirrors the CTE `raw` in the oracle SQL below — keep in lockstep. */
+  private def rawTelemetryFromEvents(s: SparkSession, d: String): DataFrame = {
+    events(s, d).select(
+      col("event_id"),
+      col("ts").as("timestamp"),
+      concat(lit("truck-"), (col("user_id") % 20).cast("string"))
+        .as("device_id"),
+      when(col("value") < 12.5, "LoadingManeuver")
+        .when(col("value") < 25, " loadToDump ")
+        .when(col("value") < 37.5, "DUMPING")
+        .when(col("value") < 50, "waitingToDump")
+        .when(col("value") < 62.5, "zoneQueuedDumpToLoad")
+        .when(col("value") < 75, "Idle")
+        .when(col("value") < 87.5, "bogus_state")
+        .otherwise(lit(null).cast("string")).as("state"),
+      when(col("user_id") % 6 === 0, "start")
+        .when(col("user_id") % 6 === 1, "STOP")
+        .when(col("user_id") % 6 === 2, " slow ")
+        .when(col("user_id") % 6 === 3, "wait")
+        .when(col("user_id") % 6 === 4, "Fault")
+        .otherwise("strange").as("software_state"),
+      when(col("event_id") % 5 === 0, "t")
+        .when(col("event_id") % 5 === 1, "f")
+        .when(col("event_id") % 5 === 2, "TRUE")
+        .when(col("event_id") % 5 === 3, "false")
+        .otherwise("1").as("system_engaged"),
+      (col("value") / 10).as("current_speed"),
+      when(col("event_id") % 97 === 0, "garbage")
+        .otherwise(concat(lit("{"),
+          (col("value") / 1000 + 33.2).cast("string"), lit(", "),
+          ((col("user_id") % 100) / 10000.0 - 97.84).cast("string"), lit(", "),
+          (col("value") + 200.0).cast("string"), lit("}")))
+        .as("current_position"),
+      when(col("event_id") % 89 === 0, -99)
+        .otherwise(floor(col("value") * 1200)).cast("int").as("load_weight"),
+      when(col("user_id") % 7 === 0, "P")
+        .when(col("user_id") % 7 === 1, "reverse")
+        .when(col("user_id") % 7 === 2, "N")
+        .when(col("user_id") % 7 === 3, " d ")
+        .when(col("user_id") % 7 === 4, "LOW")
+        .when(col("user_id") % 7 === 5, "l")
+        .otherwise(lit(null).cast("string")).as("prndl"),
+      when(col("event_id") % 6 === 0, "t")
+        .when(col("event_id") % 6 === 1, "f")
+        .when(col("event_id") % 6 === 2, "no")
+        .when(col("event_id") % 6 === 3, "yes")
+        .when(col("event_id") % 6 === 4, "0")
+        .otherwise("junk").as("parking_brake_applied"),
+      when(col("event_id") % 17 === 0, "")
+        .when(col("event_id") % 13 === 0, "not \" json")
+        .when(col("event_id") % 11 === 0, lit(null).cast("string"))
+        .otherwise(col("props")).as("extras"))
+  }
+
+  /** The same synthesis as a DuckDB CTE. */
+  private val rawCte: String =
+    """WITH raw AS (
+      |  SELECT event_id, ts AS timestamp,
+      |    'truck-' || CAST(user_id % 20 AS VARCHAR) AS device_id,
+      |    CASE WHEN value < 12.5 THEN 'LoadingManeuver'
+      |         WHEN value < 25 THEN ' loadToDump '
+      |         WHEN value < 37.5 THEN 'DUMPING'
+      |         WHEN value < 50 THEN 'waitingToDump'
+      |         WHEN value < 62.5 THEN 'zoneQueuedDumpToLoad'
+      |         WHEN value < 75 THEN 'Idle'
+      |         WHEN value < 87.5 THEN 'bogus_state'
+      |         ELSE NULL END AS state,
+      |    CASE WHEN user_id % 6 = 0 THEN 'start'
+      |         WHEN user_id % 6 = 1 THEN 'STOP'
+      |         WHEN user_id % 6 = 2 THEN ' slow '
+      |         WHEN user_id % 6 = 3 THEN 'wait'
+      |         WHEN user_id % 6 = 4 THEN 'Fault'
+      |         ELSE 'strange' END AS software_state,
+      |    CASE WHEN event_id % 5 = 0 THEN 't'
+      |         WHEN event_id % 5 = 1 THEN 'f'
+      |         WHEN event_id % 5 = 2 THEN 'TRUE'
+      |         WHEN event_id % 5 = 3 THEN 'false'
+      |         ELSE '1' END AS system_engaged,
+      |    value / 10 AS current_speed,
+      |    event_id % 97 = 0 AS pos_garbage,
+      |    value / 1000 + 33.2 AS pos_lat,
+      |    (user_id % 100) / 10000.0 - 97.84 AS pos_lon,
+      |    value + 200.0 AS pos_alt,
+      |    CASE WHEN event_id % 89 = 0 THEN -99
+      |         ELSE CAST(floor(value * 1200) AS INT) END AS load_weight,
+      |    CASE WHEN user_id % 7 = 0 THEN 'P'
+      |         WHEN user_id % 7 = 1 THEN 'reverse'
+      |         WHEN user_id % 7 = 2 THEN 'N'
+      |         WHEN user_id % 7 = 3 THEN ' d '
+      |         WHEN user_id % 7 = 4 THEN 'LOW'
+      |         WHEN user_id % 7 = 5 THEN 'l'
+      |         ELSE NULL END AS prndl,
+      |    CASE WHEN event_id % 6 = 0 THEN 't'
+      |         WHEN event_id % 6 = 1 THEN 'f'
+      |         WHEN event_id % 6 = 2 THEN 'no'
+      |         WHEN event_id % 6 = 3 THEN 'yes'
+      |         WHEN event_id % 6 = 4 THEN '0'
+      |         ELSE 'junk' END AS parking_brake_applied,
+      |    CASE WHEN event_id % 17 = 0 THEN ''
+      |         WHEN event_id % 13 = 0 THEN 'not " json'
+      |         WHEN event_id % 11 = 0 THEN NULL
+      |         ELSE props END AS extras
+      |  FROM events
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- STEP 2 silver transform end-to-end (SURVEY §2.2 P1-P3, §2.8,
+    // §2.10: hash id, enum CASE chains, bool parse, position parse,
+    // extras validate-or-wrap) ----
+    "q_telemetry_transform" -> ((s, d) => {
+      val raw = rawTelemetryFromEvents(s, d)
+      TelemetryTransform.transform(raw, passthrough = Seq("event_id"))
+        .select(
+          col("event_id"), col("raw_event_hash_id"), col("device_id"),
+          col("device_date"), col("system_engaged"),
+          col("parking_brake_applied"),
+          col("current_position.lon").as("pos_lon"),
+          col("current_position.lat").as("pos_lat"),
+          col("current_position.alt").as("pos_alt"),
+          col("current_speed"), col("load_weight"), col("state"),
+          col("software_state"), col("prndl"), col("extras"))
+        .orderBy("event_id")
+    }),
+
+    // ---- STEP 4 window-feature stack (W1-W7) + assembly booleans ----
+    "q_feature_stack" -> ((s, d) => {
+      val silver = events(s, d).select(
+        col("event_id"),
+        col("ts").as("timestamp"),
+        concat(lit("truck-"), (col("user_id") % 20).cast("string"))
+          .as("device_id"),
+        concat(lit("truck-"), (col("user_id") % 20).cast("string"), lit("_"),
+          date_format(col("ts"), "yyyy-MM-dd")).as("device_date"),
+        (col("value") / 10).as("current_speed"),
+        when(col("user_id") % 20 === 7, lit(5000.0))
+          .otherwise(floor(col("value") * 1200).cast("double"))
+          .as("load_weight"),
+        struct(lit(0.0).as("lon"), lit(0.0).as("lat"),
+          (col("value") * 3).as("alt")).as("current_position"),
+        when(col("user_id") % 4 === 0, "Pit 1")
+          .when(col("user_id") % 4 === 1, "Stockpile 2")
+          .when(col("user_id") % 4 === 2, "Crusher")
+          .otherwise("Haul Road / Other").as("location_type"),
+        when(col("user_id") % 7 === 0, "park")
+          .when(col("user_id") % 7 === 1, "reverse")
+          .when(col("user_id") % 7 === 2, "neutral")
+          .when(col("user_id") % 7 === 3, "drive")
+          .when(col("user_id") % 7 === 4, "low")
+          .otherwise("unknown").as("prndl"))
+      val gold = FeatureEngineering.withAssemblyFeatures(
+        FeatureEngineering.withReliablePayload(
+          FeatureEngineering.withWindowFeatures(silver)))
+      gold.select(
+        col("event_id"),
+        col("is_stationary"),
+        round(col("time_delta"), 6).as("time_delta"),
+        round(col("load_weight_smoothed"), 4).as("load_weight_smoothed"),
+        col("stationary_block_id"),
+        round(col("altitude_rate_of_change"), 4).as("altitude_roc"),
+        round(col("speed_rolling_avg_5s"), 6).as("speed_rolling_avg_5s"),
+        round(col("load_weight_rate_of_change"), 4).as("load_weight_roc"),
+        col("has_reliable_payload"),
+        round(col("time_in_stationary_state"), 6).as("time_in_stationary"),
+        col("prndl_park"), col("prndl_drive"), col("prndl_unknown"),
+        col("is_heavy_load"), col("is_ready_for_load"), col("is_hauling"),
+        col("is_in_loading_zone"), col("is_in_dumping_zone"))
+        .orderBy("event_id")
+    }),
+
+    // ---- J1 spatial broadcast join: ray-casting point-in-polygon against
+    // the reference's real Pit 1/2/3 polygons; oracle = independent
+    // half-plane containment math for the convex CCW polygons ----
+    "q_spatial_zone" -> ((s, d) => {
+      val pts = events(s, d).select(
+        col("event_id"),
+        ((col("value") / 100) * 0.0095 - 97.8410).as("lon"),
+        ((col("user_id") % 150) / 150.0 * 0.0075 + 33.2695).as("lat"))
+      val pos = pts.withColumn("current_position",
+        struct(col("lon"), col("lat"), lit(0.0).as("alt")))
+      val pits = FeatureEngineering.zonesDf(s,
+        FeatureEngineering.lbpZones.filter(_._1.startsWith("Pit")))
+      FeatureEngineering.withLocationType(pos, pits)
+        .select(col("event_id"), col("lon"), col("lat"), col("location_type"))
+        .orderBy("event_id")
+    }))
+
+  private def pitCondition(verts: Seq[(Double, Double)]): String =
+    verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.length)
+      s"(($x2 - $x1) * (lat - $y1) - ($y2 - $y1) * (lon - $x1)) > 0"
+    }.mkString("(", " AND ", ")")
+
+  private val spatialOracle: String = {
+    val pits = FeatureEngineering.lbpZones.filter(_._1.startsWith("Pit"))
+    val cases = pits.map { case (n, vs) =>
+      s"WHEN ${pitCondition(vs)} THEN '$n'"
+    }.mkString("\n    ")
+    s"""WITH pts AS (
+       |  SELECT event_id,
+       |    (value / 100) * 0.0095 - 97.8410 AS lon,
+       |    (user_id % 150) / 150.0 * 0.0075 + 33.2695 AS lat
+       |  FROM events
+       |)
+       |SELECT event_id, lon, lat,
+       |  CASE $cases
+       |    ELSE 'Haul Road / Other' END AS location_type
+       |FROM pts ORDER BY event_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_telemetry_transform" -> (rawCte +
+      """
+        |SELECT event_id,
+        |  sha256(device_id || '|' ||
+        |    rtrim(rtrim(strftime(CAST(timestamp AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f'), '0'), '.')
+        |    || '+00') AS raw_event_hash_id,
+        |  device_id,
+        |  device_id || '_' || strftime(CAST(timestamp AS TIMESTAMP), '%Y-%m-%d') AS device_date,
+        |  CASE WHEN lower(trim(system_engaged)) IN ('t','true','1','yes','y') THEN true
+        |       WHEN lower(trim(system_engaged)) IN ('f','false','0','no','n') THEN false
+        |       ELSE NULL END AS system_engaged,
+        |  CASE WHEN lower(trim(parking_brake_applied)) IN ('t','true','1','yes','y') THEN true
+        |       WHEN lower(trim(parking_brake_applied)) IN ('f','false','0','no','n') THEN false
+        |       ELSE NULL END AS parking_brake_applied,
+        |  CASE WHEN pos_garbage THEN NULL ELSE pos_lon END AS pos_lon,
+        |  CASE WHEN pos_garbage THEN NULL ELSE pos_lat END AS pos_lat,
+        |  CASE WHEN pos_garbage THEN NULL ELSE pos_alt END AS pos_alt,
+        |  current_speed,
+        |  CAST(load_weight AS DOUBLE) AS load_weight,
+        |  CASE lower(trim(coalesce(state, 'unknown')))
+        |    WHEN 'idle' THEN 'idle' WHEN 'loading' THEN 'loading'
+        |    WHEN 'loadingmaneuver' THEN 'loading'
+        |    WHEN 'dumping' THEN 'dumping' WHEN 'dumpingmaneuver' THEN 'dumping'
+        |    WHEN 'loadtodump' THEN 'hauling' WHEN 'dumptoload' THEN 'hauling'
+        |    WHEN 'leadqueueddumptoload' THEN 'hauling'
+        |    WHEN 'leadqueuedloadtodump' THEN 'hauling'
+        |    WHEN 'zonequeueddumptoload' THEN 'hauling'
+        |    WHEN 'zonequeuedloadtodump' THEN 'hauling'
+        |    WHEN 'waitingtodump' THEN 'stopped'
+        |    WHEN 'active' THEN 'active' WHEN 'maintenance' THEN 'maintenance'
+        |    WHEN 'stopped' THEN 'stopped' WHEN 'hauling' THEN 'hauling'
+        |    ELSE 'unknown' END AS state,
+        |  CASE lower(trim(coalesce(software_state, 'unknown')))
+        |    WHEN 'fault' THEN 'fault' WHEN 'start' THEN 'autonomous'
+        |    WHEN 'stop' THEN 'manual' WHEN 'dump' THEN 'autonomous'
+        |    WHEN 'slow' THEN 'intervention' WHEN 'wait' THEN 'autonomous'
+        |    WHEN 'manual' THEN 'manual' WHEN 'autonomous' THEN 'autonomous'
+        |    WHEN 'intervention' THEN 'intervention'
+        |    WHEN 'disabled' THEN 'disabled'
+        |    WHEN 'calibrating' THEN 'calibrating'
+        |    ELSE 'unknown' END AS software_state,
+        |  CASE lower(trim(coalesce(prndl, 'unknown')))
+        |    WHEN 'park' THEN 'park' WHEN 'p' THEN 'park'
+        |    WHEN 'reverse' THEN 'reverse' WHEN 'r' THEN 'reverse'
+        |    WHEN 'neutral' THEN 'neutral' WHEN 'n' THEN 'neutral'
+        |    WHEN 'drive' THEN 'drive' WHEN 'd' THEN 'drive'
+        |    WHEN 'low' THEN 'low' WHEN 'l' THEN 'low'
+        |    ELSE 'unknown' END AS prndl,
+        |  CASE WHEN extras IS NULL OR trim(extras) = '' THEN NULL
+        |       WHEN regexp_matches(extras, '^\s*\{.*\}\s*$')
+        |         OR regexp_matches(extras, '^\s*\[.*\]\s*$') THEN extras
+        |       ELSE '"not \" json"' END AS extras
+        |FROM raw
+        |WHERE timestamp IS NOT NULL AND device_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin),
+
+    "q_feature_stack" ->
+      """WITH silver AS (
+        |  SELECT event_id, ts AS timestamp,
+        |    'truck-' || CAST(user_id % 20 AS VARCHAR) AS device_id,
+        |    'truck-' || CAST(user_id % 20 AS VARCHAR) || '_' ||
+        |      strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS device_date,
+        |    value / 10 AS current_speed,
+        |    CASE WHEN user_id % 20 = 7 THEN 5000.0
+        |         ELSE floor(value * 1200) END AS load_weight,
+        |    value * 3 AS altitude,
+        |    CASE WHEN user_id % 4 = 0 THEN 'Pit 1'
+        |         WHEN user_id % 4 = 1 THEN 'Stockpile 2'
+        |         WHEN user_id % 4 = 2 THEN 'Crusher'
+        |         ELSE 'Haul Road / Other' END AS location_type,
+        |    CASE WHEN user_id % 7 = 0 THEN 'park'
+        |         WHEN user_id % 7 = 1 THEN 'reverse'
+        |         WHEN user_id % 7 = 2 THEN 'neutral'
+        |         WHEN user_id % 7 = 3 THEN 'drive'
+        |         WHEN user_id % 7 = 4 THEN 'low'
+        |         ELSE 'unknown' END AS prndl
+        |  FROM events
+        |), base AS (
+        |  SELECT *, current_speed < 0.5 AS is_stationary FROM silver
+        |), basic AS (
+        |  SELECT *,
+        |    coalesce(lag(is_stationary) OVER w, is_stationary) AS prev_stationary,
+        |    coalesce((epoch_us(timestamp) - lag(epoch_us(timestamp)) OVER w) / 1e6, 0.0) AS time_delta,
+        |    avg(load_weight) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS load_weight_smoothed
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY device_id, device_date ORDER BY timestamp)
+        |), blocks AS (
+        |  SELECT *,
+        |    sum(CASE WHEN is_stationary != prev_stationary THEN 1 ELSE 0 END) OVER w AS stationary_block_id
+        |  FROM basic
+        |  WINDOW w AS (PARTITION BY device_id, device_date ORDER BY timestamp)
+        |), reliable AS (
+        |  SELECT device_id, stddev_samp(load_weight) > 1000 AS has_reliable_payload
+        |  FROM silver GROUP BY device_id
+        |)
+        |SELECT b.event_id,
+        |  b.is_stationary,
+        |  round(b.time_delta, 6) AS time_delta,
+        |  round(b.load_weight_smoothed, 4) AS load_weight_smoothed,
+        |  b.stationary_block_id,
+        |  round(b.altitude - lag(b.altitude) OVER w, 4) AS altitude_roc,
+        |  round(avg(b.current_speed) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS speed_rolling_avg_5s,
+        |  round(b.load_weight_smoothed - lag(b.load_weight_smoothed) OVER w, 4) AS load_weight_roc,
+        |  r.has_reliable_payload,
+        |  round(CASE WHEN b.is_stationary THEN
+        |    sum(b.time_delta) OVER (PARTITION BY b.device_id, b.device_date, b.stationary_block_id ORDER BY b.timestamp)
+        |    ELSE 0 END, 6) AS time_in_stationary,
+        |  b.prndl = 'park' AS prndl_park,
+        |  b.prndl = 'drive' AS prndl_drive,
+        |  b.prndl = 'unknown' AS prndl_unknown,
+        |  b.load_weight_smoothed > 50000 AS is_heavy_load,
+        |  b.is_stationary AND NOT (b.load_weight_smoothed > 50000) AS is_ready_for_load,
+        |  (b.load_weight_smoothed > 50000) AND NOT b.is_stationary AS is_hauling,
+        |  (b.location_type LIKE 'Pit%' OR b.location_type LIKE 'Stockpile%') AS is_in_loading_zone,
+        |  (b.location_type = 'Crusher' OR b.location_type LIKE 'Stockpile%') AS is_in_dumping_zone
+        |FROM blocks b JOIN reliable r USING (device_id)
+        |WINDOW w AS (PARTITION BY b.device_id, b.device_date ORDER BY b.timestamp)
+        |ORDER BY b.event_id""".stripMargin,
+
+    "q_spatial_zone" -> spatialOracle)
+}
