@@ -1,0 +1,168 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STEP 5: change-point detection over the gold feature table → candidate
+  * events, re-expressed Spark-first.
+  *
+  * Reference flow (`05_cpd_orchestrator_polars.py:162-472`): 90 worker
+  * processes, one per `device_date` parquet partition, each doing
+  * 6-column projection → reliability branch → 5 s tumbling mean → PELT per
+  * signal → distinct-merge → bucket-index → (timestamp, hash) mapping.
+  *
+  * Spark design:
+  *  1. the 5 s downsample runs as a declarative `groupBy(device_date,
+  *     window(ts))` — ONE shuffle, map-side partial aggregation, and a
+  *     ~10× row reduction *before* any per-group kernel (the reference's
+  *     "900×" O(n²)-killer, `README.md:42,195`);
+  *  2. per-device-date gates (row counts, reliability flag) are tiny
+  *     aggregates joined onto the buckets;
+  *  3. the PELT kernel runs in `groupByKey(device_date).flatMapGroups` over
+  *     the *downsampled* buckets — bounded state (≤ 17,280 buckets/day at
+  *     5 s), so one task per device-date stays small no matter how big the
+  *     raw partition was. At 1000-executor scale the 96-partition skew of
+  *     the reference disappears: tasks are bucket-sized, not raw-row-sized.
+  *
+  * Branch semantics (TICKET-141/144/146 behavior):
+  *  - `has_reliable_payload` (taken per device-date) → payload path:
+  *    signal = mean(load_weight_rate_of_change) per bucket, rows with null
+  *    signal dropped *before* bucketing; else kinematic path: two PELT
+  *    passes over mean(speed_rolling_avg_5s) and
+  *    mean(altitude_rate_of_change), rows where either is null dropped;
+  *  - raw-row gates: < 20 raw rows, < 20 clean rows, < 10 buckets → no
+  *    events for that device-date;
+  *  - indices from all passes are distinct-merged, sorted, mapped to the
+  *    bucket-start timestamp and the earliest raw hash in the bucket;
+  *  - `device_id = device_date` up to the last '_' (`:412`).
+  */
+object Cpd {
+
+  case class Config(
+      every: String = "5 seconds",
+      penalty: Double = 0.05,
+      minSize: Int = 10,
+      jump: Int = 1,
+      minRawRows: Int = 20,
+      minBuckets: Int = 10)
+
+  /** One downsampled bucket row fed to the kernel. (Not `private`: Spark's
+    * generated encoder code must be able to construct it.) */
+  case class Bucket(
+      device_date: String,
+      bucket_start: Timestamp,
+      payload: Boolean,
+      lw: Option[Double],
+      speed: Option[Double],
+      alt: Option[Double],
+      hash: String,
+      clean_rows: Long,
+      raw_rows: Long)
+
+  /** Candidate event (FIXTURES F5 / `05_load_candidates_to_db.py:96-98`). */
+  case class Candidate(
+      device_id: String,
+      timestamp_start: Timestamp,
+      raw_event_hash_id: String)
+
+  /** features must carry: device_date, timestamp, load_weight_rate_of_change,
+    * speed_rolling_avg_5s, altitude_rate_of_change, has_reliable_payload,
+    * raw_event_hash_id — exactly the reference's 6-column projection. */
+  def candidateEvents(features: DataFrame, cfg: Config = Config())
+      : Dataset[Candidate] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+
+    val f = features.select("device_date", "timestamp",
+      "load_weight_rate_of_change", "speed_rolling_avg_5s",
+      "altitude_rate_of_change", "has_reliable_payload", "raw_event_hash_id")
+
+    // Per-device-date gates: raw row count + the branch flag (constant per
+    // device; the reference reads it off the first row).
+    val gates = f.groupBy("device_date").agg(
+      count(lit(1)).as("raw_rows"),
+      (min_by(col("has_reliable_payload"), col("timestamp")) === true)
+        .as("payload"))
+
+    val withGate = f.join(gates, Seq("device_date"))
+
+    // Branch-specific clean filter, then tumbling 5 s mean per signal with
+    // the earliest hash per bucket. One shuffle; partial aggregation first.
+    val clean = withGate.where(
+      when(col("payload"), col("load_weight_rate_of_change").isNotNull)
+        .otherwise(col("speed_rolling_avg_5s").isNotNull &&
+          col("altitude_rate_of_change").isNotNull))
+
+    val cleanCounts = clean.groupBy("device_date")
+      .agg(count(lit(1)).as("clean_rows"))
+
+    val buckets = Downsample.tumblingMean(clean, "timestamp", cfg.every,
+        keys = Seq("device_date", "payload", "raw_rows"),
+        signals = Seq("load_weight_rate_of_change", "speed_rolling_avg_5s",
+          "altitude_rate_of_change"),
+        firstCols = Seq("raw_event_hash_id"))
+      .join(cleanCounts, Seq("device_date"))
+      .select(
+        col("device_date"),
+        col("bucket_start"),
+        col("payload"),
+        col("load_weight_rate_of_change").as("lw"),
+        col("speed_rolling_avg_5s").as("speed"),
+        col("altitude_rate_of_change").as("alt"),
+        col("raw_event_hash_id").as("hash"),
+        col("clean_rows"),
+        col("raw_rows"))
+      .as[Bucket]
+
+    buckets.groupByKey(_.device_date).flatMapGroups {
+      (dd: String, it: Iterator[Bucket]) => detectGroup(dd, it, cfg)
+    }
+  }
+
+  /** The per-device-date kernel over downsampled buckets. */
+  private[operators] def detectGroup(deviceDate: String,
+      it: Iterator[Bucket], cfg: Config): Iterator[Candidate] = {
+    val rows = it.toArray.sortBy(_.bucket_start.getTime)
+    if (rows.isEmpty) return Iterator.empty
+    val head = rows.head
+    if (head.raw_rows < cfg.minRawRows || head.clean_rows < cfg.minRawRows ||
+        rows.length < cfg.minBuckets)
+      return Iterator.empty
+
+    val indices: Array[Int] =
+      if (head.payload) {
+        val sig = rows.flatMap(_.lw)
+        if (sig.length >= cfg.minBuckets)
+          Pelt.detectInterior(sig, cfg.penalty, cfg.minSize, cfg.jump)
+        else Array.empty[Int]
+      } else {
+        // two passes over the independently null-filtered signals; the
+        // reference indexes both into the same downsampled frame
+        // (all-null buckets cannot occur post-filter, so the filtered
+        // signal aligns with the bucket array)
+        val speedSig = rows.flatMap(_.speed)
+        val altSig = rows.flatMap(_.alt)
+        val sp =
+          if (speedSig.length >= cfg.minBuckets)
+            Pelt.detectInterior(speedSig, cfg.penalty, cfg.minSize, cfg.jump)
+          else Array.empty[Int]
+        val al =
+          if (altSig.length >= cfg.minBuckets)
+            Pelt.detectInterior(altSig, cfg.penalty, cfg.minSize, cfg.jump)
+          else Array.empty[Int]
+        (sp ++ al).distinct.sorted
+      }
+
+    val deviceId = deviceDate.lastIndexOf('_') match {
+      case -1 => deviceDate
+      case i  => deviceDate.substring(0, i)
+    }
+    indices.iterator
+      .filter(i => i >= 0 && i < rows.length)
+      .map { i =>
+        Candidate(deviceId, rows(i).bucket_start, rows(i).hash)
+      }
+  }
+}

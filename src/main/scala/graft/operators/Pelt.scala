@@ -1,0 +1,115 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+/** PELT change-point detection (Killick et al. 2012, "Optimal detection of
+  * changepoints with a linear computational cost", JASA 107(500)) with an L2
+  * segment cost — a pure-Scala reimplementation of the semantics the
+  * reference gets from `ruptures.Pelt(model="l2", min_size, jump)`
+  * (`STEP 5 - CPD/05_cpd_orchestrator_polars.py:282-289,362-390`; archived
+  * in-database variant
+  * `_archive_slow_udf_pipeline/05_detect_change_points_bulk_udf.sql`).
+  *
+  * Mirrors the library's observable behavior:
+  *  - candidate breakpoints are `min_size, min_size+jump, …, n` (the last
+  *    evaluation point is always n);
+  *  - admissible starts are 0 and computed breakpoints ≥ min_size;
+  *  - ties resolve to the earliest admissible start;
+  *  - pruning keeps start s when F(s) + cost(s, t) ≤ F(t) (uncomputed
+  *    candidates below min_size are discarded, as the library's
+  *    KeyError-skip + zip truncation does);
+  *  - returned breakpoints are segment ends in increasing order, always
+  *    ending with n (callers following the reference drop that last one).
+  *
+  * L2 cost of segment [a, b): `sum((y - mean)^2)`, computed from prefix
+  * sums in O(1) per evaluation — the whole detection is O(n·|admissible|)
+  * with PELT's pruning keeping |admissible| small in practice.
+  *
+  * This runs *inside* a `flatMapGroups` kernel, one group per device-date
+  * partition — at cluster scale each task handles a bounded post-downsample
+  * signal (≤ 17,280 buckets per day at 5 s), so the quadratic worst case is
+  * capped regardless of raw data volume.
+  */
+object Pelt {
+
+  /** Detect change points in `signal`.
+    * @return segment end indices, increasing, last element == signal.length
+    *         (empty input → empty result)
+    */
+  def detect(signal: Array[Double], penalty: Double, minSize: Int,
+      jump: Int = 1): Array[Int] = {
+    val n = signal.length
+    if (n < 2 * minSize) return if (n == 0) Array.empty else Array(n)
+
+    // prefix sums for O(1) L2 cost
+    val s1 = new Array[Double](n + 1)
+    val s2 = new Array[Double](n + 1)
+    var i = 0
+    while (i < n) {
+      s1(i + 1) = s1(i) + signal(i)
+      s2(i + 1) = s2(i) + signal(i) * signal(i)
+      i += 1
+    }
+    def cost(a: Int, b: Int): Double = {
+      val m = b - a
+      val ds = s1(b) - s1(a)
+      s2(b) - s2(a) - ds * ds / m
+    }
+
+    // F(t) = min total (segment costs + penalty per segment) of y[0:t)
+    val bigF = new Array[Double](n + 1)
+    val prev = new Array[Int](n + 1)
+    val computed = new Array[Boolean](n + 1)
+    bigF(0) = 0.0
+    computed(0) = true
+
+    // evaluation points: minSize, minSize+jump, ..., and always n last
+    val evals = ArrayBuffer.empty[Int]
+    var t = minSize
+    while (t < n) { evals += t; t += jump }
+    evals += n
+
+    var admissible = ArrayBuffer.empty[Int]
+    for (bkp <- evals) {
+      val newAdm = (bkp - minSize) / jump * jump
+      if (newAdm >= 0) admissible += newAdm
+      var bestS = -1
+      var bestV = Double.PositiveInfinity
+      var j = 0
+      while (j < admissible.length) {
+        val s = admissible(j)
+        if (computed(s) && bkp - s >= minSize) {
+          val v = bigF(s) + cost(s, bkp) + penalty
+          if (v < bestV) { bestV = v; bestS = s }
+        }
+        j += 1
+      }
+      if (bestS >= 0) {
+        bigF(bkp) = bestV
+        prev(bkp) = bestS
+        computed(bkp) = true
+        // PELT prune: keep s when F(s) + cost(s, bkp) <= F(bkp)
+        admissible = admissible.filter(s =>
+          computed(s) && bigF(s) + cost(s, bkp) + penalty <= bestV + penalty)
+      }
+    }
+
+    // backtrack from n
+    val out = ArrayBuffer.empty[Int]
+    var cur = n
+    while (cur > 0 && computed(cur)) {
+      out += cur
+      cur = prev(cur)
+    }
+    out.reverseIterator.toArray
+  }
+
+  /** The orchestrator's convention: drop the trailing n ("end of data is
+    * not a change", `05_cpd_orchestrator_polars.py:286-288`). */
+  def detectInterior(signal: Array[Double], penalty: Double, minSize: Int,
+      jump: Int = 1): Array[Int] = {
+    val bkps = detect(signal, penalty, minSize, jump)
+    if (bkps.nonEmpty && bkps.last == signal.length) bkps.dropRight(1)
+    else bkps
+  }
+}

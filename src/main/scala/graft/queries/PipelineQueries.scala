@@ -186,6 +186,38 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // ---- STEP 5 CPD: downsample → PELT → candidates (§2.10). Not
+    // SQL-expressible → no oracle entry; the driver records rows-only and
+    // the PELT kernel is golden-tested in PeltSpec/CpdSpec. ----
+    "q_cpd_candidates" -> ((s, d) => {
+      import graft.operators.Cpd
+      val silver = events(s, d).select(
+        col("ts").as("timestamp"),
+        concat(lit("truck-"), (col("user_id") % 20).cast("string"))
+          .as("device_id"),
+        concat(lit("truck-"), (col("user_id") % 20).cast("string"), lit("_"),
+          date_format(col("ts"), "yyyy-MM")).as("device_date"),
+        (col("value") / 10).as("current_speed"),
+        when(col("user_id") % 20 === 7, lit(5000.0))
+          .otherwise(floor(col("value") * 1200).cast("double"))
+          .as("load_weight"),
+        struct(lit(0.0).as("lon"), lit(0.0).as("lat"),
+          (col("value") * 3).as("alt")).as("current_position"))
+      val feats = FeatureEngineering.withReliablePayload(
+        FeatureEngineering.withWindowFeatures(silver))
+        .withColumnRenamed("raw_event_hash_id", "_ignored")
+        .withColumn("raw_event_hash_id",
+          sha2(concat(col("device_id"), lit("|"),
+            col("timestamp").cast("string")), 256))
+      Cpd.candidateEvents(feats,
+          Cpd.Config(every = "5 minutes", penalty = 0.5))
+        .toDF()
+        .select(col("device_id"),
+          unix_micros(col("timestamp_start")).as("start_us"),
+          col("raw_event_hash_id"))
+        .orderBy("device_id", "start_us", "raw_event_hash_id")
+    }),
+
     // ---- J1 spatial broadcast join: ray-casting point-in-polygon against
     // the reference's real Pit 1/2/3 polygons; oracle = independent
     // half-plane containment math for the convex CCW polygons ----
