@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (point-in-range, per-key) joins — SURVEY §2.3 J2.
+  *
+  * Reference: labeling telemetry rows by membership in annotated
+  * [start_time, end_time] intervals for the same truck, with label
+  * precedence load_event > dump_event > background expressed as ordered
+  * EXISTS subqueries
+  * (`STEP 2.1 - LD Event Labeling/02.1.2_neural_net_training_ldevents_label_recombine.py:358-398`).
+  *
+  * Scale design: intervals are human-annotated and tiny relative to the
+  * fact table, so they are pre-aggregated to ONE row per key
+  * (`collect_list` of (start, end, rank) structs) and broadcast — the join
+  * is then a plain broadcast *hash* join on the key (not even a nested
+  * loop), and the range test + precedence pick run as codegen'd
+  * higher-order array expressions per row. Zero shuffle of the fact side,
+  * one output row per input row (EXISTS semantics — no duplicate explosion
+  * on overlapping intervals, no regrouping).
+  */
+object IntervalJoin {
+
+  /** Label each event row with the highest-precedence matching interval
+    * label, default `defaultLabel`.
+    *
+    * @param events     fact rows carrying `keyCol` and `tsCol`
+    * @param intervals  small frame: keyCol, startCol, endCol, labelCol
+    * @param precedence labels in priority order (first wins on overlap);
+    *                   interval rows with labels outside this list are
+    *                   ignored
+    */
+  def labelByIntervals(events: DataFrame, intervals: DataFrame,
+      keyCol: String, tsCol: String, startCol: String, endCol: String,
+      labelCol: String, precedence: Seq[String],
+      defaultLabel: String = "background",
+      outCol: String = "ml_event_label"): DataFrame = {
+    val rankCol = precedence.zipWithIndex.foldLeft(
+      lit(null).cast("int")) { case (acc, (l, r)) =>
+      when(intervals(labelCol) === l, r).otherwise(acc)
+    }
+    val perKey = intervals
+      .select(intervals(keyCol).as("_ik"),
+        struct(
+          intervals(startCol).as("s"),
+          intervals(endCol).as("e"),
+          rankCol.as("r")).as("_iv"))
+      .where(col("_iv.r").isNotNull)
+      .groupBy("_ik")
+      .agg(collect_list("_iv").as("_ivs"))
+
+    val ts = events(tsCol)
+    val matched = filter(col("_ivs"),
+      iv => ts >= iv.getField("s") && ts <= iv.getField("e"))
+    val bestRank = array_min(transform(matched, _.getField("r")))
+    val lblExpr = precedence.zipWithIndex.foldLeft(lit(defaultLabel)) {
+      case (acc, (l, r)) => when(bestRank === r, l).otherwise(acc)
+    }
+    events
+      .join(broadcast(perKey), events(keyCol) === col("_ik"), "left")
+      .withColumn(outCol, when(col("_ivs").isNull, defaultLabel)
+        .otherwise(lblExpr))
+      .drop("_ik", "_ivs")
+  }
+}

@@ -186,6 +186,31 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // ---- J2 interval join + precedence labeling (STEP 2.1): label each
+    // event by membership in per-truck [start, end] intervals, load_event
+    // winning over dump_event on overlap; oracle = the reference's ordered
+    // EXISTS chain (02.1.2_...label_recombine.py:358-398). ----
+    "q_interval_label" -> ((s, d) => {
+      import graft.operators.IntervalJoin
+      val t0 = 1704153600L // 2024-01-02 00:00:00 UTC
+      val iv = s.range(40).select(
+        concat(lit("truck-"), (col("id") % 20).cast("string")).as("truck_id"),
+        timestamp_seconds(lit(t0) + ((col("id") % 20) * 29 +
+          when(col("id") < 20, 0).otherwise(5)) * 3600).as("start_time"),
+        timestamp_seconds(lit(t0) + ((col("id") % 20) * 29 +
+          when(col("id") < 20, 0).otherwise(5)) * 3600 + 36000).as("end_time"),
+        when(col("id") < 20, "load_event").otherwise("dump_event").as("label"))
+      val ev = events(s, d).select(col("event_id"),
+        concat(lit("truck-"), (col("user_id") % 20).cast("string"))
+          .as("truck_id"),
+        col("ts"))
+      IntervalJoin.labelByIntervals(ev, iv, "truck_id", "ts",
+          "start_time", "end_time", "label",
+          precedence = Seq("load_event", "dump_event"))
+        .select("event_id", "truck_id", "ml_event_label")
+        .orderBy("event_id")
+    }),
+
     // ---- STEP 5 CPD: downsample → PELT → candidates (§2.10). Not
     // SQL-expressible → no oracle entry; the driver records rows-only and
     // the PELT kernel is golden-tested in PeltSpec/CpdSpec. ----
@@ -379,5 +404,32 @@ object PipelineQueries {
         |WINDOW w AS (PARTITION BY b.device_id, b.device_date ORDER BY b.timestamp)
         |ORDER BY b.event_id""".stripMargin,
 
-    "q_spatial_zone" -> spatialOracle)
+    "q_spatial_zone" -> spatialOracle,
+
+    "q_interval_label" ->
+      """WITH iv AS (
+        |  SELECT 'truck-' || CAST(i % 20 AS VARCHAR) AS truck_id,
+        |    to_timestamp(1704153600 + ((i % 20) * 29 +
+        |      CASE WHEN i < 20 THEN 0 ELSE 5 END) * 3600) AT TIME ZONE 'UTC' AS start_time,
+        |    to_timestamp(1704153600 + ((i % 20) * 29 +
+        |      CASE WHEN i < 20 THEN 0 ELSE 5 END) * 3600 + 36000) AT TIME ZONE 'UTC' AS end_time,
+        |    CASE WHEN i < 20 THEN 'load_event' ELSE 'dump_event' END AS label
+        |  FROM range(40) t(i)
+        |), ev AS (
+        |  SELECT event_id,
+        |    'truck-' || CAST(user_id % 20 AS VARCHAR) AS truck_id,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |)
+        |SELECT event_id, truck_id,
+        |  CASE WHEN EXISTS (SELECT 1 FROM iv
+        |         WHERE iv.truck_id = ev.truck_id
+        |           AND ev.ts >= iv.start_time AND ev.ts <= iv.end_time
+        |           AND iv.label = 'load_event') THEN 'load_event'
+        |       WHEN EXISTS (SELECT 1 FROM iv
+        |         WHERE iv.truck_id = ev.truck_id
+        |           AND ev.ts >= iv.start_time AND ev.ts <= iv.end_time
+        |           AND iv.label = 'dump_event') THEN 'dump_event'
+        |       ELSE 'background' END AS ml_event_label
+        |FROM ev ORDER BY event_id""".stripMargin)
 }
