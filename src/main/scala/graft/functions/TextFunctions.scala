@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale document pipelines (the
+  * beyond-parity operator set: token counting, quality scoring, language
+  * ID, fingerprinting, shingling). All pure `functions._` compositions or
+  * tiny deterministic UDFs, designed to run over a `documents(text)` column
+  * at corpus scale — per-row, no shuffle, codegen-friendly where possible.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, 0L)
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword-piece count: word characters in runs of ≤ 4 plus
+    * standalone non-word symbols — a cheap deterministic proxy for
+    * tokenizer budget estimation (a real tokenizer would plug in as the
+    * same shaped column function). */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w{1,4}|[^\\w\\s]"), lit(0)))
+      .cast("long")
+
+  /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(length(text) === 0, 0.0)
+      .otherwise(punct.cast("double") / length(text))
+  }
+
+  /** Uppercase ratio over letters. */
+  def upperRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val uppers = length(regexp_replace(text, "[^A-Z]", ""))
+    when(letters === 0, 0.0).otherwise(uppers.cast("double") / letters)
+  }
+
+  /** English stopword hit ratio over whitespace tokens — the core of the
+    * n-gram/stopword language-ID heuristic. */
+  val enStopwords: Seq[String] = Seq("the", "of", "and", "to", "in", "a",
+    "is", "that", "for", "it", "was", "on", "with", "as", "are", "at",
+    "be", "this", "by", "from")
+
+  def stopwordRatio(text: Column,
+      stopwords: Seq[String] = enStopwords): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isInCollection(stopwords)))
+    when(size(toks) === 0 || (size(toks) === 1 && toks.getItem(0) === ""), 0.0)
+      .otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Quality score in [0,1]: length sweet-spot, low punctuation noise,
+    * sane casing, some stopword mass (the usual pretraining-filter
+    * heuristics, each a clamped sub-score averaged together). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4)
+    val caseScore = greatest(lit(0.0), lit(1.0) - upperRatio(text) * 2)
+    val stopScore = least(stopwordRatio(text) * 5, lit(1.0))
+    (lenScore + punctScore + caseScore + stopScore) / 4
+  }
+
+  /** Heuristic language ID over a configurable stopword table; returns the
+    * language with the highest stopword hit count, 'und' when nothing
+    * matches. Extendable per language; deterministic. */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> enStopwords,
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los",
+      "se", "del", "las", "por", "con", "para", "es", "al", "lo"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du",
+      "en", "est", "que", "dans", "pour", "qui", "sur", "pas", "au"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu",
+      "mit", "sich", "auf", "ist", "im", "dem", "nicht", "ein", "eine"))
+
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scores = langStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(size(filter(toks, t => t.isInCollection(sw))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** 64-bit rolling-hash document fingerprint (polynomial rolling hash of
+    * the whitespace-normalized text) — cheap exact-dup key that is robust
+    * to runs of whitespace, computed without materializing a normalized
+    * copy per comparison. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Character n-gram shingle set (distinct, lowercased, whitespace
+    * normalized) — input to MinHash/Jaccard. */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    // NB sequence(a, b) runs DESCENDING when b < a — guard the short case
+    when(length(norm) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(norm) - (n - 1)),
+        i => norm.substr(i, lit(n)))))
+  }
+
+  /** Word n-gram shingles (distinct) — unit for n-gram Jaccard. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Document deduplication at corpus scale — exact, MinHash-LSH, and
+  * SimHash variants (the beyond-parity LLM-data-pipeline operator set).
+  *
+  * Scale design notes:
+  *  - exact dedup: hash-groupBy on a 64-bit fingerprint — one shuffle of
+  *    (fingerprint, id) pairs only, never of document text;
+  *  - MinHash-LSH: signatures and band keys are computed per-row
+  *    (narrow), candidate pairs come from a self-join on (band, bandHash)
+  *    — the classic shuffle-on-bucket-key plan whose cost scales with
+  *    bucket occupancy, not corpus²;
+  *  - SimHash: 64-bit signature per row; near-dup candidates share one of
+  *    four 16-bit chunks (Hamming ≤ 3 ⇒ some chunk equal by pigeonhole);
+  *  - verification (exact Jaccard / Hamming) runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact duplicates by normalized-text fingerprint: returns
+    * (fingerprint, canonical_id = min id, n_dups) groups with > 1 member.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol),
+        TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+      .where(col("n_dups") > 1)
+
+  /** Keep one row per exact-duplicate group (the min-id row). */
+  def dropExactDups(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val keep = docs
+      .select(col(idCol).as("_id"),
+        TextFunctions.fingerprint(col(textCol)).as("_fp"))
+      .groupBy("_fp").agg(min("_id").as(idCol))
+      .drop("_fp")
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature of a shingle array: `numHashes` independent
+    * permutation approximations h_i(x) = min over shingles of
+    * xxhash64(shingle, seed_i). Pure builtin expressions (xxhash64 takes a
+    * seed literal), fully codegen'd. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol, sh => xxhash64(lit(seed), sh)))
+    }: _*)
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * and emit one (band_idx, band_hash) per band. */
+  def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws("_",
+          (0 until rowsPerBand).map(r =>
+            sigCol.getItem(b * rowsPerBand + r).cast("string")): _*))
+          .as("bh"))
+    }: _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
+    * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold.
+    *
+    * @param shingleSize character shingle width
+    * @param bands × rowsPerBand = signature length; tune for the
+    *              threshold via the usual (1/b)^(1/r) rule
+    */
+  def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 5,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val withSig = docs.select(
+      col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+      .withColumn("bk", explode(bandKeys(col("sig"), bands, rowsPerBand)))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
+
+    val a = withSig.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("band"), col("bh"))
+    val b = withSig.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("band"), col("bh"))
+    val cands = a.join(b, Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cands
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0, 1.0).otherwise(inter / union)
+  }
+
+  /** 64-bit SimHash kernel: bit j of the signature is the sign of
+    * sum over shingles of (bit j of hash64(shingle) ? +1 : -1)
+    * (Charikar 2002, "Similarity estimation techniques from rounding
+    * algorithms"). A per-row pure function — a 64-wide expression fold
+    * would wreck codegen, so this one is a deterministic Scala UDF.
+    */
+  def simHash64(shingles: Seq[String]): Long = {
+    val counts = new Array[Int](64)
+    shingles.foreach { sh =>
+      val h = hash64(sh)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) != 0) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** Stable 64-bit string hash (two seeded 32-bit MurmurHash3 halves). */
+  private def hash64(s: String): Long = {
+    import scala.util.hashing.MurmurHash3
+    val hi = MurmurHash3.stringHash(s, 0x9747b28c)
+    val lo = MurmurHash3.stringHash(s, 0x85ebca6b)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
+
+  val simhashUdf = udf(simHash64 _)
+
+  def simhash(shingleCol: Column): Column = simhashUdf(shingleCol)
+
+  /** Hamming distance between two 64-bit signatures — builtin bit ops,
+    * codegen'd. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs: signatures within `maxHamming`.
+    * Pigeonhole blocking on four 16-bit chunks (Hamming ≤ 3 ⇒ at least one
+    * chunk identical) keeps the self-join keyed, never all-pairs. */
+  def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, shingleSize: Int = 5): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole supports maxHamming <= 3")
+    val sigs = docs.select(col(idCol).as("id"),
+      simhash(TextFunctions.shingles(col(textCol), shingleSize)).as("sig"))
+    val chunked = sigs.withColumn("ck", explode(array((0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("sig"), c * 16)
+          .bitwiseAND(lit(0xffffL)).as("ch"))
+    }: _*)))
+      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.ch"))
+    val a = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("chunk"), col("ch"))
+    val b = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("chunk"), col("ch"))
+    a.join(b, Seq("chunk", "ch"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`) — the beyond-parity similarity-search operator set.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k via a broadcast of the query
+  *    vectors — the correctness baseline, O(corpus × queries) but one scan,
+  *    no shuffle of the corpus, all math in codegen'd higher-order
+  *    functions (zip_with/aggregate);
+  *  - [[lshTopK]]: random-hyperplane LSH (sign-of-dot-product sketch,
+  *    Charikar 2002) — corpus and queries are bucketed by a `bits`-bit
+  *    signature over shared random hyperplanes; only same-bucket (or
+  *    probe-adjacent) pairs are scored. At 100 TB the corpus side is
+  *    scanned once, bucketed by signature (narrow), and only bucket-local
+  *    candidates shuffle — the classic IVF/LSH scale path.
+  */
+object SimilaritySearch {
+
+  /** dot(a, b) via zip_with + aggregate — builtin, codegen-friendly. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2norm(a) * l2norm(b)
+    when(n === 0, 0.0).otherwise(d / n)
+  }
+
+  /** Exact top-k by cosine for each query vector.
+    * @param corpus  (idCol, vecCol: array<float>)
+    * @param queries (qidCol, vecCol) — small enough to broadcast
+    * @return (query_id, id, cosine, rank) with rank 1..k per query
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = queries.select(col(qidCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * hash-derived value in [-1, 1). Shared by corpus and queries without
+    * shipping any state. */
+  private def planeComponent(p: Int, j: Column): Column =
+    (pmod(xxhash64(lit(p), j), lit(1000000)).cast("double") / 500000.0) - 1.0
+
+  /** `bits`-bit random-hyperplane signature of a vector. */
+  def lshSignature(vec: Column, bits: Int): Column =
+    (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x * planeComponent(p, j)),
+        lit(0.0), (s, v) => s + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Bucketed ANN: score only same-signature candidates, then top-k.
+    * Recall/cost trades on `bits` (fewer bits → bigger buckets → higher
+    * recall, more work). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      bits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshSignature(col("v"), bits))
+    val q = queries.select(col(qidCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", lshSignature(col("qv"), bits))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
+}

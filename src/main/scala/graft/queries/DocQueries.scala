@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** The LLM-data-pipeline operator set (dedup, text analysis, similarity
+  * search) over the `documents`/`embeddings` tables, oracle-checked where
+  * DuckDB can express the math.
+  *
+  * The corpus has no literal duplicates, so the dedup queries first inject
+  * deterministic duplicates/near-duplicates (same expression in Spark and
+  * the oracle SQL) — the operators are then exercised on known-positive
+  * data instead of vacuously returning zero rows.
+  */
+object DocQueries {
+
+  /** documents ∪ exact copies (doc_id+100000 for doc_id%10=0)
+    *           ∪ near copies (doc_id+200000, ' graft extra tail' appended,
+    *             for doc_id%7=0). */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text", "source")
+    docs
+      .unionByName(docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          col("source")))
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" graft extra tail")).as("text"),
+          col("source")))
+  }
+
+  private val docsWithDupsCte: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' graft extra tail', source
+      |  FROM documents WHERE doc_id % 7 = 0
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis: token counting + quality signals ----
+    "q_doc_stats" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        TextFunctions.tokenCountWs(col("text")).as("n_tokens_ws"),
+        TextFunctions.tokenCountBpeish(col("text")).as("n_tokens_bpeish"),
+        size(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t.isInCollection(TextFunctions.enStopwords)))
+          .cast("long").as("stop_hits"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- exact dedup via fingerprint groupBy ----
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exactDupGroups(docsWithDups(s, d), "doc_id", "text")
+        .select(col("canonical_id"), col("n_dups"))
+        .orderBy("canonical_id")
+    }),
+
+    // ---- n-gram Jaccard near-dup pairs (blocked by source) ----
+    "q_jaccard_pairs" -> ((s, d) => {
+      val g = docsWithDups(s, d).select(
+        col("doc_id"), col("source"),
+        TextFunctions.shingles(col("text"), 5).as("grams"))
+      val a = g.select(col("doc_id").as("id_a"), col("source"),
+        col("grams").as("g_a"))
+      val b = g.select(col("doc_id").as("id_b"), col("source"),
+        col("grams").as("g_b"))
+      a.join(b, Seq("source"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("jaccard", Dedup.jaccard(col("g_a"), col("g_b")))
+        .where(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- MinHash-LSH near-dup pairs (signature internals are
+    // hash-library-specific → rows-only gate; exactness of the verified
+    // jaccard is covered by q_jaccard_pairs) ----
+    "q_minhash_pairs" -> ((s, d) => {
+      Dedup.minhashDupPairs(docsWithDups(s, d), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- SimHash near-dup pairs (rows-only gate) ----
+    "q_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashDupPairs(docsWithDups(s, d), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- brute-force cosine top-k (exact ANN baseline) ----
+    "q_ann_cosine" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      SimilaritySearch.bruteForceTopK(emb, queries,
+          "vec_id", "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- LSH-bucketed ANN (scale path; hyperplane sketch internals are
+    // engine-specific → rows-only gate) ----
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      SimilaritySearch.lshTopK(emb, queries,
+          "vec_id", "embedding", "vec_id", k = 10, bits = 6)
+        .select(col("query_id"), col("id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_doc_stats" ->
+      ("""SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |  END AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '\w{1,4}|[^\w\s]')) AS BIGINT)
+        |    AS n_tokens_bpeish,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x IN (""" + graft.functions.TextFunctions.enStopwords
+          .map(w => s"'$w'").mkString(",") + """))) AS BIGINT) AS stop_hits,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+        |      AS DOUBLE) / length(text) END, 6) AS punct_ratio
+        |FROM documents ORDER BY doc_id""").stripMargin,
+
+    "q_dedup_exact" -> (docsWithDupsCte +
+      """
+        |SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM docs
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |HAVING count(*) > 1
+        |ORDER BY canonical_id""".stripMargin),
+
+    "q_jaccard_pairs" -> (docsWithDupsCte +
+      """, g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 3),
+        |      i -> regexp_replace(lower(trim(text)), '\s+', ' ', 'g')[i:i+4]
+        |    )) AS grams
+        |  FROM docs
+        |  WHERE length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) >= 5
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
+        |    AS jaccard
+        |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "q_ann_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cosine
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id != q.query_id
+        |), ranked AS (
+        |  SELECT query_id, id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, id, rank, round(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+}
