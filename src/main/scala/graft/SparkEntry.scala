@@ -9,11 +9,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.DocQueries.queries
+      graft.queries.DocQueries.queries ++
+      graft.queries.EdaQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
-      graft.queries.DocQueries.oracle
+      graft.queries.DocQueries.oracle ++
+      graft.queries.EdaQueries.oracle
 }

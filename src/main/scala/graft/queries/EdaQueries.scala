@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** STEP 3 EDA aggregation pack (SURVEY §2.4 A2/A3/A7/A8): describe-style
+  * multi-aggregates, crosstab pivots, binning, per-day distributions, and
+  * ordered array collection — each with a DuckDB oracle.
+  */
+object EdaQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A2: per-day row distribution (the transform batch planner's
+    // GROUP BY DATE, 02_raw_telemetry_transform.py:206-259) ----
+    "q_daily_counts" -> ((s, d) => {
+      events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day")
+    }),
+
+    // ---- A8: describe()-style profile per group (run_advanced_eda
+    // .py:83-96) with exact interpolated median ----
+    "q_describe" -> ((s, d) => {
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(col("value")).as("cnt"),
+          round(avg("value"), 4).as("mean"),
+          round(stddev_samp(col("value")), 4).as("std"),
+          round(min(col("value")), 2).as("min"),
+          round(percentile(col("value"), lit(0.5)), 4).as("median"),
+          round(max(col("value")), 2).as("max"))
+        .orderBy("event_type")
+    }),
+
+    // ---- A8 crosstab: groupBy().pivot().count() (run_advanced_eda
+    // .py:113-114) — pivot columns fixed for schema stability ----
+    "q_crosstab" -> ((s, d) => {
+      events(s, d)
+        .withColumn("bucket",
+          when(col("value") < 25, "q1").when(col("value") < 50, "q2")
+            .when(col("value") < 75, "q3").otherwise("q4"))
+        .groupBy("event_type")
+        .pivot("bucket", Seq("q1", "q2", "q3", "q4"))
+        .count()
+        .na.fill(0, Seq("q1", "q2", "q3", "q4"))
+        .orderBy("event_type")
+    }),
+
+    // ---- P8/pd.cut-style binning (database_pipeline.py:386-393) ----
+    "q_binning" -> ((s, d) => {
+      lineitem(s, d)
+        .withColumn("qty_bin",
+          when(col("l_quantity") <= 10, "0-10")
+            .when(col("l_quantity") <= 25, "10-25")
+            .when(col("l_quantity") <= 40, "25-40")
+            .otherwise("40+"))
+        .groupBy("qty_bin")
+        .agg(count(lit(1)).as("n"),
+          round(avg("l_extendedprice"), 4).as("avg_price"))
+        .orderBy("qty_bin")
+    }),
+
+    // ---- A7: ordered array-collect aggregation (ARRAY_AGG ... ORDER BY,
+    // _archive/05_cpd_pipeline.sql:28-44), compared as an ordered
+    // string join with HAVING count >= 10 ----
+    "q_collect_series" -> ((s, d) => {
+      events(s, d)
+        .where(col("user_id") < 30)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id")))),
+              x => x.getField("event_id").cast("string")), ",")
+            .as("event_series"))
+        .where(col("n") >= 10)
+        .orderBy("user_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_daily_counts" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_describe" ->
+      """SELECT event_type,
+        |  count(value) AS cnt,
+        |  round(avg(value), 4) AS mean,
+        |  round(stddev_samp(value), 4) AS std,
+        |  round(min(value), 2) AS min,
+        |  round(quantile_cont(value, 0.5), 4) AS median,
+        |  round(max(value), 2) AS max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_crosstab" ->
+      """SELECT event_type,
+        |  count(CASE WHEN value < 25 THEN 1 END) AS q1,
+        |  count(CASE WHEN value >= 25 AND value < 50 THEN 1 END) AS q2,
+        |  count(CASE WHEN value >= 50 AND value < 75 THEN 1 END) AS q3,
+        |  count(CASE WHEN value >= 75 THEN 1 END) AS q4
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_binning" ->
+      """SELECT CASE WHEN l_quantity <= 10 THEN '0-10'
+        |            WHEN l_quantity <= 25 THEN '10-25'
+        |            WHEN l_quantity <= 40 THEN '25-40'
+        |            ELSE '40+' END AS qty_bin,
+        |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_collect_series" ->
+      """SELECT user_id, count(*) AS n,
+        |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)
+        |    AS event_series
+        |FROM events WHERE user_id < 30
+        |GROUP BY user_id HAVING count(*) >= 10
+        |ORDER BY user_id""".stripMargin)
+}
