@@ -54,6 +54,35 @@ object Geo {
   def pointInPolygonCol(lon: Column, lat: Column, verts: Column): Column =
     pipUdf(lon, lat, verts)
 
+  case class Position(lon: Double, lat: Double, alt: Double)
+
+  private val numPat =
+    java.util.regex.Pattern.compile("[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")
+
+  /** Kernel: parse `{lat, lon, alt}` text → Position(lon, lat, alt), None
+    * on any malformed input. Strict numeric grammar (sign, digits,
+    * optional fraction/exponent) — `Double.parseDouble` alone would also
+    * admit NaN/Infinity/hex forms the reference data never contains. */
+  def parsePositionKernel(raw: String): Option[Position] = {
+    if (raw == null) return None
+    val s = raw.trim
+    if (s.length < 2 || s.charAt(0) != '{' || s.charAt(s.length - 1) != '}')
+      return None
+    val parts = s.substring(1, s.length - 1).split(",", -1)
+    if (parts.length != 3) return None
+    val vals = new Array[Double](3)
+    var i = 0
+    while (i < 3) {
+      val p = parts(i).trim
+      if (!numPat.matcher(p).matches()) return None
+      vals(i) = java.lang.Double.parseDouble(p)
+      i += 1
+    }
+    Some(Position(lon = vals(1), lat = vals(0), alt = vals(2)))
+  }
+
+  private val parsePositionUdf = udf(parsePositionKernel _)
+
   /** Parse the raw telemetry position text `{lat, lon, alt}` into a
     * `struct(lon, lat, alt)`, null on malformed input — the semantics of the
     * reference's (undefined-in-repo) `convert_position_array`
@@ -61,22 +90,13 @@ object Geo {
     * `STEP 1 - Ingest Raw Telemetry/README.md:30`; output renders as
     * `POINT Z (lon lat alt)` in the exported parquet).
     *
-    * Pure `functions._` composition (regex extract + cast) so it stays
-    * inside codegen; no UDF.
+    * A compact kernel, not regex expressions: the original
+    * rlike + 3×regexp_extract form inlined a large pattern four times into
+    * the silver projection, pushing the generated method past the JVM
+    * huge-method JIT limit — the WHOLE transform then ran interpreted
+    * (~5× slower end to end, measured at sf0.1).
     */
-  def parsePosition(raw: Column): Column = {
-    val num = "([+-]?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)"
-    val pat = s"^\\s*\\{\\s*$num\\s*,\\s*$num\\s*,\\s*$num\\s*\\}\\s*$$"
-    val lat = regexp_extract(raw, pat, 1)
-    val lon = regexp_extract(raw, pat, 2)
-    val alt = regexp_extract(raw, pat, 3)
-    val ok = raw.isNotNull && raw.rlike(pat)
-    when(ok, struct(
-      lon.cast("double").as("lon"),
-      lat.cast("double").as("lat"),
-      alt.cast("double").as("alt")))
-      .otherwise(lit(null))
-  }
+  def parsePosition(raw: Column): Column = parsePositionUdf(raw)
 
   /** Render a position struct as PostGIS-style WKT `POINT Z (lon lat alt)`
     * (`05_export_features_to_parquet.py:199` / `ST_AsText`). */

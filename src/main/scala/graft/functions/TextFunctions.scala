@@ -94,21 +94,46 @@ object TextFunctions {
 
   /** Character n-gram shingle set (distinct, lowercased, whitespace
     * normalized) — input to MinHash/Jaccard. */
-  def shingles(text: Column, n: Int = 5): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    // NB sequence(a, b) runs DESCENDING when b < a — guard the short case
-    when(length(norm) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), length(norm) - (n - 1)),
-        i => norm.substr(i, lit(n)))))
+  /** Kernel: distinct character n-grams of the whitespace-normalized,
+    * lowercased text, first-occurrence order.
+    *
+    * Deliberately a Scala kernel, not a higher-order-function expression:
+    * Spark evaluates non-attribute subexpressions INSIDE a `transform`
+    * lambda once per array element (no CSE in interpreted HOF eval), so an
+    * expression form re-ran the normalization regex ~length times per
+    * document — measured ~6 s for 6k docs vs milliseconds here.
+    */
+  def charShingleKernel(text: String, n: Int): Seq[String] = {
+    if (text == null) return Seq.empty
+    val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    if (norm.length < n) return Seq.empty
+    val out = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i <= norm.length - n) { out += norm.substring(i, i + n); i += 1 }
+    out.toSeq
   }
 
-  /** Word n-gram shingles (distinct) — unit for n-gram Jaccard. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  /** Kernel: distinct word n-grams, first-occurrence order. */
+  def wordShingleKernel(text: String, n: Int): Seq[String] = {
+    if (text == null) return Seq.empty
+    val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(' ')
+    if (toks.length < n) return Seq.empty
+    val out = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i <= toks.length - n) {
+      out += toks.slice(i, i + n).mkString(" ")
+      i += 1
+    }
+    out.toSeq
   }
+
+  private val charShinglesUdf = udf(charShingleKernel _)
+  private val wordShinglesUdf = udf(wordShingleKernel _)
+
+  def shingles(text: Column, n: Int = 5): Column =
+    charShinglesUdf(text, lit(n))
+
+  /** Word n-gram shingles (distinct) — unit for n-gram Jaccard. */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    wordShinglesUdf(text, lit(n))
 }

@@ -20,6 +20,10 @@ object DocQueries {
   /** documents ∪ exact copies (doc_id+100000 for doc_id%10=0)
     *           ∪ near copies (doc_id+200000, ' graft extra tail' appended,
     *             for doc_id%7=0). */
+  /** Public alias for diagnostics (graft.Explain). */
+  def docsWithDupsPublic(s: SparkSession, d: String): DataFrame =
+    docsWithDups(s, d)
+
   private def docsWithDups(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select("doc_id", "text", "source")
     docs

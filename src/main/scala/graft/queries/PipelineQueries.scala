@@ -18,6 +18,10 @@ object PipelineQueries {
 
   /** Synthesized raw-telemetry columns from events, Spark side.
     * Mirrors the CTE `raw` in the oracle SQL below — keep in lockstep. */
+  /** Public alias for diagnostics. */
+  def rawTelemetryFromEventsPublic(s: SparkSession, d: String): DataFrame =
+    rawTelemetryFromEvents(s, d)
+
   private def rawTelemetryFromEvents(s: SparkSession, d: String): DataFrame = {
     events(s, d).select(
       col("event_id"),
