@@ -190,6 +190,25 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // ---- J4 upsert (ON CONFLICT DO UPDATE semantics,
+    // 02_raw_telemetry_transform.py:347-365): new rows win on hash
+    // collision; oracle = union + qualify keep-first. "Existing" = events
+    // with user_id < 100, "new" = re-keyed overlap slice with bumped
+    // values. ----
+    "q_upsert" -> ((s, d) => {
+      import graft.operators.TelemetryTransform
+      val e = events(s, d)
+      val existing = e.where(col("user_id") < 100)
+        .select(col("event_id").cast("string").as("raw_event_hash_id"),
+          col("value"), lit("old").as("src"))
+      val newRows = e.where(col("event_id") % 3 === 0)
+        .select(col("event_id").cast("string").as("raw_event_hash_id"),
+          (col("value") + 1000).as("value"), lit("new").as("src"))
+      TelemetryTransform.upsert(newRows, existing)
+        .orderBy(col("raw_event_hash_id").cast("long"))
+        .select(col("raw_event_hash_id"), col("value"), col("src"))
+    }),
+
     // ---- J2 interval join + precedence labeling (STEP 2.1): label each
     // event by membership in per-truck [start, end] intervals, load_event
     // winning over dump_event on overlap; oracle = the reference's ordered
@@ -409,6 +428,25 @@ object PipelineQueries {
         |ORDER BY b.event_id""".stripMargin,
 
     "q_spatial_zone" -> spatialOracle,
+
+    "q_upsert" ->
+      """WITH existing AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS raw_event_hash_id, value,
+        |    'old' AS src
+        |  FROM events WHERE user_id < 100
+        |), new_rows AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS raw_event_hash_id,
+        |    value + 1000 AS value, 'new' AS src
+        |  FROM events WHERE event_id % 3 = 0
+        |), unioned AS (
+        |  SELECT *, 1 AS pri FROM new_rows
+        |  UNION ALL
+        |  SELECT *, 0 AS pri FROM existing
+        |)
+        |SELECT raw_event_hash_id, value, src FROM unioned
+        |QUALIFY row_number() OVER (PARTITION BY raw_event_hash_id
+        |  ORDER BY pri DESC) = 1
+        |ORDER BY CAST(raw_event_hash_id AS BIGINT)""".stripMargin,
 
     "q_interval_label" ->
       """WITH iv AS (

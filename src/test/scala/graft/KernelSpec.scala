@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.functions.{Enums, Geo, Hashing, TextFunctions}
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+class KernelSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ---------- Postgres timestamptz::TEXT rendering (SURVEY §7.4 risk 1) ----
+  private def pgText(tsUs: Long): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(tsUs).toDF("us")
+      .select(Hashing.pgTimestampText(timestamp_micros(col("us"))))
+      .head().getString(0)
+  }
+
+  test("pgTimestampText matches Postgres rendering incl. zero-trimming") {
+    // 2025-07-30 00:00:05.734539+00
+    assert(pgText(1753833605734539L) == "2025-07-30 00:00:05.734539+00")
+    // trailing zeros trimmed: .5, not .500000
+    assert(pgText(1753833605500000L) == "2025-07-30 00:00:05.5+00")
+    // whole second: fraction omitted entirely
+    assert(pgText(1753833605000000L) == "2025-07-30 00:00:05+00")
+    // single trailing zero inside the fraction is kept
+    assert(pgText(1753833605734500L) == "2025-07-30 00:00:05.7345+00")
+    // sub-millisecond
+    assert(pgText(1753833605000007L) == "2025-07-30 00:00:05.000007+00")
+  }
+
+  test("rawEventHashId equals sha256 of device|pg_text (MessageDigest oracle)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val us = 1753833605500000L
+    val got = Seq(("lake-605-8-0896", us)).toDF("dev", "us")
+      .select(Hashing.rawEventHashId(col("dev"), timestamp_micros(col("us"))))
+      .head().getString(0)
+    val text = "lake-605-8-0896|2025-07-30 00:00:05.5+00"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val want = md.digest(text.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(got == want)
+  }
+
+  // ---------- enum totality ----------
+  test("enum mapping is total: every input maps, junk and null go to unknown") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val inputs = (Enums.stateMap.keys.toSeq.map(k => k.toUpperCase + " ") ++
+      Seq("junkstate", "", null)).map(Tuple1(_))
+    val out = inputs.toDF("s").select(Enums.mapState(col("s"))).collect()
+    val allowed = Set("unknown", "idle", "active", "loading", "hauling",
+      "dumping", "maintenance", "stopped")
+    assert(out.forall(r => allowed.contains(r.getString(0))))
+    assert(out.takeRight(3).forall(_.getString(0) == "unknown"))
+  }
+
+  // ---------- point-in-polygon ----------
+  test("ray casting agrees with the winding sign test on the real polygons") {
+    val rnd = new scala.util.Random(5)
+    def windingInside(lon: Double, lat: Double,
+        vs: Seq[(Double, Double)]): Boolean = {
+      // for convex CCW polygons: inside iff all cross products positive
+      vs.indices.forall { i =>
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.length)
+        (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) > 0
+      }
+    }
+    val pits = graft.operators.FeatureEngineering.lbpZones
+      .filter(_._1.startsWith("Pit"))
+    for (_ <- 1 to 2000) {
+      val lon = -97.8410 + rnd.nextDouble() * 0.0095
+      val lat = 33.2695 + rnd.nextDouble() * 0.0075
+      pits.foreach { case (name, vs) =>
+        assert(Geo.pointInPolygon(lon, lat, vs) == windingInside(lon, lat, vs),
+          s"$name disagrees at ($lon, $lat)")
+      }
+    }
+  }
+
+  test("parsePosition kernel: valid forms, malformed nulls, strict grammar") {
+    assert(Geo.parsePositionKernel("{33.2, -97.8, 250.5}")
+      .contains(Geo.Position(-97.8, 33.2, 250.5)))
+    assert(Geo.parsePositionKernel(" { 1e2 , +5 , -3.5 } ")
+      .contains(Geo.Position(5.0, 100.0, -3.5)))
+    assert(Geo.parsePositionKernel("garbage").isEmpty)
+    assert(Geo.parsePositionKernel("{1, 2}").isEmpty)
+    assert(Geo.parsePositionKernel("{1, 2, 3, 4}").isEmpty)
+    assert(Geo.parsePositionKernel("{NaN, 2, 3}").isEmpty)
+    assert(Geo.parsePositionKernel("{.5, 2, 3}").isEmpty)
+    assert(Geo.parsePositionKernel(null).isEmpty)
+  }
+
+  // ---------- shingles + minhash ----------
+  test("minhash similarity estimates jaccard (property)") {
+    val words = Array("spark", "scala", "data", "mine", "truck", "load",
+      "dump", "haul", "zone", "shift")
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 100) {
+      val base = Array.fill(60)(words(rnd.nextInt(words.length)))
+      val a = base.mkString(" ")
+      val b = base.drop(rnd.nextInt(31)).mkString(" ")
+      val sa = TextFunctions.wordShingleKernel(a, 3).toSet
+      val sb = TextFunctions.wordShingleKernel(b, 3).toSet
+      if (sa.nonEmpty && sb.nonEmpty) {
+        val jac = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        val ma = Dedup.minhashSig(sa.toSeq, 128)
+        val mb = Dedup.minhashSig(sb.toSeq, 128)
+        val est = ma.zip(mb).count { case (x, y) => x == y } / 128.0
+        assert(math.abs(est - jac) < 0.3, s"est $est vs jac $jac")
+      }
+    }
+  }
+
+  test("simhash: identical texts collide, small edits stay near") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = t1 + " extra"
+    val s1 = Dedup.simHash64(TextFunctions.charShingleKernel(t1, 5))
+    val s1b = Dedup.simHash64(TextFunctions.charShingleKernel(t1, 5))
+    val s2 = Dedup.simHash64(TextFunctions.charShingleKernel(t2, 5))
+    assert(s1 == s1b)
+    assert(java.lang.Long.bitCount(s1 ^ s2) <= 12)
+  }
+}
