@@ -102,6 +102,46 @@ object DocQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- embedding-cosine near-duplicate pairs (the embedding variant
+    // of dedup): all pairs with cosine >= 0.99 — exact, oracle-checked
+    // at verify scale; the LSH-bucketed path covers production scale ----
+    "q_embed_dup_pairs" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cosine", SimilaritySearch.cosine(col("v_a"), col("v_b")))
+        .where(col("cosine") >= 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- language ID + quality scoring (heuristics are engine-specific
+    // compositions → rows-only gate; components oracle'd in q_doc_stats) --
+    "q_lang_quality" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_detected"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal plumbing: synthetic binary media from doc ids →
+    // stub decode → per-source feature aggregate (rows-only gate) ----
+    "q_multimodal_features" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.syntheticMedia(
+        documents(s, d).select(col("doc_id")), "doc_id")
+      val feats = Multimodal.extractFeatures(media)
+      feats
+        .withColumn("emb0", element_at(col("embedding"), 1))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("decode_ok"), 1)).as("n_ok"),
+          round(avg("emb0"), 4).as("avg_emb0"))
+    }),
+
     // ---- brute-force cosine top-k (exact ANN baseline) ----
     "q_ann_cosine" -> ((s, d) => {
       val emb = embeddings(s, d)
@@ -168,6 +208,16 @@ object DocQueries {
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         |  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
+
+    "q_embed_dup_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_cosine" ->
       """WITH q AS (

@@ -234,6 +234,33 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // ---- A5 label distribution stats over the interval-join output
+    // (02.1.2_...label_recombine.py:425-447) ----
+    "q_label_stats" -> ((s, d) => {
+      import graft.operators.IntervalJoin
+      val t0 = 1704153600L
+      val iv = s.range(40).select(
+        concat(lit("truck-"), (col("id") % 20).cast("string")).as("truck_id"),
+        timestamp_seconds(lit(t0) + ((col("id") % 20) * 29 +
+          when(col("id") < 20, 0).otherwise(5)) * 3600).as("start_time"),
+        timestamp_seconds(lit(t0) + ((col("id") % 20) * 29 +
+          when(col("id") < 20, 0).otherwise(5)) * 3600 + 36000).as("end_time"),
+        when(col("id") < 20, "load_event").otherwise("dump_event").as("label"))
+      val ev = events(s, d).select(col("event_id"),
+        concat(lit("truck-"), (col("user_id") % 20).cast("string"))
+          .as("truck_id"),
+        col("ts"))
+      IntervalJoin.labelByIntervals(ev, iv, "truck_id", "ts",
+          "start_time", "end_time", "label",
+          precedence = Seq("load_event", "dump_event"))
+        .groupBy("ml_event_label")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("truck_id")).as("n_trucks"),
+          unix_micros(min("ts")).as("min_ts_us"),
+          unix_micros(max("ts")).as("max_ts_us"))
+        .orderBy("ml_event_label")
+    }),
+
     // ---- STEP 5 CPD: downsample → PELT → candidates (§2.10). Not
     // SQL-expressible → no oracle entry; the driver records rows-only and
     // the PELT kernel is golden-tested in PeltSpec/CpdSpec. ----
@@ -428,6 +455,39 @@ object PipelineQueries {
         |ORDER BY b.event_id""".stripMargin,
 
     "q_spatial_zone" -> spatialOracle,
+
+    "q_label_stats" ->
+      """WITH iv AS (
+        |  SELECT 'truck-' || CAST(i % 20 AS VARCHAR) AS truck_id,
+        |    to_timestamp(1704153600 + ((i % 20) * 29 +
+        |      CASE WHEN i < 20 THEN 0 ELSE 5 END) * 3600) AT TIME ZONE 'UTC' AS start_time,
+        |    to_timestamp(1704153600 + ((i % 20) * 29 +
+        |      CASE WHEN i < 20 THEN 0 ELSE 5 END) * 3600 + 36000) AT TIME ZONE 'UTC' AS end_time,
+        |    CASE WHEN i < 20 THEN 'load_event' ELSE 'dump_event' END AS label
+        |  FROM range(40) t(i)
+        |), ev AS (
+        |  SELECT event_id,
+        |    'truck-' || CAST(user_id % 20 AS VARCHAR) AS truck_id,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |), labeled AS (
+        |  SELECT event_id, truck_id, ts,
+        |    CASE WHEN EXISTS (SELECT 1 FROM iv
+        |           WHERE iv.truck_id = ev.truck_id
+        |             AND ev.ts >= iv.start_time AND ev.ts <= iv.end_time
+        |             AND iv.label = 'load_event') THEN 'load_event'
+        |         WHEN EXISTS (SELECT 1 FROM iv
+        |           WHERE iv.truck_id = ev.truck_id
+        |             AND ev.ts >= iv.start_time AND ev.ts <= iv.end_time
+        |             AND iv.label = 'dump_event') THEN 'dump_event'
+        |         ELSE 'background' END AS ml_event_label
+        |  FROM ev
+        |)
+        |SELECT ml_event_label, count(*) AS n,
+        |  count(DISTINCT truck_id) AS n_trucks,
+        |  epoch_us(min(ts)) AS min_ts_us,
+        |  epoch_us(max(ts)) AS max_ts_us
+        |FROM labeled GROUP BY ml_event_label ORDER BY ml_event_label""".stripMargin,
 
     "q_upsert" ->
       """WITH existing AS (
