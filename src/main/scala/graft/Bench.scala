@@ -40,8 +40,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
-    // warmup: session + codegen + file listing
-    qs("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Per-query warmup at the smallest SF: identical plan shapes generate
+    // identical code, so the janino compile + JIT cost is paid outside the
+    // timed run — the timings below measure steady-state execution.
+    val warmDir = "/root/testdata/sf0.001"
+    headline.filter(qs.contains).foreach { name =>
+      try qs(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
