@@ -1,0 +1,71 @@
+package graft
+
+import graft.plans.{GraftExtensions, ParsePositionExpression}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ParsePositionExpressionSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ext-test")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("native parse_position works from SQL and Column API, codegen on") {
+    import spark.implicits._
+    val df = Seq("{33.2, -97.8, 250.5}", " { 1e2 , +5 , -3.5 } ", "garbage",
+      "{1, 2}", null)
+      .toDF("p")
+    df.createOrReplaceTempView("pts")
+
+    val sqlRows = spark.sql(
+      "SELECT parse_position(p) AS pos FROM pts").collect()
+    assert(sqlRows(0).getStruct(0).getDouble(0) == -97.8) // lon
+    assert(sqlRows(0).getStruct(0).getDouble(1) == 33.2)  // lat
+    assert(sqlRows(1).getStruct(0).getDouble(0) == 5.0)
+    assert(sqlRows(2).isNullAt(0) && sqlRows(3).isNullAt(0) &&
+      sqlRows(4).isNullAt(0))
+
+    val colRows = df.select(
+      ParsePositionExpression.parsePositionNative(col("p")).as("pos"))
+      .collect()
+    assert(colRows(0).getStruct(0).getDouble(2) == 250.5) // alt
+
+    // the projection stays inside whole-stage codegen (use a distributed
+    // source — a local Seq collapses to driver-side LocalTableScan)
+    val dist = spark.range(100).select(
+      concat(lit("{"), col("id").cast("string"), lit(", 2, 3}")).as("p"))
+    val planned = dist.select(
+      ParsePositionExpression.parsePositionNative(col("p")))
+    assert(planned.queryExecution.executedPlan.toString.contains("*(1)"),
+      s"no codegen span:\n${planned.queryExecution.executedPlan}")
+    assert(planned.collect().forall(_.getStruct(0).getDouble(1) >= 0))
+  }
+
+  test("native expression agrees with the UDF kernel on fuzzed inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val inputs = (1 to 500).map { _ =>
+      rnd.nextInt(5) match {
+        case 0 => s"{${rnd.nextDouble() * 90}, ${rnd.nextDouble() * -180}, ${rnd.nextDouble() * 500}}"
+        case 1 => s"  { ${rnd.nextInt(100)} , ${rnd.nextInt(100)} , ${rnd.nextInt(100)} }"
+        case 2 => "not a position"
+        case 3 => s"{${rnd.nextDouble()}, ${rnd.nextDouble()}}"
+        case _ => s"{${rnd.nextDouble()}e${rnd.nextInt(3)}, 1, 2}"
+      }
+    }
+    val df = inputs.toDF("p")
+    val native = df.select(
+      ParsePositionExpression.parsePositionNative(col("p"))).collect()
+    val viaUdf = df.select(
+      graft.functions.Geo.parsePosition(col("p"))).collect()
+    native.zip(viaUdf).zipWithIndex.foreach { case ((n, u), i) =>
+      assert(n.toString == u.toString, s"row $i input '${inputs(i)}'")
+    }
+  }
+}
