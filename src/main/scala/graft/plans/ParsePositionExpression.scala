@@ -111,4 +111,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ParsePositionExpression].getName,
         "parse_position"),
       (exprs: Seq[Expression]) => ParsePositionExpression(exprs.head))
+
+  /** Register into an already-built session (builder extensions only apply
+    * to sessions constructed with `withExtensions`; `getOrCreate` on an
+    * existing session ignores them). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = parsePositionDescriptor
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
 }

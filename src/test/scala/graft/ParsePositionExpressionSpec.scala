@@ -7,14 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ParsePositionExpressionSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-ext-test")
-    .withExtensions(new GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // getOrCreate would hand back the suite-wide session and silently drop
+  // builder extensions — register into whatever session is active instead.
+  private lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    GraftExtensions.register(s)
+    s
+  }
 
   test("native parse_position works from SQL and Column API, codegen on") {
     import spark.implicits._
