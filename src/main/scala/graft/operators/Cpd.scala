@@ -79,12 +79,22 @@ object Cpd {
       "load_weight_rate_of_change", "speed_rolling_avg_5s",
       "altitude_rate_of_change", "has_reliable_payload", "raw_event_hash_id")
 
-    // Per-device-date gates: raw row count + the branch flag (constant per
-    // device; the reference reads it off the first row).
+    // Per-device-date gates in ONE aggregation pass: raw count, the branch
+    // flag (the reference reads it off the first row), and both branches'
+    // clean counts as conditional counts — the applicable one is selected
+    // after the flag is known, avoiding a second full-table agg + join.
     val gates = f.groupBy("device_date").agg(
-      count(lit(1)).as("raw_rows"),
-      (min_by(col("has_reliable_payload"), col("timestamp")) === true)
-        .as("payload"))
+        count(lit(1)).as("raw_rows"),
+        (min_by(col("has_reliable_payload"), col("timestamp")) === true)
+          .as("payload"),
+        count(when(col("load_weight_rate_of_change").isNotNull, 1))
+          .as("_clean_payload"),
+        count(when(col("speed_rolling_avg_5s").isNotNull &&
+          col("altitude_rate_of_change").isNotNull, 1)).as("_clean_kin"))
+      .withColumn("clean_rows",
+        when(col("payload"), col("_clean_payload"))
+          .otherwise(col("_clean_kin")))
+      .drop("_clean_payload", "_clean_kin")
 
     val withGate = f.join(gates, Seq("device_date"))
 
@@ -95,15 +105,11 @@ object Cpd {
         .otherwise(col("speed_rolling_avg_5s").isNotNull &&
           col("altitude_rate_of_change").isNotNull))
 
-    val cleanCounts = clean.groupBy("device_date")
-      .agg(count(lit(1)).as("clean_rows"))
-
     val buckets = Downsample.tumblingMean(clean, "timestamp", cfg.every,
-        keys = Seq("device_date", "payload", "raw_rows"),
+        keys = Seq("device_date", "payload", "raw_rows", "clean_rows"),
         signals = Seq("load_weight_rate_of_change", "speed_rolling_avg_5s",
           "altitude_rate_of_change"),
         firstCols = Seq("raw_event_hash_id"))
-      .join(cleanCounts, Seq("device_date"))
       .select(
         col("device_date"),
         col("bucket_start"),

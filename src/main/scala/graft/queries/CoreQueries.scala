@@ -138,7 +138,8 @@ object CoreQueries {
     "q_time_bucket" -> ((s, d) => {
       events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(round(avg("value"), 4).as("avg_value"), count(lit(1)).as("n"))
+        .agg((sum(round(col("value") * 100).cast("long")) / lit(100.0) /
+          count(lit(1))).as("avg_value"), count(lit(1)).as("n"))
         .select(unix_micros(col("w.start")).as("bucket_start_us"), col("event_type"),
           col("avg_value"), col("n"))
         .orderBy("bucket_start_us", "event_type")
@@ -163,7 +164,8 @@ object CoreQueries {
           count(lit(1)).as("n"),
           count(when(col("user_id") % 2 === 0, 1)).as("n_even_users"),
           count(when(col("value") > 50, 1)).as("n_high"),
-          round(avg(when(col("value") > 50, col("value"))), 4).as("avg_high"))
+          (sum(when(col("value") > 50, round(col("value") * 100).cast("long")))
+            / lit(100.0) / count(when(col("value") > 50, 1))).as("avg_high"))
         .orderBy("event_type")
     }),
 
@@ -195,7 +197,13 @@ object CoreQueries {
       events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("k")
-        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .agg(count(lit(1)).as("n"),
+          // integer-cents average: value has exactly 2 decimals, so the
+          // bigint sum is order-independent and the single division gives
+          // bit-identical doubles in Spark and DuckDB (a rounded float avg
+          // straddles decimal boundaries differently per engine)
+          (sum(round(col("value") * 100).cast("long")) / lit(100.0) /
+            count(lit(1))).as("avg_value"))
         .orderBy("k")
     }),
 
@@ -306,7 +314,10 @@ object CoreQueries {
 
     "q_time_bucket" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS bucket_start_us,
-        |  event_type, round(avg(value), 4) AS avg_value, count(*) AS n
+        |  event_type,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    / count(*) AS avg_value,
+        |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_stats_global" ->
@@ -322,7 +333,8 @@ object CoreQueries {
       """SELECT event_type, count(*) AS n,
         |  count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_even_users,
         |  count(CASE WHEN value > 50 THEN 1 END) AS n_high,
-        |  round(avg(CASE WHEN value > 50 THEN value END), 4) AS avg_high
+        |  CAST(sum(CASE WHEN value > 50 THEN CAST(round(value * 100) AS BIGINT) END)
+        |    AS DOUBLE) / 100.0 / count(CASE WHEN value > 50 THEN 1 END) AS avg_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_scalar_string" ->
@@ -343,7 +355,9 @@ object CoreQueries {
 
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |  count(*) AS n, round(avg(value), 4) AS avg_value
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    / count(*) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_topk" ->

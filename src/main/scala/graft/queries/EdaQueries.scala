@@ -28,7 +28,8 @@ object EdaQueries {
         .groupBy("event_type")
         .agg(
           count(col("value")).as("cnt"),
-          round(avg("value"), 4).as("mean"),
+          (sum(round(col("value") * 100).cast("long")) / lit(100.0) /
+            count(col("value"))).as("mean"),
           round(stddev_samp(col("value")), 4).as("std"),
           round(min(col("value")), 2).as("min"),
           round(percentile(col("value"), lit(0.5)), 4).as("median"),
@@ -91,7 +92,8 @@ object EdaQueries {
     "q_describe" ->
       """SELECT event_type,
         |  count(value) AS cnt,
-        |  round(avg(value), 4) AS mean,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    / count(value) AS mean,
         |  round(stddev_samp(value), 4) AS std,
         |  round(min(value), 2) AS min,
         |  round(quantile_cont(value, 0.5), 4) AS median,
