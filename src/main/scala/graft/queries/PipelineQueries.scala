@@ -234,6 +234,28 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // ---- §5.1 ground-truth validation: inner join on (device, ts) →
+    // (predicted, actual) discrepancy matrix (validate_with_ground_truth
+    // .py:33-101); planted disagreements via different CASE rules ----
+    "q_ground_truth" -> ((s, d) => {
+      import graft.operators.Validation
+      val base = events(s, d).select(
+        concat(lit("truck-"), (col("user_id") % 20).cast("string"))
+          .as("device_id"),
+        col("ts").as("timestamp"),
+        col("event_id"), col("value"))
+      val labeled = base.select(col("device_id"), col("timestamp"),
+        when(col("value") < 20, "load_event")
+          .when(col("value") < 40, "dump_event")
+          .otherwise("background").as("ml_event_label"))
+      val truth = base.where(col("event_id") % 2 === 0)
+        .select(col("device_id"), col("timestamp"),
+          when(col("event_id") % 3 === 0, "load_event")
+            .when(col("event_id") % 3 === 1, "dump_event")
+            .otherwise("background").as("actual_event_label"))
+      Validation.groundTruthDiscrepancy(labeled, truth)
+    }),
+
     // ---- A5 label distribution stats over the interval-join output
     // (02.1.2_...label_recombine.py:425-447) ----
     "q_label_stats" -> ((s, d) => {
@@ -455,6 +477,34 @@ object PipelineQueries {
         |ORDER BY b.event_id""".stripMargin,
 
     "q_spatial_zone" -> spatialOracle,
+
+    "q_ground_truth" ->
+      """WITH base AS (
+        |  SELECT 'truck-' || CAST(user_id % 20 AS VARCHAR) AS device_id,
+        |    ts AS timestamp, event_id, value
+        |  FROM events
+        |), labeled AS (
+        |  SELECT device_id, timestamp,
+        |    CASE WHEN value < 20 THEN 'load_event'
+        |         WHEN value < 40 THEN 'dump_event'
+        |         ELSE 'background' END AS ml_event_label
+        |  FROM base
+        |), truth AS (
+        |  SELECT device_id, timestamp,
+        |    CASE WHEN event_id % 3 = 0 THEN 'load_event'
+        |         WHEN event_id % 3 = 1 THEN 'dump_event'
+        |         ELSE 'background' END AS actual_event_label
+        |  FROM base WHERE event_id % 2 = 0
+        |), joined AS (
+        |  SELECT l.ml_event_label, t.actual_event_label
+        |  FROM labeled l JOIN truth t USING (device_id, timestamp)
+        |)
+        |SELECT ml_event_label, actual_event_label, count(*) AS n,
+        |  round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM joined), 6)
+        |    AS share,
+        |  ml_event_label = actual_event_label AS agree
+        |FROM joined GROUP BY ml_event_label, actual_event_label
+        |ORDER BY ml_event_label, actual_event_label""".stripMargin,
 
     "q_label_stats" ->
       """WITH iv AS (
