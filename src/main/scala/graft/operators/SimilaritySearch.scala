@@ -72,6 +72,55 @@ object SimilaritySearch {
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF-style ANN: a coarse k-means quantizer (MLlib) partitions the
+    * corpus into `nlist` cells; each query scores only the corpus rows in
+    * its `nprobe` nearest cells. This is the inverted-file layout of
+    * FAISS-style systems expressed relationally: the cell assignment is a
+    * narrow map over the corpus, candidate scoring shuffles only the
+    * probed cells. Recall/cost trades on nprobe.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val withVec = c.withColumn("features", array_to_vector(col("v")))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").fit(withVec)
+    val assigned = km.transform(withVec)
+      .select(col("id"), col("v"), col("prediction").as("cell"))
+
+    // query → its nprobe nearest centroids (centroids are tiny, driver math)
+    val centroids = km.clusterCenters.zipWithIndex
+    val q = queries.select(col(qidCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val probeUdf = udf { (qv: Seq[Double]) =>
+      centroids.map { case (ctr, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < ctr.size) {
+          val diff = ctr(j) - qv(j); d += diff * diff; j += 1
+        }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    }
+    val probed = q.withColumn("cell", explode(probeUdf(col("qv"))))
+
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
+
   /** Bucketed ANN: score only same-signature candidates, then top-k.
     * Recall/cost trades on `bits` (fewer bits → bigger buckets → higher
     * recall, more work). */

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.SimilaritySearch
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySearchSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val emb = graft.Tables.embeddings(spark, sf)
+  private lazy val queries = emb.where(
+    org.apache.spark.sql.functions.col("vec_id") < 10)
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("id")).toSet }
+
+  test("IVF ANN recalls most of the exact top-10") {
+    val exact = topkSet(SimilaritySearch.bruteForceTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", k = 10))
+    val ivf = topkSet(SimilaritySearch.ivfTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", k = 10,
+      nlist = 8, nprobe = 4))
+    val recalls = exact.map { case (q, want) =>
+      val got = ivf.getOrElse(q, Set.empty)
+      want.intersect(got).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean IVF recall $mean")
+  }
+
+  test("LSH ANN returns valid ranked subsets of the corpus") {
+    val lsh = SimilaritySearch.lshTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", k = 10, bits = 4)
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.toSeq == (1 to ranks.length))
+    }
+  }
+}
