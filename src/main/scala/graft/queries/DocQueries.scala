@@ -153,6 +153,18 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- IVF ANN (k-means coarse quantizer scale path; model internals
+    // engine-specific → rows-only gate) ----
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      SimilaritySearch.ivfTopK(emb, queries,
+          "vec_id", "embedding", "vec_id", k = 10, nlist = 8, nprobe = 4)
+        .select(col("query_id"), col("id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- LSH-bucketed ANN (scale path; hyperplane sketch internals are
     // engine-specific → rows-only gate) ----
     "q_ann_lsh" -> ((s, d) => {
