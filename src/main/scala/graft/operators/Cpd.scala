@@ -105,7 +105,13 @@ object Cpd {
         .otherwise(col("speed_rolling_avg_5s").isNotNull &&
           col("altitude_rate_of_change").isNotNull))
 
-    val buckets = Downsample.tumblingMean(clean, "timestamp", cfg.every,
+    // Partition by device_date ONCE here: the downsample aggregation's
+    // finer grouping keys and the kernel's per-device-date grouping are
+    // both satisfied by this clustering (subset rule), so neither plans a
+    // further exchange — the post-downsample buckets never re-shuffle.
+    val repartitioned = clean.repartition(col("device_date"))
+
+    val buckets = Downsample.tumblingMean(repartitioned, "timestamp", cfg.every,
         keys = Seq("device_date", "payload", "raw_rows", "clean_rows"),
         signals = Seq("load_weight_rate_of_change", "speed_rolling_avg_5s",
           "altitude_rate_of_change"),
@@ -122,7 +128,9 @@ object Cpd {
         col("raw_rows"))
       .as[Bucket]
 
-    buckets.groupByKey(_.device_date).flatMapGroups {
+    // Column-keyed grouping (not groupByKey(lambda)): the opaque lambda
+    // key would defeat partitioning reuse and force a bucket re-shuffle.
+    buckets.groupBy(col("device_date")).as[String, Bucket].flatMapGroups {
       (dd: String, it: Iterator[Bucket]) => detectGroup(dd, it, cfg)
     }
   }
