@@ -22,6 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Big-big interval join: when the interval side is too large to
+    * broadcast, both sides are bucketized on a coarse time grain —
+    * events map to one (key, grain) bucket each; an interval spanning g
+    * grains replicates g times — and the range predicate applies after an
+    * ordinary shuffled equi-join on (key, grain). Replication factor =
+    * avg interval length / grain, so pick the grain near the typical
+    * interval length. This is the standard relational range-join plan
+    * (what a dedicated range-join strategy would synthesize).
+    *
+    * Output: one row per (event, matching interval) pair — join
+    * multiplicity semantics, unlike [[labelByIntervals]]'s EXISTS shape.
+    */
+  def joinEventsToIntervals(events: DataFrame, intervals: DataFrame,
+      keyCol: String, tsCol: String, startCol: String, endCol: String,
+      grainSeconds: Long = 3600): DataFrame = {
+    val evB = events.withColumn("_g",
+      floor(unix_seconds(events(tsCol)) / grainSeconds))
+    val ivB = intervals
+      .withColumn("_g", explode(sequence(
+        floor(unix_seconds(intervals(startCol)) / grainSeconds),
+        floor(unix_seconds(intervals(endCol)) / grainSeconds))))
+    evB.join(ivB,
+        evB(keyCol) === ivB(keyCol) && evB("_g") === ivB("_g") &&
+          evB(tsCol) >= ivB(startCol) && evB(tsCol) <= ivB(endCol))
+      .drop(ivB(keyCol)).drop("_g")
+  }
+
   /** Label each event row with the highest-precedence matching interval
     * label, default `defaultLabel`.
     *
