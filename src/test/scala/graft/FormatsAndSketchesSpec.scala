@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink format coverage beyond parquet/csv (ORC, JSON round-trips
+  * preserving the silver schema) and the approximate-aggregate headroom
+  * SURVEY §2.4 notes (approx_count_distinct / approx percentile within
+  * tolerance of exact).
+  */
+class FormatsAndSketchesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val silver = {
+    val raw = graft.queries.PipelineQueries
+      .rawTelemetryFromEventsPublic(spark, sf)
+    graft.operators.TelemetryTransform
+      .transform(raw, passthrough = Seq("event_id"))
+  }
+
+  test("ORC and JSON sinks round-trip the silver table") {
+    val dir = Files.createTempDirectory("graft-fmt")
+    val n = silver.count()
+
+    silver.write.mode("overwrite").orc(dir.resolve("orc").toString)
+    val orc = spark.read.orc(dir.resolve("orc").toString)
+    assert(orc.count() == n)
+    assert(orc.schema("current_position").dataType ==
+      graft.schema.Schemas.position)
+
+    // JSON: timestamps round-trip as ISO strings; compare via hash ids
+    silver.write.mode("overwrite").json(dir.resolve("json").toString)
+    val json = spark.read.json(dir.resolve("json").toString)
+    assert(json.count() == n)
+    val a = silver.select("raw_event_hash_id").collect().map(_.getString(0)).sorted
+    val b = json.select("raw_event_hash_id").collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("approximate aggregates land within tolerance of exact") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val row = ev.agg(
+      countDistinct(col("user_id")).as("exact_users"),
+      approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      expr("percentile(value, 0.9)").as("exact_p90"),
+      expr("approx_percentile(value, 0.9, 1000)").as("approx_p90")).head()
+    val exactU = row.getAs[Long]("exact_users").toDouble
+    val approxU = row.getAs[Long]("approx_users").toDouble
+    assert(math.abs(approxU - exactU) / exactU < 0.1,
+      s"approx users $approxU vs $exactU")
+    val exactP = row.getAs[Double]("exact_p90")
+    val approxP = row.getAs[Double]("approx_p90")
+    assert(math.abs(approxP - exactP) / exactP < 0.05,
+      s"approx p90 $approxP vs $exactP")
+  }
+}
