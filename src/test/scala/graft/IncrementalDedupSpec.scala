@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.TelemetryTransform
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("bloom-accelerated append equals the plain anti-join append") {
+    import spark.implicits._
+    val existing = (1 to 5000).map(i => s"h$i").toDF("raw_event_hash_id")
+      .withColumn("v", lit(0))
+    // new batch: 1000 genuinely new + 500 duplicates
+    val newRows = ((5001 to 6000) ++ (1 to 500)).map(i => s"h$i")
+      .toDF("raw_event_hash_id").withColumn("v", lit(1))
+
+    val plain = TelemetryTransform.appendNew(newRows, existing)
+      .select("raw_event_hash_id").collect().map(_.getString(0)).toSet
+    val bloom = TelemetryTransform.appendNewWithBloom(newRows, existing,
+        expectedItems = 5000)
+      .select("raw_event_hash_id").collect().map(_.getString(0)).toSet
+
+    assert(plain == (5001 to 6000).map(i => s"h$i").toSet)
+    assert(bloom == plain)
+  }
+
+  test("metadata-only multimodal query prunes the binary payload column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    graft.multimodal.Multimodal
+      .syntheticMedia((0L until 100L).toDF("id"), "id")
+      .write.mode("overwrite").parquet(dir.toString)
+    val metaOnly = spark.read.parquet(dir.toString)
+      .select(col("media_id"), col("meta.mime"))
+    val scan = metaOnly.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("payload"),
+      s"payload not pruned from scan:\n$scan")
+    assert(metaOnly.count() == 100)
+  }
+}
