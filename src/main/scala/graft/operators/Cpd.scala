@@ -135,6 +135,68 @@ object Cpd {
     }
   }
 
+  /** Per-partition processing metrics — the orchestrator's monitoring
+    * dict (`05_cpd_orchestrator_polars.py:445-456`; statuses
+    * `insufficient_data` / `insufficient_payload_data` /
+    * `insufficient_kinematic_data` / `insufficient_downsampled_data` /
+    * `success`, data_reduction_ratio = downsampled/original). One row per
+    * device_date; pure aggregates + the same kernel, no extra passes over
+    * raw data beyond candidateEvents' own plan shape. */
+  def partitionMetrics(features: DataFrame, cfg: Config = Config())
+      : DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val f = features.select("device_date", "timestamp",
+      "load_weight_rate_of_change", "speed_rolling_avg_5s",
+      "altitude_rate_of_change", "has_reliable_payload", "raw_event_hash_id")
+    val gates = f.groupBy("device_date").agg(
+      count(lit(1)).as("original_records"),
+      (min_by(col("has_reliable_payload"), col("timestamp")) === true)
+        .as("payload"),
+      count(when(col("load_weight_rate_of_change").isNotNull, 1))
+        .as("_cp"),
+      count(when(col("speed_rolling_avg_5s").isNotNull &&
+        col("altitude_rate_of_change").isNotNull, 1)).as("_ck"))
+      .withColumn("clean_records",
+        when(col("payload"), col("_cp")).otherwise(col("_ck")))
+    val clean = f.join(gates.select("device_date", "payload"),
+        Seq("device_date"))
+      .where(when(col("payload"), col("load_weight_rate_of_change").isNotNull)
+        .otherwise(col("speed_rolling_avg_5s").isNotNull &&
+          col("altitude_rate_of_change").isNotNull))
+    val bucketCounts = clean
+      .groupBy(col("device_date"), window(col("timestamp"), cfg.every))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy("device_date")
+      .agg(count(lit(1)).as("downsampled_records"))
+    // reconstruct the day-grain device_date from each candidate (valid for
+    // the reference's `device_id || '_' || DATE(ts)` partition key)
+    val cands = candidateEvents(features, cfg).toDF()
+      .withColumn("device_date", concat(col("device_id"), lit("_"),
+        date_format(col("timestamp_start"), "yyyy-MM-dd")))
+      .groupBy("device_date")
+      .agg(count(lit(1)).as("change_points"))
+    gates
+      .join(bucketCounts, Seq("device_date"), "left")
+      .na.fill(0L, Seq("downsampled_records"))
+      .join(cands, Seq("device_date"), "left")
+      .na.fill(0L, Seq("change_points"))
+      .withColumn("status",
+        when(col("original_records") < cfg.minRawRows, "insufficient_data")
+          .when(col("clean_records") < cfg.minRawRows && col("payload"),
+            "insufficient_payload_data")
+          .when(col("clean_records") < cfg.minRawRows,
+            "insufficient_kinematic_data")
+          .when(col("downsampled_records") < cfg.minBuckets,
+            "insufficient_downsampled_data")
+          .otherwise("success"))
+      .withColumn("data_reduction_ratio",
+        round(col("downsampled_records") / col("original_records"), 3))
+      .select("device_date", "original_records", "clean_records",
+        "downsampled_records", "change_points", "status",
+        "data_reduction_ratio")
+  }
+
   /** The per-device-date kernel over downsampled buckets. */
   private[operators] def detectGroup(deviceDate: String,
       it: Iterator[Bucket], cfg: Config): Iterator[Candidate] = {

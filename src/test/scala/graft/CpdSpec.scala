@@ -66,4 +66,26 @@ class CpdSpec extends AnyFunSuite {
       "has_reliable_payload", "raw_event_hash_id")
     assert(Cpd.candidateEvents(tiny).collect().isEmpty)
   }
+
+  test("partition metrics report gate statuses and reduction ratio") {
+    import spark.implicits._
+    val good = fixture()
+    val t0 = 1722297600000L
+    val tiny = (0 until 10).map { i =>
+      ("dev-tiny_2024-07-30", new java.sql.Timestamp(t0 + i * 500L),
+        Some(1.0), 1.0, 0.0, true, s"t$i")
+    }.toDF("device_date", "timestamp", "load_weight_rate_of_change",
+      "speed_rolling_avg_5s", "altitude_rate_of_change",
+      "has_reliable_payload", "raw_event_hash_id")
+    val m = Cpd.partitionMetrics(good.unionByName(tiny))
+      .collect().map(r => r.getAs[String]("device_date") -> r).toMap
+    assert(m("dev-tiny_2024-07-30").getAs[String]("status") == "insufficient_data")
+    assert(m("dev-tiny_2024-07-30").getAs[Long]("change_points") == 0)
+    val ok = m("lake-605-8-0896_2024-07-30")
+    assert(ok.getAs[String]("status") == "success")
+    assert(ok.getAs[Long]("original_records") == 7200)
+    assert(ok.getAs[Long]("downsampled_records") == 720)
+    assert(ok.getAs[Long]("change_points") > 0)
+    assert(math.abs(ok.getAs[Double]("data_reduction_ratio") - 0.1) < 1e-9)
+  }
 }
