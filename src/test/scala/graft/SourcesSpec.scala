@@ -113,4 +113,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(chk.getAs[Long]("n_distinct_hashes") == 2)
     assert(chk.getAs[Long]("n_null_critical") == 0)
   }
+
+  test("Label-Studio export: per-device-day CSVs + task manifest") {
+    import spark.implicits._
+    val t0 = 1722297600000L
+    val silver = (for {
+      dev <- Seq("truck-a", "truck-b"); i <- 0 until 50
+    } yield (dev, s"${dev}_2024-07-30",
+      new java.sql.Timestamp(t0 + i * 1000L), Some(1.5), Some(100.0),
+      "loading", s"h-$dev-$i"))
+      .toDF("device_id", "device_date", "timestamp", "current_speed",
+        "load_weight", "state", "raw_event_hash_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ls").toString
+    graft.sources.LabelStudioExport.writeCsvs(silver, s"$dir/csv")
+    graft.sources.LabelStudioExport.writeTaskManifest(silver,
+      "http://files", s"$dir/tasks")
+
+    val back = spark.read.option("header", "true").csv(s"$dir/csv")
+    assert(back.count() == 100)
+    assert(back.columns.toSet == Set("timestamp", "current_speed",
+      "load_weight", "state", "hash_id", "device_date"))
+    // ISO timestamps without zone suffix
+    assert(back.select("timestamp").head().getString(0)
+      .matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}"""))
+
+    val tasks = spark.read.json(s"$dir/tasks")
+    val rows = tasks.select("data.truck_id", "data.csv_url", "data.date",
+      "data.n_records").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("csv_url").startsWith(
+      "http://files/device_date=")))
+    assert(rows.forall(_.getAs[Long]("n_records") == 50))
+  }
 }
