@@ -48,4 +48,21 @@ class EventClassifierSpec extends AnyFunSuite {
     assert(res.accuracy > 0.9, s"accuracy ${res.accuracy}")
     assert(res.f1 > 0.9, s"f1 ${res.f1}")
   }
+
+  test("A/B comparison ranks the stronger model and reports agreement") {
+    import graft.ml.ModelComparison
+    val feats = EventClassifier.engineerFeatures(fixture())
+    val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), seed = 42)
+    val strong = EventClassifier.pipeline(maxIter = 8).fit(train)
+    val weak = EventClassifier.pipeline(maxIter = 1, maxDepth = 1).fit(train)
+    // holdout must carry label + features for both models
+    val holdout = strong.stages.take(2).foldLeft(test)((d, t) => t.transform(d))
+    val res = ModelComparison.compare(
+      strong.stages.last, weak.stages.last, holdout)
+    assert(res.nRows > 0)
+    assert(res.accuracyA > res.accuracyB,
+      s"strong ${res.accuracyA} <= weak ${res.accuracyB}")
+    assert(res.agreementRate > 0.4 && res.agreementRate <= 1.0)
+    assert(res.crossMatrix.count() > 0)
+  }
 }
