@@ -234,6 +234,36 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // ---- W9 ML feature prep (per-device Savitzky-Golay, 10-step
+    // velocities, squared/one-hot terms; 02.1.3_train_xgboost_model
+    // .py:146-196). Savgol isn't SQL-expressible → rows-only gate;
+    // the kernel itself is golden-tested in SavitzkyGolaySpec. ----
+    "q_ml_features" -> ((s, d) => {
+      import graft.ml.EventClassifier
+      val labeled = events(s, d).select(
+        concat(lit("truck-"), (col("user_id") % 20).cast("string"))
+          .as("device_id"),
+        col("ts").as("timestamp"),
+        floor(col("value") * 1200).cast("double").as("load_weight"),
+        (col("value") * 3).as("altitude"),
+        (col("value") / 10).as("current_speed"),
+        when(col("user_id") % 2 === 0, "drive").otherwise("park").as("prndl"),
+        when(col("value") < 30, "loading").otherwise("hauling").as("state"),
+        lit("autonomous").as("software_state"),
+        lit(true).as("system_engaged"),
+        lit(false).as("parking_brake_applied"),
+        when(col("value") < 20, "load_event")
+          .when(col("value") < 40, "dump_event")
+          .otherwise("background").as("ml_event_label"))
+      EventClassifier.engineerFeatures(labeled)
+        .groupBy("ml_event_label")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("load_weight_velocity") =!= 0.0, 1)).as("n_velocity"),
+          count(when(col("state_loading") === 1, 1)).as("n_state_loading"),
+          count(when(col("prndl_drive") === 1, 1)).as("n_drive"))
+        .orderBy("ml_event_label")
+    }),
+
     // ---- §5.1 ground-truth validation: inner join on (device, ts) →
     // (predicted, actual) discrepancy matrix (validate_with_ground_truth
     // .py:33-101); planted disagreements via different CASE rules ----
