@@ -123,4 +123,32 @@ class KernelSpec extends AnyFunSuite {
     assert(s1 == s1b)
     assert(java.lang.Long.bitCount(s1 ^ s2) <= 12)
   }
+
+  test("enum truth table matches the reference CASE arms exactly") {
+    // 02_raw_telemetry_transform.py:282-327 — every WHEN arm pinned so a
+    // refactor cannot silently drop or remap one
+    val stateArms = Map(
+      "idle" -> "idle", "loading" -> "loading",
+      "loadingmaneuver" -> "loading", "dumping" -> "dumping",
+      "dumpingmaneuver" -> "dumping", "loadtodump" -> "hauling",
+      "dumptoload" -> "hauling", "leadqueueddumptoload" -> "hauling",
+      "leadqueuedloadtodump" -> "hauling",
+      "zonequeueddumptoload" -> "hauling",
+      "zonequeuedloadtodump" -> "hauling", "waitingtodump" -> "stopped",
+      "active" -> "active", "maintenance" -> "maintenance",
+      "stopped" -> "stopped", "hauling" -> "hauling")
+    assert(Enums.stateMap == stateArms)
+    val swArms = Map(
+      "fault" -> "fault", "start" -> "autonomous", "stop" -> "manual",
+      "dump" -> "autonomous", "slow" -> "intervention",
+      "wait" -> "autonomous", "manual" -> "manual",
+      "autonomous" -> "autonomous", "intervention" -> "intervention",
+      "disabled" -> "disabled", "calibrating" -> "calibrating")
+    assert(Enums.softwareStateMap == swArms)
+    val prndlArms = Map(
+      "park" -> "park", "p" -> "park", "reverse" -> "reverse",
+      "r" -> "reverse", "neutral" -> "neutral", "n" -> "neutral",
+      "drive" -> "drive", "d" -> "drive", "low" -> "low", "l" -> "low")
+    assert(Enums.prndlMap == prndlArms)
+  }
 }
