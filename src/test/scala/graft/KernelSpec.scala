@@ -151,4 +151,17 @@ class KernelSpec extends AnyFunSuite {
       "drive" -> "drive", "d" -> "drive", "low" -> "low", "l" -> "low")
     assert(Enums.prndlMap == prndlArms)
   }
+
+  test("WKT POINT Z rendering matches the PostGIS ST_AsText shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Some((-97.835, 33.269, 250.33))), (None))
+      .toDF("p")
+      .select(when(col("p").isNotNull, struct(
+        col("p._1").as("lon"), col("p._2").as("lat"), col("p._3").as("alt")))
+        .as("pos"))
+    val out = df.select(Geo.toWktPointZ(col("pos"))).collect()
+    assert(out(0).getString(0) == "POINT Z (-97.835 33.269 250.33)")
+    assert(out(1).isNullAt(0))
+  }
 }
