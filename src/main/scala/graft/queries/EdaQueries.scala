@@ -65,6 +65,33 @@ object EdaQueries {
         .orderBy("qty_bin")
     }),
 
+    // ---- A3/P6: truck-class profile via LIKE-pattern CASE class
+    // (EDA notebook cells 4/6; database_pipeline.py:121-127): per-class
+    // round(avg)/stddev with engine-deterministic math (exact integer
+    // sums; see q_json_extract note on avg boundary flakes) ----
+    "q_truck_class" -> ((s, d) => {
+      val e = events(s, d).withColumn("device_id",
+        concat(lit("lake-"),
+          when(col("user_id") % 3 === 0, "775g").otherwise("605"),
+          lit("-"), (col("user_id") % 20).cast("string")))
+      val cents = round(col("value") * 100).cast("long")
+      e.withColumn("truck_class",
+          when(col("device_id").like("%775g%"), "775G").otherwise("605"))
+        .groupBy("truck_class")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("device_id")).as("n_devices"),
+          (sum(cents) / lit(100.0) / count(lit(1))).as("avg_value"),
+          sqrt(
+            (count(lit(1)) * sum(cents * cents) - sum(cents) * sum(cents))
+              .cast("double") /
+              (count(lit(1)) * (count(lit(1)) - 1)).cast("double"))
+            .divide(100.0).as("stddev_value"),
+          round(min("value"), 2).as("min_value"),
+          round(max("value"), 2).as("max_value"))
+        .orderBy("truck_class")
+    }),
+
     // ---- A7: ordered array-collect aggregation (ARRAY_AGG ... ORDER BY,
     // _archive/05_cpd_pipeline.sql:28-44), compared as an ordered
     // string join with HAVING count >= 10 ----
@@ -115,6 +142,29 @@ object EdaQueries {
         |            ELSE '40+' END AS qty_bin,
         |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_truck_class" ->
+      """WITH e AS (
+        |  SELECT *,
+        |    'lake-' || CASE WHEN user_id % 3 = 0 THEN '775g' ELSE '605' END
+        |      || '-' || CAST(user_id % 20 AS VARCHAR) AS device_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), c AS (
+        |  SELECT *, CASE WHEN device_id LIKE '%775g%' THEN '775G'
+        |                 ELSE '605' END AS truck_class
+        |  FROM e
+        |)
+        |SELECT truck_class, count(*) AS n,
+        |  count(DISTINCT device_id) AS n_devices,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 / count(*) AS avg_value,
+        |  sqrt(CAST(count(*) * sum(cents * cents) - sum(cents) * sum(cents)
+        |      AS DOUBLE) /
+        |    CAST(count(*) * (count(*) - 1) AS DOUBLE)) / 100.0
+        |    AS stddev_value,
+        |  round(min(value), 2) AS min_value,
+        |  round(max(value), 2) AS max_value
+        |FROM c GROUP BY truck_class ORDER BY truck_class""".stripMargin,
 
     "q_collect_series" ->
       """SELECT user_id, count(*) AS n,
