@@ -145,6 +145,21 @@ object CoreQueries {
         .orderBy("bucket_start_us", "event_type")
     }),
 
+    // ---- session windows: Spark's session_window vs the classic
+    // gaps-and-islands sessionization (new session when gap >= 30 min) —
+    // the streaming-native generalization of the reference's island logic.
+    "q_sessionize" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_micros(min("ts")).as("first_us"),
+          unix_micros(max("ts")).as("last_us"))
+        .select(col("user_id"), col("first_us"), col("last_us"),
+          col("n_events"))
+        .orderBy("user_id", "first_us")
+    }),
+
     // ---- A1: global stats aggregation (01_ingest_raw_telemetry.py:318-327) ----
     "q_stats_global" -> ((s, d) => {
       events(s, d).agg(
@@ -319,6 +334,27 @@ object CoreQueries {
         |    / count(*) AS avg_value,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id,
+        |  epoch_us(CAST(min(ts) AS TIMESTAMP)) AS first_us,
+        |  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS last_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, first_us""".stripMargin,
 
     "q_stats_global" ->
       """SELECT count(*) AS n_rows,
