@@ -70,9 +70,11 @@ object Pelt {
     evals += n
 
     var admissible = ArrayBuffer.empty[Int]
+    var vals = ArrayBuffer.empty[Double] // candidate totals, aligned
     for (bkp <- evals) {
       val newAdm = (bkp - minSize) / jump * jump
       if (newAdm >= 0) admissible += newAdm
+      if (vals.length < admissible.length) vals += 0.0
       var bestS = -1
       var bestV = Double.PositiveInfinity
       var j = 0
@@ -80,8 +82,9 @@ object Pelt {
         val s = admissible(j)
         if (computed(s) && bkp - s >= minSize) {
           val v = bigF(s) + cost(s, bkp) + penalty
+          vals(j) = v
           if (v < bestV) { bestV = v; bestS = s }
-        }
+        } else vals(j) = Double.PositiveInfinity
         j += 1
       }
       if (bestS >= 0) {
@@ -89,8 +92,19 @@ object Pelt {
         prev(bkp) = bestS
         computed(bkp) = true
         // PELT prune: keep s when F(s) + cost(s, bkp) <= F(bkp)
-        admissible = admissible.filter(s =>
-          computed(s) && bigF(s) + cost(s, bkp) + penalty <= bestV + penalty)
+        // (totals cached from the min scan — computing cost() again here
+        // doubled the whole detection on low-change signals)
+        val keptA = ArrayBuffer.empty[Int]
+        val keptV = ArrayBuffer.empty[Double]
+        j = 0
+        while (j < admissible.length) {
+          if (vals(j) <= bestV + penalty) {
+            keptA += admissible(j); keptV += vals(j)
+          }
+          j += 1
+        }
+        admissible = keptA
+        vals = keptV
       }
     }
 
