@@ -39,4 +39,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"payload not pruned from scan:\n$scan")
     assert(metaOnly.count() == 100)
   }
+
+  test("dropExactDups keeps exactly one row per normalized text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello  world"), (2L, "Hello world"), (3L, "different text"),
+      (4L, "hello world ")) // 1,2,4 normalize identically
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.dropExactDups(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("langId picks the dominant stopword language") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val samples = Seq(
+      ("the cat sat on the mat and it was happy", "en"),
+      ("el perro corre por la calle y se va a la casa", "es"),
+      ("le chat est dans la maison et il dort pour un moment", "fr"),
+      ("der hund ist in dem haus und die katze auf dem dach", "de"),
+      ("zzz qqq xxx", "und"))
+      .toDF("text", "want")
+    val got = samples
+      .withColumn("got", graft.functions.TextFunctions.langId(col("text")))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("got") == r.getAs[String]("want"),
+        s"'${r.getAs[String]("text")}' -> ${r.getAs[String]("got")}")
+    }
+  }
 }
