@@ -91,6 +91,41 @@ object Multimodal {
     spark.createDataFrame(out, featSchema)
   }
 
+  /** ======== STUB ========
+    * Resize: produce a payload scaled to `w`×`h` with updated metadata.
+    * The stub "resampler" picks bytes at a stride proportional to the
+    * area ratio (deterministic); a real image scaler replaces only
+    * `stubResample` — schema, meta update, and plumbing stay.
+    */
+  private[multimodal] def stubResample(payload: Array[Byte],
+      targetLen: Int): Array[Byte] = {
+    if (payload == null || payload.isEmpty || targetLen <= 0)
+      return Array.empty
+    Array.tabulate(targetLen)(i =>
+      payload((i.toLong * payload.length / targetLen).toInt))
+  }
+
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select("media_id", "payload", "meta").rdd.mapPartitions {
+      it =>
+        it.map { r =>
+          val payload =
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val meta = r.getStruct(2)
+          val srcArea = math.max(1,
+            meta.getAs[Int]("width") * meta.getAs[Int]("height"))
+          val targetLen =
+            if (payload == null) 0
+            else math.max(1, (payload.length.toLong * w * h / srcArea).toInt)
+          Row(r.getLong(0), stubResample(payload, targetLen),
+            Row(meta.getAs[String]("mime"), w, h,
+              meta.getAs[java.lang.Long]("duration_ms")))
+        }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
   /** Frame sampling for video payloads: emit every `stride`-th fixed-size
     * chunk as a frame row (stub chunking; a real demuxer plugs in the same
     * way). Output (media_id, frame_idx, frame_bytes). */

@@ -42,4 +42,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 16))
     assert(frames.map(_.getInt(1)).distinct.sorted.toSeq == Seq(0, 2))
   }
+
+  test("resize rescales payload length and rewrites dimensions") {
+    val small = Multimodal.resize(media, 16, 12)
+    val rows = small.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+      assert(meta.getAs[Int]("width") == 16)
+      assert(meta.getAs[Int]("height") == 12)
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(p.length > 0 && p.length < 64) // shrunk from 64 source bytes
+    }
+    // deterministic
+    val again = Multimodal.resize(media, 16, 12).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+    val first = rows.map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+    assert(again == first)
+  }
 }
