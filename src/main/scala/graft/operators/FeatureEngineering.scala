@@ -69,9 +69,12 @@ object FeatureEngineering {
     * (`04_worker_script.sql:12-16`). Broadcast nested-loop by construction.
     */
   def withLocationType(telemetry: DataFrame, zones: DataFrame): DataFrame = {
+    // native codegen'd predicate (the BNLJ evaluates it rows × polygons
+    // times); registration is idempotent per session
+    graft.plans.GraftExtensions.register(telemetry.sparkSession)
     val joined = telemetry.join(
       broadcast(zones),
-      Geo.pointInPolygonCol(
+      graft.plans.PointInPolygonExpression.pointInPolygonNative(
         col("current_position.lon"), col("current_position.lat"),
         col("vertices")) && col("current_position").isNotNull,
       "left")

@@ -98,6 +98,7 @@ object ParsePositionExpression {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.parsePositionDescriptor)
+    e.injectFunction(GraftExtensions.pointInPolygonDescriptor)
   }
 }
 
@@ -112,12 +113,23 @@ object GraftExtensions {
         "parse_position"),
       (exprs: Seq[Expression]) => ParsePositionExpression(exprs.head))
 
+  val pointInPolygonDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("point_in_polygon"),
+      new ExpressionInfo(classOf[PointInPolygonExpression].getName,
+        "point_in_polygon"),
+      (exprs: Seq[Expression]) =>
+        PointInPolygonExpression(exprs(0), exprs(1), exprs(2)))
+
   /** Register into an already-built session (builder extensions only apply
     * to sessions constructed with `withExtensions`; `getOrCreate` on an
     * existing session ignores them). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = parsePositionDescriptor
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.registerFunction(id, info, builder)
+    val registry = spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    Seq(parsePositionDescriptor, pointInPolygonDescriptor).foreach {
+      case (id, info, builder) => registry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -67,4 +67,28 @@ class ParsePositionExpressionSpec extends AnyFunSuite {
       assert(n.toString == u.toString, s"row $i input '${inputs(i)}'")
     }
   }
+
+  test("native point_in_polygon agrees with the UDF on the real polygons") {
+    import graft.plans.PointInPolygonExpression
+    val rnd = new scala.util.Random(31)
+    val pts = (1 to 2000).map { _ =>
+      (-97.8410 + rnd.nextDouble() * 0.0095,
+        33.2695 + rnd.nextDouble() * 0.0075)
+    }
+    import spark.implicits._
+    val df = pts.toDF("lon", "lat")
+    val zones = graft.operators.FeatureEngineering.zonesDf(spark,
+      graft.operators.FeatureEngineering.lbpZones.filter(_._1.startsWith("Pit")))
+    val joined = df.crossJoin(zones)
+    val nat = joined.select(
+      PointInPolygonExpression.pointInPolygonNative(
+        col("lon"), col("lat"), col("vertices")).as("r"))
+      .collect().map(_.getBoolean(0))
+    val viaUdf = joined.select(
+      graft.functions.Geo.pointInPolygonCol(
+        col("lon"), col("lat"), col("vertices")).as("r"))
+      .collect().map(_.getBoolean(0))
+    assert(nat.sameElements(viaUdf))
+    assert(nat.count(identity) > 0) // some points do land in pits
+  }
 }
