@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Front door for library users: a SparkSession wired with graft's
+  * extensions (native SQL functions) and the configuration this engine is
+  * designed around (AQE on, UTC, sane local shuffle parallelism).
+  *
+  * {{{
+  * val spark = GraftSession.local(cores = 32)
+  * val silver = operators.TelemetryTransform.transform(
+  *   sources.TelemetryCsv.read(spark, path))
+  * }}}
+  *
+  * On a cluster, apply [[configure]] to your own builder instead of
+  * [[local]] — every operator in this library is deployment-agnostic.
+  */
+object GraftSession {
+
+  /** Shared tuning: adaptive execution (coalescing + skew-join split),
+    * UTC timestamps (oracle/Postgres parity), extensions registered. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.plans.GraftExtensions)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+
+  /** Local-mode session with shuffle parallelism matched to cores (the
+    * 200-partition default is wrong for one machine). */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft"): SparkSession = {
+    val s = configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    // getOrCreate may return a pre-existing session whose builder-time
+    // extensions never applied — make function registration unconditional
+    graft.plans.GraftExtensions.register(s)
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
