@@ -92,6 +92,33 @@ object EdaQueries {
         .orderBy("truck_class")
     }),
 
+    // ---- movement features (database_pipeline.py:498-516): per-device
+    // euclidean position change via lag diffs + distance from the median
+    // center — the EDA geo-math pack ----
+    "q_movement" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(
+        col("event_id"),
+        concat(lit("t"), (col("user_id") % 20).cast("string")).as("device_id"),
+        col("ts"),
+        (col("value") / 1000 + 33.2).as("latitude"),
+        ((col("user_id") % 100) / 10000.0 - 97.84).as("longitude"))
+      val w = Window.partitionBy("device_id").orderBy("ts", "event_id")
+      val center = e.agg(
+        percentile(col("longitude"), lit(0.5)).as("clon"),
+        percentile(col("latitude"), lit(0.5)).as("clat")).head()
+      val (clon, clat) = (center.getDouble(0), center.getDouble(1))
+      e.withColumn("position_change", round(sqrt(
+          pow(col("longitude") - lag("longitude", 1).over(w), 2) +
+            pow(col("latitude") - lag("latitude", 1).over(w), 2)), 9))
+        .withColumn("distance_from_center", round(sqrt(
+          pow(col("longitude") - lit(clon), 2) +
+            pow(col("latitude") - lit(clat), 2)), 9))
+        .select("event_id", "device_id", "position_change",
+          "distance_from_center")
+        .orderBy("event_id")
+    }),
+
     // ---- A7: ordered array-collect aggregation (ARRAY_AGG ... ORDER BY,
     // _archive/05_cpd_pipeline.sql:28-44), compared as an ordered
     // string join with HAVING count >= 10 ----
@@ -142,6 +169,29 @@ object EdaQueries {
         |            ELSE '40+' END AS qty_bin,
         |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_movement" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    't' || CAST(user_id % 20 AS VARCHAR) AS device_id,
+        |    ts, value / 1000 + 33.2 AS latitude,
+        |    (user_id % 100) / 10000.0 - 97.84 AS longitude
+        |  FROM events
+        |), c AS (
+        |  SELECT quantile_cont(longitude, 0.5) AS clon,
+        |         quantile_cont(latitude, 0.5) AS clat
+        |  FROM e
+        |)
+        |SELECT event_id, device_id,
+        |  round(sqrt(
+        |    pow(longitude - lag(longitude) OVER w, 2) +
+        |    pow(latitude - lag(latitude) OVER w, 2)), 9) AS position_change,
+        |  round(sqrt(pow(longitude - (SELECT clon FROM c), 2) +
+        |             pow(latitude - (SELECT clat FROM c), 2)), 9)
+        |    AS distance_from_center
+        |FROM e
+        |WINDOW w AS (PARTITION BY device_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q_truck_class" ->
       """WITH e AS (
