@@ -119,6 +119,35 @@ object EdaQueries {
         .orderBy("event_id")
     }),
 
+    // ---- temporal + state-transition features (database_pipeline
+    // .py:443-492): hour/day-of-week/weekend, shift binning (pd.cut
+    // bins [-1,6,14,22,24] night/day/evening/night), previous-state
+    // shift/changed flags, per-(device,state) cumulative persistence ----
+    "q_temporal_features" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(
+        col("event_id"),
+        concat(lit("t"), (col("user_id") % 20).cast("string")).as("device_id"),
+        col("ts"), col("event_type").as("state"))
+      val w = Window.partitionBy("device_id").orderBy("ts", "event_id")
+      val ws = Window.partitionBy("device_id", "state").orderBy("ts", "event_id")
+      e.withColumn("hour", hour(col("ts")))
+        .withColumn("dow_monday0", (dayofweek(col("ts")) + 5) % 7)
+        .withColumn("is_weekend",
+          ((dayofweek(col("ts")) + 5) % 7 >= 5).cast("int"))
+        .withColumn("shift", when(col("hour") <= 6, "night")
+          .when(col("hour") <= 14, "day")
+          .when(col("hour") <= 22, "evening").otherwise("night"))
+        .withColumn("state_prev", lag("state", 1).over(w))
+        .withColumn("state_changed",
+          (!(col("state") <=> col("state_prev"))).cast("int"))
+        .withColumn("state_seq_2", lag("state", 2).over(w))
+        .withColumn("state_persistence", row_number().over(ws))
+        .select("event_id", "hour", "dow_monday0", "is_weekend", "shift",
+          "state_prev", "state_changed", "state_seq_2", "state_persistence")
+        .orderBy("event_id")
+    }),
+
     // ---- A7: ordered array-collect aggregation (ARRAY_AGG ... ORDER BY,
     // _archive/05_cpd_pipeline.sql:28-44), compared as an ordered
     // string join with HAVING count >= 10 ----
@@ -169,6 +198,32 @@ object EdaQueries {
         |            ELSE '40+' END AS qty_bin,
         |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_temporal_features" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    't' || CAST(user_id % 20 AS VARCHAR) AS device_id,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_type AS state
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  CAST(hour(ts) AS INT) AS hour,
+        |  CAST(isodow(ts) - 1 AS INT) AS dow_monday0,
+        |  CAST(CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END AS INT)
+        |    AS is_weekend,
+        |  CASE WHEN hour(ts) <= 6 THEN 'night'
+        |       WHEN hour(ts) <= 14 THEN 'day'
+        |       WHEN hour(ts) <= 22 THEN 'evening'
+        |       ELSE 'night' END AS shift,
+        |  lag(state) OVER w AS state_prev,
+        |  CAST(CASE WHEN state IS DISTINCT FROM lag(state) OVER w
+        |    THEN 1 ELSE 0 END AS INT) AS state_changed,
+        |  lag(state, 2) OVER w AS state_seq_2,
+        |  CAST(row_number() OVER (PARTITION BY device_id, state
+        |    ORDER BY ts, event_id) AS INT) AS state_persistence
+        |FROM e
+        |WINDOW w AS (PARTITION BY device_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q_movement" ->
       """WITH e AS (
