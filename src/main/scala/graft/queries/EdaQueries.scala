@@ -119,6 +119,37 @@ object EdaQueries {
         .orderBy("event_id")
     }),
 
+    // ---- kinematic feature pack (database_pipeline.py:368-394):
+    // TRAILING rolling mean/std (pandas min_periods=1 semantics), diff
+    // chains (speed change + acceleration), speed-category binning ----
+    "q_kinematic" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(
+        col("event_id"),
+        concat(lit("t"), (col("user_id") % 20).cast("string")).as("device_id"),
+        col("ts"), (col("value") / 10).as("speed"))
+      val w = Window.partitionBy("device_id").orderBy("ts", "event_id")
+      val t5 = w.rowsBetween(-4, 0)
+      val t10 = w.rowsBetween(-9, 0)
+      e.withColumn("is_stationary", (col("speed") <= 0.5).cast("int"))
+        .withColumn("speed_rolling_mean_5", round(avg("speed").over(t5), 6))
+        .withColumn("speed_rolling_std_10",
+          round(stddev_samp(col("speed")).over(t10), 6))
+        .withColumn("speed_change", round(
+          col("speed") - lag("speed", 1).over(w), 6))
+        .withColumn("speed_acceleration", round(
+          (col("speed") - lag("speed", 1).over(w)) -
+            (lag("speed", 1).over(w) - lag("speed", 2).over(w)), 6))
+        .withColumn("speed_category",
+          when(col("speed") <= 0.5, "stationary")
+            .when(col("speed") <= 5, "slow")
+            .when(col("speed") <= 15, "medium").otherwise("fast"))
+        .select("event_id", "is_stationary", "speed_rolling_mean_5",
+          "speed_rolling_std_10", "speed_change", "speed_acceleration",
+          "speed_category")
+        .orderBy("event_id")
+    }),
+
     // ---- temporal + state-transition features (database_pipeline
     // .py:443-492): hour/day-of-week/weekend, shift binning (pd.cut
     // bins [-1,6,14,22,24] night/day/evening/night), previous-state
@@ -198,6 +229,32 @@ object EdaQueries {
         |            ELSE '40+' END AS qty_bin,
         |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_kinematic" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    't' || CAST(user_id % 20 AS VARCHAR) AS device_id,
+        |    ts, value / 10 AS speed
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  CAST(CASE WHEN speed <= 0.5 THEN 1 ELSE 0 END AS INT)
+        |    AS is_stationary,
+        |  round(avg(speed) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+        |    AS speed_rolling_mean_5,
+        |  round(stddev_samp(speed) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
+        |    AS speed_rolling_std_10,
+        |  round(speed - lag(speed) OVER w, 6) AS speed_change,
+        |  round((speed - lag(speed) OVER w) -
+        |    (lag(speed) OVER w - lag(speed, 2) OVER w), 6)
+        |    AS speed_acceleration,
+        |  CASE WHEN speed <= 0.5 THEN 'stationary'
+        |       WHEN speed <= 5 THEN 'slow'
+        |       WHEN speed <= 15 THEN 'medium'
+        |       ELSE 'fast' END AS speed_category
+        |FROM e
+        |WINDOW w AS (PARTITION BY device_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q_temporal_features" ->
       """WITH e AS (
