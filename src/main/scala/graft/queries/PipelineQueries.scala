@@ -234,6 +234,25 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // ---- §2.8 geo formatting: ST_AsText-style WKT POINT Z rendering of
+    // parsed positions (05_export_features_to_parquet.py:199) ----
+    "q_wkt" -> ((s, d) => {
+      import graft.functions.Geo
+      val raw = rawTelemetryFromEvents(s, d)
+      // values rounded to 6 dp before rendering: short-decimal doubles
+      // print identically under Java's and DuckDB's shortest-roundtrip
+      // formatters, full-precision doubles may not (pre-Java-19 anomaly)
+      val pos = Geo.parsePosition(col("current_position"))
+      raw.select(col("event_id"),
+          when(pos.isNotNull, struct(
+            round(pos.getField("lon"), 6).as("lon"),
+            round(pos.getField("lat"), 6).as("lat"),
+            round(pos.getField("alt"), 6).as("alt")))
+            .as("pos"))
+        .select(col("event_id"), Geo.toWktPointZ(col("pos")).as("wkt"))
+        .orderBy("event_id")
+    }),
+
     // ---- W9 ML feature prep (per-device Savitzky-Golay, 10-step
     // velocities, squared/one-hot terms; 02.1.3_train_xgboost_model
     // .py:146-196). Savgol isn't SQL-expressible → rows-only gate;
@@ -535,6 +554,16 @@ object PipelineQueries {
         |  ml_event_label = actual_event_label AS agree
         |FROM joined GROUP BY ml_event_label, actual_event_label
         |ORDER BY ml_event_label, actual_event_label""".stripMargin,
+
+    "q_wkt" ->
+      (rawCte.replace("WITH raw AS (", "WITH raw AS (") + """
+        |SELECT event_id,
+        |  CASE WHEN pos_garbage THEN NULL
+        |       ELSE 'POINT Z (' || CAST(round(pos_lon, 6) AS VARCHAR) ||
+        |         ' ' || CAST(round(pos_lat, 6) AS VARCHAR) ||
+        |         ' ' || CAST(round(pos_alt, 6) AS VARCHAR) || ')'
+        |  END AS wkt
+        |FROM raw ORDER BY event_id""".stripMargin),
 
     "q_label_stats" ->
       """WITH iv AS (
