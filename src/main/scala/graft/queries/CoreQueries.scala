@@ -145,6 +145,18 @@ object CoreQueries {
         .orderBy("bucket_start_us", "event_type")
     }),
 
+    // ---- sliding windows: window(ts, 2h, 1h) — each event lands in two
+    // overlapping buckets; oracle = join to the covering hour-starts ----
+    "q_sliding_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("win_start_us"),
+          col("event_type"), col("n"))
+        .orderBy("win_start_us", "event_type")
+    }),
+
     // ---- session windows: Spark's session_window vs the classic
     // gaps-and-islands sessionization (new session when gap >= 30 min) —
     // the streaming-native generalization of the reference's island logic.
@@ -334,6 +346,16 @@ object CoreQueries {
         |    / count(*) AS avg_value,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sliding_window" ->
+      """WITH cov AS (
+        |  SELECT e.event_type,
+        |    epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(e.ts AS TIMESTAMP)))
+        |      - k.k * 3600000000 AS win_start_us
+        |  FROM events e CROSS JOIN (SELECT unnest(range(2)) AS k) k
+        |)
+        |SELECT win_start_us, event_type, count(*) AS n
+        |FROM cov GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sessionize" ->
       """WITH g AS (
