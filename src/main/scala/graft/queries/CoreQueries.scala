@@ -145,6 +145,20 @@ object CoreQueries {
         .orderBy("bucket_start_us", "event_type")
     }),
 
+    // ---- OLAP rollup: hierarchical subtotals (event_type, day) + grand
+    // total — the grouping-sets family SURVEY §2.4 notes as headroom ----
+    "q_rollup" -> ((s, d) => {
+      events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("<all>")).as("event_type"),
+          coalesce(col("day"), lit("<all>")).as("day"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type", "day")
+    }),
+
     // ---- sliding windows: window(ts, 2h, 1h) — each event lands in two
     // overlapping buckets; oracle = join to the covering hour-starts ----
     "q_sliding_window" -> ((s, d) => {
@@ -346,6 +360,15 @@ object CoreQueries {
         |    / count(*) AS avg_value,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(event_type, '<all>') AS event_type,
+        |  coalesce(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'), '<all>') AS day,
+        |  count(*) AS n,
+        |  round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP (event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'))
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_sliding_window" ->
       """WITH cov AS (
