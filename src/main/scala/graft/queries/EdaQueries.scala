@@ -135,11 +135,14 @@ object EdaQueries {
         .withColumn("speed_rolling_mean_5", round(avg("speed").over(t5), 6))
         .withColumn("speed_rolling_std_10",
           round(stddev_samp(col("speed")).over(t10), 6))
+        // + 0.0 collapses IEEE negative zero: a diff that is algebraically
+        // zero carries float residue that rounds to -0.0 in DuckDB but
+        // +0.0 in Spark (observed at sf0.1)
         .withColumn("speed_change", round(
-          col("speed") - lag("speed", 1).over(w), 6))
+          col("speed") - lag("speed", 1).over(w), 6) + 0.0)
         .withColumn("speed_acceleration", round(
           (col("speed") - lag("speed", 1).over(w)) -
-            (lag("speed", 1).over(w) - lag("speed", 2).over(w)), 6))
+            (lag("speed", 1).over(w) - lag("speed", 2).over(w)), 6) + 0.0)
         .withColumn("speed_category",
           when(col("speed") <= 0.5, "stationary")
             .when(col("speed") <= 5, "slow")
@@ -244,9 +247,9 @@ object EdaQueries {
         |    AS speed_rolling_mean_5,
         |  round(stddev_samp(speed) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
         |    AS speed_rolling_std_10,
-        |  round(speed - lag(speed) OVER w, 6) AS speed_change,
+        |  round(speed - lag(speed) OVER w, 6) + 0.0 AS speed_change,
         |  round((speed - lag(speed) OVER w) -
-        |    (lag(speed) OVER w - lag(speed, 2) OVER w), 6)
+        |    (lag(speed) OVER w - lag(speed, 2) OVER w), 6) + 0.0
         |    AS speed_acceleration,
         |  CASE WHEN speed <= 0.5 THEN 'stationary'
         |       WHEN speed <= 5 THEN 'slow'

@@ -179,9 +179,9 @@ object PipelineQueries {
         round(col("time_delta"), 6).as("time_delta"),
         round(col("load_weight_smoothed"), 4).as("load_weight_smoothed"),
         col("stationary_block_id"),
-        round(col("altitude_rate_of_change"), 4).as("altitude_roc"),
+        (round(col("altitude_rate_of_change"), 4) + 0.0).as("altitude_roc"),
         round(col("speed_rolling_avg_5s"), 6).as("speed_rolling_avg_5s"),
-        round(col("load_weight_rate_of_change"), 4).as("load_weight_roc"),
+        (round(col("load_weight_rate_of_change"), 4) + 0.0).as("load_weight_roc"),
         col("has_reliable_payload"),
         round(col("time_in_stationary_state"), 6).as("time_in_stationary"),
         col("prndl_park"), col("prndl_drive"), col("prndl_unknown"),
@@ -506,9 +506,9 @@ object PipelineQueries {
         |  round(b.time_delta, 6) AS time_delta,
         |  round(b.load_weight_smoothed, 4) AS load_weight_smoothed,
         |  b.stationary_block_id,
-        |  round(b.altitude - lag(b.altitude) OVER w, 4) AS altitude_roc,
+        |  round(b.altitude - lag(b.altitude) OVER w, 4) + 0.0 AS altitude_roc,
         |  round(avg(b.current_speed) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS speed_rolling_avg_5s,
-        |  round(b.load_weight_smoothed - lag(b.load_weight_smoothed) OVER w, 4) AS load_weight_roc,
+        |  round(b.load_weight_smoothed - lag(b.load_weight_smoothed) OVER w, 4) + 0.0 AS load_weight_roc,
         |  r.has_reliable_payload,
         |  round(CASE WHEN b.is_stationary THEN
         |    sum(b.time_delta) OVER (PARTITION BY b.device_id, b.device_date, b.stationary_block_id ORDER BY b.timestamp)
