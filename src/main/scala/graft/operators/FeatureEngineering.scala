@@ -99,9 +99,13 @@ object FeatureEngineering {
     val basic = base
       .withColumn("prev_stationary",
         coalesce(lag("is_stationary", 1).over(w), col("is_stationary")))
-      .withColumn("time_delta", coalesce(
-        (unix_micros(col("timestamp")) -
-          lag(unix_micros(col("timestamp")), 1).over(w)) / 1e6, lit(0.0)))
+      // exact integer microseconds; the seconds view divides ONCE so the
+      // value is bit-reproducible across engines/platforms (no float
+      // accumulation) — at 100 TB run-to-run determinism is a feature
+      .withColumn("time_delta_us", coalesce(
+        unix_micros(col("timestamp")) -
+          lag(unix_micros(col("timestamp")), 1).over(w), lit(0L)))
+      .withColumn("time_delta", col("time_delta_us") / 1e6)
       .withColumn("load_weight_smoothed", avg("load_weight").over(c5))
     val blocks = basic
       .withColumn("stationary_block_id",
@@ -120,8 +124,12 @@ object FeatureEngineering {
       .withColumn("load_weight_rate_of_change",
         col("load_weight_smoothed") -
           lag("load_weight_smoothed", 1).over(w))
+      // running dwell accumulated in exact integer µs, divided once —
+      // identical semantics to SUM(time_delta) (04_worker_script.sql:63-66)
+      // up to float association, but engine-deterministic
       .withColumn("time_in_stationary_state",
-        when(col("is_stationary"), sum("time_delta").over(wb)).otherwise(0.0))
+        when(col("is_stationary"), sum("time_delta_us").over(wb) / 1e6)
+          .otherwise(0.0))
       .drop("prev_stationary")
   }
 

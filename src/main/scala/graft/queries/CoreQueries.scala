@@ -116,18 +116,21 @@ object CoreQueries {
     // (04_worker_script.sql:23-34,63-66). is_active plays is_stationary.
     "q_gaps_islands" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // dwell accumulates in EXACT integer microseconds and divides once at
+      // the end — no float running sum, so the result is bit-identical on
+      // any engine (the round()-on-accumulated-floats hash hazard is gone)
       val base = events(s, d)
         .withColumn("is_active", col("value") >= 50.0)
         .withColumn("prev_active",
           coalesce(lag("is_active", 1).over(w), lit(false)))
-        .withColumn("delta_s",
-          coalesce((unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)) / 1e6, lit(0.0)))
+        .withColumn("delta_us",
+          coalesce(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w), lit(0L)))
         .withColumn("block_id",
           sum(when(col("is_active") =!= col("prev_active"), 1).otherwise(0)).over(w))
       val wb = Window.partitionBy("user_id", "block_id").orderBy("ts", "event_id")
       base
         .withColumn("dwell_s",
-          round(sum(when(col("is_active"), col("delta_s")).otherwise(0.0)).over(wb), 3))
+          sum(when(col("is_active"), col("delta_us")).otherwise(0L)).over(wb) / 1e6)
         .select("event_id", "user_id", "is_active", "block_id", "dwell_s")
         .orderBy("event_id")
     }),
@@ -340,7 +343,7 @@ object CoreQueries {
       """WITH base AS (
         |  SELECT event_id, user_id, ts, value >= 50.0 AS is_active,
         |    coalesce(lag(value >= 50.0) OVER w, false) AS prev_active,
-        |    coalesce((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6, 0.0) AS delta_s
+        |    coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS delta_us
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), blocks AS (
@@ -349,8 +352,10 @@ object CoreQueries {
         |  FROM base
         |)
         |SELECT event_id, user_id, is_active, block_id,
-        |  round(sum(CASE WHEN is_active THEN delta_s ELSE 0.0 END)
-        |    OVER (PARTITION BY user_id, block_id ORDER BY ts, event_id), 3) AS dwell_s
+        |  CAST(sum(CASE WHEN is_active THEN delta_us ELSE 0 END)
+        |    OVER (PARTITION BY user_id, block_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 1e6 AS dwell_s
         |FROM blocks ORDER BY event_id""".stripMargin,
 
     "q_time_bucket" ->

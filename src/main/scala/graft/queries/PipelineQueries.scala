@@ -173,17 +173,31 @@ object PipelineQueries {
       val gold = FeatureEngineering.withAssemblyFeatures(
         FeatureEngineering.withReliablePayload(
           FeatureEngineering.withWindowFeatures(silver)))
-      gold.select(
+      // Every compared float below is EXACT (integer arithmetic + at most
+      // one division) — no round() on engine-accumulated doubles, so the
+      // hash is stable across DuckDB versions / platforms. The one
+      // non-integer rolling mean (speed) is compared on a µs-quantized
+      // twin of the same window frame; the float variant is covered by
+      // q_window_rolling.
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("device_id", "device_date").orderBy("timestamp")
+        .rowsBetween(-2, 2)
+      gold
+        .withColumn("speed_q", floor(col("current_speed") * 1e6).cast("long"))
+        .withColumn("speed_rolling_q5",
+          sum("speed_q").over(wq).cast("double") /
+            count(lit(1)).over(wq) / 1e6)
+        .select(
         col("event_id"),
         col("is_stationary"),
-        round(col("time_delta"), 6).as("time_delta"),
-        round(col("load_weight_smoothed"), 4).as("load_weight_smoothed"),
+        col("time_delta"),
+        col("load_weight_smoothed"),
         col("stationary_block_id"),
-        (round(col("altitude_rate_of_change"), 4) + 0.0).as("altitude_roc"),
-        round(col("speed_rolling_avg_5s"), 6).as("speed_rolling_avg_5s"),
-        (round(col("load_weight_rate_of_change"), 4) + 0.0).as("load_weight_roc"),
+        ((col("altitude_rate_of_change")) + 0.0).as("altitude_roc"),
+        col("speed_rolling_q5").as("speed_rolling_avg_5s"),
+        ((col("load_weight_rate_of_change")) + 0.0).as("load_weight_roc"),
         col("has_reliable_payload"),
-        round(col("time_in_stationary_state"), 6).as("time_in_stationary"),
+        col("time_in_stationary_state").as("time_in_stationary"),
         col("prndl_park"), col("prndl_drive"), col("prndl_unknown"),
         col("is_heavy_load"), col("is_ready_for_load"), col("is_hauling"),
         col("is_in_loading_zone"), col("is_in_dumping_zone"))
@@ -488,7 +502,7 @@ object PipelineQueries {
         |), basic AS (
         |  SELECT *,
         |    coalesce(lag(is_stationary) OVER w, is_stationary) AS prev_stationary,
-        |    coalesce((epoch_us(timestamp) - lag(epoch_us(timestamp)) OVER w) / 1e6, 0.0) AS time_delta,
+        |    coalesce(epoch_us(timestamp) - lag(epoch_us(timestamp)) OVER w, 0) AS time_delta_us,
         |    avg(load_weight) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS load_weight_smoothed
         |  FROM base
         |  WINDOW w AS (PARTITION BY device_id, device_date ORDER BY timestamp)
@@ -503,16 +517,20 @@ object PipelineQueries {
         |)
         |SELECT b.event_id,
         |  b.is_stationary,
-        |  round(b.time_delta, 6) AS time_delta,
-        |  round(b.load_weight_smoothed, 4) AS load_weight_smoothed,
+        |  b.time_delta_us / 1e6 AS time_delta,
+        |  b.load_weight_smoothed,
         |  b.stationary_block_id,
-        |  round(b.altitude - lag(b.altitude) OVER w, 4) + 0.0 AS altitude_roc,
-        |  round(avg(b.current_speed) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS speed_rolling_avg_5s,
-        |  round(b.load_weight_smoothed - lag(b.load_weight_smoothed) OVER w, 4) + 0.0 AS load_weight_roc,
+        |  (b.altitude - lag(b.altitude) OVER w) + 0.0 AS altitude_roc,
+        |  CAST(sum(CAST(floor(b.current_speed * 1e6) AS BIGINT))
+        |      OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE)
+        |    / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |    / 1e6 AS speed_rolling_avg_5s,
+        |  (b.load_weight_smoothed - lag(b.load_weight_smoothed) OVER w) + 0.0 AS load_weight_roc,
         |  r.has_reliable_payload,
-        |  round(CASE WHEN b.is_stationary THEN
-        |    sum(b.time_delta) OVER (PARTITION BY b.device_id, b.device_date, b.stationary_block_id ORDER BY b.timestamp)
-        |    ELSE 0 END, 6) AS time_in_stationary,
+        |  CASE WHEN b.is_stationary THEN
+        |    CAST(sum(b.time_delta_us) OVER (PARTITION BY b.device_id, b.device_date, b.stationary_block_id
+        |      ORDER BY b.timestamp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6
+        |    ELSE 0.0 END AS time_in_stationary,
         |  b.prndl = 'park' AS prndl_park,
         |  b.prndl = 'drive' AS prndl_drive,
         |  b.prndl = 'unknown' AS prndl_unknown,
