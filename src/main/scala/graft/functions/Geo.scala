@@ -48,7 +48,10 @@ object Geo {
     */
   val pipUdf = udf { (lon: Double, lat: Double,
       verts: Seq[org.apache.spark.sql.Row]) =>
-    pointInPolygon(lon, lat, verts.map(r => (r.getDouble(0), r.getDouble(1))))
+    // null vertex elements (user-supplied arrays): no containment, no NPE
+    if (verts == null || verts.exists(_ == null)) false
+    else pointInPolygon(lon, lat,
+      verts.map(r => (r.getDouble(0), r.getDouble(1))))
   }
 
   def pointInPolygonCol(lon: Column, lat: Column, verts: Column): Column =

@@ -192,6 +192,13 @@ object Cpd {
           .otherwise("success"))
       .withColumn("data_reduction_ratio",
         round(col("downsampled_records") / col("original_records"), 3))
+      // reference metric parity: the orchestrator's success dict reports
+      // len(df) (the ORIGINAL count) as clean_records on the success path
+      // (05_cpd_orchestrator_polars.py); the branch-conditional clean count
+      // is only surfaced for the insufficient_* statuses
+      .withColumn("clean_records",
+        when(col("status") === "success", col("original_records"))
+          .otherwise(col("clean_records")))
       .select("device_date", "original_records", "clean_records",
         "downsampled_records", "change_points", "status",
         "data_reduction_ratio")

@@ -63,9 +63,11 @@ object Pelt {
     bigF(0) = 0.0
     computed(0) = true
 
-    // evaluation points: minSize, minSize+jump, ..., and always n last
+    // evaluation points: the multiples of jump that are >= minSize —
+    // ruptures' range(0, n, jump) filtered by >= min_size — and always n
+    // last (identical to the old minSize-anchored grid when jump == 1)
     val evals = ArrayBuffer.empty[Int]
-    var t = minSize
+    var t = ((minSize + jump - 1) / jump) * jump
     while (t < n) { evals += t; t += jump }
     evals += n
 

@@ -52,6 +52,9 @@ object PointInPolygonExpression {
     var j = n - 1
     var i = 0
     while (i < n) {
+      // user-supplied vertex arrays may carry null elements; treat the
+      // polygon as not containing anything rather than NPE inside codegen
+      if (verts.isNullAt(i) || verts.isNullAt(j)) return false
       val vi = verts.getStruct(i, 2)
       val vj = verts.getStruct(j, 2)
       val xi = vi.getDouble(0); val yi = vi.getDouble(1)

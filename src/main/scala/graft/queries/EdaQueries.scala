@@ -104,16 +104,18 @@ object EdaQueries {
         (col("value") / 1000 + 33.2).as("latitude"),
         ((col("user_id") % 100) / 10000.0 - 97.84).as("longitude"))
       val w = Window.partitionBy("device_id").orderBy("ts", "event_id")
+      // the 1-row median aggregate stays IN the plan as a broadcast
+      // cross-join — no driver collect, no second scan-triggering job
       val center = e.agg(
         percentile(col("longitude"), lit(0.5)).as("clon"),
-        percentile(col("latitude"), lit(0.5)).as("clat")).head()
-      val (clon, clat) = (center.getDouble(0), center.getDouble(1))
-      e.withColumn("position_change", round(sqrt(
+        percentile(col("latitude"), lit(0.5)).as("clat"))
+      e.crossJoin(broadcast(center))
+        .withColumn("position_change", round(sqrt(
           pow(col("longitude") - lag("longitude", 1).over(w), 2) +
             pow(col("latitude") - lag("latitude", 1).over(w), 2)), 9))
         .withColumn("distance_from_center", round(sqrt(
-          pow(col("longitude") - lit(clon), 2) +
-            pow(col("latitude") - lit(clat), 2)), 9))
+          pow(col("longitude") - col("clon"), 2) +
+            pow(col("latitude") - col("clat"), 2)), 9))
         .select("event_id", "device_id", "position_change",
           "distance_from_center")
         .orderBy("event_id")

@@ -31,9 +31,12 @@ object StatefulDwell {
       val us = p.ts.getTime * 1000L
       val deltaS =
         if (st.lastUs == 0L) 0.0 else (us - st.lastUs) / 1e6
+      // island entry starts at deltaS (the gap from the last moving ping),
+      // matching the batch/reference island SUM(time_delta) which includes
+      // the first stationary row's delta (04_worker_script.sql:63-66)
       val dwell =
         if (p.is_stationary && st.stationary) st.dwellS + deltaS
-        else if (p.is_stationary) 0.0 // new island starts at 0 dwell
+        else if (p.is_stationary) deltaS
         else 0.0
       st = DwellState(
         if (p.is_stationary && !st.stationary) us else st.blockStartUs,

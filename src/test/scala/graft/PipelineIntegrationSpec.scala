@@ -100,9 +100,11 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     val out = StatefulDwell.dwellStream(pings.toDS()).collect()
       .sortBy(_.ts.getTime)
     assert(out.length == 20)
-    // dwell rises 0..9 inside the island, 0 outside
-    assert(out(5).dwell_s == 0.0)
-    assert(out(14).dwell_s == 9.0)
+    // dwell rises 1..10 inside the island (the entry row carries the gap
+    // from the last moving ping, as in the batch SUM(time_delta) over the
+    // island), 0 outside
+    assert(out(5).dwell_s == 1.0)
+    assert(out(14).dwell_s == 10.0)
     assert(out(15).dwell_s == 0.0)
     assert(out(4).dwell_s == 0.0)
   }
