@@ -85,13 +85,19 @@ object DocQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- MinHash-LSH near-dup pairs (signature internals are
-    // hash-library-specific → rows-only gate; exactness of the verified
-    // jaccard is covered by q_jaccard_pairs) ----
+    // ---- MinHash-LSH near-dup pairs, oracle-checked against the ALL-PAIRS
+    // word-trigram Jaccard truth: the signature internals are
+    // hash-library-specific, but the OUTPUT contract (every pair above
+    // threshold, with its exact verified jaccard) is engine-independent.
+    // Banding recall is exact on the fixed verify corpus (measured: the
+    // 171 truth pairs == the 171 banded candidates that verify); at other
+    // scales recall < 1 is possible — the property is pinned to the gate's
+    // data, the probabilistic guarantee is covered in KernelSpec. ----
     "q_minhash_pairs" -> ((s, d) => {
       Dedup.minhashDupPairs(docsWithDups(s, d), "doc_id", "text",
           threshold = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("id_a"), col("id_b"),
+          (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -117,14 +123,24 @@ object DocQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- language ID + quality scoring (heuristics are engine-specific
-    // compositions → rows-only gate; components oracle'd in q_doc_stats) --
+    // ---- language ID + quality scoring, oracle-checked: the DuckDB side
+    // mirrors the stopword-table max and the clamped sub-score average
+    // term by term. quality is compared floor-scaled (floor of an
+    // identical double is engine-exact; round-to-decimal is not). The raw
+    // xxhash64 fingerprint has no DuckDB twin, so the fingerprint is
+    // compared through its collision structure (docs sharing a
+    // fingerprint == docs sharing normalized text). ----
     "q_lang_quality" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       documents(s, d).select(
-        col("doc_id"),
+        col("doc_id"), col("text"),
         TextFunctions.langId(col("text")).as("lang_detected"),
-        round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
+        (floor(TextFunctions.qualityScore(col("text")) * 1e6) / 1e6)
+          .as("quality"),
         TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .withColumn("n_same_fingerprint",
+          count(lit(1)).over(Window.partitionBy("fingerprint")))
+        .select("doc_id", "lang_detected", "quality", "n_same_fingerprint")
         .orderBy("doc_id")
     }),
 
@@ -177,7 +193,80 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }))
 
+  /** DuckDB twin of [[TextFunctions.langId]] + [[TextFunctions.qualityScore]]
+    * — generated from the SAME stopword tables so the two can't drift. The
+    * lang pick mirrors Spark's array_max over (hits, lang) structs: max
+    * hits, ties to the lexicographically greatest lang (checked in
+    * reverse-lex order). */
+  private val langQualityOracle: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(",")
+    val langs = TextFunctions.langStopwords.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> x IN (${inList(ws)}))) AS h_$l"
+    }.mkString(",\n    ")
+    val caseArms = langs.map(_._1).sorted.reverse
+      .map(l => s"WHEN h_$l = m THEN '$l'").mkString("\n      ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, text, toks,
+       |    $hitCols
+       |  FROM t
+       |), scored AS (
+       |  SELECT doc_id, text,
+       |    greatest(h_de, h_en, h_es, h_fr) AS m,
+       |    h_de, h_en, h_es, h_fr,
+       |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS len_score,
+       |    greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+       |        AS DOUBLE) / length(text) END) * 4) AS punct_score,
+       |    greatest(0.0, 1.0 - (CASE
+       |      WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+       |        / length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END) * 2)
+       |      AS case_score,
+       |    least((CASE WHEN len(toks) = 0 OR (len(toks) = 1 AND toks[1] = '')
+       |      THEN 0.0
+       |      ELSE CAST(h_en AS DOUBLE) / len(toks) END) * 5, 1.0) AS stop_score
+       |  FROM h
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN m = 0 THEN 'und'
+       |      $caseArms
+       |      ELSE 'und' END AS lang_detected,
+       |  floor((len_score + punct_score + case_score + stop_score) / 4 * 1e6)
+       |    / 1e6 AS quality,
+       |  count(*) OVER (PARTITION BY
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |    AS n_same_fingerprint
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_lang_quality" -> langQualityOracle,
+
+    "q_minhash_pairs" -> (docsWithDupsCte +
+      """, toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS t
+        |  FROM docs
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM toks WHERE len(t) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+        |    * 1e6) / 1e6 AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
     "q_doc_stats" ->
       ("""SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual,

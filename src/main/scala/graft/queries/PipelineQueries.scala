@@ -288,12 +288,19 @@ object PipelineQueries {
         when(col("value") < 20, "load_event")
           .when(col("value") < 40, "dump_event")
           .otherwise("background").as("ml_event_label"))
+      // the whole operator runs (savgol join included — it sets the row
+      // set), but the COMPARED aggregates avoid the savgol-derived columns:
+      // the kernel itself is golden-tested in SavitzkyGolaySpec against
+      // published coefficients, everything else is oracle-checked here
       EventClassifier.engineerFeatures(labeled)
         .groupBy("ml_event_label")
         .agg(count(lit(1)).as("n"),
-          count(when(col("load_weight_velocity") =!= 0.0, 1)).as("n_velocity"),
+          count(when(col("altitude_velocity") =!= 0.0, 1))
+            .as("n_alt_velocity"),
           count(when(col("state_loading") === 1, 1)).as("n_state_loading"),
-          count(when(col("prndl_drive") === 1, 1)).as("n_drive"))
+          count(when(col("prndl_drive") === 1, 1)).as("n_drive"),
+          count(when(col("is_stationary") === 1, 1)).as("n_stationary"),
+          sum(col("system_engaged_i")).as("n_engaged"))
         .orderBy("ml_event_label")
     }),
 
@@ -582,6 +589,34 @@ object PipelineQueries {
         |         ' ' || CAST(round(pos_alt, 6) AS VARCHAR) || ')'
         |  END AS wkt
         |FROM raw ORDER BY event_id""".stripMargin),
+
+    "q_ml_features" ->
+      """WITH labeled AS (
+        |  SELECT 'truck-' || CAST(user_id % 20 AS VARCHAR) AS device_id,
+        |    CAST(ts AS TIMESTAMP) AS timestamp,
+        |    value * 3 AS altitude,
+        |    value / 10 AS current_speed,
+        |    CASE WHEN user_id % 2 = 0 THEN 'drive' ELSE 'park' END AS prndl,
+        |    CASE WHEN value < 30 THEN 'loading' ELSE 'hauling' END AS state,
+        |    CASE WHEN value < 20 THEN 'load_event'
+        |         WHEN value < 40 THEN 'dump_event'
+        |         ELSE 'background' END AS ml_event_label
+        |  FROM events
+        |), feats AS (
+        |  SELECT *,
+        |    coalesce(altitude - lag(altitude, 10)
+        |      OVER (PARTITION BY device_id ORDER BY timestamp), 0.0)
+        |      AS altitude_velocity
+        |  FROM labeled
+        |)
+        |SELECT ml_event_label, count(*) AS n,
+        |  count(CASE WHEN altitude_velocity != 0.0 THEN 1 END)
+        |    AS n_alt_velocity,
+        |  count(CASE WHEN state = 'loading' THEN 1 END) AS n_state_loading,
+        |  count(CASE WHEN prndl = 'drive' THEN 1 END) AS n_drive,
+        |  count(CASE WHEN current_speed < 5.0 THEN 1 END) AS n_stationary,
+        |  count(*) AS n_engaged
+        |FROM feats GROUP BY ml_event_label ORDER BY ml_event_label""".stripMargin,
 
     "q_label_stats" ->
       """WITH iv AS (
