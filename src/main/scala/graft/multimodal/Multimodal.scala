@@ -1,19 +1,26 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) column support for training-data
   * pipelines: opaque `binary` payload + typed metadata struct, with
-  * decode / feature-extract / frame-sample as per-partition batch
+  * decode / feature-extract / resize / frame-sample as per-partition batch
   * transforms.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC STUB (clearly marked below); everything around it — the
-  * schema contract, the lazy per-partition batching, the output shapes —
-  * is real and tested. A production build swaps `stubDecode` for a JNI/
-  * javax.imageio decoder without touching any plumbing.
+  * The image path is REAL: `javax.imageio` (JDK built-in — PNG/BMP/GIF/JPEG
+  * need no external codecs) decodes payloads to pixels; features are the
+  * decoded dimensions, per-channel means, and a 2×2 spatial grid of channel
+  * means. Payloads ImageIO cannot identify (unknown containers, audio,
+  * video) fall back to a deterministic byte-fold embedding with
+  * `decode_ok = false` — graceful degradation, not a stub: the real decode
+  * runs first on every row.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver
   * collection, no string round-trip); `mapPartitions` keeps the iterator
@@ -34,70 +41,154 @@ object Multimodal {
     StructField("payload", BinaryType),
     StructField("meta", mediaMetaType)))
 
-  /** Deterministic fake media table derived from any keyed frame — test
-    * fixture generator (payload bytes are a seeded function of the id). */
+  /** id → (width, height, packed solid RGB): the closed-form pixel content
+    * of the synthetic fixture, shared by the generator, the tests, and the
+    * DuckDB oracle (which recomputes it from the id in SQL). */
+  def syntheticSpec(id: Long): (Int, Int, Int) = {
+    val w = (id % 64 + 32).toInt
+    val h = (id % 48 + 24).toInt
+    val rgb = (((id * 7) % 256).toInt << 16) |
+      (((id * 13) % 256).toInt << 8) | ((id * 29) % 256).toInt
+    (w, h, rgb)
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  private val pngUdf = udf { (id: Long) =>
+    val (w, h, rgb) = syntheticSpec(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Deterministic REAL-PNG media table derived from any keyed frame — the
+    * test/oracle fixture generator. Each row is a solid-color PNG whose
+    * dimensions and color are a pure function of the id
+    * ([[syntheticSpec]]), so decoded features have a closed form. */
   def syntheticMedia(df: DataFrame, idCol: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("media_id"),
-      // payload: id rendered through sha2 twice → 128 pseudo-random bytes
-      to_binary(concat(
-        sha2(col(idCol).cast("string"), 256),
-        sha2(concat(col(idCol).cast("string"), lit("x")), 256)), lit("hex"))
-        .as("payload"),
+      pngUdf(col(idCol).cast("long")).as("payload"),
       struct(
-        lit("image/fake").as("mime"),
+        lit("image/png").as("mime"),
         (pmod(col(idCol), lit(64)) + 32).cast("int").as("width"),
         (pmod(col(idCol), lit(48)) + 24).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
-  /** ======== STUB ========
-    * Stand-in for a real image decode + feature extraction. Deterministic
-    * pure function of the payload bytes: "decodes" a byte histogram and a
-    * 16-dim folded-byte embedding. Replace with a real codec here — the
-    * signature (bytes → (ok, features)) is the integration point.
-    */
-  private[multimodal] def stubDecode(payload: Array[Byte])
-      : (Boolean, Array[Float]) = {
-    if (payload == null || payload.length < 16) (false, Array.empty)
-    else {
-      val emb = new Array[Float](16)
-      var i = 0
-      while (i < payload.length) {
-        emb(i % 16) += (payload(i) & 0xff) / 255.0f
-        i += 1
+  /** Embedding layout (16 floats): [meanR, meanG, meanB, aspect,
+    * grid(2×2)×(r,g,b) means] — all channel values normalized to [0,1]. */
+  val embeddingDim = 16
+
+  /** Real image decode via ImageIO. Returns (width, height, embedding) or
+    * None when the payload is not a decodable image. */
+  private[multimodal] def decodeImage(payload: Array[Byte])
+      : Option[(Int, Int, Array[Float])] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val emb = new Array[Float](embeddingDim)
+    // per-channel sums: global + 2x2 grid, integer-exact accumulation
+    val sums = new Array[Long](3)
+    val grid = Array.ofDim[Long](4, 3)
+    val cnt = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      val gy = if (y * 2 >= h) 1 else 0
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sums(0) += r; sums(1) += g; sums(2) += b
+        val cell = gy * 2 + (if (x * 2 >= w) 1 else 0)
+        grid(cell)(0) += r; grid(cell)(1) += g; grid(cell)(2) += b
+        cnt(cell) += 1
+        x += 1
       }
-      val n = payload.length / 16.0f
-      (true, emb.map(_ / n))
+      y += 1
     }
+    val n = w.toLong * h
+    emb(0) = (sums(0).toDouble / n / 255.0).toFloat
+    emb(1) = (sums(1).toDouble / n / 255.0).toFloat
+    emb(2) = (sums(2).toDouble / n / 255.0).toFloat
+    emb(3) = w.toFloat / h
+    var c = 0
+    while (c < 4) {
+      var ch = 0
+      while (ch < 3) {
+        emb(4 + c * 3 + ch) =
+          if (cnt(c) == 0) 0f
+          else (grid(c)(ch).toDouble / cnt(c) / 255.0).toFloat
+        ch += 1
+      }
+      c += 1
+    }
+    Some((w, h, emb))
+  }
+
+  /** Deterministic fallback embedding for payloads ImageIO cannot decode
+    * (audio/video/unknown): folded byte histogram — keeps every row
+    * embeddable so downstream ANN/dedup still operate on mixed corpora. */
+  private[multimodal] def byteFoldEmbedding(payload: Array[Byte])
+      : Array[Float] = {
+    if (payload == null || payload.length == 0) return new Array[Float](embeddingDim)
+    val emb = new Array[Float](embeddingDim)
+    var i = 0
+    while (i < payload.length) {
+      emb(i % embeddingDim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    val n = payload.length / embeddingDim.toFloat
+    emb.map(_ / n)
   }
 
   private val featSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("decode_ok", BooleanType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
     StructField("embedding", ArrayType(FloatType))))
 
   /** Decode + feature-extract as a lazy per-partition batch transform.
-    * Input needs media_id + payload; binary never leaves the executor. */
+    * Input needs media_id + payload; binary never leaves the executor.
+    * decode_ok=true rows carry REAL decoded dimensions + pixel statistics;
+    * undecodable payloads degrade to the byte-fold embedding with null
+    * dimensions. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val out = media.select("media_id", "payload").rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val (ok, emb) = stubDecode(
-          if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))
-        Row(id, ok, emb.toSeq)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        decodeImage(payload) match {
+          case Some((w, h, emb)) => Row(id, true, w, h, emb.toSeq)
+          case None =>
+            Row(id, false, null, null, byteFoldEmbedding(payload).toSeq)
+        }
       }
     }
     spark.createDataFrame(out, featSchema)
   }
 
-  /** ======== STUB ========
-    * Resize: produce a payload scaled to `w`×`h` with updated metadata.
-    * The stub "resampler" picks bytes at a stride proportional to the
-    * area ratio (deterministic); a real image scaler replaces only
-    * `stubResample` — schema, meta update, and plumbing stay.
-    */
-  private[multimodal] def stubResample(payload: Array[Byte],
+  /** Resize. Decodable images are REALLY rescaled (Graphics2D bilinear draw
+    * to the target raster, re-encoded as PNG); undecodable payloads fall
+    * back to the deterministic byte-stride resampler so the operator stays
+    * total over mixed media columns. */
+  private[multimodal] def strideResample(payload: Array[Byte],
       targetLen: Int): Array[Byte] = {
     if (payload == null || payload.isEmpty || targetLen <= 0)
       return Array.empty
@@ -113,12 +204,28 @@ object Multimodal {
           val payload =
             if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           val meta = r.getStruct(2)
-          val srcArea = math.max(1,
-            meta.getAs[Int]("width") * meta.getAs[Int]("height"))
-          val targetLen =
-            if (payload == null) 0
-            else math.max(1, (payload.length.toLong * w * h / srcArea).toInt)
-          Row(r.getLong(0), stubResample(payload, targetLen),
+          val resized = decodeImage(payload) match {
+            case Some(_) =>
+              val src = ImageIO.read(new ByteArrayInputStream(payload))
+              val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+              val g2 = dst.createGraphics()
+              try {
+                g2.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g2.drawImage(src, 0, 0, w, h, null)
+              } finally g2.dispose()
+              encodePng(dst)
+            case None =>
+              val srcArea = math.max(1,
+                meta.getAs[Int]("width") * meta.getAs[Int]("height"))
+              val targetLen =
+                if (payload == null) 0
+                else math.max(1,
+                  (payload.length.toLong * w * h / srcArea).toInt)
+              strideResample(payload, targetLen)
+          }
+          Row(r.getLong(0), resized,
             Row(meta.getAs[String]("mime"), w, h,
               meta.getAs[java.lang.Long]("duration_ms")))
         }
@@ -127,7 +234,7 @@ object Multimodal {
   }
 
   /** Frame sampling for video payloads: emit every `stride`-th fixed-size
-    * chunk as a frame row (stub chunking; a real demuxer plugs in the same
+    * chunk as a frame row (byte chunking; a real demuxer plugs in the same
     * way). Output (media_id, frame_idx, frame_bytes). */
   def sampleFrames(media: DataFrame, frameBytes: Int = 32,
       stride: Int = 2): DataFrame = {

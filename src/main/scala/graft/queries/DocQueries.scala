@@ -144,18 +144,25 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
-    // ---- multimodal plumbing: synthetic binary media from doc ids →
-    // stub decode → per-source feature aggregate (rows-only gate) ----
+    // ---- multimodal: REAL PNG encode → javax.imageio decode → pixel
+    // features, oracle-checked against the closed-form fixture spec (the
+    // synthetic media are solid-color PNGs whose dimensions and RGB are
+    // pure functions of the id — Multimodal.syntheticSpec — so the decoded
+    // channel means have exact integer expected values) ----
     "q_multimodal_features" -> ((s, d) => {
       import graft.multimodal.Multimodal
       val media = Multimodal.syntheticMedia(
         documents(s, d).select(col("doc_id")), "doc_id")
-      val feats = Multimodal.extractFeatures(media)
-      feats
-        .withColumn("emb0", element_at(col("embedding"), 1))
-        .agg(count(lit(1)).as("n"),
-          count(when(col("decode_ok"), 1)).as("n_ok"),
-          round(avg("emb0"), 4).as("avg_emb0"))
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("decode_ok"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          // channel means of a solid image are exactly rgb/255; scale back
+          // and snap to the integer — engine-exact compare
+          floor(element_at(col("embedding"), 1) * 255 + 0.5).as("r"),
+          floor(element_at(col("embedding"), 2) * 255 + 0.5).as("g"),
+          floor(element_at(col("embedding"), 3) * 255 + 0.5).as("b"))
+        .orderBy("media_id")
     }),
 
     // ---- brute-force cosine top-k (exact ANN baseline) ----
@@ -246,6 +253,17 @@ object DocQueries {
 
   val oracle: Map[String, String] = Map(
     "q_lang_quality" -> langQualityOracle,
+
+    // closed-form twin of Multimodal.syntheticSpec: what the real ImageIO
+    // decode must recover from each generated solid-color PNG
+    "q_multimodal_features" ->
+      """SELECT doc_id AS media_id, true AS decode_ok,
+        |  doc_id % 64 + 32 AS width,
+        |  doc_id % 48 + 24 AS height,
+        |  (doc_id * 7) % 256 AS r,
+        |  (doc_id * 13) % 256 AS g,
+        |  (doc_id * 29) % 256 AS b
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_minhash_pairs" -> (docsWithDupsCte +
       """, toks AS (
