@@ -205,4 +205,26 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Embedding-cosine near-duplicate pairs, scale path: candidates come
+    * from a keyed self-join on a random-hyperplane LSH bucket
+    * ([[SimilaritySearch.lshSignature]]), exact cosine verifies each
+    * candidate — never an all-pairs cross product. Bit-identical vectors
+    * (the typical exact-dup case) always share a bucket, so recall on
+    * exact copies is 1 at any `bits`; near-but-not-identical pairs trade
+    * recall for bucket size via `bits` (fewer bits → bigger buckets).
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.99, bits: Int = 16): DataFrame = {
+    val e = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", SimilaritySearch.lshSignature(col("v"), bits))
+    val a = e.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
+    val b = e.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", SimilaritySearch.cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }

@@ -108,18 +108,22 @@ object DocQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- embedding-cosine near-duplicate pairs (the embedding variant
-    // of dedup): all pairs with cosine >= 0.99 — exact, oracle-checked
-    // at verify scale; the LSH-bucketed path covers production scale ----
+    // ---- embedding-cosine near-duplicate pairs: the SCALE path (LSH
+    // bucket join + exact cosine verify, Dedup.embeddingDupPairs — a keyed
+    // join, not a cross product), oracle-checked against the all-pairs
+    // truth in DuckDB. Exact-copy vectors are injected (vec_id+100000 for
+    // vec_id%20=0, same expression both sides) so the gate has positive
+    // rows; identical vectors share any LSH bucket → recall 1 on them. ----
     "q_embed_dup_pairs" -> ((s, d) => {
-      val e = embeddings(s, d).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cosine", SimilaritySearch.cosine(col("v_a"), col("v_b")))
-        .where(col("cosine") >= 0.99)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val withCopies = e.unionByName(
+        e.where(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Dedup.embeddingDupPairs(withCopies, "vec_id", "embedding",
+          threshold = 0.99, bits = 16)
+        // coarse round: candidate cosines sit at ~1.0, far from any
+        // 0.00005 decimal boundary, so both engines round identically
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -331,9 +335,12 @@ object DocQueries {
     "q_embed_dup_pairs" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 20 = 0
         |)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
