@@ -376,13 +376,60 @@ object PipelineQueries {
         .withColumn("raw_event_hash_id",
           sha2(concat(col("device_id"), lit("|"),
             col("timestamp").cast("string")), 256))
-      Cpd.candidateEvents(feats,
+      // STEP 4 → STEP 5 parquet boundary, mirroring the reference's gold
+      // materialization (05_export_features_to_parquet.py →
+      // 05_cpd_orchestrator_polars.py): CPD consumes its input twice
+      // (gates aggregate + clean filter), so reading a narrow 7-column
+      // parquet beats recomputing the whole window stack per consumer
+      val goldDir = s"${System.getProperty("java.io.tmpdir")}/graft_gold_" +
+        Integer.toHexString(d.hashCode)
+      feats.select("device_date", "timestamp",
+          "load_weight_rate_of_change", "speed_rolling_avg_5s",
+          "altitude_rate_of_change", "has_reliable_payload",
+          "raw_event_hash_id")
+        .write.mode("overwrite").parquet(goldDir)
+      val gold = s.read.parquet(goldDir)
+      Cpd.candidateEvents(gold,
           Cpd.Config(every = "5 minutes", penalty = 0.5))
         .toDF()
         .select(col("device_id"),
           unix_micros(col("timestamp_start")).as("start_us"),
           col("raw_event_hash_id"))
         .orderBy("device_id", "start_us", "raw_event_hash_id")
+    }),
+
+    // ---- CPD self-check: planted steps with closed-form change points →
+    // the ±10 min tolerance recall metric vs that truth must be exactly
+    // 1.0 with exactly the planted detections (zero noise, step size ≫
+    // penalty) — turns the CPD gate from rows-only into a deterministic
+    // expected-output check (reference claudeupdate.md:29-35,
+    // validate_with_ground_truth.py:33-101) ----
+    "q_cpd_recall" -> ((s, _) => {
+      import graft.operators.{Cpd, Validation}
+      val t0 = 1704153600L // 2024-01-02 00:00:00 UTC
+      val nDev = 4
+      val base = s.range(nDev.toLong * 7200).select(
+        concat(lit("rig-"), (col("id") % nDev).cast("string"))
+          .as("device_id"),
+        floor(col("id") / nDev).cast("long").as("sec"))
+      val feats = base.select(
+        concat(col("device_id"), lit("_2024-01-02")).as("device_date"),
+        timestamp_seconds(lit(t0) + col("sec")).as("timestamp"),
+        // steps of +50 at 1800 s, 3600 s, 5400 s
+        (floor(col("sec") / 1800) * 50.0).as("load_weight_rate_of_change"),
+        lit(0.0).as("speed_rolling_avg_5s"),
+        lit(0.0).as("altitude_rate_of_change"),
+        lit(true).as("has_reliable_payload"),
+        concat(col("device_id"), lit("|"), col("sec").cast("string"))
+          .as("raw_event_hash_id"))
+      val cands = Cpd.candidateEvents(feats, Cpd.Config()).toDF()
+      val truth = s.range(nDev.toLong * 3).select(
+        concat(lit("rig-"), (col("id") % nDev).cast("string"))
+          .as("device_id"),
+        timestamp_seconds(lit(t0) +
+          (floor(col("id") / nDev).cast("long") + 1) * 1800).as("truth_ts"))
+      Validation.cpdRecall(cands, truth, toleranceSec = 600)
+        .orderBy("device_id")
     }),
 
     // ---- J1 spatial broadcast join: ray-casting point-in-polygon against
@@ -589,6 +636,16 @@ object PipelineQueries {
         |         ' ' || CAST(round(pos_alt, 6) AS VARCHAR) || ')'
         |  END AS wkt
         |FROM raw ORDER BY event_id""".stripMargin),
+
+    // expected-output oracle: with planted steps and zero noise the
+    // detector must find exactly the 3 planted points per device
+    "q_cpd_recall" ->
+      """SELECT 'rig-' || CAST(i AS VARCHAR) AS device_id,
+        |  CAST(3 AS BIGINT) AS n_truth,
+        |  CAST(3 AS BIGINT) AS n_matched,
+        |  CAST(3 AS BIGINT) AS n_candidates,
+        |  1.0 AS recall
+        |FROM range(4) t(i) ORDER BY device_id""".stripMargin,
 
     "q_ml_features" ->
       """WITH labeled AS (
