@@ -73,7 +73,13 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du",
       "en", "est", "que", "dans", "pour", "qui", "sur", "pas", "au"),
     "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu",
-      "mit", "sich", "auf", "ist", "im", "dem", "nicht", "ein", "eine"))
+      "mit", "sich", "auf", "ist", "im", "dem", "nicht", "ein", "eine"),
+    "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "una",
+      "sono", "non", "alla", "nel", "gli", "come", "anche", "piu"),
+    "pt" -> Seq("de", "que", "do", "da", "em", "um", "para", "com",
+      "uma", "os", "no", "na", "por", "mais", "dos", "como", "mas"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "dat", "is", "op",
+      "te", "zijn", "met", "voor", "niet", "aan", "er", "maar", "ook"))
 
   def langId(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")

@@ -181,18 +181,31 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup candidate pairs: signatures within `maxHamming`.
-    * Pigeonhole blocking on four 16-bit chunks (Hamming ≤ 3 ⇒ at least one
-    * chunk identical) keeps the self-join keyed, never all-pairs. */
+    * Pigeonhole blocking on `maxHamming + 1` chunks of the 64-bit
+    * signature (≤ maxHamming differing bits can touch at most maxHamming
+    * chunks, so some chunk is identical) keeps the self-join keyed, never
+    * all-pairs. Chunk count scales with the radius: maxHamming 3 → four
+    * 16-bit chunks, maxHamming 7 → eight 8-bit chunks, any value < 64
+    * works (wider radius → shorter chunks → bigger buckets → more
+    * verification pairs, the standard multi-chunk trade). */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, shingleSize: Int = 5): DataFrame = {
-    require(maxHamming <= 3, "4-chunk pigeonhole supports maxHamming <= 3")
+    require(maxHamming >= 0 && maxHamming < 64,
+      "pigeonhole blocking needs 0 <= maxHamming < 64")
+    val nChunks = maxHamming + 1
+    // near-equal chunk widths covering all 64 bits
+    val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
     val sigs = docs.select(col(idCol).as("id"),
       simhash(TextFunctions.shingles(col(textCol), shingleSize)).as("sig"))
-    val chunked = sigs.withColumn("ck", explode(array((0 until 4).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("sig"), c * 16)
-          .bitwiseAND(lit(0xffffL)).as("ch"))
-    }: _*)))
+    val chunked = sigs.withColumn("ck",
+      explode(array((0 until nChunks).map { c =>
+        val lo = bounds(c)
+        val width = bounds(c + 1) - lo
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("sig"), lo)
+            .bitwiseAND(lit(mask)).as("ch"))
+      }: _*)))
       .select(col("id"), col("sig"), col("ck.chunk"), col("ck.ch"))
     val a = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("chunk"), col("ch"))

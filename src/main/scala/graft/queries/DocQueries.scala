@@ -227,8 +227,8 @@ object DocQueries {
        |  FROM t
        |), scored AS (
        |  SELECT doc_id, text,
-       |    greatest(h_de, h_en, h_es, h_fr) AS m,
-       |    h_de, h_en, h_es, h_fr,
+       |    greatest(${langs.map("h_" + _._1).mkString(", ")}) AS m,
+       |    ${langs.map("h_" + _._1).mkString(", ")},
        |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS len_score,
        |    greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
        |      ELSE CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))

@@ -124,6 +124,53 @@ class KernelSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(s1 ^ s2) <= 12)
   }
 
+  test("simhash multi-chunk blocking is complete at maxHamming 7") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // mutated copies of a few base texts → pairs across many Hamming radii
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 40).map { i =>
+      val base = Array.tabulate(30)(j => words((i / 10 + j) % words.length))
+      if (i % 10 != 0) base(rnd.nextInt(base.length)) = words(rnd.nextInt(words.length))
+      (i.toLong, base.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .simhashDupPairs(docs, "doc_id", "text", maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force truth over the same signatures
+    val sigs = docs.collect().map { r =>
+      r.getLong(0) -> graft.operators.Dedup.simHash64(
+        graft.functions.TextFunctions.charShingleKernel(r.getString(1), 5))
+    }
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (ia, ib)).toSet
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+    assert(truth.nonEmpty)
+  }
+
+  test("lang-ID covers the widened stopword tables") {
+    import spark.implicits._
+    val samples = Seq(
+      "the cat sat on the mat and it was happy with this",
+      "el perro corre por la calle y se va para el parque",
+      "le chat est dans la maison et il dort pour le moment",
+      "der hund ist in dem haus und er schlaeft nicht im garten",
+      "il cane corre per la strada e non sono come gli altri",
+      "o cachorro corre para a rua com um amigo e mais um",
+      "de hond is in het huis en hij slaapt niet op de bank",
+      "zzz qqq xxx")
+    val out = samples.toDF("text")
+      .select(graft.functions.TextFunctions.langId(org.apache.spark.sql
+        .functions.col("text")).as("lang"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "es", "fr", "de", "it", "pt", "nl", "und"),
+      out.mkString(","))
+  }
+
   test("enum truth table matches the reference CASE arms exactly") {
     // 02_raw_telemetry_transform.py:282-327 — every WHEN arm pinned so a
     // refactor cannot silently drop or remap one
