@@ -229,6 +229,7 @@ object Dedup {
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, bits: Int = 16): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val e = df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", SimilaritySearch.lshSignature(col("v"), bits))

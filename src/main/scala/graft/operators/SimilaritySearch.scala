@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * Two paths:
   *  - [[bruteForceTopK]]: exact cosine top-k via a broadcast of the query
   *    vectors — the correctness baseline, O(corpus × queries) but one scan,
-  *    no shuffle of the corpus, all math in codegen'd higher-order
-  *    functions (zip_with/aggregate);
+  *    no shuffle of the corpus, vector math in the native codegen'd
+  *    `vec_cosine` expression (HOF twins kept for cross-checks);
   *  - [[lshTopK]]: random-hyperplane LSH (sign-of-dot-product sketch,
   *    Charikar 2002) — corpus and queries are bucketed by a `bits`-bit
   *    signature over shared random hyperplanes; only same-bucket (or
@@ -20,18 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
-  /** dot(a, b) via zip_with + aggregate — builtin, codegen-friendly. */
+  /** dot(a, b) via zip_with + aggregate — builtin HOF composition. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
 
   def l2norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** HOF cosine — kept as the cross-check twin of the native expression
+    * (Spark HOFs are CodegenFallback: every element round-trips through
+    * interpreted lambda eval, so the hot paths use `vec_cosine`). */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = l2norm(a) * l2norm(b)
     when(n === 0, 0.0).otherwise(d / n)
   }
+
+  /** Native codegen'd cosine ([[graft.plans.CosineSimilarityExpression]]);
+    * bit-identical to [[cosineHof]] (same accumulation order). The session
+    * must carry GraftExtensions — operators register on entry. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.VectorKernels.cosineNative(a, b)
 
   /** Exact top-k by cosine for each query vector.
     * @param corpus  (idCol, vecCol: array<float>)
@@ -40,6 +49,7 @@ object SimilaritySearch {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -62,8 +72,10 @@ object SimilaritySearch {
   private def planeComponent(p: Int, j: Column): Column =
     (pmod(xxhash64(lit(p), j), lit(1000000)).cast("double") / 500000.0) - 1.0
 
-  /** `bits`-bit random-hyperplane signature of a vector. */
-  def lshSignature(vec: Column, bits: Int): Column =
+  /** HOF signature — cross-check twin of the native expression: `bits`
+    * interpreted array walks per row (CodegenFallback), kept only so the
+    * spec can pin native == HOF. */
+  def lshSignatureHof(vec: Column, bits: Int): Column =
     (0 until bits).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -71,6 +83,12 @@ object SimilaritySearch {
         lit(0.0), (s, v) => s + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** `bits`-bit random-hyperplane signature — native codegen'd expression
+    * ([[graft.plans.LshSignatureExpression]]), one static call per row,
+    * same xxhash stream as [[lshSignatureHof]]. */
+  def lshSignature(vec: Column, bits: Int): Column =
+    graft.plans.VectorKernels.lshSignatureNative(vec, bits)
 
   /** IVF-style ANN: a coarse k-means quantizer (MLlib) partitions the
     * corpus into `nlist` cells; each query scores only the corpus rows in
@@ -82,6 +100,7 @@ object SimilaritySearch {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
@@ -127,6 +146,7 @@ object SimilaritySearch {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int,
       bits: Int = 12): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))

@@ -99,6 +99,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.parsePositionDescriptor)
     e.injectFunction(GraftExtensions.pointInPolygonDescriptor)
+    e.injectFunction(GraftExtensions.vecCosineDescriptor)
+    e.injectFunction(GraftExtensions.lshSignatureDescriptor)
   }
 }
 
@@ -121,6 +123,22 @@ object GraftExtensions {
       (exprs: Seq[Expression]) =>
         PointInPolygonExpression(exprs(0), exprs(1), exprs(2)))
 
+  val vecCosineDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarityExpression].getName,
+        "vec_cosine"),
+      (exprs: Seq[Expression]) =>
+        CosineSimilarityExpression(exprs(0), exprs(1)))
+
+  val lshSignatureDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("lsh_signature"),
+      new ExpressionInfo(classOf[LshSignatureExpression].getName,
+        "lsh_signature"),
+      (exprs: Seq[Expression]) =>
+        LshSignatureExpression(exprs(0), exprs(1)))
+
   /** Register into an already-built session (builder extensions only apply
     * to sessions constructed with `withExtensions`; `getOrCreate` on an
     * existing session ignores them). */
@@ -128,7 +146,8 @@ object GraftExtensions {
     val registry = spark
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    Seq(parsePositionDescriptor, pointInPolygonDescriptor).foreach {
+    Seq(parsePositionDescriptor, pointInPolygonDescriptor,
+        vecCosineDescriptor, lshSignatureDescriptor).foreach {
       case (id, info, builder) => registry.registerFunction(id, info, builder)
     }
   }

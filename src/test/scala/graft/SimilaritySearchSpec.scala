@@ -39,4 +39,27 @@ class SimilaritySearchSpec extends AnyFunSuite {
       assert(ranks.toSeq == (1 to ranks.length))
     }
   }
+
+  test("native vec_cosine and lsh_signature are bit-identical to the HOF twins") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.register(spark)
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val paired = v.select(col("vec_id"), col("v"),
+      reverse(col("v")).as("w"))
+    val rows = paired.select(
+      SimilaritySearch.cosine(col("v"), col("w")).as("native_cos"),
+      SimilaritySearch.cosineHof(col("v"), col("w")).as("hof_cos"),
+      SimilaritySearch.lshSignature(col("v"), 16).as("native_sig"),
+      SimilaritySearch.lshSignatureHof(col("v"), 16).as("hof_sig"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"cosine ${r.getDouble(0)} != ${r.getDouble(1)}")
+      assert(r.getLong(2) == r.getLong(3),
+        s"sig ${r.getLong(2)} != ${r.getLong(3)}")
+    }
+  }
 }
