@@ -37,7 +37,22 @@ object Pelt {
     *         (empty input → empty result)
     */
   def detect(signal: Array[Double], penalty: Double, minSize: Int,
-      jump: Int = 1): Array[Int] = {
+      jump: Int = 1): Array[Int] = detectImpl(signal, penalty, minSize, jump,
+    prune = true)
+
+  /** Exact optimal-partitioning DP: PELT with pruning disabled — every
+    * computed candidate stays admissible, so the result is the true
+    * minimizer of sum(costs) + penalty·segments over the evaluation grid.
+    * O(n²) in evaluated points; insurance for oracles that check the exact
+    * DP rather than ruptures' (slightly suboptimal under min_size)
+    * pruning. PeltSpec pins: exact total cost <= pruned total cost, and
+    * equality on well-separated steps. */
+  def detectExact(signal: Array[Double], penalty: Double, minSize: Int,
+      jump: Int = 1): Array[Int] = detectImpl(signal, penalty, minSize, jump,
+    prune = false)
+
+  private def detectImpl(signal: Array[Double], penalty: Double, minSize: Int,
+      jump: Int, prune: Boolean): Array[Int] = {
     val n = signal.length
     if (n < 2 * minSize) return if (n == 0) Array.empty else Array(n)
 
@@ -96,17 +111,19 @@ object Pelt {
         // PELT prune: keep s when F(s) + cost(s, bkp) <= F(bkp)
         // (totals cached from the min scan — computing cost() again here
         // doubled the whole detection on low-change signals)
-        val keptA = ArrayBuffer.empty[Int]
-        val keptV = ArrayBuffer.empty[Double]
-        j = 0
-        while (j < admissible.length) {
-          if (vals(j) <= bestV + penalty) {
-            keptA += admissible(j); keptV += vals(j)
+        if (prune) {
+          val keptA = ArrayBuffer.empty[Int]
+          val keptV = ArrayBuffer.empty[Double]
+          j = 0
+          while (j < admissible.length) {
+            if (vals(j) <= bestV + penalty) {
+              keptA += admissible(j); keptV += vals(j)
+            }
+            j += 1
           }
-          j += 1
+          admissible = keptA
+          vals = keptV
         }
-        admissible = keptA
-        vals = keptV
       }
     }
 

@@ -102,6 +102,32 @@ class PeltSpec extends AnyFunSuite {
     }
   }
 
+  test("detectExact attains the brute-force optimum (no pruning slack)") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 40) {
+      val n = 30 + rnd.nextInt(90)
+      val segs = 1 + rnd.nextInt(4)
+      val y = Array.tabulate(n) { i =>
+        val level = (i * segs / n) * (2.0 + rnd.nextDouble())
+        level + rnd.nextGaussian() * 0.5
+      }
+      val pen = Seq(0.05, 1.0, 10.0)(trial % 3)
+      val minSize = Seq(5, 10)(trial % 2)
+      val got = Pelt.detectExact(y, pen, minSize)
+      val (_, wantTotal) = bruteForce(y, pen, minSize)
+      def total(bkps: Array[Int]): Double = {
+        val s1 = y.scanLeft(0.0)(_ + _); val s2 = y.scanLeft(0.0)((a, v) => a + v * v)
+        (0 +: bkps.toSeq).zip(bkps.toSeq).map { case (a, b) =>
+          val m = b - a; val ds = s1(b) - s1(a)
+          s2(b) - s2(a) - ds * ds / m + pen
+        }.sum
+      }
+      val gotTotal = total(got)
+      assert(math.abs(gotTotal - wantTotal) <= 1e-9 * (1.0 + wantTotal.abs),
+        s"trial $trial: exact=${got.toSeq} (cost $gotTotal) vs dp $wantTotal")
+    }
+  }
+
   test("full device-day signal (17280 buckets) stays fast on realistic data") {
     val rnd = new scala.util.Random(1)
     val sig = Array.tabulate(17280)(i =>
