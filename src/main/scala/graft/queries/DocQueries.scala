@@ -169,6 +169,42 @@ object DocQueries {
         .orderBy("media_id")
     }),
 
+    // ---- shard packing by token budget (training-data prep): exact
+    // integer running sum per source, floor-division shard id ----
+    "q_pack_shards" -> ((s, d) => {
+      import graft.operators.DataPrep
+      DataPrep.shardByTokenBudget(
+          documents(s, d).select("doc_id", "source", "text"),
+          "doc_id", "source",
+          TextFunctions.tokenCountWs(col("text")), budget = 2048L)
+        .select("doc_id", "source", "tokens", "shard_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic content-hash train/val/test split (counts per
+    // source × split; sha256 parity with the oracle is pinned by
+    // q_hash_id) ----
+    "q_hash_split" -> ((s, d) => {
+      import graft.operators.DataPrep
+      DataPrep.hashSplit(documents(s, d).select("doc_id", "source"),
+          "doc_id", Seq("train" -> "cc", "val" -> "e6"), rest = "test")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")
+    }),
+
+    // ---- benchmark decontamination: corpus docs sharing >= 2 distinct
+    // word trigrams with the (deterministic) benchmark subset ----
+    "q_decontaminate" -> ((s, d) => {
+      import graft.operators.DataPrep
+      val docs = documents(s, d).select("doc_id", "text")
+      val benchmark = docs.where(col("doc_id") % 97 === 0)
+      DataPrep.contaminationFlags(
+          docs.where(col("doc_id") % 97 =!= 0), benchmark,
+          "doc_id", "text", n = 3, minOverlap = 2)
+        .orderBy("doc_id")
+    }),
+
     // ---- brute-force cosine top-k (exact ANN baseline) ----
     "q_ann_cosine" -> ((s, d) => {
       val emb = embeddings(s, d)
@@ -344,6 +380,53 @@ object DocQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    END AS tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, tokens,
+        |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, tokens,
+        |  CAST(floor((cum - tokens) / 2048.0) AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_hash_split" ->
+      """SELECT source,
+        |  CASE WHEN substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |         THEN 'train'
+        |       WHEN substr(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM toks WHERE len(t) >= 3
+        |), bg AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+        |), cg AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 != 0
+        |)
+        |SELECT cg.doc_id, count(DISTINCT cg.gram) AS n_overlap
+        |FROM cg JOIN bg USING (gram)
+        |GROUP BY cg.doc_id HAVING count(DISTINCT cg.gram) >= 2
+        |ORDER BY doc_id""".stripMargin,
 
     "q_ann_cosine" ->
       """WITH q AS (
