@@ -24,6 +24,10 @@ object TelemetryTransform {
   /** The STEP 2 select list. Input must carry the F1 bronze columns.
     * `passthrough` columns (e.g. a test row id) are appended unchanged. */
   def transform(raw: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    // native parse_position (codegen'd) instead of the UDF form: the UDF
+    // was the one non-codegen element in the silver projection (encoder
+    // round-trip per row); same kernel grammar, same nulls
+    graft.plans.GraftExtensions.register(raw.sparkSession)
     raw
       // WHERE timestamp IS NOT NULL AND device_id IS NOT NULL (:339-342)
       .where(col("timestamp").isNotNull && col("device_id").isNotNull)
@@ -39,7 +43,9 @@ object TelemetryTransform {
         Enums.parseBool(col("system_engaged")).as("system_engaged"),
         Enums.parseBool(col("parking_brake_applied"))
           .as("parking_brake_applied"),
-        Geo.parsePosition(col("current_position")).as("current_position"),
+        graft.plans.ParsePositionExpression
+          .parsePositionNative(col("current_position"))
+          .as("current_position"),
         col("current_speed").cast("double").as("current_speed"),
         col("load_weight").cast("double").as("load_weight"),
         Enums.mapState(col("state")).as("state"),
