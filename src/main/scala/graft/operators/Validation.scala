@@ -16,11 +16,15 @@ object Validation {
       predictedCol: String = "ml_event_label",
       actualCol: String = "actual_event_label"): DataFrame = {
     val joined = labeled.join(truth, Seq("device_id", "timestamp"))
-    val total = joined.count().toDouble
+    // the grand total comes from a window over the (tiny) aggregated
+    // matrix — one pass over the joined set, no driver count() + rescan
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
     joined
       .groupBy(predictedCol, actualCol)
       .agg(count(lit(1)).as("n"))
-      .withColumn("share", round(col("n") / total, 6))
+      .withColumn("share",
+        round(col("n") / sum(col("n")).over(w).cast("double"), 6))
       .withColumn("agree", col(predictedCol) === col(actualCol))
       .orderBy(predictedCol, actualCol)
   }

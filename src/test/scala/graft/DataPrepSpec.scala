@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.DataPrep
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DataPrepSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("shard packing: exclusive prefix sum, boundary doc stays in its shard") {
+    import spark.implicits._
+    // tokens 1000 each, budget 2048: docs 0,1 → shard 0 (cum-excl 0, 1000),
+    // doc 2 → shard 0 (cum-excl 2000 < 2048... floor(2000/2048)=0),
+    // doc 3 → floor(3000/2048)=1
+    val docs = (0 until 6).map(i => (i.toLong, "s", 1000L))
+      .toDF("doc_id", "source", "toks")
+    val out = DataPrep.shardByTokenBudget(docs, "doc_id", "source",
+        col("toks"), budget = 2048L)
+      .orderBy("doc_id").select("shard_id").as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 0L, 1L, 1L, 2L))
+  }
+
+  test("shard packing is independent per group") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", 3000L), (2L, "b", 3000L), (3L, "a", 3000L))
+      .toDF("doc_id", "source", "toks")
+    val out = DataPrep.shardByTokenBudget(docs, "doc_id", "source",
+        col("toks"), budget = 2048L)
+      .select("doc_id", "shard_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // first doc of each group starts at shard 0 regardless of other groups
+    assert(out(1L) == 0L && out(2L) == 0L && out(3L) == 1L)
+  }
+
+  test("hash split is deterministic, exhaustive, and roughly proportional") {
+    import spark.implicits._
+    val df = (0 until 2000).map(_.toLong).toDF("id")
+    val out = DataPrep.hashSplit(df, "id",
+      Seq("train" -> "cc", "val" -> "e6"), rest = "test")
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    // cc/256 ≈ 79.7%, (e6-cc)/256 ≈ 10.2%
+    assert(counts("train") > 1400 && counts("train") < 1800, counts)
+    assert(counts("val") > 100 && counts("val") < 350, counts)
+    // deterministic across invocations
+    val again = DataPrep.hashSplit(df, "id",
+        Seq("train" -> "cc", "val" -> "e6"), rest = "test")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
+  test("contamination flags exact containment and respects minOverlap") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot"), // shares 4 trigrams
+      (2L, "alpha bravo charlie zulu yankee xray"),   // shares 1 trigram
+      (3L, "one two three four five six")             // shares none
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((99L, "alpha bravo charlie delta echo foxtrot golf"))
+      .toDF("doc_id", "text")
+    val out = DataPrep.contaminationFlags(corpus, benchmark,
+        "doc_id", "text", n = 3, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == 4L)
+  }
+}
