@@ -162,6 +162,22 @@ object CoreQueries {
         .orderBy("event_type", "day")
     }),
 
+    // ---- OLAP cube: all grouping-set combinations of (event_type,
+    // user-parity) — completes the grouping-sets family next to q_rollup --
+    "q_cube" -> ((s, d) => {
+      events(s, d)
+        .withColumn("parity",
+          when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+        .cube("event_type", "parity")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0)
+            .as("sum_value"))
+        .select(coalesce(col("event_type"), lit("<all>")).as("event_type"),
+          coalesce(col("parity"), lit("<all>")).as("parity"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type", "parity")
+    }),
+
     // ---- sliding windows: window(ts, 2h, 1h) — each event lands in two
     // overlapping buckets; oracle = join to the covering hour-starts ----
     "q_sliding_window" -> ((s, d) => {
@@ -374,6 +390,18 @@ object CoreQueries {
         |FROM events
         |GROUP BY ROLLUP (event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'))
         |ORDER BY event_type, day""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(event_type, '<all>') AS event_type,
+        |  coalesce(parity, '<all>') AS parity,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_value
+        |FROM (SELECT event_type, value,
+        |        CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+        |      FROM events)
+        |GROUP BY CUBE (event_type, parity)
+        |ORDER BY event_type, parity""".stripMargin,
 
     "q_sliding_window" ->
       """WITH cov AS (

@@ -65,6 +65,23 @@ object EdaQueries {
         .orderBy("qty_bin")
     }),
 
+    // ---- pd.qcut-style quantile binning (database_pipeline.py:431-436):
+    // equal-count quartiles via ntile over a total order; per-bin stats
+    // with engine-exact math (scaled-integer avg, raw min/max) ----
+    "q_quantile_bins" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      events(s, d)
+        .withColumn("qbin", ntile(4).over(w))
+        .groupBy("event_type", "qbin")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 1000).cast("long")) / 1000.0 /
+            count(lit(1))).as("avg_value"),
+          min("value").as("min_value"),
+          max("value").as("max_value"))
+        .orderBy("event_type", "qbin")
+    }),
+
     // ---- A3/P6: truck-class profile via LIKE-pattern CASE class
     // (EDA notebook cells 4/6; database_pipeline.py:121-127): per-class
     // round(avg)/stddev with engine-deterministic math (exact integer
@@ -234,6 +251,20 @@ object EdaQueries {
         |            ELSE '40+' END AS qty_bin,
         |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_quantile_bins" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |    ntile(4) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS qbin
+        |  FROM events
+        |)
+        |SELECT event_type, qbin, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0
+        |    / count(*) AS avg_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_kinematic" ->
       """WITH e AS (
