@@ -170,23 +170,25 @@ object PipelineQueries {
           .when(col("user_id") % 7 === 3, "drive")
           .when(col("user_id") % 7 === 4, "low")
           .otherwise("unknown").as("prndl"))
-      val gold = FeatureEngineering.withAssemblyFeatures(
-        FeatureEngineering.withReliablePayload(
-          FeatureEngineering.withWindowFeatures(silver)))
       // Every compared float below is EXACT (integer arithmetic + at most
       // one division) — no round() on engine-accumulated doubles, so the
       // hash is stable across DuckDB versions / platforms. The one
       // non-integer rolling mean (speed) is compared on a µs-quantized
       // twin of the same window frame; the float variant is covered by
-      // q_window_rolling.
+      // q_window_rolling. Quantized columns are added BEFORE the
+      // reliability broadcast join so Catalyst merges them into the
+      // operator's existing window chain (no extra sort).
       val wq = org.apache.spark.sql.expressions.Window
         .partitionBy("device_id", "device_date").orderBy("timestamp")
         .rowsBetween(-2, 2)
-      gold
+      val windowed = FeatureEngineering.withWindowFeatures(silver)
         .withColumn("speed_q", floor(col("current_speed") * 1e6).cast("long"))
         .withColumn("speed_rolling_q5",
           sum("speed_q").over(wq).cast("double") /
             count(lit(1)).over(wq) / 1e6)
+      val gold = FeatureEngineering.withAssemblyFeatures(
+        FeatureEngineering.withReliablePayload(windowed))
+      gold
         .select(
         col("event_id"),
         col("is_stationary"),
