@@ -9,6 +9,9 @@ object Verify {
     // optional 3rd arg: comma-separated query subset for local iteration
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach { bad =>
+      System.err.println(s"[verify] unknown query name: $bad")
+    })
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

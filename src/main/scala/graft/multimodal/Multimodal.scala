@@ -45,10 +45,13 @@ object Multimodal {
     * of the synthetic fixture, shared by the generator, the tests, and the
     * DuckDB oracle (which recomputes it from the id in SQL). */
   def syntheticSpec(id: Long): (Int, Int, Int) = {
-    val w = (id % 64 + 32).toInt
-    val h = (id % 48 + 24).toInt
-    val rgb = (((id * 7) % 256).toInt << 16) |
-      (((id * 13) % 256).toInt << 8) | ((id * 29) % 256).toInt
+    // floorMod: negative ids must agree with the pmod() in the meta struct
+    // (signed % would give negative widths → BufferedImage throws)
+    val w = java.lang.Math.floorMod(id, 64L).toInt + 32
+    val h = java.lang.Math.floorMod(id, 48L).toInt + 24
+    val rgb = (java.lang.Math.floorMod(id * 7, 256L).toInt << 16) |
+      (java.lang.Math.floorMod(id * 13, 256L).toInt << 8) |
+      java.lang.Math.floorMod(id * 29, 256L).toInt
     (w, h, rgb)
   }
 
@@ -204,9 +207,14 @@ object Multimodal {
           val payload =
             if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           val meta = r.getStruct(2)
-          val resized = decodeImage(payload) match {
-            case Some(_) =>
-              val src = ImageIO.read(new ByteArrayInputStream(payload))
+          // single decode, reused for the draw — decodeImage's statistics
+          // pass is not needed here
+          val src =
+            if (payload == null || payload.isEmpty) null
+            else try ImageIO.read(new ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          val (resized, mime) =
+            if (src != null) {
               val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
               val g2 = dst.createGraphics()
               try {
@@ -215,19 +223,20 @@ object Multimodal {
                   java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
                 g2.drawImage(src, 0, 0, w, h, null)
               } finally g2.dispose()
-              encodePng(dst)
-            case None =>
+              // re-encoded as PNG → the declared mime must follow the bytes
+              (encodePng(dst), "image/png")
+            } else {
               val srcArea = math.max(1,
                 meta.getAs[Int]("width") * meta.getAs[Int]("height"))
               val targetLen =
                 if (payload == null) 0
                 else math.max(1,
                   (payload.length.toLong * w * h / srcArea).toInt)
-              strideResample(payload, targetLen)
-          }
+              (strideResample(payload, targetLen),
+                meta.getAs[String]("mime"))
+            }
           Row(r.getLong(0), resized,
-            Row(meta.getAs[String]("mime"), w, h,
-              meta.getAs[java.lang.Long]("duration_ms")))
+            Row(mime, w, h, meta.getAs[java.lang.Long]("duration_ms")))
         }
     }
     spark.createDataFrame(out, mediaSchema)

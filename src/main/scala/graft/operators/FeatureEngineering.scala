@@ -130,7 +130,7 @@ object FeatureEngineering {
       .withColumn("time_in_stationary_state",
         when(col("is_stationary"), sum("time_delta_us").over(wb) / 1e6)
           .otherwise(0.0))
-      .drop("prev_stationary")
+      .drop("prev_stationary", "time_delta_us")
   }
 
   /** Per-device payload-sensor reliability: STDDEV(load_weight) over the

@@ -66,7 +66,7 @@ case class LshSignatureExpression(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = left.nullable
+  override def nullable: Boolean = left.nullable || right.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -104,6 +104,8 @@ object VectorKernels {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // null elements: the HOF form's sum goes null — mirror that
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y
@@ -128,6 +130,9 @@ object VectorKernels {
     * element order (bit p set when the projection is >= 0). */
   def lshSignature(v: ArrayData, bits: Int): Long = {
     val n = v.numElements()
+    // empty vector: the HOF twin's aggregate sum is null and every
+    // when(proj >= 0, ...) falls to otherwise(0) — signature 0, not all-1s
+    if (n == 0) return 0L
     var sig = 0L
     var p = 0
     while (p < bits) {

@@ -383,8 +383,11 @@ object PipelineQueries {
       // 05_cpd_orchestrator_polars.py): CPD consumes its input twice
       // (gates aggregate + clean filter), so reading a narrow 7-column
       // parquet beats recomputing the whole window stack per consumer
-      val goldDir = s"${System.getProperty("java.io.tmpdir")}/graft_gold_" +
-        Integer.toHexString(d.hashCode)
+      // unique per invocation: a shared name keyed on the sf dir would race
+      // concurrent Verify/Bench processes (overwrite mid-scan) and collide
+      // across datasets
+      val goldDir = java.nio.file.Files
+        .createTempDirectory("graft_gold_").toString
       feats.select("device_date", "timestamp",
           "load_weight_rate_of_change", "speed_rolling_avg_5s",
           "altitude_rate_of_change", "has_reliable_payload",
