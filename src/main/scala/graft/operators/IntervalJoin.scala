@@ -90,4 +90,43 @@ object IntervalJoin {
         .otherwise(lblExpr))
       .drop("_ik", "_ivs")
   }
+
+  /** As-of join: attach to each left row the payload of the LATEST right
+    * row with `right.ts <= left.ts` on the same key (DuckDB/kdb ASOF LEFT
+    * JOIN semantics; ties at equal timestamps match).
+    *
+    * Implemented as union + carry-forward window — the big-big scale
+    * path: ONE shuffle on the key, no broadcast requirement, no range
+    * replication. Right rows sort before left rows at the same timestamp
+    * (side tag), `last(_, ignoreNulls)` carries each payload forward, and
+    * only left rows are emitted. At 100 TB both sides stream through a
+    * single hash partitioning; state per task is one row of carried
+    * payloads per key.
+    *
+    * @param payload right-side columns to attach (null when no prior row)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_ats", col(leftTs))
+      .withColumn("_side", lit(1))
+      .select(Seq(col(keyCol).as("_ak"), col("_ats"), col("_side")) ++
+        leftCols.map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("_ats", col(rightTs))
+      .withColumn("_side", lit(0))
+      .select(Seq(col(keyCol).as("_ak"), col("_ats"), col("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy("_ak").orderBy("_ats", "_side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_side") === 1)
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
 }

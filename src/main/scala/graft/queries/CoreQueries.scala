@@ -162,6 +162,27 @@ object CoreQueries {
         .orderBy("event_type", "day")
     }),
 
+    // ---- as-of join (nearest prior state per truck — the kdb/DuckDB
+    // ASOF LEFT JOIN, an operator Spark lacks natively): union +
+    // carry-forward window, one shuffle, big-big safe ----
+    "q_asof" -> ((s, d) => {
+      import graft.operators.IntervalJoin
+      val ev = events(s, d).select(col("event_id"),
+        concat(lit("t"), (col("user_id") % 20).cast("string"))
+          .as("truck_id"),
+        col("ts"))
+      val st = events(s, d).where(col("event_id") % 50 === 0)
+        .select(
+          concat(lit("t"), (col("user_id") % 20).cast("string"))
+            .as("truck_id"),
+          col("ts").as("sts"),
+          floor(col("value") * 100).cast("long").as("state_val"))
+      IntervalJoin.asofJoin(ev, st, "truck_id", "ts", "sts",
+          payload = Seq("state_val"))
+        .select("event_id", "truck_id", "state_val")
+        .orderBy("event_id")
+    }),
+
     // ---- OLAP cube: all grouping-set combinations of (event_type,
     // user-parity) — completes the grouping-sets family next to q_rollup --
     "q_cube" -> ((s, d) => {
@@ -390,6 +411,22 @@ object CoreQueries {
         |FROM events
         |GROUP BY ROLLUP (event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'))
         |ORDER BY event_type, day""".stripMargin,
+
+    "q_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id, 't' || CAST(user_id % 20 AS VARCHAR) AS truck_id,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events
+        |), st AS (
+        |  SELECT 't' || CAST(user_id % 20 AS VARCHAR) AS truck_id,
+        |    CAST(ts AS TIMESTAMP) AS sts,
+        |    CAST(floor(value * 100) AS BIGINT) AS state_val
+        |  FROM events WHERE event_id % 50 = 0
+        |)
+        |SELECT e.event_id, e.truck_id, s.state_val
+        |FROM ev e ASOF LEFT JOIN st s
+        |  ON e.truck_id = s.truck_id AND e.ts >= s.sts
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_cube" ->
       """SELECT coalesce(event_type, '<all>') AS event_type,

@@ -63,4 +63,21 @@ class IntervalJoinSpec extends AnyFunSuite {
   }
 
   private def ts(s: Long) = new Timestamp(1722297600000L + s * 1000L)
+
+  test("asofJoin: latest prior payload, equal-ts match, null before first") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = Seq((1L, "a", 5L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "b", 7L)).toDF("id", "k", "ts")
+    val right = Seq(("a", 10L, "s10"), ("a", 15L, "s15"), ("b", 99L, "s99"))
+      .toDF("k", "sts", "state")
+    val out = graft.operators.IntervalJoin
+      .asofJoin(left, right, "k", "ts", "sts", Seq("state"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("state")))
+      .toMap
+    assert(out(1L).isEmpty)          // before first state
+    assert(out(2L).contains("s10"))  // equal timestamp matches
+    assert(out(3L).contains("s15"))  // latest prior, not first
+    assert(out(4L).isEmpty)          // other key's states invisible
+  }
 }
