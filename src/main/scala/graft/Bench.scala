@@ -65,13 +65,31 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    // breadth block: the LLM-pipeline operator family timed at the same
+    // SF, reported separately so the headline total stays comparable
+    // round over round
+    val extraNames = Seq("q_embed_dup_pairs", "q_lang_quality",
+      "q_pack_shards", "q_hash_split", "q_decontaminate", "q_asof",
+      "q_quantile_bins", "q_ann_lsh", "q_multimodal_features")
+    val extras = extraNames.filter(qs.contains).map { name =>
+      val t0 = System.nanoTime()
+      val ok = try {
+        qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val extraJson = extras.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+
     // Throughput anchors against BASELINE.md: the reference's rows/s
     // numbers come from 8.8M-row runs, while sf0.1 events is 100k rows —
     // fixed overhead would dominate any rows/s read straight off the
     // headline timings. Replicate events ~32× (≈3.2M rows) and measure the
     // two long pipeline stages end to end.
     val derived = throughputAnchors(spark, sfDir)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"extra":$extraJson}""")
     spark.stop()
   }
 
