@@ -193,6 +193,26 @@ object DocQueries {
         .orderBy("source", "split")
     }),
 
+    // ---- context-window chunking (training-data prep): split each doc
+    // into 64-token chunks; emit per-chunk token count + first token —
+    // the slice plumbing a tokenize-and-pack pipeline needs ----
+    "q_chunk_docs" -> ((s, d) => {
+      val t = documents(s, d).select(
+        col("doc_id"),
+        split(trim(col("text")), "\\s+").as("toks"),
+        TextFunctions.tokenCountWs(col("text")).as("n_tokens"))
+      t.where(col("n_tokens") > 0)
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0L),
+            ceil(col("n_tokens") / 64.0).cast("long") - 1)))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(64L), col("n_tokens") - col("chunk_idx") * 64)
+            .as("chunk_tokens"),
+          element_at(col("toks"), (col("chunk_idx") * 64 + 1).cast("int"))
+            .as("first_token"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing >= 2 distinct
     // word trigrams with the (deterministic) benchmark subset ----
     "q_decontaminate" -> ((s, d) => {
@@ -407,6 +427,25 @@ object DocQueries {
         |       ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    END AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  unnest(range(CAST(ceil(n_tokens / 64.0) AS BIGINT))) AS chunk_idx,
+        |  least(64, n_tokens -
+        |    unnest(range(CAST(ceil(n_tokens / 64.0) AS BIGINT))) * 64)
+        |    AS chunk_tokens,
+        |  toks[CAST(unnest(range(CAST(ceil(n_tokens / 64.0) AS BIGINT))) * 64
+        |    + 1 AS BIGINT)] AS first_token
+        |FROM t WHERE n_tokens > 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_decontaminate" ->
       """WITH toks AS (
