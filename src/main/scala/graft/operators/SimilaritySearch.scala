@@ -97,31 +97,95 @@ object SimilaritySearch {
     * narrow map over the corpus, candidate scoring shuffles only the
     * probed cells. Recall/cost trades on nprobe.
     */
+  /** Deterministic Lloyd's k-means over a driver-side training sample —
+    * the IVF coarse quantizer. Training on a bounded hash-sample is the
+    * standard FAISS practice (the quantizer needs cluster SHAPE, not every
+    * point), keeps the driver math O(sample · nlist · dim), and avoids an
+    * MLlib dependency whose Kryo serialization of vector task results
+    * proved fragile at high local parallelism. */
+  private[operators] def trainCentroids(points: Array[Array[Double]],
+      nlist: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means needs a non-empty training sample")
+    val rnd = new scala.util.Random(seed)
+    val dim = points(0).length
+    val k = math.min(nlist, points.length)
+    val centers = Array.tabulate(k)(i =>
+      points(rnd.nextInt(points.length)).clone())
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = p(j) - centers(c)(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        val c = nearest(p)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += p(j); j += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } // empty cell keeps its previous center (deterministic)
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42,
+      maxTrain: Int = 50000): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
 
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val withVec = c.withColumn("features", array_to_vector(col("v")))
-    val km = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("features").fit(withVec)
-    val assigned = km.transform(withVec)
-      .select(col("id"), col("v"), col("prediction").as("cell"))
+
+    // bounded deterministic training sample: hash-filter then id-ordered
+    // take — stable across partitioning/parallelism
+    val corpusN = c.count()
+    val every = math.max(1L, corpusN / maxTrain)
+    val sample = c
+      .where(pmod(xxhash64(col("id")), lit(every)) === 0)
+      .orderBy("id")
+      .limit(maxTrain)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val centroids = trainCentroids(sample, nlist, iters = 20, seed = seed)
+      .zipWithIndex
+
+    val cellUdf = udf { (v: Seq[Double]) =>
+      var best = 0; var bestD = Double.MaxValue
+      centroids.foreach { case (ctr, i) =>
+        var d = 0.0; var j = 0
+        while (j < ctr.length) { val t = ctr(j) - v(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+      }
+      best
+    }
+    val assigned = c.withColumn("cell", cellUdf(col("v")))
 
     // query → its nprobe nearest centroids (centroids are tiny, driver math)
-    val centroids = km.clusterCenters.zipWithIndex
     val q = queries.select(col(qidCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val probeUdf = udf { (qv: Seq[Double]) =>
       centroids.map { case (ctr, i) =>
         var d = 0.0
         var j = 0
-        while (j < ctr.size) {
+        while (j < ctr.length) {
           val diff = ctr(j) - qv(j); d += diff * diff; j += 1
         }
         (i, d)
