@@ -91,8 +91,10 @@ object DocQueries {
     // threshold, with its exact verified jaccard) is engine-independent.
     // Banding recall is exact on the fixed verify corpus (measured: the
     // 171 truth pairs == the 171 banded candidates that verify); at other
-    // scales recall < 1 is possible — the property is pinned to the gate's
-    // data, the probabilistic guarantee is covered in KernelSpec. ----
+    // scales recall < 1 is possible — measured 1685/1686 at sf0.1 (one
+    // j=0.69 pair missed, P(miss)≈0.13 at 8 bands × 4 rows) — the
+    // property is pinned to the gate's data, the probabilistic guarantee
+    // is covered in KernelSpec. ----
     "q_minhash_pairs" -> ((s, d) => {
       Dedup.minhashDupPairs(docsWithDups(s, d), "doc_id", "text",
           threshold = 0.5)
