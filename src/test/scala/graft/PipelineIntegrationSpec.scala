@@ -108,4 +108,35 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     assert(out(15).dwell_s == 0.0)
     assert(out(4).dwell_s == 0.0)
   }
+
+  test("streaming as-of enrichment matches the batch asofJoin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingAsof
+    val t0 = 1722297600000L
+    // events every second on two keys; state updates every 7 s
+    val events = (0 until 40).map { i =>
+      StreamingAsof.Tick(s"k${i % 2}", new java.sql.Timestamp(t0 + i * 1000L),
+        1, null)
+    }
+    val states = (0 until 6).map { i =>
+      StreamingAsof.Tick(s"k${i % 2}", new java.sql.Timestamp(t0 + i * 7000L),
+        0, s"s$i")
+    }
+    val streamed = StreamingAsof.enrich((events ++ states).toDS())
+      .collect().map(e => (e.key, e.ts.getTime) -> e.payload).toMap
+
+    val left = events.map(t => (t.key, new java.sql.Timestamp(t.ts.getTime)))
+      .toDF("key", "ts")
+    val right = states
+      .map(t => (t.key, new java.sql.Timestamp(t.ts.getTime), t.payload))
+      .toDF("key", "sts", "payload")
+    val batch = graft.operators.IntervalJoin
+      .asofJoin(left, right, "key", "ts", "sts", Seq("payload"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        Option(r.getString(2))).toMap
+    assert(streamed.size == 40 && batch.size == 40)
+    assert(streamed == batch)
+  }
 }
