@@ -103,10 +103,12 @@ object DocQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- SimHash near-dup pairs (rows-only gate) ----
+    // ---- SimHash near-dup pairs (rows-only gate): radius 7 exercises the
+    // generalized (maxHamming+1)-chunk pigeonhole blocking — completeness
+    // vs brute force is pinned in KernelSpec ----
     "q_simhash_pairs" -> ((s, d) => {
       Dedup.simhashDupPairs(docsWithDups(s, d), "doc_id", "text",
-          maxHamming = 3)
+          maxHamming = 7)
         .orderBy("id_a", "id_b")
     }),
 
