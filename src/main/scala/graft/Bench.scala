@@ -44,44 +44,41 @@ object Bench {
     // identical code, so the janino compile + JIT cost is paid outside the
     // timed run — the timings below measure steady-state execution.
     val warmDir = "/root/testdata/sf0.001"
-    headline.filter(qs.contains).foreach { name =>
-      try qs(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    def warm(names: Seq[String]): Unit = names.filter(qs.contains).foreach {
+      name =>
+        try qs(name)(spark, warmDir).write.format("noop").mode("overwrite")
+          .save()
+        catch { case _: Throwable => () }
     }
+    // noop sink: count() lets Spark skip projection work on map-only
+    // plans; noop forces every output column to materialize
+    def timed(names: Seq[String]): Seq[(String, Double)] =
+      names.filter(qs.contains).map { name =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    def toJson(r: Seq[(String, Double)]): String =
+      r.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
 
-    val results = headline.filter(qs.contains).map { name =>
-      val t0 = System.nanoTime()
-      // noop sink: count() lets Spark skip projection work on map-only
-      // plans; noop forces every output column to materialize
-      val ok = try {
-        qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
-    }
-    val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    warm(headline)
+    val results = timed(headline)
+    val qJson = toJson(results)
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // breadth block: the LLM-pipeline operator family timed at the same
-    // SF, reported separately so the headline total stays comparable
-    // round over round
+    // SF (same warmup discipline), reported separately so the headline
+    // total stays comparable round over round
     val extraNames = Seq("q_embed_dup_pairs", "q_lang_quality",
       "q_pack_shards", "q_hash_split", "q_decontaminate", "q_asof",
       "q_quantile_bins", "q_ann_lsh", "q_multimodal_features")
-    val extras = extraNames.filter(qs.contains).map { name =>
-      val t0 = System.nanoTime()
-      val ok = try {
-        qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
-    val extraJson = extras.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    warm(extraNames)
+    val extraJson = toJson(timed(extraNames))
 
     // Throughput anchors against BASELINE.md: the reference's rows/s
     // numbers come from 8.8M-row runs, while sf0.1 events is 100k rows —

@@ -98,10 +98,13 @@ object IntervalJoin {
     * Implemented as union + carry-forward window — the big-big scale
     * path: ONE shuffle on the key, no broadcast requirement, no range
     * replication. Right rows sort before left rows at the same timestamp
-    * (side tag), `last(_, ignoreNulls)` carries each payload forward, and
-    * only left rows are emitted. At 100 TB both sides stream through a
-    * single hash partitioning; state per task is one row of carried
-    * payloads per key.
+    * (side tag) and carry their payload as ONE struct, so (a) a prior
+    * right row whose payload VALUES are null still wins (no
+    * skip-the-null-row drift from per-column carry), (b) multi-column
+    * payloads are never torn across different right rows, and (c) right
+    * rows duplicated on (key, ts) resolve deterministically (greatest
+    * payload tuple). At 100 TB both sides stream through a single hash
+    * partitioning; state per task is one carried struct per key.
     *
     * @param payload right-side columns to attach (null when no prior row)
     */
@@ -109,24 +112,25 @@ object IntervalJoin {
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val leftCols = left.columns.toSeq
+    val plType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
     val l = left
       .withColumn("_ats", col(leftTs))
       .withColumn("_side", lit(1))
-      .select(Seq(col(keyCol).as("_ak"), col("_ats"), col("_side")) ++
-        leftCols.map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .select(Seq(col(keyCol).as("_ak"), col("_ats"), col("_side"),
+        lit(null).cast(plType).as("_pl")) ++ leftCols.map(col): _*)
     val r = right
       .withColumn("_ats", col(rightTs))
       .withColumn("_side", lit(0))
-      .select(Seq(col(keyCol).as("_ak"), col("_ats"), col("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
-    val w = Window.partitionBy("_ak").orderBy("_ats", "_side")
+      .select(Seq(col(keyCol).as("_ak"), col("_ats"), col("_side"),
+        struct(payload.map(col): _*).as("_pl")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy("_ak").orderBy("_ats", "_side", "_pl")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.where(col("_side") === 1)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+    l.unionByName(r)
+      .withColumn("_carried", last(col("_pl"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"_carried.$c").as(c)): _*)
   }
 }

@@ -103,20 +103,34 @@ object SimilaritySearch {
     * point), keeps the driver math O(sample · nlist · dim), and avoids an
     * MLlib dependency whose Kryo serialization of vector task results
     * proved fragile at high local parallelism. */
+  /** Shared squared-distance kernel for quantizer train/assign/probe. */
+  @inline private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var j = 0
+    while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+    d
+  }
+  @inline private def sqDist(a: Array[Double], b: Seq[Double]): Double = {
+    var d = 0.0; var j = 0
+    while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+    d
+  }
+
   private[operators] def trainCentroids(points: Array[Array[Double]],
       nlist: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     require(points.nonEmpty, "k-means needs a non-empty training sample")
     val rnd = new scala.util.Random(seed)
     val dim = points(0).length
     val k = math.min(nlist, points.length)
-    val centers = Array.tabulate(k)(i =>
-      points(rnd.nextInt(points.length)).clone())
+    // DISTINCT seeded indices: a with-replacement draw can duplicate a
+    // center, and the duplicate (tie-broken to the lower index) would
+    // never attract points — a permanently dead cell
+    val centers = rnd.shuffle(points.indices.toVector).take(k)
+      .map(points(_).clone()).toArray
     def nearest(p: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < k) {
-        var d = 0.0; var j = 0
-        while (j < dim) { val t = p(j) - centers(c)(j); d += t * t; j += 1 }
+        val d = sqDist(centers(c), p)
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
@@ -167,30 +181,17 @@ object SimilaritySearch {
     val centroids = trainCentroids(sample, nlist, iters = 20, seed = seed)
       .zipWithIndex
 
-    val cellUdf = udf { (v: Seq[Double]) =>
-      var best = 0; var bestD = Double.MaxValue
-      centroids.foreach { case (ctr, i) =>
-        var d = 0.0; var j = 0
-        while (j < ctr.length) { val t = ctr(j) - v(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; best = i }
-      }
-      best
-    }
+    // cell assignment == probing with nprobe=1: one ranked-cells kernel
+    def nearestCells(v: Seq[Double], n: Int): Seq[Int] =
+      centroids.map { case (ctr, i) => (i, sqDist(ctr, v)) }
+        .sortBy(_._2).take(n).map(_._1).toSeq
+    val cellUdf = udf { (v: Seq[Double]) => nearestCells(v, 1).head }
     val assigned = c.withColumn("cell", cellUdf(col("v")))
 
     // query → its nprobe nearest centroids (centroids are tiny, driver math)
     val q = queries.select(col(qidCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    val probeUdf = udf { (qv: Seq[Double]) =>
-      centroids.map { case (ctr, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < ctr.length) {
-          val diff = ctr(j) - qv(j); d += diff * diff; j += 1
-        }
-        (i, d)
-      }.sortBy(_._2).take(nprobe).map(_._1)
-    }
+    val probeUdf = udf { (qv: Seq[Double]) => nearestCells(qv, nprobe) }
     val probed = q.withColumn("cell", explode(probeUdf(col("qv"))))
 
     val scored = assigned.join(broadcast(probed), Seq("cell"))

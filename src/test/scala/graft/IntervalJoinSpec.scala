@@ -80,4 +80,18 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(out(3L).contains("s15"))  // latest prior, not first
     assert(out(4L).isEmpty)          // other key's states invisible
   }
+
+  test("asofJoin: null payload VALUES carry (latest row wins, no tearing)") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 20L)).toDF("id", "k", "ts")
+    // latest prior right row has a null second payload column — DuckDB
+    // ASOF attaches THAT row (a=9, b=null), never a torn (a=9, b=3)
+    val right = Seq(("a", 5L, Some(2), Some(3)), ("a", 10L, Some(9), None))
+      .toDF("k", "sts", "a", "b")
+    val row = graft.operators.IntervalJoin
+      .asofJoin(left, right, "k", "ts", "sts", Seq("a", "b"))
+      .collect().head
+    assert(row.getInt(row.fieldIndex("a")) == 9)
+    assert(row.isNullAt(row.fieldIndex("b")), s"torn row: $row")
+  }
 }

@@ -139,4 +139,35 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     assert(streamed.size == 40 && batch.size == 40)
     assert(streamed == batch)
   }
+
+  test("streaming as-of carries state across micro-batches, ignores stale") {
+    import spark.implicits._
+    import graft.streaming.StreamingAsof
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1722297600000L
+    def tick(offsetMs: Long, side: Int, p: String) =
+      StreamingAsof.Tick("k", new java.sql.Timestamp(t0 + offsetMs), side, p)
+    val input = MemoryStream[StreamingAsof.Tick]
+    val q = StreamingAsof.enrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: state s0, then an event in the same batch
+      input.addData(tick(0, 0, "s0"), tick(1000, 1, null))
+      q.processAllAvailable()
+      // batch 2: event needing the CARRIED s0; a stale state older than
+      // the carried one (must be ignored); a newer state; a final event
+      input.addData(tick(2000, 1, null), tick(-5000, 0, "stale"),
+        tick(3000, 0, "s1"), tick(4000, 1, null))
+      q.processAllAvailable()
+      val out = spark.table("asof_stream")
+        .collect()
+        .map(r => r.getTimestamp(1).getTime - t0 ->
+          Option(r.getString(2))).toMap
+      assert(out(1000L).contains("s0"))  // same batch
+      assert(out(2000L).contains("s0"))  // carried across the batch gap
+      assert(out(4000L).contains("s1"))  // newer state wins; stale ignored
+    } finally q.stop()
+  }
 }
