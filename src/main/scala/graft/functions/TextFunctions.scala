@@ -91,6 +91,20 @@ object TextFunctions {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** Intra-document repetition: fraction of word n-gram OCCURRENCES that
+    * are repeats of an earlier gram in the same document (the
+    * Gopher/C4-style duplicate-n-gram filter signal). 0 = no repetition,
+    * → 1 as the document degenerates into loops. Total minus distinct
+    * over total; engine-exact (integer counts, one division). */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val toks = split(norm, " ")
+    val total = greatest(size(toks) - (n - 1), lit(0))
+    val distinctGrams = size(wordShingles(text, n))
+    when(total <= 0, 0.0)
+      .otherwise((total - distinctGrams).cast("double") / total)
+  }
+
   /** 64-bit rolling-hash document fingerprint (polynomial rolling hash of
     * the whitespace-normalized text) — cheap exact-dup key that is robust
     * to runs of whitespace, computed without materializing a normalized

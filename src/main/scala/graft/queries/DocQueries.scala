@@ -197,6 +197,22 @@ object DocQueries {
         .orderBy("source", "split")
     }),
 
+    // ---- intra-document repetition (Gopher/C4 duplicate-n-gram filter):
+    // docs doubled in place (doc_id%5=0, same expression both sides) must
+    // score ~0.5+, originals near 0 — exact integer-count math ----
+    "q_repetition" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" "),
+          col("text"))).otherwise(col("text")).as("text"))
+      val raw = TextFunctions.repetitionRatio(col("text"), 3)
+      // flag compares the RAW exact ratio (identical doubles both
+      // engines); the emitted ratio is floor-scaled for display
+      docs.select(col("doc_id"),
+          (floor(raw * 1e6) / 1e6).as("rep_ratio"),
+          (raw > 0.2).as("flagged"))
+        .orderBy("doc_id")
+    }),
+
     // ---- context-window chunking (training-data prep): split each doc
     // into 64-token chunks; emit per-chunk token count + first token —
     // the slice plumbing a tokenize-and-pack pipeline needs ----
@@ -431,6 +447,33 @@ object DocQueries {
         |       ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text
+        |         ELSE text END AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS tk
+        |  FROM d
+        |), g AS (
+        |  SELECT doc_id,
+        |    greatest(len(tk) - 2, 0) AS total,
+        |    len(list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS n_distinct
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN total <= 0 THEN 0.0
+        |       ELSE floor(CAST(total - n_distinct AS DOUBLE) / total * 1e6)
+        |         / 1e6 END AS rep_ratio,
+        |  CASE WHEN total <= 0 THEN false
+        |       ELSE CAST(total - n_distinct AS DOUBLE) / total > 0.2
+        |       END AS flagged
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_chunk_docs" ->
       """WITH t AS (
