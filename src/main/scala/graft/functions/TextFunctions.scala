@@ -105,6 +105,28 @@ object TextFunctions {
       .otherwise((total - distinctGrams).cast("double") / total)
   }
 
+  /** PII patterns (emails, IPv4, US-style phone numbers) restricted to the
+    * RE2 ∩ java.util.regex common dialect — no lookaround, no backrefs —
+    * so the Spark expressions and the DuckDB oracle match byte for byte. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Count of PII matches per category. */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(ipv4Pattern), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(phonePattern), lit(0))).cast("long"))
+
+  /** Redact all three PII categories with typed placeholder tokens —
+    * email first so its host part is not half-eaten by the IP rule. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, emailPattern, "<EMAIL>")
+    val i = regexp_replace(e, ipv4Pattern, "<IP>")
+    regexp_replace(i, phonePattern, "<PHONE>")
+  }
+
   /** 64-bit rolling-hash document fingerprint (polynomial rolling hash of
     * the whitespace-normalized text) — cheap exact-dup key that is robust
     * to runs of whitespace, computed without materializing a normalized

@@ -197,6 +197,25 @@ object DocQueries {
         .orderBy("source", "split")
     }),
 
+    // ---- PII scrubbing (emails/IPs/phones): deterministic PII appended
+    // in-query (same expression both sides), counted and redacted with
+    // typed placeholders; the regexes stay in the RE2 ∩ Java dialect ----
+    "q_pii" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or "),
+          lit("10.0."), (col("doc_id") % 256).cast("string"), lit(".1 "),
+          lit("555-867-"), lpad((col("doc_id") % 10000).cast("string"),
+            4, "0")))
+          .otherwise(col("text")).as("text"))
+      val (e, i, p) = TextFunctions.piiCounts(col("text"))
+      docs.select(col("doc_id"), e.as("n_emails"), i.as("n_ips"),
+          p.as("n_phones"),
+          length(TextFunctions.redactPii(col("text"))).cast("long")
+            .as("redacted_len"))
+        .orderBy("doc_id")
+    }),
+
     // ---- intra-document repetition (Gopher/C4 duplicate-n-gram filter):
     // docs doubled in place (doc_id%5=0, same expression both sides) must
     // score ~0.5+, originals near 0 — exact integer-count math ----
@@ -447,6 +466,37 @@ object DocQueries {
         |       ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "q_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text ||
+        |      ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or ' ||
+        |      '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 ' ||
+        |      '555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+        |    AS n_ips,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(length(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+        |        '<IP>', 'g'),
+        |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+        |    AS BIGINT) AS redacted_len
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH d AS (
