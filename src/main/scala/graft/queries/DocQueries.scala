@@ -197,6 +197,32 @@ object DocQueries {
         .orderBy("source", "split")
     }),
 
+    // ---- the curation funnel: the full pretraining filter stack (lang →
+    // quality → repetition → PII) composed into one per-source accounting
+    // query, first-failing-rule attribution — every component is
+    // individually oracle-proven above; this pins their composition ----
+    "q_curation_funnel" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" "),
+          col("text")))                                   // repetition
+          .when(col("doc_id") % 13 === 0, concat(col("text"),
+            lit(" mail me: x"), col("doc_id"), lit("@spam.net")))  // PII
+          .otherwise(col("text")).as("text"))
+      val raw = TextFunctions.qualityScore(col("text"))
+      val rep = TextFunctions.repetitionRatio(col("text"), 3)
+      val (em, ip, ph) = TextFunctions.piiCounts(col("text"))
+      val verdict =
+        when(TextFunctions.langId(col("text")) === "und", "drop_lang")
+          .when(raw < 0.4, "drop_quality")
+          .when(rep > 0.2, "drop_repetition")
+          .when(em + ip + ph > 0, "drop_pii")
+          .otherwise("keep")
+      docs.withColumn("verdict", verdict)
+        .groupBy("source", "verdict")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "verdict")
+    }),
+
     // ---- PII scrubbing (emails/IPs/phones): deterministic PII appended
     // in-query (same expression both sides), counted and redacted with
     // typed placeholders; the regexes stay in the RE2 ∩ Java dialect ----
@@ -350,8 +376,78 @@ object DocQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB twin of the q_curation_funnel filter stack — sub-score
+    * expressions copied verbatim from [[langQualityOracle]] (proven
+    * bit-exact there), stopword tables generated from the source of
+    * truth. */
+  private val curationOracle: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(",")
+    val langs = TextFunctions.langStopwords.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> x IN (${inList(ws)}))) AS h_$l"
+    }.mkString(",\n    ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 11 = 0 THEN text || ' ' || text
+       |         WHEN doc_id % 13 = 0 THEN text || ' mail me: x' ||
+       |           CAST(doc_id AS VARCHAR) || '@spam.net'
+       |         ELSE text END AS text
+       |  FROM d0
+       |), t AS (
+       |  SELECT doc_id, source, text,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+       |      ' ') AS tk
+       |  FROM d
+       |), h AS (
+       |  SELECT doc_id, source, text, toks, tk,
+       |    $hitCols
+       |  FROM t
+       |), scored AS (
+       |  SELECT doc_id, source, text, tk,
+       |    greatest(${langs.map("h_" + _._1).mkString(", ")}) AS m,
+       |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS len_score,
+       |    greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+       |        AS DOUBLE) / length(text) END) * 4) AS punct_score,
+       |    greatest(0.0, 1.0 - (CASE
+       |      WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+       |        / length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END) * 2)
+       |      AS case_score,
+       |    least((CASE WHEN len(toks) = 0 OR (len(toks) = 1 AND toks[1] = '')
+       |      THEN 0.0
+       |      ELSE CAST(h_en AS DOUBLE) / len(toks) END) * 5, 1.0) AS stop_score,
+       |    greatest(len(tk) - 2, 0) AS rep_total,
+       |    len(list_distinct(list_transform(range(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS rep_distinct,
+       |    len(regexp_extract_all(text,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+       |    len(regexp_extract_all(text,
+       |      '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) +
+       |    len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+       |      AS n_pii
+       |  FROM h
+       |)
+       |SELECT source,
+       |  CASE WHEN m = 0 THEN 'drop_lang'
+       |       WHEN (len_score + punct_score + case_score + stop_score) / 4
+       |         < 0.4 THEN 'drop_quality'
+       |       WHEN (CASE WHEN rep_total <= 0 THEN 0.0
+       |         ELSE CAST(rep_total - rep_distinct AS DOUBLE) / rep_total END)
+       |         > 0.2 THEN 'drop_repetition'
+       |       WHEN n_pii > 0 THEN 'drop_pii'
+       |       ELSE 'keep' END AS verdict,
+       |  count(*) AS n
+       |FROM scored
+       |GROUP BY source, verdict
+       |ORDER BY source, verdict""".stripMargin
+      .replace("FROM d0", "FROM documents")
+  }
+
   val oracle: Map[String, String] = Map(
     "q_lang_quality" -> langQualityOracle,
+    "q_curation_funnel" -> curationOracle,
 
     // closed-form twin of Multimodal.syntheticSpec: what the real ImageIO
     // decode must recover from each generated solid-color PNG
