@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Frequent-item detection at stream/corpus scale: a Misra-Gries summary
+  * (Misra & Gries 1982, "Finding repeated elements") as a typed, MERGEABLE
+  * Spark [[Aggregator]] — the custom-aggregate tier of the extension
+  * ladder. The sketch over-approximates: every item with true frequency
+  * > n/capacity is guaranteed present in the summary (and spurious items
+  * may be), so the standard two-phase plan is exact:
+  *
+  *  1. sketch pass: one map-side-combining aggregation → ≤ capacity
+  *     candidate keys (constant state per partition, mergeable across
+  *     partitions — this is what makes it work on 100 TB);
+  *  2. verify pass: exact counts of the candidates only (a filtered
+  *     aggregation over a tiny key set), thresholded at the requested
+  *     support.
+  *
+  * The guarantee needs capacity > 1/support; [[topFrequent]] enforces it.
+  */
+object HeavyHitters {
+
+  /** Product-encodable sketch buffer (parallel key/count arrays — a
+    * Map-typed buffer needs a kryo encoder the udaf() path rejects). */
+  case class MGBuf(keys: Seq[String], counts: Seq[Long]) {
+    def toMap: Map[String, Long] = keys.zip(counts).toMap
+  }
+  private def fromMap(m: Map[String, Long]): MGBuf = {
+    val ks = m.keys.toSeq.sorted
+    MGBuf(ks, ks.map(m))
+  }
+
+  /** Misra-Gries summary aggregator. Buffer = key → residual count;
+    * `reduce` is the classic decrement-all-on-overflow step, `merge` adds
+    * summaries then re-truncates by subtracting the (capacity)-th largest
+    * residual (Agarwal et al. 2013 mergeable-summaries construction). */
+  case class MisraGries(capacity: Int)
+      extends Aggregator[String, MGBuf, Seq[String]] {
+    require(capacity >= 2, "capacity must be >= 2")
+
+    def zero: MGBuf = MGBuf(Nil, Nil)
+
+    def reduce(buf: MGBuf, key: String): MGBuf = {
+      if (key == null) return buf
+      val b = buf.toMap
+      fromMap(b.get(key) match {
+        case Some(c) => b.updated(key, c + 1)
+        case None if b.size < capacity - 1 => b.updated(key, 1L)
+        case None =>
+          // decrement every counter; drop the zeroed ones
+          b.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }
+      })
+    }
+
+    def merge(b1: MGBuf, b2: MGBuf): MGBuf = {
+      val sum = b2.toMap.foldLeft(b1.toMap) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c)
+      }
+      fromMap(
+        if (sum.size < capacity) sum
+        else {
+          val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)
+            .apply(capacity - 1)
+          sum.flatMap { case (k, c) =>
+            if (c > cut) Some(k -> (c - cut)) else None
+          }
+        })
+    }
+
+    def finish(b: MGBuf): Seq[String] = b.keys.sorted
+
+    def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+    def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Candidate keys from one sketch pass (≤ capacity of them). */
+  def sketchCandidates(df: DataFrame, keyCol: String,
+      capacity: Int): Seq[String] = {
+    val agg = udaf(MisraGries(capacity))
+    df.select(agg(col(keyCol)).as("cands"))
+      .head().getSeq[String](0)
+  }
+
+  /** Exact frequent items with support ≥ `support` (fraction of rows),
+    * via sketch → exact-verify. Output: (key, n), count-descending. */
+  def topFrequent(df: DataFrame, keyCol: String, support: Double,
+      capacity: Int = 0): DataFrame = {
+    require(support > 0 && support < 1, "support in (0,1)")
+    val cap = if (capacity > 0) capacity
+      else math.max(2, math.ceil(2.0 / support).toInt)
+    require(cap > 1.0 / support,
+      s"capacity $cap cannot guarantee support $support")
+    val cands = sketchCandidates(df, keyCol, cap)
+    val n = df.count()
+    val threshold = math.ceil(support * n).toLong
+    df.where(col(keyCol).isin(cands: _*))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= threshold)
+      .orderBy(col("n").desc, col(keyCol))
+  }
+}

@@ -162,6 +162,20 @@ object CoreQueries {
         .orderBy("event_type", "day")
     }),
 
+    // ---- frequent items via Misra-Gries sketch + exact verify: skewed
+    // key space (7 hot keys ≫ support, long cold tail); the sketch
+    // guarantees every ≥-support key is a candidate, the verify pass makes
+    // the output exact — so the plain GROUP BY/HAVING oracle applies ----
+    "q_heavy_hitters" -> ((s, d) => {
+      import graft.operators.HeavyHitters
+      val keyed = events(s, d).select(
+        when(col("user_id") % 3 === 0,
+          concat(lit("hot-"), (col("user_id") % 7).cast("string")))
+          .otherwise(concat(lit("cold-"), col("user_id").cast("string")))
+          .as("k"))
+      HeavyHitters.topFrequent(keyed, "k", support = 0.02, capacity = 64)
+    }),
+
     // ---- as-of join (nearest prior state per truck — the kdb/DuckDB
     // ASOF LEFT JOIN, an operator Spark lacks natively): union +
     // carry-forward window, one shuffle, big-big safe ----
@@ -411,6 +425,19 @@ object CoreQueries {
         |FROM events
         |GROUP BY ROLLUP (event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'))
         |ORDER BY event_type, day""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN user_id % 3 = 0
+        |           THEN 'hot-' || CAST(user_id % 7 AS VARCHAR)
+        |           ELSE 'cold-' || CAST(user_id AS VARCHAR) END AS k
+        |  FROM events
+        |)
+        |SELECT k, count(*) AS n
+        |FROM keyed GROUP BY k
+        |HAVING count(*) >= CAST(ceil(0.02 * (SELECT count(*) FROM keyed))
+        |  AS BIGINT)
+        |ORDER BY n DESC, k""".stripMargin,
 
     "q_asof" ->
       """WITH ev AS (

@@ -55,4 +55,26 @@ class FormatsAndSketchesSpec extends AnyFunSuite {
     assert(math.abs(approxP - exactP) / exactP < 0.05,
       s"approx p90 $approxP vs $exactP")
   }
+
+  test("Misra-Gries sketch contains every above-threshold key (uniform-noise adversary)") {
+    import spark.implicits._
+    import graft.operators.HeavyHitters
+    val rnd = new scala.util.Random(5)
+    // 3 heavy keys at ~10% each over a 500-key uniform tail
+    val rows = (0 until 20000).map { _ =>
+      if (rnd.nextDouble() < 0.3) s"heavy-${rnd.nextInt(3)}"
+      else s"tail-${rnd.nextInt(500)}"
+    }
+    val df = rows.toDF("k").repartition(8)
+    val cands = HeavyHitters.sketchCandidates(df, "k", capacity = 32)
+    assert(cands.size <= 32)
+    (0 until 3).foreach { i =>
+      assert(cands.contains(s"heavy-$i"), s"heavy-$i missing from $cands")
+    }
+    val exact = HeavyHitters.topFrequent(df, "k", support = 0.05,
+        capacity = 32).collect()
+    val truth = rows.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= math.ceil(0.05 * rows.size)).keys.toSet
+    assert(exact.map(_.getString(0)).toSet == truth)
+  }
 }
