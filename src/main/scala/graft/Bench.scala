@@ -76,7 +76,9 @@ object Bench {
     // total stays comparable round over round
     val extraNames = Seq("q_embed_dup_pairs", "q_lang_quality",
       "q_pack_shards", "q_hash_split", "q_decontaminate", "q_asof",
-      "q_quantile_bins", "q_ann_lsh", "q_multimodal_features")
+      "q_quantile_bins", "q_ann_lsh", "q_multimodal_features",
+      "q_chunk_docs", "q_repetition", "q_pii", "q_curation_funnel",
+      "q_heavy_hitters")
     warm(extraNames)
     val extraJson = toJson(timed(extraNames))
 
