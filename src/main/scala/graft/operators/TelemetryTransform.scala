@@ -54,6 +54,22 @@ object TelemetryTransform {
         normalizeExtras(raw).as("extras")): _*)
   }
 
+  /** SCD Type-2 versioning: turn a change stream (key, change_ts, attrs…)
+    * into versioned dimension rows with [effective_from, effective_to)
+    * validity — effective_to = next change's timestamp per key, open
+    * (null) for the current version. One window shuffle on the key; the
+    * standard warehouse dimension-history builder, and the inverse of
+    * [[graft.operators.IntervalJoin.asofJoin]] (as-of against the change
+    * stream == interval lookup against this output). */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+    changes
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
   /** extras: NULL/blank → null; JSON-looking (`{...}`/`[...]`) → kept;
     * anything else wrapped as a JSON string value — `to_jsonb(text)`
     * fallback semantics (`02_raw_telemetry_transform.py:328-337`). */

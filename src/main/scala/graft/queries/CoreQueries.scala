@@ -162,6 +162,23 @@ object CoreQueries {
         .orderBy("event_type", "day")
     }),
 
+    // ---- SCD Type-2 dimension versioning: change stream → versioned
+    // rows with [effective_from, effective_to) validity ----
+    "q_scd2" -> ((s, d) => {
+      import graft.operators.TelemetryTransform
+      val changes = events(s, d).where(col("event_id") % 40 === 0)
+        .select(
+          concat(lit("t"), (col("user_id") % 20).cast("string")).as("truck_id"),
+          col("ts"),
+          floor(col("value") * 10).cast("long").as("config_version"))
+      TelemetryTransform.scd2(changes, "truck_id", "ts")
+        .select(col("truck_id"),
+          unix_micros(col("effective_from")).as("from_us"),
+          unix_micros(col("effective_to")).as("to_us"),
+          col("config_version"), col("is_current"))
+        .orderBy("truck_id", "from_us")
+    }),
+
     // ---- frequent items via Misra-Gries sketch + exact verify: skewed
     // key space (7 hot keys ≫ support, long cold tail); the sketch
     // guarantees every ≥-support key is a candidate, the verify pass makes
@@ -425,6 +442,22 @@ object CoreQueries {
         |FROM events
         |GROUP BY ROLLUP (event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'))
         |ORDER BY event_type, day""".stripMargin,
+
+    "q_scd2" ->
+      """WITH changes AS (
+        |  SELECT 't' || CAST(user_id % 20 AS VARCHAR) AS truck_id,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(floor(value * 10) AS BIGINT) AS config_version
+        |  FROM events WHERE event_id % 40 = 0
+        |)
+        |SELECT truck_id,
+        |  epoch_us(ts) AS from_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY truck_id ORDER BY ts))
+        |    AS to_us,
+        |  config_version,
+        |  lead(ts) OVER (PARTITION BY truck_id ORDER BY ts) IS NULL
+        |    AS is_current
+        |FROM changes ORDER BY truck_id, from_us""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH keyed AS (
