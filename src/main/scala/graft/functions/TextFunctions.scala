@@ -113,11 +113,19 @@ object TextFunctions {
     "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
-  /** Count of PII matches per category. */
-  def piiCounts(text: Column): (Column, Column, Column) = (
-    size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long"),
-    size(regexp_extract_all(text, lit(ipv4Pattern), lit(0))).cast("long"),
-    size(regexp_extract_all(text, lit(phonePattern), lit(0))).cast("long"))
+  /** Count of PII matches per category, counted SEQUENTIALLY on the
+    * partially-redacted text (emails first, then IPs, then phones) so the
+    * counts agree with [[redactPii]]'s placeholders — a phone-shaped run
+    * inside an email local part counts once, as the email it is part of. */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Pattern, "<IP>")
+    (size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long"),
+      size(regexp_extract_all(afterEmail, lit(ipv4Pattern), lit(0)))
+        .cast("long"),
+      size(regexp_extract_all(afterIp, lit(phonePattern), lit(0)))
+        .cast("long"))
+  }
 
   /** Redact all three PII categories with typed placeholder tokens —
     * email first so its host part is not half-eaten by the IP rule. */
@@ -145,9 +153,16 @@ object TextFunctions {
     * expression form re-ran the normalization regex ~length times per
     * document — measured ~6 s for 6k docs vs milliseconds here.
     */
+  /** SQL-compatible trim: spaces only, like Spark's trim() and DuckDB's
+    * trim() — Java String.trim also strips tabs/newlines and would make
+    * the kernels diverge from the Column/oracle forms on texts with edge
+    * control whitespace. */
+  private def sqlTrim(s: String): String =
+    s.replaceAll("\\A +", "").replaceAll(" +\\z", "")
+
   def charShingleKernel(text: String, n: Int): Seq[String] = {
     if (text == null) return Seq.empty
-    val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    val norm = sqlTrim(text).toLowerCase.replaceAll("\\s+", " ")
     if (norm.length < n) return Seq.empty
     val out = new scala.collection.mutable.LinkedHashSet[String]
     var i = 0
@@ -158,7 +173,8 @@ object TextFunctions {
   /** Kernel: distinct word n-grams, first-occurrence order. */
   def wordShingleKernel(text: String, n: Int): Seq[String] = {
     if (text == null) return Seq.empty
-    val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(' ')
+    val toks = sqlTrim(text).toLowerCase.replaceAll("\\s+", " ")
+      .split(' ')
     if (toks.length < n) return Seq.empty
     val out = new scala.collection.mutable.LinkedHashSet[String]
     var i = 0

@@ -19,31 +19,34 @@ import org.apache.spark.sql.functions._
   *     support.
   *
   * The guarantee needs capacity > 1/support; [[topFrequent]] enforces it.
+  * Note the sketch pass runs EAGERLY at call time (the driver needs the
+  * candidate set to build the verify plan) — two jobs total, with the
+  * exact row count carried inside the sketch buffer.
   */
 object HeavyHitters {
 
   /** Product-encodable sketch buffer (parallel key/count arrays — a
     * Map-typed buffer needs a kryo encoder the udaf() path rejects). */
-  case class MGBuf(keys: Seq[String], counts: Seq[Long]) {
+  case class MGBuf(keys: Seq[String], counts: Seq[Long], rows: Long) {
     def toMap: Map[String, Long] = keys.zip(counts).toMap
   }
-  private def fromMap(m: Map[String, Long]): MGBuf = {
-    val ks = m.keys.toSeq.sorted
-    MGBuf(ks, ks.map(m))
-  }
+  // buffer order is irrelevant (finish() sorts); sorting here would cost
+  // O(capacity log capacity) per input ROW on the aggregation hot path
+  private def fromMap(m: Map[String, Long], rows: Long): MGBuf =
+    MGBuf(m.keys.toSeq, m.values.toSeq, rows)
 
   /** Misra-Gries summary aggregator. Buffer = key → residual count;
     * `reduce` is the classic decrement-all-on-overflow step, `merge` adds
     * summaries then re-truncates by subtracting the (capacity)-th largest
     * residual (Agarwal et al. 2013 mergeable-summaries construction). */
   case class MisraGries(capacity: Int)
-      extends Aggregator[String, MGBuf, Seq[String]] {
+      extends Aggregator[String, MGBuf, MGBuf] {
     require(capacity >= 2, "capacity must be >= 2")
 
-    def zero: MGBuf = MGBuf(Nil, Nil)
+    def zero: MGBuf = MGBuf(Nil, Nil, 0L)
 
     def reduce(buf: MGBuf, key: String): MGBuf = {
-      if (key == null) return buf
+      if (key == null) return buf.copy(rows = buf.rows + 1)
       val b = buf.toMap
       fromMap(b.get(key) match {
         case Some(c) => b.updated(key, c + 1)
@@ -51,7 +54,7 @@ object HeavyHitters {
         case None =>
           // decrement every counter; drop the zeroed ones
           b.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }
-      })
+      }, buf.rows + 1)
     }
 
     def merge(b1: MGBuf, b2: MGBuf): MGBuf = {
@@ -66,23 +69,33 @@ object HeavyHitters {
           sum.flatMap { case (k, c) =>
             if (c > cut) Some(k -> (c - cut)) else None
           }
-        })
+        }, b1.rows + b2.rows)
     }
 
-    def finish(b: MGBuf): Seq[String] = b.keys.sorted
+    // summary out: sorted keys (determinism) + the exact total row count
+    // accumulated alongside the sketch (saves the separate count() pass)
+    def finish(b: MGBuf): MGBuf = {
+      val ks = b.keys.sorted
+      val m = b.toMap
+      MGBuf(ks, ks.map(m), b.rows)
+    }
 
     def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
-    def outputEncoder: Encoder[Seq[String]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+  }
+
+  /** One sketch pass: (candidate keys ≤ capacity, exact total rows). */
+  def sketch(df: DataFrame, keyCol: String,
+      capacity: Int): (Seq[String], Long) = {
+    val agg = udaf(MisraGries(capacity))
+    val s = df.select(agg(col(keyCol)).as("s")).head()
+      .getStruct(0)
+    (s.getSeq[String](0), s.getLong(2))
   }
 
   /** Candidate keys from one sketch pass (≤ capacity of them). */
   def sketchCandidates(df: DataFrame, keyCol: String,
-      capacity: Int): Seq[String] = {
-    val agg = udaf(MisraGries(capacity))
-    df.select(agg(col(keyCol)).as("cands"))
-      .head().getSeq[String](0)
-  }
+      capacity: Int): Seq[String] = sketch(df, keyCol, capacity)._1
 
   /** Exact frequent items with support ≥ `support` (fraction of rows),
     * via sketch → exact-verify. Output: (key, n), count-descending. */
@@ -93,8 +106,7 @@ object HeavyHitters {
       else math.max(2, math.ceil(2.0 / support).toInt)
     require(cap > 1.0 / support,
       s"capacity $cap cannot guarantee support $support")
-    val cands = sketchCandidates(df, keyCol, cap)
-    val n = df.count()
+    val (cands, n) = sketch(df, keyCol, cap)
     val threshold = math.ceil(support * n).toLong
     df.where(col(keyCol).isin(cands: _*))
       .groupBy(keyCol)

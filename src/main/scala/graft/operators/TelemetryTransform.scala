@@ -63,7 +63,13 @@ object TelemetryTransform {
     * stream == interval lookup against this output). */
   def scd2(changes: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+    // deterministic total order: tied change timestamps tiebreak on the
+    // remaining attribute columns (as one struct), so the version chain is
+    // stable across engines and partitionings
+    val attrs = changes.columns.filterNot(c => c == keyCol || c == tsCol)
+    val order = Seq(col(tsCol)) ++
+      (if (attrs.nonEmpty) Seq(struct(attrs.map(col): _*)) else Nil)
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
     changes
       .withColumn("effective_from", col(tsCol))
       .withColumn("effective_to", lead(col(tsCol), 1).over(w))

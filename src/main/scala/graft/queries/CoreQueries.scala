@@ -452,11 +452,11 @@ object CoreQueries {
         |)
         |SELECT truck_id,
         |  epoch_us(ts) AS from_us,
-        |  epoch_us(lead(ts) OVER (PARTITION BY truck_id ORDER BY ts))
-        |    AS to_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY truck_id
+        |    ORDER BY ts, config_version)) AS to_us,
         |  config_version,
-        |  lead(ts) OVER (PARTITION BY truck_id ORDER BY ts) IS NULL
-        |    AS is_current
+        |  lead(ts) OVER (PARTITION BY truck_id
+        |    ORDER BY ts, config_version) IS NULL AS is_current
         |FROM changes ORDER BY truck_id, from_us""".stripMargin,
 
     "q_heavy_hitters" ->

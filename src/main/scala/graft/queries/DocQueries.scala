@@ -392,7 +392,7 @@ object DocQueries {
        |         WHEN doc_id % 13 = 0 THEN text || ' mail me: x' ||
        |           CAST(doc_id AS VARCHAR) || '@spam.net'
        |         ELSE text END AS text
-       |  FROM d0
+       |  FROM documents
        |), t AS (
        |  SELECT doc_id, source, text,
        |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
@@ -442,7 +442,6 @@ object DocQueries {
        |FROM scored
        |GROUP BY source, verdict
        |ORDER BY source, verdict""".stripMargin
-      .replace("FROM d0", "FROM documents")
   }
 
   val oracle: Map[String, String] = Map(
@@ -577,10 +576,19 @@ object DocQueries {
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
         |    AS n_emails,
-        |  CAST(len(regexp_extract_all(text,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
         |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
         |    AS n_ips,
-        |  CAST(len(regexp_extract_all(text,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+        |      '<IP>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
         |  CAST(length(
         |    regexp_replace(
