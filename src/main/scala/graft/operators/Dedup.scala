@@ -227,6 +227,43 @@ object Dedup {
     * exact copies is 1 at any `bits`; near-but-not-identical pairs trade
     * recall for bucket size via `bits` (fewer bits → bigger buckets).
     */
+  /** Transitive closure of near-duplicate pairs: connected components by
+    * iterative min-label propagation — the step that turns pair lists
+    * into canonical-document clusters. Each iteration is one join + one
+    * min-aggregation (both keyed — the classic large-graph CC plan, label
+    * count halves every round, ~log(diameter) iterations; dup clusters
+    * are shallow so this converges in a handful). Deterministic: the
+    * canonical id is the component's minimum id.
+    *
+    * @param vertices one column `idCol`
+    * @param pairs    columns id_a, id_b (undirected)
+    * @return (idCol, component) — component = min id reachable
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      idCol: String, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"),
+        col("id_a").as("dst")))
+    var labels = vertices.select(col(idCol).as("id"),
+      col(idCol).as("component"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val viaEdges = labels.join(sym, col("id") === col("src"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("id").agg(min("component").as("component"))
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .where(col("n.component") =!= col("o.component"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("id").as(idCol), col("component"))
+  }
+
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, bits: Int = 16): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)

@@ -103,6 +103,22 @@ object DocQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- near-dup CLUSTERS: transitive closure over the minhash pairs →
+    // canonical id per cluster (min id) — the production dedup capstone;
+    // oracle recomputes components with a recursive CTE over the same
+    // all-pairs trigram truth the pair gate is pinned to ----
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = docsWithDups(s, d)
+      val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      Dedup.connectedComponents(docs.select("doc_id"), pairs, "doc_id")
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"))
+        .where(col("n_members") > 1)
+        .select(col("component").as("canonical_id"), col("n_members"))
+        .orderBy("canonical_id")
+    }),
+
     // ---- SimHash near-dup pairs (rows-only gate): radius 7 exercises the
     // generalized (maxHamming+1)-chunk pigeonhole blocking — completeness
     // vs brute force is pinned in KernelSpec ----
@@ -561,6 +577,39 @@ object DocQueries {
         |       ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "q_dedup_clusters" -> (docsWithDupsCte
+      .replace("WITH docs AS (", "WITH RECURSIVE docs AS (") +
+      """, toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS t
+        |  FROM docs
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM toks WHERE len(t) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+        |    >= 0.5
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pairs
+        |), reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT s.dst, r.label FROM reach r JOIN sym s ON r.id = s.src
+        |), comp AS (
+        |  SELECT id, min(label) AS component FROM reach GROUP BY id
+        |)
+        |SELECT component AS canonical_id, count(*) AS n_members
+        |FROM comp GROUP BY component HAVING count(*) > 1
+        |ORDER BY canonical_id""".stripMargin),
 
     "q_pii" ->
       """WITH d AS (

@@ -69,4 +69,18 @@ class IncrementalDedupSpec extends AnyFunSuite {
         s"'${r.getAs[String]("text")}' -> ${r.getAs[String]("got")}")
     }
   }
+
+  test("connected components: chains collapse, disjoint clusters stay apart") {
+    import spark.implicits._
+    val vertices = (1L to 8L).toDF("id")
+    // chain 1-2-3-4 (transitive, no direct 1-4 edge) + pair 6-7; 5, 8 alone
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val comp = graft.operators.Dedup
+      .connectedComponents(vertices, pairs, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).map(comp) == Seq(1L, 1L, 1L, 1L))
+    assert(comp(6L) == 6L && comp(7L) == 6L)
+    assert(comp(5L) == 5L && comp(8L) == 8L)
+  }
 }
