@@ -264,6 +264,18 @@ object Dedup {
     labels.select(col("id").as(idCol), col("component"))
   }
 
+  /** End-to-end near-dedup: MinHash pairs → components → keep only each
+    * cluster's canonical (minimum-id) document. */
+  def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashDupPairs(docs, idCol, textCol, threshold)
+    val canonical = connectedComponents(
+        docs.select(col(idCol)), pairs, idCol)
+      .where(col(idCol) === col("component"))
+      .select(idCol)
+    docs.join(canonical, Seq(idCol), "left_semi")
+  }
+
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, bits: Int = 16): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)

@@ -83,4 +83,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(comp(6L) == 6L && comp(7L) == 6L)
     assert(comp(5L) == 5L && comp(8L) == 8L)
   }
+
+  test("dropNearDups keeps exactly one canonical doc per near-dup cluster") {
+    val docs = graft.queries.DocQueries.docsWithDupsPublic(spark, sf)
+    val kept = graft.operators.Dedup
+      .dropNearDups(docs, "doc_id", "text", threshold = 0.5)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val comp = graft.operators.Dedup.connectedComponents(
+        docs.select("doc_id"),
+        graft.operators.Dedup.minhashDupPairs(docs, "doc_id", "text", 0.5),
+        "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // kept set == the set of component representatives
+    assert(keptIds == comp.values.toSet)
+    assert(keptIds.size < docs.count())
+    // every kept id is its own component minimum
+    assert(keptIds.forall(id => comp(id) == id))
+  }
 }
