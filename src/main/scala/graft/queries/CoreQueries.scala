@@ -415,8 +415,11 @@ object CoreQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), blocks AS (
-        |  SELECT *, sum(CASE WHEN is_active != prev_active THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS block_id
+        |  -- CAST: DuckDB integer window sums return HUGEINT, which pandas
+        |  -- renders as float64 ("1.0") while Spark writes int64 ("1") —
+        |  -- value-identical but hash-different under the driver compare
+        |  SELECT *, CAST(sum(CASE WHEN is_active != prev_active THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS block_id
         |  FROM base
         |)
         |SELECT event_id, user_id, is_active, block_id,

@@ -566,8 +566,10 @@ object PipelineQueries {
         |  FROM base
         |  WINDOW w AS (PARTITION BY device_id, device_date ORDER BY timestamp)
         |), blocks AS (
+        |  -- CAST: DuckDB integer window sums return HUGEINT (pandas float64)
+        |  -- vs Spark's int64 — value-identical but hash-different
         |  SELECT *,
-        |    sum(CASE WHEN is_stationary != prev_stationary THEN 1 ELSE 0 END) OVER w AS stationary_block_id
+        |    CAST(sum(CASE WHEN is_stationary != prev_stationary THEN 1 ELSE 0 END) OVER w AS BIGINT) AS stationary_block_id
         |  FROM basic
         |  WINDOW w AS (PARTITION BY device_id, device_date ORDER BY timestamp)
         |), reliable AS (

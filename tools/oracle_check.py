@@ -1,59 +1,78 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir> [names]
 
 Reads each <name>/ parquet result written by graft.Verify plus
 oracle_sql.json, runs the oracle SQL in DuckDB against the sf_dir
-parquet tables, sorts columns by name and rows by all columns (the
-driver's documented normalization), and compares values exactly.
+parquet tables, sorts columns by name and rows by all columns, and
+compares values exactly.
+
+Comparison runs in PANDAS mode (duckdb .df() on both sides), because
+that is the strictest plausible driver behavior: DuckDB's HUGEINT
+(e.g. any un-CAST integer sum) becomes float64 in pandas and renders
+"1.0" where Spark's parquet int64 renders "1" — a mismatch invisible
+to fetchall() (both sides give Python int). r1/r2 lesson: the two
+queries that failed the driver hash while passing the old fetchall
+checker both output un-CAST window sums. Keep every oracle column
+CAST to the exact Spark output type (BIGINT/DOUBLE/...).
 """
 import json, math, sys
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = repr(v)
-            vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
-    return [c for c in sorted(cols)], out
+def fmt(v):
+    if v is None:
+        return "None"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, np.ndarray):
+        return "[" + ", ".join(fmt(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(fmt(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{k}: {fmt(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def norm_df(df):
+    cols = sorted(df.columns)
+    rows = []
+    for t in df[cols].itertuples(index=False, name=None):
+        rows.append(tuple(fmt(v) for v in t))
+    rows.sort()
+    return cols, rows
 
 
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         try:
-            got = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-            gcols = [d[0] for d in got.description]
-            grows = got.fetchall()
-            exp = con.execute(sql)
-            ecols = [d[0] for d in exp.description]
-            erows = exp.fetchall()
+            gdf = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+            edf = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
-        gc, gr = norm(grows, gcols)
-        ec, er = norm(erows, ecols)
+        gc, gr = norm_df(gdf)
+        ec, er = norm_df(edf)
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")
             n_bad += 1
