@@ -97,7 +97,13 @@ object Bench {
     import graft.operators.{Cpd, FeatureEngineering, TelemetryTransform}
     try {
       val rep = 32
-      val ev = Tables.events(spark, sfDir)
+      // repartition BEFORE the explode: the sf0.1 events file is one scan
+      // split, so without this the 32x-replicated 3.2M-row anchor inputs
+      // are generated — and every downstream narrow op (sha256, parse,
+      // enum chains) executed — in a single task. Shuffling the 100k base
+      // rows is ~2 MB; each of the cores then explodes its own slice,
+      // which is exactly how a real multi-split table would behave.
+      val ev = Tables.ensureParallelism(Tables.events(spark, sfDir))
         .withColumn("_r", explode(lit((0 until rep).toArray)))
         .withColumn("event_id", col("event_id") * rep + col("_r"))
         .withColumn("user_id", col("user_id") + col("_r") * 1000)
@@ -152,7 +158,12 @@ object Bench {
       // parquet (the COPY-equivalent; reference claim 50k rows/s).
       // CSV materialized untimed, ingest timed end to end.
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
-      val csvRows = raw.limit(1000000)
+      // deterministic 1M-row slice via modulus, NOT limit(): GlobalLimit
+      // collapses to one partition, which would serialize the CSV write
+      // into a single file and the timed ingest into a single task. The
+      // filter keeps the partitioning, so ingest reads many files — the
+      // shape real telemetry drops arrive in.
+      val csvRows = raw.where(pmod(col("event_id"), lit(rep)) < lit(10))
       csvRows
         .select(date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
           .as("timestamp"),
@@ -162,7 +173,7 @@ object Bench {
           col("prndl"), col("parking_brake_applied"), col("extras"))
         .write.option("header", "true").option("escape", "\"")
         .mode("overwrite").csv(s"$tmp/csv")
-      val nCsv = math.min(nRows, 1000000L)
+      val nCsv = nRows * 10 / rep // event_id % rep is uniform over 0..rep-1
       val t2 = System.nanoTime()
       val bronze = graft.sources.TelemetryCsv.read(spark, s"$tmp/csv",
         validate = false)

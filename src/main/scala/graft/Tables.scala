@@ -35,4 +35,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Split-starvation guard for CPU-bound per-row stages (hashing, regex
+    * stacks, image codecs): when the scan yields fewer partitions than
+    * cores — a small file, or one parquet row group — every downstream
+    * narrow op runs on that handful of tasks while the rest of the machine
+    * idles. Redistribute ONLY in that case; on a real multi-terabyte table
+    * the scan already splits into >= cores partitions and this is a no-op,
+    * so the pattern is scale-safe (no blind full-table shuffle).
+    */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -24,8 +24,14 @@ object DocQueries {
   def docsWithDupsPublic(s: SparkSession, d: String): DataFrame =
     docsWithDups(s, d)
 
+  /** documents scan with the split-starvation guard: every query below
+    * runs per-row CPU work (regex token stacks, shingle/minhash kernels,
+    * PNG codecs) that a sub-cores partition count would serialize. */
+  private def docsPar(s: SparkSession, d: String): DataFrame =
+    graft.Tables.ensureParallelism(documents(s, d))
+
   private def docsWithDups(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select("doc_id", "text", "source")
+    val docs = docsPar(s, d).select("doc_id", "text", "source")
     docs
       .unionByName(docs.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text"),
@@ -49,7 +55,7 @@ object DocQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis: token counting + quality signals ----
     "q_doc_stats" -> ((s, d) => {
-      documents(s, d).select(
+      docsPar(s, d).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_actual"),
         TextFunctions.tokenCountWs(col("text")).as("n_tokens_ws"),
@@ -156,7 +162,7 @@ object DocQueries {
     // fingerprint == docs sharing normalized text). ----
     "q_lang_quality" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      documents(s, d).select(
+      docsPar(s, d).select(
         col("doc_id"), col("text"),
         TextFunctions.langId(col("text")).as("lang_detected"),
         (floor(TextFunctions.qualityScore(col("text")) * 1e6) / 1e6)
@@ -176,7 +182,7 @@ object DocQueries {
     "q_multimodal_features" -> ((s, d) => {
       import graft.multimodal.Multimodal
       val media = Multimodal.syntheticMedia(
-        documents(s, d).select(col("doc_id")), "doc_id")
+        docsPar(s, d).select(col("doc_id")), "doc_id")
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("decode_ok"),
           col("width").cast("long").as("width"),
@@ -194,7 +200,7 @@ object DocQueries {
     "q_pack_shards" -> ((s, d) => {
       import graft.operators.DataPrep
       DataPrep.shardByTokenBudget(
-          documents(s, d).select("doc_id", "source", "text"),
+          docsPar(s, d).select("doc_id", "source", "text"),
           "doc_id", "source",
           TextFunctions.tokenCountWs(col("text")), budget = 2048L)
         .select("doc_id", "source", "tokens", "shard_id")
@@ -206,7 +212,7 @@ object DocQueries {
     // q_hash_id) ----
     "q_hash_split" -> ((s, d) => {
       import graft.operators.DataPrep
-      DataPrep.hashSplit(documents(s, d).select("doc_id", "source"),
+      DataPrep.hashSplit(docsPar(s, d).select("doc_id", "source"),
           "doc_id", Seq("train" -> "cc", "val" -> "e6"), rest = "test")
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n"))
@@ -218,7 +224,7 @@ object DocQueries {
     // query, first-failing-rule attribution — every component is
     // individually oracle-proven above; this pins their composition ----
     "q_curation_funnel" -> ((s, d) => {
-      val docs = documents(s, d).select(col("doc_id"), col("source"),
+      val docs = docsPar(s, d).select(col("doc_id"), col("source"),
         when(col("doc_id") % 11 === 0, concat(col("text"), lit(" "),
           col("text")))                                   // repetition
           .when(col("doc_id") % 13 === 0, concat(col("text"),
@@ -243,7 +249,7 @@ object DocQueries {
     // in-query (same expression both sides), counted and redacted with
     // typed placeholders; the regexes stay in the RE2 ∩ Java dialect ----
     "q_pii" -> ((s, d) => {
-      val docs = documents(s, d).select(col("doc_id"),
+      val docs = docsPar(s, d).select(col("doc_id"),
         when(col("doc_id") % 7 === 0, concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.com or "),
           lit("10.0."), (col("doc_id") % 256).cast("string"), lit(".1 "),
@@ -262,7 +268,7 @@ object DocQueries {
     // docs doubled in place (doc_id%5=0, same expression both sides) must
     // score ~0.5+, originals near 0 — exact integer-count math ----
     "q_repetition" -> ((s, d) => {
-      val docs = documents(s, d).select(col("doc_id"),
+      val docs = docsPar(s, d).select(col("doc_id"),
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(" "),
           col("text"))).otherwise(col("text")).as("text"))
       val raw = TextFunctions.repetitionRatio(col("text"), 3)
@@ -278,7 +284,7 @@ object DocQueries {
     // into 64-token chunks; emit per-chunk token count + first token —
     // the slice plumbing a tokenize-and-pack pipeline needs ----
     "q_chunk_docs" -> ((s, d) => {
-      val t = documents(s, d).select(
+      val t = docsPar(s, d).select(
         col("doc_id"),
         split(trim(col("text")), "\\s+").as("toks"),
         TextFunctions.tokenCountWs(col("text")).as("n_tokens"))
@@ -298,7 +304,7 @@ object DocQueries {
     // word trigrams with the (deterministic) benchmark subset ----
     "q_decontaminate" -> ((s, d) => {
       import graft.operators.DataPrep
-      val docs = documents(s, d).select("doc_id", "text")
+      val docs = docsPar(s, d).select("doc_id", "text")
       val benchmark = docs.where(col("doc_id") % 97 === 0)
       DataPrep.contaminationFlags(
           docs.where(col("doc_id") % 97 =!= 0), benchmark,

@@ -23,7 +23,10 @@ object PipelineQueries {
     rawTelemetryFromEvents(s, d)
 
   private def rawTelemetryFromEvents(s: SparkSession, d: String): DataFrame = {
-    events(s, d).select(
+    // split-starvation guard: the downstream silver transform is sha256 +
+    // enum chains + position parse per row — CPU-bound narrow work that a
+    // one-split scan would serialize on a single core
+    graft.Tables.ensureParallelism(events(s, d)).select(
       col("event_id"),
       col("ts").as("timestamp"),
       concat(lit("truck-"), (col("user_id") % 20).cast("string"))

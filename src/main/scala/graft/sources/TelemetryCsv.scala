@@ -53,7 +53,13 @@ object TelemetryCsv {
     * (`05_export_features_to_parquet.py:62-68`). */
   def bronzeSink(df: DataFrame, outDir: String): Unit = {
     import org.apache.spark.sql.functions._
+    // cluster by the partition column before the dynamic-partition write:
+    // without this every input task writes (and sorts for) every date —
+    // tasks × dates small files. One exchange buys one file per date and
+    // spares each task the partition-column sort. For dates too large for
+    // one task, add a salt term to the repartition (more files per date).
     df.withColumn("ingest_date", to_date(col("timestamp")))
+      .repartition(col("ingest_date"))
       .write.mode("append")
       .partitionBy("ingest_date")
       .option("compression", "snappy")
