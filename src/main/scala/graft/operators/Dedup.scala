@@ -145,10 +145,25 @@ object Dedup {
     * algorithms"). A per-row pure function — a 64-wide expression fold
     * would wreck codegen, so this one is a deterministic Scala UDF.
     */
-  def simHash64(shingles: Seq[String]): Long = {
+  def simHash64(shingles: Seq[String]): Long =
+    simHashWith(shingles, hash64)
+
+  /** SimHash over the PORTABLE md5-derived shingle hash ([[hash64Md5]]):
+    * bit-identical recomputable in DuckDB (`md5_number_upper`), which is
+    * what lets the q_simhash_pairs oracle verify the whole operator —
+    * including blocking completeness — against an all-pairs SQL truth.
+    * ~2× slower per shingle than the murmur path; use for verification
+    * corpora, keep the default for production throughput. */
+  def simHash64Md5(shingles: Seq[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    simHashWith(shingles, s => hash64Md5(md, s))
+  }
+
+  private def simHashWith(shingles: Seq[String],
+      hash: String => Long): Long = {
     val counts = new Array[Int](64)
     shingles.foreach { sh =>
-      val h = hash64(sh)
+      val h = hash(sh)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) != 0) counts(j) += 1 else counts(j) -= 1
@@ -164,6 +179,18 @@ object Dedup {
     sig
   }
 
+  /** First 8 bytes of MD5(UTF-8), little-endian, as a signed long — the
+    * exact bits of DuckDB's `md5_number_upper(s)` (mod 2^64), so any
+    * construction over this hash has a SQL-recomputable oracle twin. */
+  def hash64Md5(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 7
+    while (i >= 0) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
   /** Stable 64-bit string hash (two seeded 32-bit MurmurHash3 halves). */
   private def hash64(s: String): Long = {
     import scala.util.hashing.MurmurHash3
@@ -173,8 +200,10 @@ object Dedup {
   }
 
   val simhashUdf = udf(simHash64 _)
+  val simhashMd5Udf = udf(simHash64Md5 _)
 
   def simhash(shingleCol: Column): Column = simhashUdf(shingleCol)
+  def simhashPortable(shingleCol: Column): Column = simhashMd5Udf(shingleCol)
 
   /** Hamming distance between two 64-bit signatures — builtin bit ops,
     * codegen'd. */
@@ -189,14 +218,17 @@ object Dedup {
     * works (wider radius → shorter chunks → bigger buckets → more
     * verification pairs, the standard multi-chunk trade). */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, shingleSize: Int = 5): DataFrame = {
+      maxHamming: Int = 3, shingleSize: Int = 5,
+      portableHash: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       "pigeonhole blocking needs 0 <= maxHamming < 64")
     val nChunks = maxHamming + 1
     // near-equal chunk widths covering all 64 bits
     val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
+    val sigFn: Column => Column =
+      if (portableHash) simhashPortable else simhash
     val sigs = docs.select(col(idCol).as("id"),
-      simhash(TextFunctions.shingles(col(textCol), shingleSize)).as("sig"))
+      sigFn(TextFunctions.shingles(col(textCol), shingleSize)).as("sig"))
     val chunked = sigs.withColumn("ck",
       explode(array((0 until nChunks).map { c =>
         val lo = bounds(c)

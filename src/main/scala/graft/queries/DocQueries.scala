@@ -125,12 +125,14 @@ object DocQueries {
         .orderBy("canonical_id")
     }),
 
-    // ---- SimHash near-dup pairs (rows-only gate): radius 7 exercises the
-    // generalized (maxHamming+1)-chunk pigeonhole blocking — completeness
-    // vs brute force is pinned in KernelSpec ----
+    // ---- SimHash near-dup pairs, oracle-checked end to end: the portable
+    // md5-derived shingle hash (bit-identical to DuckDB md5_number_upper)
+    // lets the oracle recompute every 64-bit signature in SQL and take
+    // ALL-PAIRS Hamming as truth — so the gate also proves the pigeonhole
+    // blocking is complete (radius 7 → eight 8-bit chunks). ----
     "q_simhash_pairs" -> ((s, d) => {
       Dedup.simhashDupPairs(docsWithDups(s, d), "doc_id", "text",
-          maxHamming = 7)
+          maxHamming = 7, portableHash = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -466,7 +468,55 @@ object DocQueries {
        |ORDER BY source, verdict""".stripMargin
   }
 
+  /** All-pairs SimHash truth in SQL: recomputes each doc's 64-bit
+    * signature from the same distinct 5-char shingles over the portable
+    * md5 hash (DuckDB `md5_number_upper` == Dedup.hash64Md5 bits), then
+    * takes every pair with Hamming <= 7. Spark must emit exactly this set
+    * — which also proves the chunk blocking dropped nothing. */
+  private val simhashOracle: String = {
+    val bitSums = (0 until 64).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j")
+      .mkString(",\n    ")
+    // two's complement assembly in plain BIGINT: bit 63 contributes the
+    // sign term, bits 0..62 their positive powers
+    val sigExpr = ((0 until 63).map(j =>
+      s"CASE WHEN c$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END") :+
+      "CASE WHEN c63 > 0 THEN (CAST(-9223372036854775807 AS BIGINT) - 1) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" +\n    ")
+    docsWithDupsCte + s""", norm AS (
+  SELECT doc_id,
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM docs
+), sh AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(range(1, length(t) - 5 + 2),
+      i -> substr(t, i, 5)))) AS g
+  FROM norm WHERE length(t) >= 5
+), hs AS (
+  SELECT doc_id, md5_number_upper(g) AS h FROM sh
+), bits AS (
+  SELECT doc_id,
+    $bitSums
+  FROM hs GROUP BY doc_id
+), sigagg AS (
+  SELECT doc_id,
+    $sigExpr AS sig
+  FROM bits
+), sig AS (
+  -- docs with no shingles (text shorter than 5 after normalization) get
+  -- the empty-input signature 0, matching the Spark kernel
+  SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+  FROM docs d LEFT JOIN sigagg s USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 7
+ORDER BY id_a, id_b"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_simhash_pairs" -> simhashOracle,
     "q_lang_quality" -> langQualityOracle,
     "q_curation_funnel" -> curationOracle,
 

@@ -124,6 +124,19 @@ class KernelSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(s1 ^ s2) <= 12)
   }
 
+  test("portable md5 shingle hash matches DuckDB md5_number_upper bits") {
+    // DuckDB: SELECT md5_number_upper('abc') = 12704604231530709392
+    //         (first 8 md5 bytes little-endian); as a signed long that is
+    //         12704604231530709392 - 2^64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(Dedup.hash64Md5(md, "abc") == -5742139842178842224L)
+    assert(Dedup.hash64Md5(md, "") == java.lang.Long.reverseBytes(
+      java.lang.Long.parseUnsignedLong("d41d8cd98f00b204", 16)))
+    // portable SimHash is deterministic and differs from the murmur one
+    val sh = TextFunctions.charShingleKernel("the quick brown fox", 5)
+    assert(Dedup.simHash64Md5(sh) == Dedup.simHash64Md5(sh))
+  }
+
   test("simhash multi-chunk blocking is complete at maxHamming 7") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
