@@ -90,6 +90,48 @@ object SimilaritySearch {
   def lshSignature(vec: Column, bits: Int): Column =
     graft.plans.VectorKernels.lshSignatureNative(vec, bits)
 
+  /** PORTABLE bucket signature (oracle-checked verification path): the
+    * vector is quantized to exact integers (`floor(x·1e6)`) and projected
+    * onto Rademacher ±1 hyperplanes whose signs are bit p of the
+    * md5-derived per-dimension hash ([[Dedup.hash64Md5]] == DuckDB
+    * `md5_number_upper`). Projections are integer sums, so the bucket is
+    * bit-identical in ANY engine regardless of summation order — no
+    * float sign ties — which is what makes the q_ann_lsh SQL oracle
+    * exact. Still a valid sign-of-projection cosine LSH family
+    * (quantization at 1e-6 is immaterial to the geometry); the xxhash
+    * plane path stays the production default. bits <= 64. */
+  def lshSignaturePortableKernel(v: Seq[Double], bits: Int): Long = {
+    if (v == null || v.isEmpty) return 0L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = v.length
+    val q = new Array[Long](n)
+    val h = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      q(j) = math.floor(v(j) * 1e6).toLong
+      h(j) = Dedup.hash64Md5(md, j.toString)
+      j += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var proj = 0L
+      var i = 0
+      while (i < n) {
+        proj += (if (((h(i) >>> p) & 1L) != 0L) q(i) else -q(i))
+        i += 1
+      }
+      if (proj >= 0L) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  private val lshPortableUdf = udf(lshSignaturePortableKernel _)
+
+  def lshSignaturePortable(vec: Column, bits: Int): Column =
+    lshPortableUdf(vec, lit(bits))
+
   /** IVF-style ANN: a coarse k-means quantizer (MLlib) partitions the
     * corpus into `nlist` cells; each query scores only the corpus rows in
     * its `nprobe` nearest cells. This is the inverted-file layout of
@@ -210,15 +252,18 @@ object SimilaritySearch {
     * recall, more work). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int,
-      bits: Int = 12): DataFrame = {
+      bits: Int = 12, portableBuckets: Boolean = false): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
     import org.apache.spark.sql.expressions.Window
+    val bucketOf: Column => Column =
+      if (portableBuckets) lshSignaturePortable(_, bits)
+      else lshSignature(_, bits)
     val c = corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", lshSignature(col("v"), bits))
+      .withColumn("bucket", bucketOf(col("v")))
     val q = queries.select(col(qidCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", lshSignature(col("qv"), bits))
+      .withColumn("bucket", bucketOf(col("qv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("v"), col("qv")))

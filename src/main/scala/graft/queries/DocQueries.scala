@@ -337,13 +337,19 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- LSH-bucketed ANN (scale path; hyperplane sketch internals are
-    // engine-specific → rows-only gate) ----
+    // ---- LSH-bucketed ANN (scale path), fully oracle-checked: portable
+    // integer-Rademacher buckets are recomputed exactly by the SQL
+    // oracle, so candidate sets and ranks must match row for row ----
     "q_ann_lsh" -> ((s, d) => {
+      // portable buckets (integer Rademacher projections over the md5 dim
+      // hash) → the DuckDB oracle recomputes the exact bucket assignment
+      // and candidate set in SQL, making this approximate-path query
+      // fully oracle-checked, not rows-only
       val emb = embeddings(s, d)
       val queries = emb.where(col("vec_id") < 5)
       SimilaritySearch.lshTopK(emb, queries,
-          "vec_id", "embedding", "vec_id", k = 10, bits = 6)
+          "vec_id", "embedding", "vec_id", k = 10, bits = 6,
+          portableBuckets = true)
         .select(col("query_id"), col("id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
@@ -515,8 +521,52 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 7
 ORDER BY id_a, id_b"""
   }
 
+  /** Exact SQL twin of the portable-bucket LSH ANN: recompute each
+    * vector's integer Rademacher projections (bit p of the per-dimension
+    * md5 hash picks the sign; the vector is floor(x·1e6)-quantized), join
+    * on equal buckets, rank by the same cosine. All bucket math is
+    * integer-exact, so the candidate sets must match row for row. */
+  private val annLshOracle: String = {
+    val bits = 6
+    val sigTerms = (0 until bits).map { p =>
+      s"""CASE WHEN list_sum(list_transform(range(1, len(q) + 1),
+         |      i -> CASE WHEN (h[i] >> $p) & 1 = 1 THEN q[i] ELSE -q[i] END)) >= 0
+         |    THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END"""
+        .stripMargin
+    }.mkString(" +\n    ")
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qh AS (
+  SELECT vec_id, v,
+    list_transform(range(1, len(v) + 1),
+      i -> CAST(floor(v[i] * 1e6) AS BIGINT)) AS q,
+    list_transform(range(1, len(v) + 1),
+      i -> md5_number_upper(CAST(i - 1 AS VARCHAR))) AS h
+  FROM e
+), sigs AS (
+  SELECT vec_id, v,
+    $sigTerms AS bucket
+  FROM qh
+), qry AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM sigs WHERE vec_id < 5
+), scored AS (
+  SELECT qry.query_id, s.vec_id AS id,
+    list_cosine_similarity(s.v, qry.qv) AS cosine
+  FROM sigs s JOIN qry ON s.bucket = qry.bucket
+  WHERE s.vec_id != qry.query_id
+), ranked AS (
+  SELECT query_id, id, cosine,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, id) AS rank
+  FROM scored
+)
+SELECT query_id, id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q_simhash_pairs" -> simhashOracle,
+    "q_ann_lsh" -> annLshOracle,
     "q_lang_quality" -> langQualityOracle,
     "q_curation_funnel" -> curationOracle,
 

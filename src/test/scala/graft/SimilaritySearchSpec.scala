@@ -40,6 +40,17 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
   }
 
+  test("portable LSH buckets: locality + sign symmetry + determinism") {
+    val k = SimilaritySearch.lshSignaturePortableKernel _
+    val v = Seq(0.5, -0.25, 1.0, 0.125)
+    assert(k(v, 16) == k(v, 16))
+    // identical vectors share every bucket; negation flips every
+    // projection with a nonzero sum (sign-of-projection family)
+    assert(k(v, 16) == k(Seq(0.5, -0.25, 1.0, 0.125), 16))
+    assert(k(v.map(-_), 16) != k(v, 16))
+    assert(k(Seq.empty, 16) == 0L)
+  }
+
   test("native vec_cosine and lsh_signature are bit-identical to the HOF twins") {
     import org.apache.spark.sql.functions._
     graft.plans.GraftExtensions.register(spark)
