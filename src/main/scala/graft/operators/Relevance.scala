@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring for training-data curation: TF-IDF term
+  * statistics and Okapi BM25 ranking (Robertson & Walker 1994; the scoring
+  * function behind Lucene/Elasticsearch defaults). In an LLM data pipeline
+  * this is the "find documents about X" primitive — benchmark-leak triage,
+  * topical subset extraction, quality-by-query curation.
+  *
+  * Scale design: one keyed shuffle builds per-(doc, term) frequencies; the
+  * per-term document-frequency/IDF table is tiny (≤ vocabulary of the
+  * query) and broadcasts back; the corpus scalars (N, avg doc length) stay
+  * in-plan as a broadcast cross join — never a driver collect. The final
+  * per-doc sum is the only other shuffle. Top-k goes through
+  * `orderBy(...).limit(k)` = TakeOrderedAndProject, a distributed
+  * partial top-k with no single-partition window over the corpus.
+  */
+object Relevance {
+
+  /** Whitespace tokens of the normalized text (trim → lower → collapse
+    * whitespace) — the same normalization contract as the dedup shingles
+    * and the DuckDB oracles. */
+  def tokens(textCol: Column): Column =
+    split(regexp_replace(lower(trim(textCol)), "\\s+", " "), " ")
+
+  /** Per-(doc, term) TF joined with per-term DF, restricted to `terms`
+    * (Nil = full vocabulary — then the DF table may be large and the
+    * broadcast hint should be dropped by the caller via re-join). */
+  def termStats(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String] = Nil): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val filtered = if (terms.isEmpty) t else t.where(col("term").isin(terms: _*))
+    val tf = filtered.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+  }
+
+  /** Okapi BM25 scores of `queryTerms` against every document: returns
+    * (doc_id, n_terms_hit, score) for documents matching ≥ 1 term.
+    *
+    * `quantize = Some(s)`: each per-term contribution is floored to 1/s
+    * and the per-doc score summed in exact integers — the engine-
+    * deterministic mode (float sums are order-dependent; integer sums are
+    * not), used by the oracle-compared driver query. None = raw IEEE
+    * doubles for production ranking.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      quantize: Option[Long] = None): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val base = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val tf = base.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus scalars in-plan: 1-row aggregate broadcast-cross-joined
+    val corpus = base.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("total_dl"))
+    val idf = df.crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val scored = tf.join(broadcast(idf), Seq("term"))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b +
+            lit(b) * col("dl") / col("avgdl"))))
+    quantize match {
+      case Some(s) =>
+        scored
+          .withColumn("cq", floor(col("contrib") * s).cast("long"))
+          .groupBy("doc_id")
+          .agg((sum("cq").cast("double") / s).as("score"),
+            count(lit(1)).as("n_terms_hit"))
+      case None =>
+        scored.groupBy("doc_id")
+          .agg(sum("contrib").as("score"), count(lit(1)).as("n_terms_hit"))
+    }
+  }
+}

@@ -67,6 +67,26 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- BM25 relevance ranking (Okapi k1=1.2 b=0.75) of a fixed query
+    // against the corpus: TF via keyed shuffle, DF/IDF broadcast back,
+    // corpus scalars in-plan, distributed top-k — engine-deterministic
+    // via per-term contribution quantization (integer sums commute;
+    // float sums don't) ----
+    "q_bm25" -> ((s, d) => {
+      import graft.operators.Relevance
+      val ranked = Relevance.bm25(docsPar(s, d), "doc_id", "text",
+          Seq("vector", "stream", "window"), quantize = Some(1000000L))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+      // rank stamped on the 20-row result (tiny single partition), not on
+      // the corpus — the top-k itself is TakeOrderedAndProject
+      import org.apache.spark.sql.expressions.Window
+      ranked.withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("rank", "doc_id", "n_terms_hit", "score")
+        .orderBy("rank")
+    }),
+
     // ---- exact dedup via fingerprint groupBy ----
     "q_dedup_exact" -> ((s, d) => {
       Dedup.exactDupGroups(docsWithDups(s, d), "doc_id", "text")
@@ -564,7 +584,54 @@ SELECT query_id, id, rank, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
   }
 
+  /** BM25 twin: identical expression tree (same association order, same
+    * constant arithmetic) so every double matches bit for bit; per-term
+    * contributions are floor-quantized before the per-doc sum, making the
+    * score independent of summation order in both engines. */
+  private val bm25Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+      |      ' ') AS toks
+      |  FROM documents
+      |), dls AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base
+      |), tf AS (
+      |  SELECT doc_id, t AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+      |  WHERE t IN ('vector', 'stream', 'window')
+      |  GROUP BY doc_id, t
+      |), dfs AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), corpus AS (
+      |  SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dls
+      |), contrib AS (
+      |  SELECT tf.doc_id,
+      |    CAST(floor(
+      |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+      |        (tf * (1.2 + 1)) /
+      |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+      |          (CAST(total_dl AS DOUBLE) / n_docs)))
+      |      * 1000000) AS BIGINT) AS cq
+      |  FROM tf
+      |  JOIN dfs USING (term)
+      |  JOIN dls USING (doc_id)
+      |  CROSS JOIN corpus
+      |), scores AS (
+      |  SELECT doc_id,
+      |    CAST(sum(cq) AS DOUBLE) / 1000000 AS score,
+      |    count(*) AS n_terms_hit
+      |  FROM contrib GROUP BY doc_id
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+      |    AS rank,
+      |  doc_id, n_terms_hit, score
+      |FROM scores
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_bm25" -> bm25Oracle,
     "q_simhash_pairs" -> simhashOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_lang_quality" -> langQualityOracle,

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Relevance
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelevanceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark spark spark join"),        // tf(spark)=3, short
+      (2L, "spark join join join join"),     // tf(spark)=1
+      (3L, "scan filter merge order"),       // no query terms
+      (4L, "spark spark scan scan scan scan scan scan scan scan")
+    ).toDF("doc_id", "text")
+  }
+
+  test("termStats: tf and df over the restricted vocabulary") {
+    val stats = Relevance.termStats(fixture, "doc_id", "text", Seq("spark"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"))).toSet
+    assert(stats == Set((1L, 3L, 3L), (2L, 1L, 3L), (4L, 2L, 3L)))
+  }
+
+  test("bm25: more hits rank higher, non-matching docs drop out") {
+    val scored = Relevance.bm25(fixture, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
+      .toMap
+    assert(!scored.contains(3L))
+    // doc 1: tf 3 in a 4-token doc — highest; doc 4: tf 2 but long;
+    // doc 2: tf 1
+    assert(scored(1L) > scored(4L) && scored(4L) > scored(2L))
+    assert(scored.values.forall(_ > 0))
+  }
+
+  test("bm25 quantized mode preserves the raw ranking") {
+    val raw = Relevance.bm25(fixture, "doc_id", "text", Seq("spark", "join"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
+      .toMap
+    val q = Relevance.bm25(fixture, "doc_id", "text", Seq("spark", "join"),
+        quantize = Some(1000000L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
+      .toMap
+    assert(raw.keySet == q.keySet)
+    raw.foreach { case (id, s) => assert(math.abs(q(id) - s) < 1e-5) }
+    assert(raw.toSeq.sortBy(-_._2).map(_._1) == q.toSeq.sortBy(-_._2).map(_._1))
+  }
+}
