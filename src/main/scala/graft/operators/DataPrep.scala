@@ -73,4 +73,33 @@ object DataPrep {
       .agg(countDistinct(col("gram")).as("n_overlap"))
       .where(col("n_overlap") >= minOverlap)
   }
+
+  /** Deterministic source-mixture sampling — the dataset-mixing primitive
+    * (e.g. "30% web, 60% code, 10% wiki" for a training run): keep each
+    * document with probability `weights(source)`, decided by a
+    * content-stable uniform draw u(id) = md5-hash(id) mod 1e6 / 1e6
+    * ([[Dedup.hash64Md5]], the DuckDB-portable hash — the oracle
+    * recomputes the exact draw with `md5_number_upper`). Same id → same
+    * draw on every run, engine, and partitioning, so mixtures are
+    * reproducible and refreshes are incremental (new docs don't reshuffle
+    * old decisions). Sources absent from `weights` are dropped (an
+    * explicit mixture is a whitelist). Narrow per-row op — no shuffle. */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "mixture needs at least one source weight")
+    require(weights.values.forall(w => w >= 0 && w <= 1),
+      "weights are keep probabilities in [0, 1]")
+    val drawUdf = udf { (id: String) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.remainderUnsigned(
+        graft.operators.Dedup.hash64Md5(md, id), 1000000L).toDouble / 1e6
+    }
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (src, p)) => when(col(sourceCol) === src, lit(p))
+        .otherwise(acc)
+    }
+    df.withColumn("_u", drawUdf(col(idCol).cast("string")))
+      .where(col("_u") < w)
+      .drop("_u")
+  }
 }

@@ -87,6 +87,18 @@ object DocQueries {
         .orderBy("rank")
     }),
 
+    // ---- deterministic source-mixture sampling (dataset mixing):
+    // md5-draw keep/drop per source weight; the oracle recomputes each
+    // draw exactly via md5_number_upper, so membership is row-for-row ----
+    "q_mixture" -> ((s, d) => {
+      import graft.operators.DataPrep
+      DataPrep.mixtureSample(docsPar(s, d).select("doc_id", "source"),
+          "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
+            "src3" -> 0.1, "src4" -> 0.75))
+        .orderBy("doc_id")
+    }),
+
     // ---- exact dedup via fingerprint groupBy ----
     "q_dedup_exact" -> ((s, d) => {
       Dedup.exactDupGroups(docsWithDups(s, d), "doc_id", "text")
@@ -631,6 +643,14 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
       |LIMIT 20""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 1000000
+        |    AS DOUBLE) / 1e6 <
+        |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |    WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+        |    WHEN 'src4' THEN 0.75 ELSE 0.0 END
+        |ORDER BY doc_id""".stripMargin,
     "q_bm25" -> bm25Oracle,
     "q_simhash_pairs" -> simhashOracle,
     "q_ann_lsh" -> annLshOracle,

@@ -51,6 +51,28 @@ class DataPrepSpec extends AnyFunSuite {
     assert(again == counts)
   }
 
+  test("mixture sampling is deterministic, weight-monotone, and a whitelist") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    def kept(w: Map[String, Double]): Map[String, Long] =
+      DataPrep.mixtureSample(df, "doc_id", "source", w)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = kept(Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1))
+    assert(counts("src0") == 500)                       // p=1 keeps all
+    assert(!counts.contains("src3"))                    // unlisted → dropped
+    assert(counts("src1") > 150 && counts("src1") < 350) // ~250
+    assert(counts("src2") < counts("src1"))
+    assert(kept(Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1)) == counts)
+    // subset property: raising a weight only ADDS documents (same draw)
+    val lo = DataPrep.mixtureSample(df, "doc_id", "source",
+      Map("src1" -> 0.3)).select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = DataPrep.mixtureSample(df, "doc_id", "source",
+      Map("src1" -> 0.7)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+  }
+
   test("contamination flags exact containment and respects minOverlap") {
     import spark.implicits._
     val corpus = Seq(
