@@ -51,12 +51,20 @@ object Relevance {
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       quantize: Option[Long] = None): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    // tokenize ONCE: tf, df, and the corpus scalars all consume this
+    // frame, and Spark re-executes shared lineage per consumer — without
+    // the persist the corpus would be scanned and tokenized three times.
+    // The persisted shape is compact on purpose: doc length + only the
+    // query-term occurrences (duplicates kept — tf needs counts), never
+    // the full token array.
     val base = docs.select(col(idCol).as("doc_id"),
         tokens(col(textCol)).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        filter(col("toks"), t => t.isInCollection(queryTerms)).as("qtoks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = base.select(col("doc_id"), col("dl"),
-        explode(col("toks")).as("term"))
-      .where(col("term").isin(queryTerms: _*))
+        explode(col("qtoks")).as("term"))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -230,6 +230,40 @@ object CoreQueries {
         .orderBy("event_type", "parity")
     }),
 
+    // ---- arbitrary GROUPING SETS (the general form behind rollup/cube):
+    // by-type, by-day, and grand total in one pass — Spark 4's native
+    // Dataset.groupingSets ----
+    "q_grouping_sets" -> ((s, d) => {
+      events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("day")), Seq()),
+          col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0)
+            .as("sum_value"))
+        .select(coalesce(col("event_type"), lit("<all>")).as("event_type"),
+          coalesce(col("day"), lit("<all>")).as("day"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type", "day")
+    }),
+
+    // ---- exact interpolated percentiles (percentile ≡ quantile_cont):
+    // distributed exact computation, floor-quantized against the last-ulp
+    // interpolation-order hazard ----
+    "q_percentiles" -> ((s, d) => {
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          percentile(col("value"), lit(0.5)).as("_p50"),
+          percentile(col("value"), lit(0.95)).as("_p95"))
+        .select(col("event_type"), col("n"),
+          (floor(col("_p50") * 1e6) / 1e6).as("p50"),
+          (floor(col("_p95") * 1e6) / 1e6).as("p95"))
+        .orderBy("event_type")
+    }),
+
     // ---- sliding windows: window(ts, 2h, 1h) — each event lands in two
     // overlapping buckets; oracle = join to the covering hour-starts ----
     "q_sliding_window" -> ((s, d) => {
@@ -502,6 +536,24 @@ object CoreQueries {
         |      FROM events)
         |GROUP BY CUBE (event_type, parity)
         |ORDER BY event_type, parity""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(event_type, '<all>') AS event_type,
+        |  coalesce(day, '<all>') AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_value
+        |FROM (SELECT event_type, value,
+        |        strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |      FROM events)
+        |GROUP BY GROUPING SETS ((event_type), (day), ())
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  floor(quantile_cont(value, 0.5) * 1e6) / 1e6 AS p50,
+        |  floor(quantile_cont(value, 0.95) * 1e6) / 1e6 AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_sliding_window" ->
       """WITH cov AS (
