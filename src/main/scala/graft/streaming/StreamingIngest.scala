@@ -34,14 +34,26 @@ object StreamingIngest {
   }
 
   /** Streaming 5 s tumbling mean — the A6 downsample as a live query
-    * (append mode after watermark closes each bucket). */
+    * (append mode after watermark closes each bucket).
+    *
+    * Composability: if the input already carries an event-time watermark
+    * (e.g. it came from [[silverStream]], whose dedup defines one), that
+    * watermark is inherited — Spark disallows redefining it across
+    * chained stateful operators. `watermark` only applies to raw inputs.
+    */
   def downsampleStream(silver: DataFrame, every: String = "5 seconds",
-      watermark: String = "30 seconds"): DataFrame =
-    silver
-      .withWatermark("timestamp", watermark)
+      watermark: String = "30 seconds"): DataFrame = {
+    val alreadyWatermarked = silver.queryExecution.logical.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        e
+    }.isDefined
+    val src = if (alreadyWatermarked) silver
+      else silver.withWatermark("timestamp", watermark)
+    src
       .groupBy(col("device_date"), window(col("timestamp"), every))
       .agg(avg("current_speed").as("speed_mean"),
         count(lit(1)).as("n"))
       .select(col("device_date"), col("window.start").as("bucket_start"),
         col("speed_mean"), col("n"))
+  }
 }
