@@ -78,7 +78,8 @@ object Bench {
       "q_pack_shards", "q_hash_split", "q_decontaminate", "q_asof",
       "q_quantile_bins", "q_ann_lsh", "q_multimodal_features",
       "q_chunk_docs", "q_repetition", "q_pii", "q_curation_funnel",
-      "q_heavy_hitters")
+      "q_heavy_hitters", "q_simhash_pairs", "q_bm25", "q_mixture",
+      "q_grouping_sets", "q_percentiles")
     warm(extraNames)
     val extraJson = toJson(timed(extraNames))
 
