@@ -74,6 +74,27 @@ object DataPrep {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** Assemble the packed training sequences: after [[shardByTokenBudget]]
+    * assigns shard ids, concatenate each shard's documents in id order
+    * with `sep` — the final byte-level artifact a tokenize-and-pack
+    * pipeline ships. One additional keyed shuffle on (partCol, shard_id);
+    * the in-shard sort is bounded by the token budget, not the corpus.
+    * Returns (partCol, shard_id, n_docs, total_tokens, packed). */
+  def packSequences(docs: DataFrame, idCol: String, partCol: String,
+      tokensCol: Column, budget: Long,
+      sep: String = "\n<|doc|>\n"): DataFrame = {
+    val sharded = shardByTokenBudget(docs, idCol, partCol, tokensCol, budget)
+    sharded
+      .groupBy(col(partCol), col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tokens").as("total_tokens"),
+        concat_ws(sep,
+          transform(
+            array_sort(collect_list(struct(col(idCol), col("text")))),
+            x => x.getField("text"))).as("packed"))
+  }
+
   /** Deterministic source-mixture sampling — the dataset-mixing primitive
     * (e.g. "30% web, 60% code, 10% wiki" for a training run): keep each
     * document with probability `weights(source)`, decided by a

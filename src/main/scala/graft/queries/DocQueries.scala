@@ -241,6 +241,20 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- packed training sequences: shard docs by token budget, then
+    // concatenate each shard in id order — compared BYTE-LEVEL via md5 of
+    // the packed text (equal strings ⇔ equal digests, both engines) ----
+    "q_pack_sequences" -> ((s, d) => {
+      import graft.operators.DataPrep
+      DataPrep.packSequences(
+          docsPar(s, d).select("doc_id", "source", "text"),
+          "doc_id", "source",
+          TextFunctions.tokenCountWs(col("text")), budget = 2048L)
+        .select(col("source"), col("shard_id"), col("n_docs"),
+          col("total_tokens"), md5(col("packed")).as("packed_md5"))
+        .orderBy("source", "shard_id")
+    }),
+
     // ---- deterministic content-hash train/val/test split (counts per
     // source × split; sha256 parity with the oracle is pinned by
     // q_hash_id) ----
@@ -743,6 +757,29 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    END AS tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, text, tokens,
+        |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT source,
+        |  CAST(floor((cum - tokens) / 2048.0) AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |  md5(string_agg(text, chr(10) || '<|doc|>' || chr(10)
+        |    ORDER BY doc_id)) AS packed_md5
+        |FROM c
+        |GROUP BY source, CAST(floor((cum - tokens) / 2048.0) AS BIGINT)
+        |ORDER BY source, shard_id""".stripMargin,
 
     "q_pack_shards" ->
       """WITH t AS (

@@ -51,6 +51,26 @@ class DataPrepSpec extends AnyFunSuite {
     assert(again == counts)
   }
 
+  test("packSequences assembles shards in id order with the separator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "s", "aa bb"),   // 2 tokens
+      (2L, "s", "cc"),      // 1 token  → shard 0 (cum-excl 0,2)
+      (3L, "s", "dd ee ff") // 3 tokens → cum-excl 3 → shard 1 at budget 3
+    ).toDF("doc_id", "source", "text")
+    val out = DataPrep.packSequences(docs, "doc_id", "source",
+        graft.functions.TextFunctions.tokenCountWs(col("text")),
+        budget = 3L, sep = " | ")
+      .orderBy("shard_id")
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("packed") == "aa bb | cc")
+    assert(out(0).getAs[Long]("n_docs") == 2 &&
+      out(0).getAs[Long]("total_tokens") == 3)
+    assert(out(1).getAs[String]("packed") == "dd ee ff")
+  }
+
   test("mixture sampling is deterministic, weight-monotone, and a whitelist") {
     import spark.implicits._
     val df = (0L until 2000L).map(i => (i, s"src${i % 4}"))
