@@ -230,6 +230,80 @@ object CoreQueries {
         .orderBy("event_type", "parity")
     }),
 
+    // ---- TPC-H Q3 (shippriority variant-less): segment-filtered
+    // customer ⋈ orders ⋈ lineitem, top revenue orders. Dim filters
+    // reach the scans; customer broadcasts; revenue is per-row
+    // quantized so the ranking is engine-exact ----
+    "q_tpch_q3" -> ((s, d) => {
+      val cust = customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = orders(s, d)
+        .where(col("o_orderdate") < "1996-06-30")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = lineitem(s, d)
+        .where(col("l_shipdate") > "1996-06-30")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long").as("rev_c"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((sum("rev_c").cast("double") / 100.0).as("revenue"))
+        .select(col("l_orderkey"),
+          // parquet reads the date as TIMESTAMP_NTZ; session tz is UTC so
+          // the cast to TIMESTAMP is identity
+          unix_micros(col("o_orderdate").cast("timestamp"))
+            .as("o_orderdate_us"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q5: the 6-table join (region→nation→supplier/customer,
+    // orders, lineitem) with the local-supplier predicate
+    // c_nationkey = s_nationkey; all dims broadcast, one fact agg ----
+    "q_tpch_q5" -> ((s, d) => {
+      val asiaNations = nation(s, d)
+        .join(broadcast(region(s, d).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = supplier(s, d).select("s_suppkey", "s_nationkey")
+      val cust = customer(s, d).select("c_custkey", "c_nationkey")
+      val ord = orders(s, d)
+        .where(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1997-01-01")
+        .select("o_orderkey", "o_custkey")
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100).cast("long").as("rev_c"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((sum("rev_c").cast("double") / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- time-RANGE window: trailing 1-hour per-user mean — the
+    // interval-frame capability (RANGE BETWEEN x PRECEDING) that row
+    // frames can't express on irregular event times ----
+    "q_range_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0)
+      events(s, d).select(
+          col("event_id"), col("user_id"),
+          (sum(round(col("value") * 100).cast("long")).over(w)
+            .cast("double") / 100.0 / count(lit(1)).over(w))
+            .as("trail_avg_1h"),
+          count(lit(1)).over(w).as("n_trail"))
+        .orderBy("event_id")
+    }),
+
     // ---- arbitrary GROUPING SETS (the general form behind rollup/cube):
     // by-type, by-day, and grand total in one pass — Spark 4's native
     // Dataset.groupingSets ----
@@ -536,6 +610,48 @@ object CoreQueries {
         |      FROM events)
         |GROUP BY CUBE (event_type, parity)
         |ORDER BY event_type, parity""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1996-06-30'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_range_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+        |    / 100.0 / count(*) OVER w AS trail_avg_1h,
+        |  count(*) OVER w AS n_trail
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(event_type, '<all>') AS event_type,
