@@ -230,6 +230,39 @@ object CoreQueries {
         .orderBy("event_type", "parity")
     }),
 
+    // ---- true dynamic pivot (RelationalGroupedDataset.pivot with
+    // pinned value list — pinning keeps the schema deterministic AND
+    // avoids the extra distinct-values job): per-user-bucket counts by
+    // event type as columns ----
+    "q_pivot" -> ((s, d) => {
+      events(s, d)
+        .withColumn("bucket", (col("user_id") % 10).cast("long"))
+        .groupBy("bucket")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("bucket")
+    }),
+
+    // ---- null semantics: null-safe equality (<=> / IS NOT DISTINCT
+    // FROM) join + NULLS LAST ordering — the semantics corner every
+    // engine must agree on exactly ----
+    "q_null_semantics" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"),
+        // value > 98 → null stripe, else a small key with nulls on %7
+        when(col("value") > 98, lit(null).cast("long"))
+          .otherwise((col("user_id") % 7).cast("long")).as("k"))
+      val dim = s.range(7).select(col("id").as("k"),
+          concat(lit("grp-"), col("id").cast("string")).as("grp"))
+        .unionByName(s.range(1).select(lit(null).cast("long").as("k"),
+          lit("grp-null").as("grp")))
+      e.join(dim, e("k") <=> dim("k"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("grp")
+    }),
+
     // ---- TPC-H Q3 (shippriority variant-less): segment-filtered
     // customer ⋈ orders ⋈ lineitem, top revenue orders. Dim filters
     // reach the scans; customer broadcasts; revenue is per-row
@@ -610,6 +643,30 @@ object CoreQueries {
         |      FROM events)
         |GROUP BY CUBE (event_type, parity)
         |ORDER BY event_type, parity""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CASE WHEN value > 98 THEN NULL
+        |         ELSE CAST(user_id % 7 AS BIGINT) END AS k
+        |  FROM events
+        |), dim AS (
+        |  SELECT CAST(range AS BIGINT) AS k,
+        |    'grp-' || CAST(range AS VARCHAR) AS grp FROM range(7)
+        |  UNION ALL SELECT NULL, 'grp-null'
+        |)
+        |SELECT grp, count(*) AS n
+        |FROM e JOIN dim ON e.k IS NOT DISTINCT FROM dim.k
+        |GROUP BY grp ORDER BY grp""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey,
