@@ -230,6 +230,46 @@ object CoreQueries {
         .orderBy("event_type", "parity")
     }),
 
+    // ---- ranking-function family over grouped totals: dense_rank,
+    // percent_rank, cume_dist, first/last_value with explicit frames —
+    // ratios of small exact ints, engine-identical ----
+    "q_window_ranks" -> ((s, d) => {
+      val totals = events(s, d)
+        .groupBy(col("event_type"), (col("user_id") % 10).as("bucket"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cents").desc, col("bucket"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      totals.select(
+          col("event_type"), col("bucket"),
+          (col("cents").cast("double") / 100.0).as("total_value"),
+          dense_rank().over(w).as("drank"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          first_value(col("bucket")).over(wAll).as("top_bucket"),
+          last_value(col("bucket")).over(wAll).as("bottom_bucket"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // ---- unpivot/melt (Dataset.unpivot — the inverse of q_pivot):
+    // wide per-bucket type counts back to long (bucket, event_type, n)
+    // rows ----
+    "q_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = events(s, d)
+        .withColumn("bucket", (col("user_id") % 10).cast("long"))
+        .groupBy("bucket")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(
+          Array(col("bucket")),
+          types.map(col).toArray,
+          "event_type", "n")
+        .orderBy("bucket", "event_type")
+    }),
+
     // ---- true dynamic pivot (RelationalGroupedDataset.pivot with
     // pinned value list — pinning keeps the schema deterministic AND
     // avoids the extra distinct-values job): per-user-bucket counts by
@@ -643,6 +683,39 @@ object CoreQueries {
         |      FROM events)
         |GROUP BY CUBE (event_type, parity)
         |ORDER BY event_type, parity""".stripMargin,
+
+    "q_window_ranks" ->
+      """WITH totals AS (
+        |  SELECT event_type, user_id % 10 AS bucket,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(cents AS DOUBLE) / 100.0 AS total_value,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drank,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(first_value(bucket) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS BIGINT) AS top_bucket,
+        |  CAST(last_value(bucket) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS BIGINT) AS bottom_bucket
+        |FROM totals
+        |WINDOW w AS (PARTITION BY event_type ORDER BY cents DESC, bucket)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+        |    count(*) FILTER (event_type = 'click') AS click,
+        |    count(*) FILTER (event_type = 'error') AS error,
+        |    count(*) FILTER (event_type = 'purchase') AS purchase,
+        |    count(*) FILTER (event_type = 'signup') AS signup,
+        |    count(*) FILTER (event_type = 'view') AS view
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT bucket, event_type, n FROM wide
+        |UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+        |ORDER BY bucket, event_type""".stripMargin,
 
     "q_pivot" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
