@@ -230,6 +230,23 @@ object CoreQueries {
         .orderBy("event_type", "parity")
     }),
 
+    // ---- set operations (EXCEPT / INTERSECT / UNION distinct) over
+    // user cohorts — §2.7 completed beyond the union-only coverage ----
+    "q_set_ops" -> ((s, d) => {
+      val e = events(s, d)
+      val high = e.where(col("value") > 50).select("user_id").distinct()
+      val clickers = e.where(col("event_type") === "click")
+        .select("user_id").distinct()
+      high.intersect(clickers).agg(count(lit(1)).as("n"))
+        .select(lit("both").as("cohort"), col("n"))
+        .unionByName(high.except(clickers).agg(count(lit(1)).as("n"))
+          .select(lit("high_only").as("cohort"), col("n")))
+        .unionByName(high.union(clickers).distinct()
+          .agg(count(lit(1)).as("n"))
+          .select(lit("either").as("cohort"), col("n")))
+        .orderBy("cohort")
+    }),
+
     // ---- ranking-function family over grouped totals: dense_rank,
     // percent_rank, cume_dist, first/last_value with explicit frames —
     // ratios of small exact ints, engine-identical ----
@@ -683,6 +700,22 @@ object CoreQueries {
         |      FROM events)
         |GROUP BY CUBE (event_type, parity)
         |ORDER BY event_type, parity""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH high AS (
+        |  SELECT DISTINCT user_id FROM events WHERE value > 50
+        |), clickers AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |)
+        |SELECT 'both' AS cohort,
+        |  (SELECT count(*) FROM (SELECT * FROM high INTERSECT SELECT * FROM clickers)) AS n
+        |UNION ALL
+        |SELECT 'either',
+        |  (SELECT count(*) FROM (SELECT * FROM high UNION SELECT * FROM clickers))
+        |UNION ALL
+        |SELECT 'high_only',
+        |  (SELECT count(*) FROM (SELECT * FROM high EXCEPT SELECT * FROM clickers))
+        |ORDER BY cohort""".stripMargin,
 
     "q_window_ranks" ->
       """WITH totals AS (
