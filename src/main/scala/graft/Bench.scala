@@ -61,7 +61,13 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // operators that persist intermediates (minhash shingles, bm25
+        // term base) register with the CacheManager; without this the
+        // blocks accumulate across the ~40 bench queries and later
+        // queries pay the eviction/GC pressure (measured 2-4x noise)
+        spark.catalog.clearCache()
+        name -> (if (ok) sec else -1.0)
       }
     def toJson(r: Seq[(String, Double)]): String =
       r.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

@@ -30,6 +30,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // round-trips a temp file, and 32 concurrent tasks turn that into
+  // filesystem contention (measured 1-6 s swings on the same 5k-image
+  // query). Solid in-memory caching is strictly better for our
+  // small-payload batches. Executor-side: the object initializes per JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaMetaType: StructType = StructType(Seq(
     StructField("mime", StringType),
     StructField("width", IntegerType),
