@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{Enums, Geo, Hashing}
 
@@ -121,6 +121,39 @@ object TelemetryTransform {
       existing.select("raw_event_hash_id"),
       Seq("raw_event_hash_id"), "left_anti")
     definitelyNew.unionByName(confirmedNew)
+  }
+
+  /** Full MERGE semantics in one keyed pass (the warehouse MERGE INTO:
+    * WHEN MATCHED [AND cond] UPDATE / DELETE, WHEN NOT MATCHED INSERT)
+    * expressed as a single full-outer join — no mutable table required,
+    * Delta-free. Matched rows take the source's columns unless
+    * `deleteWhen` holds (then they drop); unmatched source rows insert;
+    * unmatched target rows carry through. One shuffle on the key.
+    *
+    * Target and source must share a schema; `deleteWhen` is evaluated on
+    * the source columns.
+    */
+  def merge(target: DataFrame, source: DataFrame, keyCol: String,
+      deleteWhen: Column): DataFrame = {
+    val cols = target.columns.toSeq
+    require(source.columns.toSeq == cols,
+      "merge expects identical target/source schemas")
+    val t = target.select(cols.map(c => col(c).as(s"t_$c")): _*)
+    val s = source
+      .withColumn("_del", deleteWhen)
+      .select(col("_del") +: cols.map(c => col(c).as(s"s_$c")): _*)
+    t.join(s, col(s"t_$keyCol") === col(s"s_$keyCol"), "full_outer")
+      // matched + deleteWhen → drop; otherwise source wins when present
+      .where(!(col(s"t_$keyCol").isNotNull && coalesce(col("_del"),
+        lit(false))))
+      .where(!(col(s"t_$keyCol").isNull && coalesce(col("_del"),
+        lit(false)))) // a delete-flagged row with no match inserts nothing
+      // row-wise winner decided by SOURCE KEY presence, not per-column
+      // coalesce — a legitimately-NULL source column must not fall back
+      // to the stale target value
+      .select(cols.map(c =>
+        when(col(s"s_$keyCol").isNotNull, col(s"s_$c"))
+          .otherwise(col(s"t_$c")).as(c)): _*)
   }
 
   /** Upsert: new rows win over existing on hash collision

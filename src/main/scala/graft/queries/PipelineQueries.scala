@@ -209,6 +209,24 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // ---- full MERGE (WHEN MATCHED UPDATE / DELETE, WHEN NOT MATCHED
+    // INSERT) in one keyed full-outer pass: target = low-id events,
+    // source = re-keyed slice with a delete stripe ----
+    "q_merge" -> ((s, d) => {
+      import graft.operators.TelemetryTransform
+      val e = events(s, d)
+      val target = e.where(col("event_id") < 6000)
+        .select(col("event_id").as("k"), col("value"),
+          lit("old").as("src"))
+      val source = e.where(col("event_id") % 3 === 0 &&
+          col("event_id") < 9000)
+        .select(col("event_id").as("k"), (col("value") + 1000).as("value"),
+          lit("new").as("src"))
+      TelemetryTransform.merge(target, source, "k",
+          deleteWhen = col("k") % 9 === 0)
+        .orderBy("k")
+    }),
+
     // ---- J4 upsert (ON CONFLICT DO UPDATE semantics,
     // 02_raw_telemetry_transform.py:347-365): new rows win on hash
     // collision; oracle = union + qualify keep-first. "Existing" = events
@@ -717,6 +735,22 @@ object PipelineQueries {
         |  epoch_us(min(ts)) AS min_ts_us,
         |  epoch_us(max(ts)) AS max_ts_us
         |FROM labeled GROUP BY ml_event_label ORDER BY ml_event_label""".stripMargin,
+
+    "q_merge" ->
+      """WITH target AS (
+        |  SELECT event_id AS k, value, 'old' AS src
+        |  FROM events WHERE event_id < 6000
+        |), source AS (
+        |  SELECT event_id AS k, value + 1000 AS value, 'new' AS src,
+        |    event_id % 9 = 0 AS del
+        |  FROM events WHERE event_id % 3 = 0 AND event_id < 9000
+        |)
+        |SELECT CASE WHEN s.k IS NOT NULL THEN s.k ELSE t.k END AS k,
+        |  CASE WHEN s.k IS NOT NULL THEN s.value ELSE t.value END AS value,
+        |  CASE WHEN s.k IS NOT NULL THEN s.src ELSE t.src END AS src
+        |FROM target t FULL OUTER JOIN source s ON t.k = s.k
+        |WHERE NOT coalesce(s.del, FALSE)
+        |ORDER BY k""".stripMargin,
 
     "q_upsert" ->
       """WITH existing AS (
