@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.TelemetryTransform
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MergeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def frames = {
+    import spark.implicits._
+    val target = Seq(
+      (1L, Option("a"), "old"),
+      (2L, Option("b"), "old"),
+      (3L, Option("c"), "old")
+    ).toDF("k", "payload", "src")
+    val source = Seq(
+      (2L, None: Option[String], "new"),  // matched update with NULL col
+      (3L, Option("x"), "new"),           // matched, delete-flagged below
+      (4L, Option("d"), "new"),           // unmatched insert
+      (5L, Option("e"), "new")            // unmatched tombstone → no-op
+    ).toDF("k", "payload", "src")
+    (target, source)
+  }
+
+  test("merge: update/delete/insert and CDC tombstone no-op") {
+    val (target, source) = frames
+    val out = TelemetryTransform
+      .merge(target, source, "k", deleteWhen = col("k").isin(3L, 5L))
+      .orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    val srcByK = out.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(srcByK == Map(1L -> "old", 2L -> "new", 4L -> "new"))
+  }
+
+  test("merge: a NULL source column wins over the stale target value") {
+    val (target, source) = frames
+    val out = TelemetryTransform
+      .merge(target, source, "k", deleteWhen = lit(false))
+      .where(col("k") === 2L).collect()
+    assert(out.length == 1)
+    // per-column coalesce would resurrect "b"; source-key presence must win
+    assert(out(0).isNullAt(1), s"expected NULL payload, got ${out(0)}")
+  }
+}
