@@ -44,11 +44,15 @@ object Bench {
     // identical code, so the janino compile + JIT cost is paid outside the
     // timed run — the timings below measure steady-state execution.
     val warmDir = "/root/testdata/sf0.001"
-    def warm(names: Seq[String]): Unit = names.filter(qs.contains).foreach {
-      name =>
+    def warm(names: Seq[String]): Unit = {
+      names.filter(qs.contains).foreach { name =>
         try qs(name)(spark, warmDir).write.format("noop").mode("overwrite")
           .save()
         catch { case _: Throwable => () }
+      }
+      // drop frames the warmup's persisting operators cached, so the
+      // FIRST timed query starts from the same clean state as the rest
+      spark.catalog.clearCache()
     }
     // noop sink: count() lets Spark skip projection work on map-only
     // plans; noop forces every output column to materialize

@@ -46,6 +46,13 @@ object Relevance {
     * deterministic mode (float sums are order-dependent; integer sums are
     * not), used by the oracle-compared driver query. None = raw IEEE
     * doubles for production ranking.
+    *
+    * Caching contract: the compact tokenized base (doc length +
+    * query-term occurrences) is session-cached for the duration of the
+    * returned plan — three consumers (tf, df, corpus scalars) would
+    * otherwise re-scan the corpus. Long-lived sessions issuing many
+    * bm25 calls should `spark.catalog.clearCache()` between them (the
+    * bench does), or unpersist via the catalog.
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,

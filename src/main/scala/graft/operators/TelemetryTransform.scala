@@ -138,21 +138,28 @@ object TelemetryTransform {
     val cols = target.columns.toSeq
     require(source.columns.toSeq == cols,
       "merge expects identical target/source schemas")
-    val t = target.select(cols.map(c => col(c).as(s"t_$c")): _*)
+    // explicit presence markers: testing the KEY column for null would
+    // misclassify a legitimately-NULL-keyed source row as "absent" (its
+    // insert would come out all-NULL); full_outer never matches NULL
+    // keys, so such rows are inserts
+    val t = target.withColumn("_t_present", lit(true))
+      .select(col("_t_present") +: cols.map(c => col(c).as(s"t_$c")): _*)
     val s = source
-      .withColumn("_del", deleteWhen)
-      .select(col("_del") +: cols.map(c => col(c).as(s"s_$c")): _*)
+      .withColumn("_del", coalesce(deleteWhen, lit(false)))
+      .withColumn("_s_present", lit(true))
+      .select(col("_del") +: col("_s_present") +:
+        cols.map(c => col(c).as(s"s_$c")): _*)
+    // === is null-rejecting: NULL keys never match (standard MERGE ON),
+    // they fall through as inserts/carries via the presence markers
     t.join(s, col(s"t_$keyCol") === col(s"s_$keyCol"), "full_outer")
-      // matched + deleteWhen → drop; otherwise source wins when present
-      .where(!(col(s"t_$keyCol").isNotNull && coalesce(col("_del"),
-        lit(false))))
-      .where(!(col(s"t_$keyCol").isNull && coalesce(col("_del"),
-        lit(false)))) // a delete-flagged row with no match inserts nothing
-      // row-wise winner decided by SOURCE KEY presence, not per-column
+      // tombstones drop whether or not they matched (CDC apply: a delete
+      // for an absent key is a no-op) — one filter covers both cases
+      .where(!coalesce(col("_del"), lit(false)))
+      // row-wise winner decided by source-side PRESENCE, not per-column
       // coalesce — a legitimately-NULL source column must not fall back
       // to the stale target value
       .select(cols.map(c =>
-        when(col(s"s_$keyCol").isNotNull, col(s"s_$c"))
+        when(coalesce(col("_s_present"), lit(false)), col(s"s_$c"))
           .otherwise(col(s"t_$c")).as(c)): _*)
   }
 

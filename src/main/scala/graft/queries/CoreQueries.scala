@@ -413,18 +413,21 @@ object CoreQueries {
     }),
 
     // ---- exact interpolated percentiles (percentile ≡ quantile_cont):
-    // distributed exact computation, floor-quantized against the last-ulp
-    // interpolation-order hazard ----
+    // computed over integer-quantized cents so both engines interpolate
+    // between identical exact integers (lower + (upper-lower)·frac on
+    // small ints is engine-identical; raw-double interpolation would
+    // expose internal op-order differences) ----
     "q_percentiles" -> ((s, d) => {
       events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
-          percentile(col("value"), lit(0.5)).as("_p50"),
-          percentile(col("value"), lit(0.95)).as("_p95"))
+          percentile(col("cents"), lit(0.5)).as("_p50"),
+          percentile(col("cents"), lit(0.95)).as("_p95"))
         .select(col("event_type"), col("n"),
-          (floor(col("_p50") * 1e6) / 1e6).as("p50"),
-          (floor(col("_p95") * 1e6) / 1e6).as("p95"))
+          (floor(col("_p50") * 1e4) / 1e6).as("p50"),
+          (floor(col("_p95") * 1e4) / 1e6).as("p95"))
         .orderBy("event_type")
     }),
 
@@ -830,8 +833,10 @@ object CoreQueries {
 
     "q_percentiles" ->
       """SELECT event_type, count(*) AS n,
-        |  floor(quantile_cont(value, 0.5) * 1e6) / 1e6 AS p50,
-        |  floor(quantile_cont(value, 0.95) * 1e6) / 1e6 AS p95
+        |  floor(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+        |    * 1e4) / 1e6 AS p50,
+        |  floor(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95)
+        |    * 1e4) / 1e6 AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_sliding_window" ->

@@ -524,7 +524,13 @@ object DocQueries {
     * signature from the same distinct 5-char shingles over the portable
     * md5 hash (DuckDB `md5_number_upper` == Dedup.hash64Md5 bits), then
     * takes every pair with Hamming <= 7. Spark must emit exactly this set
-    * — which also proves the chunk blocking dropped nothing. */
+    * — which also proves the chunk blocking dropped nothing.
+    *
+    * Known limit: shingle offsets count UTF-16 units in the JVM and
+    * codepoints in DuckDB, so the twins diverge on astral-plane (non-BMP)
+    * characters — fine on this corpus (ASCII), flagged for real-world
+    * text (normalize or shingle on codepoints before relying on the SQL
+    * twin there). */
   private val simhashOracle: String = {
     val bitSums = (0 until 64).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j")
@@ -632,11 +638,15 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
       |), corpus AS (
       |  SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dls
       |), contrib AS (
+      |  -- force DOUBLE promotion at the head of every arithmetic chain:
+      |  -- bare decimal literals are DECIMAL in DuckDB (exact-decimal
+      |  -- products like tf*2.2), which is 1-ulp off Spark's all-double
+      |  -- math and could flip a floor boundary
       |  SELECT tf.doc_id,
       |    CAST(floor(
-      |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
-      |        (tf * (1.2 + 1)) /
-      |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+      |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+      |        (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)) /
+      |        (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl /
       |          (CAST(total_dl AS DOUBLE) / n_docs)))
       |      * 1000000) AS BIGINT) AS cq
       |  FROM tf

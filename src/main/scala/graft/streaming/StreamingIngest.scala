@@ -43,9 +43,12 @@ object StreamingIngest {
     */
   def downsampleStream(silver: DataFrame, every: String = "5 seconds",
       watermark: String = "30 seconds"): DataFrame = {
+    // inherit only a watermark defined on OUR event-time column — a
+    // watermark on some other column would leave the window agg without
+    // one on 'timestamp' (AnalysisException / never-finalizing buckets)
     val alreadyWatermarked = silver.queryExecution.logical.collectFirst {
-      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
-        e
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+          if e.eventTime.name == "timestamp" => e
     }.isDefined
     val src = if (alreadyWatermarked) silver
       else silver.withWatermark("timestamp", watermark)

@@ -33,6 +33,20 @@ class MergeSpec extends AnyFunSuite {
     assert(srcByK == Map(1L -> "old", 2L -> "new", 4L -> "new"))
   }
 
+  test("merge: a NULL-keyed source row inserts, never an all-NULL row") {
+    import spark.implicits._
+    val target = Seq((1L, Option("a"), "old")).toDF("k", "payload", "src")
+    val source = Seq((Option.empty[Long], Option("n"), "new"))
+      .toDF("k", "payload", "src")
+    val out = TelemetryTransform
+      .merge(target, source, "k", deleteWhen = lit(false))
+      .collect()
+    assert(out.length == 2)
+    val nullKeyed = out.filter(_.isNullAt(0))
+    assert(nullKeyed.length == 1 && nullKeyed(0).getString(1) == "n",
+      s"NULL-keyed source row must insert intact, got ${out.toSeq}")
+  }
+
   test("merge: a NULL source column wins over the stale target value") {
     val (target, source) = frames
     val out = TelemetryTransform
