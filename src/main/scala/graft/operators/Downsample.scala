@@ -32,4 +32,43 @@ object Downsample {
       .withColumn("bucket_start", col("_w.start"))
       .drop("_w")
   }
+
+  /** Gap filling — the inverse of downsampling: regularize an irregular
+    * per-key series onto a fixed `stepUs` grid spanning each key's own
+    * [min, max] extent, carrying the last observed value forward into
+    * empty buckets (`is_filled` marks carried rows).
+    *
+    * Plan: bucket-dedupe (keep the latest row per (key, bucket) via
+    * row_number — deterministic, unlike groupBy-first), per-key extent
+    * agg, `sequence`+`explode` grid generation, left join actuals, and a
+    * `last(ignoreNulls)` forward-fill window. All shuffles are keyed on
+    * (key[, bucket]) at post-bucketing density — grid size is
+    * extent/step per key, never raw-row count; no driver collection.
+    * The carried value is copied, not recomputed, so filled rows are
+    * bit-identical to their source observation on any engine. */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepUs: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.withColumn("_bucket",
+      floor(unix_micros(col(tsCol)) / stepUs).cast("long"))
+    val ordered = Window.partitionBy(keyCol, "_bucket")
+      .orderBy((col(tsCol).desc +: tieBreak.map(col(_).desc)): _*)
+    val actual = bucketed
+      .withColumn("_rn", row_number().over(ordered))
+      .where(col("_rn") === 1)
+      .select(col(keyCol), col("_bucket"), col(valueCol))
+    val extent = actual.groupBy(keyCol)
+      .agg(min("_bucket").as("_lo"), max("_bucket").as("_hi"))
+    val grid = extent.select(col(keyCol),
+      explode(sequence(col("_lo"), col("_hi"))).as("_bucket"))
+    val fillW = Window.partitionBy(keyCol).orderBy("_bucket")
+    grid.join(actual, Seq(keyCol, "_bucket"), "left")
+      .withColumn("is_filled", col(valueCol).isNull)
+      .withColumn(valueCol,
+        last(col(valueCol), ignoreNulls = true).over(fillW))
+      .withColumn("bucket_start_us", col("_bucket") * stepUs)
+      .select(col(keyCol), col("bucket_start_us"), col(valueCol),
+        col("is_filled"))
+  }
 }

@@ -230,6 +230,18 @@ object CoreQueries {
         .orderBy("event_type", "parity")
     }),
 
+    // ---- gap filling (inverse of A6 downsampling): per-user daily grid
+    // over each user's own extent, last observation carried forward into
+    // empty days; carried values are copied bits, never recomputed ----
+    "q_gap_fill" -> ((s, d) => {
+      import graft.operators.Downsample
+      Downsample.gapFill(
+          events(s, d).select("user_id", "ts", "value", "event_id"),
+          "user_id", "ts", "value", stepUs = 86400000000L,
+          tieBreak = Seq("event_id"))
+        .orderBy("user_id", "bucket_start_us")
+    }),
+
     // ---- set operations (EXCEPT / INTERSECT / UNION distinct) over
     // user cohorts — §2.7 completed beyond the union-only coverage ----
     "q_set_ops" -> ((s, d) => {
@@ -703,6 +715,34 @@ object CoreQueries {
         |      FROM events)
         |GROUP BY CUBE (event_type, parity)
         |ORDER BY event_type, parity""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS bucket,
+        |    value,
+        |    row_number() OVER (
+        |      PARTITION BY user_id,
+        |        CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |), actual AS (
+        |  SELECT user_id, bucket, value FROM b WHERE rn = 1
+        |), ext AS (
+        |  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM actual GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM ext
+        |), j AS (
+        |  SELECT g.user_id, g.bucket, a.value AS raw_value
+        |  FROM grid g LEFT JOIN actual a
+        |    ON g.user_id = a.user_id AND g.bucket = a.bucket
+        |)
+        |SELECT user_id, bucket * 86400000000 AS bucket_start_us,
+        |  last_value(raw_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY bucket) AS value,
+        |  raw_value IS NULL AS is_filled
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
 
     "q_set_ops" ->
       """WITH high AS (

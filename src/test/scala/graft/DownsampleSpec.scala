@@ -39,4 +39,27 @@ class DownsampleSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("signal") == 15.0)
     assert(out(1).getAs[String]("hash") == "h2")
   }
+
+  test("gapFill carries the last observation into empty buckets") {
+    import spark.implicits._
+    val t0 = 1_722_297_600_000L // 2024-07-30 00:00:00 UTC
+    val rows = Seq(
+      ("a", new Timestamp(t0), 1.0, 1L),
+      ("a", new Timestamp(t0 + 500), 2.0, 2L),   // same bucket: latest wins
+      ("a", new Timestamp(t0 + 3000), 9.0, 3L),  // bucket 3; 1-2 are gaps
+      ("b", new Timestamp(t0 + 1000), 5.0, 4L))  // single-bucket key
+      .toDF("k", "ts", "v", "id")
+    val out = Downsample.gapFill(rows, "k", "ts", "v",
+        stepUs = 1000000L, tieBreak = Seq("id"))
+      .orderBy("k", "bucket_start_us").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    val t0us = t0 * 1000
+    assert(out.toSeq == Seq(
+      ("a", t0us, 2.0, false),            // dedupe kept the later row
+      ("a", t0us + 1000000, 2.0, true),   // gap: carried forward
+      ("a", t0us + 2000000, 2.0, true),
+      ("a", t0us + 3000000, 9.0, false),
+      ("b", t0us + 1000000, 5.0, false))) // extent is per-key
+  }
 }
