@@ -185,7 +185,10 @@ object CoreQueries {
     // the output exact — so the plain GROUP BY/HAVING oracle applies ----
     "q_heavy_hitters" -> ((s, d) => {
       import graft.operators.HeavyHitters
-      val keyed = events(s, d).select(
+      // split-starvation guard: the sketch's partial phase is per-row
+      // CPU (string build + map upkeep) and merges cheaply — it wants
+      // cores, not one scan split
+      val keyed = graft.Tables.ensureParallelism(events(s, d)).select(
         when(col("user_id") % 3 === 0,
           concat(lit("hot-"), (col("user_id") % 7).cast("string")))
           .otherwise(concat(lit("cold-"), col("user_id").cast("string")))
