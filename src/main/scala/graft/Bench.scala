@@ -76,6 +76,17 @@ object Bench {
     def toJson(r: Seq[(String, Double)]): String =
       r.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
 
+    // Throughput anchors FIRST, on a fresh JVM/block-manager state: they
+    // are the longest-running measurements (3.2M-row pipelines) and the
+    // most sensitive to the shuffle-file/GC residue that ~80 preceding
+    // query executions leave behind (measured: the same anchor ran 11 s
+    // early-session and 44 s late-session). Same warmup discipline as
+    // the queries — one discarded small-SF pass pays the codegen/JIT
+    // cost outside the timed run.
+    throughputAnchors(spark, warmDir)
+    spark.catalog.clearCache()
+    val derived = throughputAnchors(spark, sfDir)
+
     warm(headline)
     val results = timed(headline)
     val qJson = toJson(results)
@@ -93,12 +104,6 @@ object Bench {
     warm(extraNames)
     val extraJson = toJson(timed(extraNames))
 
-    // Throughput anchors against BASELINE.md: the reference's rows/s
-    // numbers come from 8.8M-row runs, while sf0.1 events is 100k rows —
-    // fixed overhead would dominate any rows/s read straight off the
-    // headline timings. Replicate events ~32× (≈3.2M rows) and measure the
-    // two long pipeline stages end to end.
-    val derived = throughputAnchors(spark, sfDir)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"extra":$extraJson}""")
     spark.stop()
   }
