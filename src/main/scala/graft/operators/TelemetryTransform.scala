@@ -138,12 +138,11 @@ object TelemetryTransform {
     val cols = target.columns.toSeq
     require(source.columns.toSeq == cols,
       "merge expects identical target/source schemas")
-    // explicit presence markers: testing the KEY column for null would
-    // misclassify a legitimately-NULL-keyed source row as "absent" (its
-    // insert would come out all-NULL); full_outer never matches NULL
-    // keys, so such rows are inserts
-    val t = target.withColumn("_t_present", lit(true))
-      .select(col("_t_present") +: cols.map(c => col(c).as(s"t_$c")): _*)
+    // explicit source-presence marker: testing the KEY column for null
+    // would misclassify a legitimately-NULL-keyed source row as "absent"
+    // (its insert would come out all-NULL); full_outer never matches
+    // NULL keys, so such rows are inserts
+    val t = target.select(cols.map(c => col(c).as(s"t_$c")): _*)
     val s = source
       .withColumn("_del", coalesce(deleteWhen, lit(false)))
       .withColumn("_s_present", lit(true))
