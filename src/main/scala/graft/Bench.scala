@@ -30,20 +30,38 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
 
+    // Throughput anchors in their OWN SparkContext, measured first: they
+    // are the longest-running measurements (3.2M-row pipelines) and the
+    // most sensitive to shuffle-file/GC residue (the same anchor measured
+    // 11 s on a fresh context and 44 s after ~80 query executions). One
+    // discarded small-SF pass pays the codegen/JIT cost, then the context
+    // is stopped — its shuffle/local dirs are deleted — so the per-query
+    // benches below start equally fresh and stay comparable round over
+    // round.
+    val warmDir = "/root/testdata/sf0.001"
+    val anchorSession = newSession()
+    throughputAnchors(anchorSession, warmDir)
+    anchorSession.catalog.clearCache()
+    val derived = throughputAnchors(anchorSession, sfDir)
+    anchorSession.stop()
+
+    val spark = newSession()
     val qs = SparkEntry.queries
     // Per-query warmup at the smallest SF: identical plan shapes generate
     // identical code, so the janino compile + JIT cost is paid outside the
     // timed run — the timings below measure steady-state execution.
-    val warmDir = "/root/testdata/sf0.001"
     def warm(names: Seq[String]): Unit = {
       names.filter(qs.contains).foreach { name =>
         try qs(name)(spark, warmDir).write.format("noop").mode("overwrite")
@@ -75,17 +93,6 @@ object Bench {
       }
     def toJson(r: Seq[(String, Double)]): String =
       r.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-
-    // Throughput anchors FIRST, on a fresh JVM/block-manager state: they
-    // are the longest-running measurements (3.2M-row pipelines) and the
-    // most sensitive to the shuffle-file/GC residue that ~80 preceding
-    // query executions leave behind (measured: the same anchor ran 11 s
-    // early-session and 44 s late-session). Same warmup discipline as
-    // the queries — one discarded small-SF pass pays the codegen/JIT
-    // cost outside the timed run.
-    throughputAnchors(spark, warmDir)
-    spark.catalog.clearCache()
-    val derived = throughputAnchors(spark, sfDir)
 
     warm(headline)
     val results = timed(headline)
@@ -196,11 +203,20 @@ object Bench {
       graft.sources.TelemetryCsv.bronzeSink(bronze, s"$tmp/bronze")
       val ingestSec = (System.nanoTime() - t2) / 1e9
 
+      // the anchor runs twice (warm + timed); without cleanup each run
+      // leaks a ~100 MB csv+bronze tree in /tmp
+      deleteRecursively(new java.io.File(tmp))
+
       f"""{"rows":$nRows,"transform_sec":$transformSec%.3f,"transform_rows_per_s":${nRows / transformSec}%.0f,"features_cpd_sec":$cpdSec%.3f,"features_cpd_rows_per_s":${nRows / cpdSec}%.0f,"ingest_rows":$nCsv,"ingest_sec":$ingestSec%.3f,"ingest_rows_per_s":${nCsv / ingestSec}%.0f}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] derived anchors failed: ${e.getMessage}")
         "{}"
     }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 }

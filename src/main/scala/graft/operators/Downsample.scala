@@ -35,25 +35,37 @@ object Downsample {
 
   /** Gap filling — the inverse of downsampling: regularize an irregular
     * per-key series onto a fixed `stepUs` grid spanning each key's own
-    * [min, max] extent, carrying the last observed value forward into
-    * empty buckets (`is_filled` marks carried rows).
+    * [min, max] extent, carrying the last non-null value forward into
+    * empty buckets (`is_filled` marks synthesized values — including the
+    * LOCF substitution for a present-but-NULL observation, the standard
+    * last-observation-carried-forward semantic).
     *
-    * Plan: bucket-dedupe (keep the latest row per (key, bucket) via
-    * row_number — deterministic, unlike groupBy-first), per-key extent
-    * agg, `sequence`+`explode` grid generation, left join actuals, and a
-    * `last(ignoreNulls)` forward-fill window. All shuffles are keyed on
-    * (key[, bucket]) at post-bucketing density — grid size is
-    * extent/step per key, never raw-row count; no driver collection.
-    * The carried value is copied, not recomputed, so filled rows are
-    * bit-identical to their source observation on any engine. */
+    * Contract: rows with a NULL key are dropped (a regularized series
+    * needs an identity; the null-rejecting grid join would silently
+    * blank their values otherwise). Dedupe keeps the latest row per
+    * (key, bucket); `tieBreak` columns refine ties on the timestamp, and
+    * the value itself is the final tiebreak, so output values are
+    * deterministic under any partitioning. `maxBucketsPerKey` fails fast
+    * (with the offending key) instead of letting one corrupt outlier
+    * timestamp explode a key's grid into a single giant task.
+    *
+    * Plan: one keyed shuffle at raw density for the dedupe window (the
+    * dominant exchange on dense inputs), then extent agg, grid
+    * `sequence`+`explode`, grid⋈actuals join, and the forward-fill
+    * window — those latter stages all run at post-bucketing density.
+    * No driver collection; carried values are copied bits. */
   def gapFill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, stepUs: Long,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      maxBucketsPerKey: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = df.withColumn("_bucket",
-      floor(unix_micros(col(tsCol)) / stepUs).cast("long"))
+    val bucketed = df
+      .where(col(keyCol).isNotNull)
+      .withColumn("_bucket",
+        floor(unix_micros(col(tsCol)) / stepUs).cast("long"))
     val ordered = Window.partitionBy(keyCol, "_bucket")
-      .orderBy((col(tsCol).desc +: tieBreak.map(col(_).desc)): _*)
+      .orderBy((col(tsCol).desc +: tieBreak.map(col(_).desc)) :+
+        col(valueCol).desc: _*)
     val actual = bucketed
       .withColumn("_rn", row_number().over(ordered))
       .where(col("_rn") === 1)
@@ -61,7 +73,14 @@ object Downsample {
     val extent = actual.groupBy(keyCol)
       .agg(min("_bucket").as("_lo"), max("_bucket").as("_hi"))
     val grid = extent.select(col(keyCol),
-      explode(sequence(col("_lo"), col("_hi"))).as("_bucket"))
+        when(col("_hi") - col("_lo") >= maxBucketsPerKey,
+          raise_error(concat(lit("gapFill: key "), col(keyCol).cast("string"),
+            lit(s" spans more than $maxBucketsPerKey buckets — corrupt " +
+              "timestamp or too-fine step"))))
+          .otherwise(col("_lo")).as("_lo"),
+        col("_hi"))
+      .select(col(keyCol),
+        explode(sequence(col("_lo"), col("_hi"))).as("_bucket"))
     val fillW = Window.partitionBy(keyCol).orderBy("_bucket")
     grid.join(actual, Seq(keyCol, "_bucket"), "left")
       .withColumn("is_filled", col(valueCol).isNull)
