@@ -49,11 +49,13 @@ object Downsample {
     * (with the offending key) instead of letting one corrupt outlier
     * timestamp explode a key's grid into a single giant task.
     *
-    * Plan: one keyed shuffle at raw density for the dedupe window (the
-    * dominant exchange on dense inputs), then extent agg, grid
-    * `sequence`+`explode`, grid⋈actuals join, and the forward-fill
-    * window — those latter stages all run at post-bucketing density.
-    * No driver collection; carried values are copied bits. */
+    * Plan: the dedupe's rank-1 filter is recognized by Spark's
+    * WindowGroupLimit rule, which prunes to per-partition bucket winners
+    * BEFORE the keyed exchange — so even the dedupe shuffle carries
+    * ~bucket-density rows, and every later stage (extent agg, grid
+    * `sequence`+`explode`, grid⋈actuals join, forward-fill window) runs
+    * at post-bucketing density. No driver collection; carried values are
+    * copied bits. */
   def gapFill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, stepUs: Long,
       tieBreak: Seq[String] = Nil,
