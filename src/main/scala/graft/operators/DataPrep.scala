@@ -104,22 +104,29 @@ object DataPrep {
     * draw on every run, engine, and partitioning, so mixtures are
     * reproducible and refreshes are incremental (new docs don't reshuffle
     * old decisions). Sources absent from `weights` are dropped (an
-    * explicit mixture is a whitelist). Narrow per-row op — no shuffle. */
+    * explicit mixture is a whitelist). Rows with a NULL id are dropped —
+    * a content-stable draw needs content, and SQL agrees (NULL < w is
+    * NULL → filtered); without the guard the hash UDF would NPE where
+    * the SQL twin silently drops. Narrow per-row op — no shuffle. */
   def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty, "mixture needs at least one source weight")
     require(weights.values.forall(w => w >= 0 && w <= 1),
       "weights are keep probabilities in [0, 1]")
     val drawUdf = udf { (id: String) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      java.lang.Long.remainderUnsigned(
-        graft.operators.Dedup.hash64Md5(md, id), 1000000L).toDouble / 1e6
+      if (id == null) null
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        java.lang.Double.valueOf(java.lang.Long.remainderUnsigned(
+          graft.operators.Dedup.hash64Md5(md, id), 1000000L).toDouble / 1e6)
+      }
     }
     val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
       case (acc, (src, p)) => when(col(sourceCol) === src, lit(p))
         .otherwise(acc)
     }
-    df.withColumn("_u", drawUdf(col(idCol).cast("string")))
+    df.where(col(idCol).isNotNull)
+      .withColumn("_u", drawUdf(col(idCol).cast("string")))
       .where(col("_u") < w)
       .drop("_u")
   }

@@ -132,12 +132,37 @@ object TelemetryTransform {
     *
     * Target and source must share a schema; `deleteWhen` is evaluated on
     * the source columns.
+    *
+    * PRECONDITION: source keys must be unique (the standard MERGE
+    * cardinality rule) — a duplicated source key would fan out its
+    * matched target row via the join instead of raising, silently
+    * multiplying rows. Pass `enforceUniqueSourceKeys = true` to fail the
+    * job on violation like a warehouse MERGE does: a per-key count rides
+    * the same key partitioning the join needs (no extra shuffle pattern),
+    * and a duplicate trips `raise_error` at execution. NULL source keys
+    * are exempt — they never match, each is an independent insert.
     */
   def merge(target: DataFrame, source: DataFrame, keyCol: String,
-      deleteWhen: Column): DataFrame = {
+      deleteWhen: Column,
+      enforceUniqueSourceKeys: Boolean = false): DataFrame = {
     val cols = target.columns.toSeq
     require(source.columns.toSeq == cols,
       "merge expects identical target/source schemas")
+    val sourceChecked = if (!enforceUniqueSourceKeys) source else {
+      // the guard is threaded through the KEY column (always consumed by
+      // the join) so column pruning can't optimize the check away
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      val keyType = source.schema(keyCol).dataType
+      source
+        .withColumn("_kc", count(lit(1)).over(wk))
+        .withColumn(keyCol,
+          when(col(keyCol).isNotNull && col("_kc") > 1,
+            raise_error(concat(
+              lit(s"merge: duplicate source key in '$keyCol': "),
+              col(keyCol).cast("string"))).cast(keyType))
+            .otherwise(col(keyCol)))
+        .drop("_kc")
+    }
     // explicit source-presence marker: testing the KEY column for null
     // would misclassify a legitimately-NULL-keyed source row as "absent"
     // (its insert would come out all-NULL); full_outer never matches
