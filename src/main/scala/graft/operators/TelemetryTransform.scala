@@ -168,7 +168,7 @@ object TelemetryTransform {
     // (its insert would come out all-NULL); full_outer never matches
     // NULL keys, so such rows are inserts
     val t = target.select(cols.map(c => col(c).as(s"t_$c")): _*)
-    val s = source
+    val s = sourceChecked
       .withColumn("_del", coalesce(deleteWhen, lit(false)))
       .withColumn("_s_present", lit(true))
       .select(col("_del") +: col("_s_present") +:

@@ -80,14 +80,16 @@ object DocQueries {
         .limit(20)
       // rank stamped on the 20-row result (tiny single partition), not on
       // the corpus — the top-k itself is TakeOrderedAndProject. The window
-      // partitions on a constant: same one-partition plan as an
-      // unpartitioned window over 20 rows, without tripping WindowExec's
-      // "No Partition Defined" warning (which, on a full-size frame,
-      // flags a genuine scale bug — keep it meaningful).
+      // partitions on a constant bucket derived from a real column
+      // (substring(doc_id, 1, 0) = "" for every row): a foldable literal
+      // would be stripped by EliminateWindowPartitions and re-trip
+      // WindowExec's "No Partition Defined" warning, which on a full-size
+      // frame flags a genuine scale bug — keep it meaningful.
       import org.apache.spark.sql.expressions.Window
       ranked.withColumn("rank",
-          row_number().over(Window.partitionBy(lit(0))
-            .orderBy(col("score").desc, col("doc_id"))))
+          row_number().over(
+            Window.partitionBy(substring(col("doc_id").cast("string"), 1, 0))
+              .orderBy(col("score").desc, col("doc_id"))))
         .select("rank", "doc_id", "n_terms_hit", "score")
         .orderBy("rank")
     }),

@@ -47,6 +47,40 @@ class MergeSpec extends AnyFunSuite {
       s"NULL-keyed source row must insert intact, got ${out.toSeq}")
   }
 
+  test("merge: enforceUniqueSourceKeys fails on a duplicated source key") {
+    import spark.implicits._
+    val target = Seq((1L, Option("a"), "old")).toDF("k", "payload", "src")
+    val source = Seq(
+      (Option(1L), Option("x"), "new"),
+      (Option(1L), Option("y"), "new"),
+      (Option.empty[Long], Option("n"), "new") // NULL keys exempt
+    ).toDF("k", "payload", "src")
+    val ex = intercept[Exception] {
+      TelemetryTransform.merge(target, source, "k",
+        deleteWhen = lit(false), enforceUniqueSourceKeys = true)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("duplicate source key")),
+      s"expected the uniqueness guard to fire, got $ex")
+  }
+
+  test("merge: enforceUniqueSourceKeys passes unique + NULL-keyed sources") {
+    import spark.implicits._
+    val target = Seq((1L, Option("a"), "old")).toDF("k", "payload", "src")
+    val source = Seq(
+      (Option(1L), Option("x"), "new"),
+      (Option.empty[Long], Option("n"), "new"),
+      (Option.empty[Long], Option("m"), "new") // two NULL keys: both insert
+    ).toDF("k", "payload", "src")
+    val out = TelemetryTransform.merge(target, source, "k",
+      deleteWhen = lit(false), enforceUniqueSourceKeys = true)
+      .collect()
+    assert(out.length == 3, s"expected 3 rows, got ${out.toSeq}")
+  }
+
   test("merge: a NULL source column wins over the stale target value") {
     val (target, source) = frames
     val out = TelemetryTransform

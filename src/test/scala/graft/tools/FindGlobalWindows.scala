@@ -3,9 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
-/** Diagnostic (not shipped in src/main): names every driver query whose
-  * physical plan contains a Window node with an empty partition spec —
-  * the source of WindowExec's "No Partition Defined" warning. */
+/** Diagnostic (test source set, not shipped in the main artifact): names
+  * every driver query whose physical plan contains a Window node with an
+  * empty partition spec — the source of WindowExec's "No Partition
+  * Defined" warning. Run: sbt "Test/runMain graft.tools.FindGlobalWindows". */
 object FindGlobalWindows {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
