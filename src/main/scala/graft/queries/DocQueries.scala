@@ -355,6 +355,54 @@ object DocQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // ---- exact duplicated-span detection (the substring-dedup signal of
+    // Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better"): every word 8-gram appearing in >= 2 distinct docs,
+    // reported as a per-doc duplicated-span count. Scale path: grams
+    // leave the scan as 8-byte xxhash64 keys — the shuffle carries
+    // (doc_id, hash) pairs, never the gram text. The oracle groups by
+    // the gram text itself, so the check also proves the hashed plan
+    // loses nothing (identical up to xxhash64 collisions, ~n²/2⁶⁴). ----
+    "q_ngram_span_dedup" -> ((s, d) => {
+      val n = 8
+      val t = docsWithDups(s, d).select(
+        col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+          .as("tk"))
+      // per-doc DISTINCT grams, hashed before the explode so only the
+      // 8-byte key ever leaves the row
+      val grams = t.where(size(col("tk")) >= n)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(0), size(col("tk")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(n))))
+        ))).as("gh"))
+      // grams are per-doc distinct, so count(*) per hash == distinct docs
+      val shared = grams.groupBy("gh")
+        .agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 2)
+      grams.join(shared.select("gh"), Seq("gh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_grams"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- int8 symmetric embedding quantization (ANN index prep):
+    // per-vector scale = max |x|, q_i = floor(x_i·127/scale). Row-local
+    // (no shuffle, codegen'd HOFs); float→double widening is exact and
+    // floor of identical IEEE doubles is engine-exact, so the full int8
+    // vector is oracle-compared element by element. ----
+    "q_embed_quantize" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      e.select(col("vec_id"),
+          (floor(col("maxabs") * 1e6) / 1e6).as("scale"),
+          when(col("maxabs") === 0d, transform(col("v"), _ => lit(0)))
+            .otherwise(transform(col("v"),
+              x => floor(x * 127.0 / col("maxabs")).cast("int"))).as("q8"))
+        .orderBy("vec_id")
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing >= 2 distinct
     // word trigrams with the (deterministic) benchmark subset ----
     "q_decontaminate" -> ((s, d) => {
