@@ -273,27 +273,64 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       idCol: String, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"),
         col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(col(idCol).as("id"),
       col(idCol).as("component"))
+    val compType = labels.schema("component").dataType
+    // Iteration discipline (the difference between "correct at sf0.01"
+    // and "runs at 100 TB"): each round's labels are persisted and the
+    // previous round's cache is dropped, so every iteration touches ONLY
+    // the previous iteration's materialized labels — never re-derives the
+    // chain from the scan. The convergence test is folded into the same
+    // pass that materializes the new labels: the old component rides
+    // through the min-aggregation as a carried column, and ONE aggregate
+    // action both populates the cache and returns the changed-row count
+    // (no second job re-walking history). Every few iterations the plan
+    // is localCheckpoint'ed so logical-plan depth — and with it driver
+    // analysis time — stays constant instead of growing per round.
+    var cached: List[DataFrame] = Nil
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val viaEdges = labels.join(sym, col("id") === col("src"))
         .select(col("dst").as("id"), col("component"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("id").agg(min("component").as("component"))
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .where(col("n.component") =!= col("o.component"))
-        .limit(1).count()
-      labels = next
+      // `old` is non-null on exactly the one labels-row per id (dst ids of
+      // sym are vertices too), so min() recovers it through the groupBy
+      val next = labels
+        .select(col("id"), col("component"), col("component").as("old"))
+        .unionByName(viaEdges
+          .select(col("id"), col("component"),
+            lit(null).cast(compType).as("old")))
+        .groupBy("id")
+        .agg(min("component").as("component"), min("old").as("old"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .agg(count(when(col("component") =!= col("old"), 1)).as("c"))
+        .head().getLong(0)
+      cached.foreach(_.unpersist(false))
+      cached = List(next)
+      labels =
+        if ((it + 1) % 5 == 0) {
+          // truncate lineage: analysis cost would otherwise grow per round
+          val chk = next.select("id", "component").localCheckpoint()
+          next.unpersist(false)
+          cached = Nil
+          chk
+        } else next.select("id", "component")
       converged = changed == 0
       it += 1
     }
-    labels.select(col("id").as(idCol), col("component"))
+    // materialize the answer once (eager), then release every cached
+    // iteration — callers get a flat-lineage frame, not a cache leak
+    val result = labels.select(col("id").as(idCol), col("component"))
+      .localCheckpoint()
+    cached.foreach(_.unpersist(false))
+    sym.unpersist(false)
+    result
   }
 
   /** End-to-end near-dedup: MinHash pairs → components → keep only each

@@ -86,9 +86,12 @@ object DocQueries {
       // WindowExec's "No Partition Defined" warning, which on a full-size
       // frame flags a genuine scale bug — keep it meaningful.
       import org.apache.spark.sql.expressions.Window
+      // coalesce: substring of a NULL doc_id is NULL (not ""), which would
+      // split the window into two partitions and duplicate ranks
       ranked.withColumn("rank",
           row_number().over(
-            Window.partitionBy(substring(col("doc_id").cast("string"), 1, 0))
+            Window.partitionBy(coalesce(
+                substring(col("doc_id").cast("string"), 1, 0), lit("")))
               .orderBy(col("score").desc, col("doc_id"))))
         .select("rank", "doc_id", "n_terms_hit", "score")
         .orderBy("rank")
@@ -113,7 +116,12 @@ object DocQueries {
         .orderBy("canonical_id")
     }),
 
-    // ---- n-gram Jaccard near-dup pairs (blocked by source) ----
+    // ---- n-gram Jaccard near-dup pairs (blocked by source).
+    // VERIFICATION-ONLY: the self-join is all-pairs within each source
+    // block — O(n²/blocks) — and exists as the exact-Jaccard truth twin
+    // for the minhash/simhash operators, which are the production near-dup
+    // paths at scale. Never run this shape on a full-size corpus; use
+    // Dedup.minhashDupPairs / simhashDupPairs instead. ----
     "q_jaccard_pairs" -> ((s, d) => {
       val g = docsWithDups(s, d).select(
         col("doc_id"), col("source"),
@@ -387,19 +395,26 @@ object DocQueries {
     }),
 
     // ---- int8 symmetric embedding quantization (ANN index prep):
-    // per-vector scale = max |x|, q_i = floor(x_i·127/scale). Row-local
-    // (no shuffle, codegen'd HOFs); float→double widening is exact and
-    // floor of identical IEEE doubles is engine-exact, so the full int8
-    // vector is oracle-compared element by element. ----
+    // per-vector scale = max |x|, q_i = floor(x_i·127/scale), clamped to
+    // -127 (IEEE can put x/maxabs a ulp below -1 when x = -maxabs, which
+    // would floor to -128 and break the symmetric int8 range). Row-local
+    // (no shuffle, codegen'd HOFs); float→double widening is exact, the
+    // emitted scale is the EXACT divisor used (maxabs is a widened float,
+    // so it round-trips bit-identically through both engines), and floor
+    // of identical IEEE doubles is engine-exact. The vector is serialized
+    // to a comma-joined string so the driver harness can hash it. ----
     "q_embed_quantize" -> ((s, d) => {
       val e = embeddings(s, d).select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
       e.select(col("vec_id"),
-          (floor(col("maxabs") * 1e6) / 1e6).as("scale"),
-          when(col("maxabs") === 0d, transform(col("v"), _ => lit(0)))
-            .otherwise(transform(col("v"),
-              x => floor(x * 127.0 / col("maxabs")).cast("int"))).as("q8"))
+          col("maxabs").as("scale"),
+          array_join(
+            when(col("maxabs") === 0d, transform(col("v"), _ => lit(0)))
+              .otherwise(transform(col("v"),
+                x => greatest(lit(-127d), floor(x * 127.0 / col("maxabs")))
+                  .cast("int")))
+              .cast("array<string>"), ",").as("q8"))
         .orderBy("vec_id")
     }),
 
@@ -1011,6 +1026,49 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |FROM cg JOIN bg USING (gram)
         |GROUP BY cg.doc_id HAVING count(DISTINCT cg.gram) >= 2
         |ORDER BY doc_id""".stripMargin,
+
+    // groups by the gram TEXT itself (the Spark plan ships 8-byte xxhash64
+    // keys) — agreement proves the hashed plan loses nothing (identical up
+    // to xxhash64 collisions, ~n²/2⁶⁴)
+    "q_ngram_span_dedup" -> (docsWithDupsCte +
+      """, toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS t
+        |  FROM docs
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |        || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' '
+        |        || t[i+7]))) AS gram
+        |  FROM toks WHERE len(t) >= 8
+        |), shared AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        |)
+        |SELECT doc_id, count(*) AS n_dup_grams
+        |FROM g JOIN shared USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // same floor-of-identical-doubles argument as q_repetition: the
+    // double widening, the division, and the floor are all IEEE-exact
+    // replays of the Spark plan, and the emitted scale is the exact
+    // divisor (a widened float, bit-identical in both engines)
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS maxabs
+        |  FROM e
+        |)
+        |SELECT vec_id, maxabs AS scale,
+        |  array_to_string(CASE WHEN maxabs = 0
+        |      THEN list_transform(v, x -> 0)
+        |      ELSE list_transform(v, x ->
+        |        CAST(greatest(-127, floor(x * 127.0 / maxabs)) AS INT))
+        |    END, ',') AS q8
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     "q_ann_cosine" ->
       """WITH q AS (
