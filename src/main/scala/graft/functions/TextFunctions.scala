@@ -79,7 +79,17 @@ object TextFunctions {
     "pt" -> Seq("de", "que", "do", "da", "em", "um", "para", "com",
       "uma", "os", "no", "na", "por", "mais", "dos", "como", "mas"),
     "nl" -> Seq("de", "het", "een", "van", "en", "dat", "is", "op",
-      "te", "zijn", "met", "voor", "niet", "aan", "er", "maar", "ook"))
+      "te", "zijn", "met", "voor", "niet", "aan", "er", "maar", "ook"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av",
+      "för", "med", "till", "den", "har", "inte", "om", "ett", "han"),
+    "pl" -> Seq("i", "w", "nie", "na", "się", "z", "do", "to", "że",
+      "jest", "jak", "po", "co", "tak", "ale", "od", "za", "przez"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "gibi", "daha",
+      "çok", "ama", "olarak", "sonra", "kadar", "her", "ben", "bana"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+      "ini", "dari", "dalam", "akan", "pada", "juga", "saya", "karena"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "он", "как", "это", "по",
+      "но", "из", "за", "то", "же", "мы", "они", "его", "был"))
 
   def langId(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")

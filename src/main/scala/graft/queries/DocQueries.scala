@@ -441,8 +441,9 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- IVF ANN (k-means coarse quantizer scale path; model internals
-    // engine-specific → rows-only gate) ----
+    // ---- IVF ANN (k-means coarse quantizer scale path). The quantizer
+    // is deterministic, so the oracle ([[IvfOracle]]) replays the whole
+    // assign/probe/rank pipeline in SQL against pinned centroids ----
     "q_ann_ivf" -> ((s, d) => {
       val emb = embeddings(s, d)
       val queries = emb.where(col("vec_id") < 5)
@@ -1069,6 +1070,10 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |        CAST(greatest(-127, floor(x * 127.0 / maxabs)) AS INT))
         |    END, ',') AS q8
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    // pinned-centroid replay of the deterministic IVF pipeline (valid at
+    // the gate SF; see IvfOracle's scaladoc for the regeneration recipe)
+    "q_ann_ivf" -> IvfOracle.sql,
 
     "q_ann_cosine" ->
       """WITH q AS (
