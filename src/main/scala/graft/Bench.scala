@@ -115,7 +115,7 @@ object Bench {
       "q_chunk_docs", "q_repetition", "q_pii", "q_curation_funnel",
       "q_heavy_hitters", "q_simhash_pairs", "q_bm25", "q_mixture",
       "q_grouping_sets", "q_percentiles", "q_ngram_span_dedup",
-      "q_embed_quantize")
+      "q_embed_quantize", "q_dedup_clusters", "q_gap_fill", "q_merge")
     warm(extraNames)
     val extraJson = toJson(timed(extraNames))
 

@@ -378,12 +378,17 @@ object DocQueries {
         split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
           .as("tk"))
       // per-doc DISTINCT grams, hashed before the explode so only the
-      // 8-byte key ever leaves the row
+      // 8-byte key ever leaves the row. The gram table feeds two plan
+      // branches (shared-gram agg + per-doc join back); persist the
+      // compact (doc_id, hash) pairs — 16 bytes/gram — so the text is
+      // tokenized once, matching the minhash shingle-base discipline.
+      // (At warehouse scale this would be a materialized intermediate.)
       val grams = t.where(size(col("tk")) >= n)
         .select(col("doc_id"), explode(array_distinct(transform(
           sequence(lit(0), size(col("tk")) - n),
           i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(n))))
         ))).as("gh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // grams are per-doc distinct, so count(*) per hash == distinct docs
       val shared = grams.groupBy("gh")
         .agg(count(lit(1)).as("n_docs"))
