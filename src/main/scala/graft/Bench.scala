@@ -96,7 +96,11 @@ object Bench {
           spark.catalog.clearCache()
           if (ok) sec else -1.0
         }
-        name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
+        // median of the SUCCESSFUL runs: one transient failure must not
+        // discard two good timings (that is the noisy-box scenario the
+        // repeats exist for); -1 only when every run failed
+        val good = runs.filter(_ >= 0).sorted
+        name -> (if (good.isEmpty) -1.0 else good(good.size / 2))
       }
     def toJson(r: Seq[(String, Double)]): String =
       r.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

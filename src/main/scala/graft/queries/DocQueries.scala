@@ -382,7 +382,10 @@ object DocQueries {
       // branches (shared-gram agg + per-doc join back); persist the
       // compact (doc_id, hash) pairs — 16 bytes/gram — so the text is
       // tokenized once, matching the minhash shingle-base discipline.
-      // (At warehouse scale this would be a materialized intermediate.)
+      // (At warehouse scale this would be a materialized intermediate.
+      // Like the minhash base, the blocks stay resident for the session
+      // — Bench clears the cache per query; in Verify the ~1 MB residue
+      // at the gate SF is harmless.)
       val grams = t.where(size(col("tk")) >= n)
         .select(col("doc_id"), explode(array_distinct(transform(
           sequence(lit(0), size(col("tk")) - n),

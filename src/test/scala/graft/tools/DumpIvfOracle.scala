@@ -42,51 +42,19 @@ object DumpIvfOracle {
 
     // Java's Double.toString is the shortest round-tripping repr; DuckDB's
     // correctly-rounded parse recovers the identical bits, so the SQL
-    // distances replay the Scala kernel's arithmetic exactly.
+    // distances replay the Scala kernel's arithmetic exactly. The
+    // pipeline SQL itself comes from IvfOracle.template — the single
+    // source — so generator output and pinned oracle cannot drift;
+    // paste the rows below into IvfOracle.pinnedCentroidRows.
     val dim = centroids(0).length
     val rows = centroids.zipWithIndex.map { case (ctr, i) =>
-      s"    ($i, [${ctr.mkString(", ")}])"
-    }.mkString(",\n")
-    val sql =
-      s"""WITH cent AS (
-         |  SELECT cell, CAST(cv AS DOUBLE[]) AS cv FROM (VALUES
-         |$rows
-         |  ) AS t(cell, cv)
-         |), e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), ad AS (
-         |  SELECT e.vec_id, e.v, c.cell,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      list_sum(list_transform(range(1, ${dim + 1}),
-         |        i -> (c.cv[i] - e.v[i]) * (c.cv[i] - e.v[i]))), c.cell) AS rn
-         |  FROM e CROSS JOIN cent c
-         |), assigned AS (
-         |  SELECT vec_id, v, cell FROM ad WHERE rn = 1
-         |), q AS (
-         |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
-         |), qd AS (
-         |  SELECT q.query_id, q.qv, c.cell,
-         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |      list_sum(list_transform(range(1, ${dim + 1}),
-         |        i -> (c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i]))), c.cell) AS rn
-         |  FROM q CROSS JOIN cent c
-         |), probed AS (
-         |  SELECT query_id, qv, cell FROM qd WHERE rn <= 4
-         |), scored AS (
-         |  SELECT p.query_id, a.vec_id AS id,
-         |    list_cosine_similarity(a.v, p.qv) AS cosine
-         |  FROM assigned a JOIN probed p USING (cell)
-         |  WHERE a.vec_id != p.query_id
-         |), ranked AS (
-         |  SELECT query_id, id, cosine,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, id) AS rank
-         |  FROM scored
-         |)
-         |SELECT query_id, id, rank, round(cosine, 6) AS cosine
-         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      s"($i, [${ctr.mkString(", ")}])"
+    }.toSeq
+    println("=== BEGIN CENTROID ROWS (IvfOracle.pinnedCentroidRows) ===")
+    rows.foreach(r => println("    \"" + r + "\","))
+    println("=== END CENTROID ROWS ===")
     println("=== BEGIN IVF ORACLE SQL ===")
-    println(sql)
+    println(graft.queries.IvfOracle.template(rows, dim))
     println("=== END IVF ORACLE SQL ===")
     spark.stop()
   }
