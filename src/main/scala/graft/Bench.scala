@@ -119,7 +119,8 @@ object Bench {
       "q_chunk_docs", "q_repetition", "q_pii", "q_curation_funnel",
       "q_heavy_hitters", "q_simhash_pairs", "q_bm25", "q_mixture",
       "q_grouping_sets", "q_percentiles", "q_ngram_span_dedup",
-      "q_embed_quantize", "q_dedup_clusters", "q_gap_fill", "q_merge")
+      "q_embed_quantize", "q_dedup_clusters", "q_gap_fill", "q_merge",
+      "q_embed_dedup")
     warm(extraNames)
     val extraJson = toJson(timed(extraNames))
 

@@ -345,6 +345,23 @@ object Dedup {
     docs.join(canonical, Seq(idCol), "left_semi")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * embedding-cosine near-dup pairs → connected components → keep only
+    * each semantic cluster's canonical (minimum-id) row. The pair stage
+    * is the LSH-bucketed keyed join of [[embeddingDupPairs]] (never
+    * all-pairs) and the closure reuses the checkpointed
+    * [[connectedComponents]], so the whole composition is scale-safe. */
+  def dropEmbeddingDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.99, bits: Int = 16): DataFrame = {
+    val pairs = embeddingDupPairs(df, idCol, vecCol, threshold, bits)
+    val canonical = connectedComponents(
+        df.select(col(idCol)), pairs, idCol)
+      .where(col(idCol) === col("component"))
+      .select(idCol)
+    df.join(canonical, Seq(idCol), "left_semi")
+  }
+
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, bits: Int = 16): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)

@@ -202,6 +202,25 @@ object DocQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- SemDeDup-style semantic clustering (Abbas et al. 2023): the
+    // LSH-bucketed cosine pairs above, closed into components — the step
+    // that turns pair lists into one-keeper-per-semantic-cluster. The
+    // oracle recomputes the clusters from the ALL-PAIRS cosine truth via
+    // a recursive CTE, so agreement also re-proves bucketing recall. ----
+    "q_embed_dedup" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val withCopies = e.unionByName(
+        e.where(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val pairs = Dedup.embeddingDupPairs(withCopies, "vec_id", "embedding",
+        threshold = 0.99, bits = 16)
+      Dedup.connectedComponents(withCopies.select("vec_id"), pairs, "vec_id")
+        .groupBy(col("component").as("canonical_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .where(col("n_members") > 1)
+        .orderBy("canonical_id")
+    }),
+
     // ---- language ID + quality scoring, oracle-checked: the DuckDB side
     // mirrors the stopword-table max and the clamped sub-score average
     // term by term. quality is compared floor-scaled (floor of an
@@ -833,6 +852,33 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         |  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // all-pairs cosine truth → symmetric edges → recursive reach → min
+    // label per component (the q_dedup_clusters pattern on embeddings)
+    "q_embed_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pairs
+        |), reach(id, label) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT s.dst, r.label FROM reach r JOIN sym s ON r.id = s.src
+        |), comp AS (
+        |  SELECT id, min(label) AS component FROM reach GROUP BY id
+        |)
+        |SELECT component AS canonical_id, count(*) AS n_members
+        |FROM comp GROUP BY component HAVING count(*) > 1
+        |ORDER BY canonical_id""".stripMargin,
 
     "q_embed_dup_pairs" ->
       """WITH e AS (

@@ -131,6 +131,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("dropEmbeddingDups keeps one canonical row per semantic cluster") {
+    import org.apache.spark.sql.functions.col
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val withCopies = base.unionByName(base.where(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val kept = graft.operators.Dedup
+      .dropEmbeddingDups(withCopies, "vec_id", "embedding")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val copies = base.where(col("vec_id") % 20 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(copies.nonEmpty)
+    // the min-id original of each injected pair survives, the copy dies
+    copies.foreach { id =>
+      assert(kept.contains(id), s"original $id dropped")
+      assert(!kept.contains(id + 100000), s"copy of $id kept")
+    }
+    assert(kept.size == withCopies.count() - copies.size)
+  }
+
   test("dropNearDups keeps exactly one canonical doc per near-dup cluster") {
     val docs = graft.queries.DocQueries.docsWithDupsPublic(spark, sf)
     val kept = graft.operators.Dedup
