@@ -120,7 +120,7 @@ object Bench {
       "q_heavy_hitters", "q_simhash_pairs", "q_bm25", "q_mixture",
       "q_grouping_sets", "q_percentiles", "q_ngram_span_dedup",
       "q_embed_quantize", "q_dedup_clusters", "q_gap_fill", "q_merge",
-      "q_embed_dedup")
+      "q_embed_dedup", "q_url_filter")
     warm(extraNames)
     val extraJson = toJson(timed(extraNames))
 

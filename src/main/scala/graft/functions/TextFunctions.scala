@@ -145,6 +145,34 @@ object TextFunctions {
     regexp_replace(i, phonePattern, "<PHONE>")
   }
 
+  /** URL extraction + registered-domain blocklisting (the C4/RefinedWeb
+    * domain-filter step). Same RE2 ∩ java.util.regex dialect rule as the
+    * PII patterns so the DuckDB oracle matches byte for byte. */
+  val urlPattern = "https?://[A-Za-z0-9.-]+(/[^ \\t\\n]*)?"
+  val urlHostPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** All URL occurrences in the text, in order. */
+  def urls(text: Column): Column =
+    regexp_extract_all(text, lit(urlPattern), lit(0))
+
+  /** Naive registered domain of one URL: the last two dot-labels of the
+    * host ("a.b.site.example" → "site.example"; single-label hosts pass
+    * through). A public-suffix list would slot in here; the two-label
+    * rule is deterministic and engine-portable. */
+  def registeredDomain(url: Column): Column = {
+    val labels = split(regexp_extract(url, urlHostPattern, 1), "\\.")
+    concat_ws(".", slice(labels, greatest(size(labels) - 1, lit(1)), lit(2)))
+  }
+
+  /** Registered domains of every URL in the text. */
+  def domains(text: Column): Column =
+    transform(urls(text), u => registeredDomain(u))
+
+  /** True when any URL's registered domain is on the blocklist. */
+  def domainBlocked(text: Column, blocklist: Seq[String]): Column =
+    arrays_overlap(domains(text),
+      array(blocklist.map(lit): _*))
+
   /** 64-bit rolling-hash document fingerprint (polynomial rolling hash of
     * the whitespace-normalized text) — cheap exact-dup key that is robust
     * to runs of whitespace, computed without materializing a normalized

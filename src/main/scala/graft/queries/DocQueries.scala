@@ -202,6 +202,31 @@ object DocQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- URL extraction + registered-domain blocklist (the C4/RefinedWeb
+    // domain-filter step): URLs injected deterministically (corpus has
+    // none), extracted with the shared RE2∩Java pattern, reduced to the
+    // last-two-label registered domain, flagged against a blocklist ----
+    "q_url_filter" -> ((s, d) => {
+      val injected = docsPar(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" see http://sub"), (col("doc_id") % 5).cast("string"),
+              lit(".site"), (col("doc_id") % 7).cast("string"),
+              lit(".example/p"), col("doc_id").cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            concat(lit(" http://ads.example/x"), col("doc_id").cast("string")))
+            .otherwise(lit(""))).as("text"))
+      injected.select(col("doc_id"),
+          size(TextFunctions.urls(col("text"))).cast("long").as("n_urls"),
+          when(size(TextFunctions.urls(col("text"))) > 0,
+            element_at(TextFunctions.domains(col("text")), 1))
+            .otherwise(lit("")).as("first_domain"),
+          TextFunctions.domainBlocked(col("text"), Seq("ads.example"))
+            .as("blocked"))
+        .orderBy("doc_id")
+    }),
+
     // ---- SemDeDup-style semantic clustering (Abbas et al. 2023): the
     // LSH-bucketed cosine pairs above, closed into components — the step
     // that turns pair lists into one-keeper-per-semantic-cluster. The
@@ -852,6 +877,37 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         |  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // same injected URLs, same RE2∩Java patterns, same last-two-label
+    // domain rule — byte-for-byte replay of the Spark expressions
+    "q_url_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' see http://sub' ||
+        |      CAST(doc_id % 5 AS VARCHAR) || '.site' ||
+        |      CAST(doc_id % 7 AS VARCHAR) || '.example/p' ||
+        |      CAST(doc_id AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN ' http://ads.example/x' ||
+        |      CAST(doc_id AS VARCHAR) ELSE '' END AS text
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(/[^ \t\n]*)?')
+        |      AS urls
+        |  FROM d
+        |), dom AS (
+        |  SELECT doc_id, urls,
+        |    list_transform(urls, x -> array_to_string(
+        |      string_split(regexp_extract(x, 'https?://([A-Za-z0-9.-]+)', 1),
+        |        '.')[greatest(len(string_split(
+        |          regexp_extract(x, 'https?://([A-Za-z0-9.-]+)', 1),
+        |          '.')) - 1, 1):], '.')) AS doms
+        |  FROM u
+        |)
+        |SELECT doc_id, CAST(len(urls) AS BIGINT) AS n_urls,
+        |  CASE WHEN len(urls) > 0 THEN doms[1] ELSE '' END AS first_domain,
+        |  list_has_any(doms, ['ads.example']) AS blocked
+        |FROM dom ORDER BY doc_id""".stripMargin,
 
     // all-pairs cosine truth → symmetric edges → recursive reach → min
     // label per component (the q_dedup_clusters pattern on embeddings)

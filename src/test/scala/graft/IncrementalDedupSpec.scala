@@ -131,6 +131,28 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("registeredDomain reduces hosts to their last two labels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, element_at, lit, size, when}
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      ("go to http://a.b.site.example/x now", "site.example", false),
+      ("https://localhost/path", "localhost", false),
+      ("spam at http://x.ads.example/p", "ads.example", true),
+      ("no links here", "", false))
+      .toDF("text", "want", "wantBlocked")
+    val got = rows.select(col("want"), col("wantBlocked"),
+      when(size(TextFunctions.urls(col("text"))) > 0,
+        element_at(TextFunctions.domains(col("text")), 1))
+        .otherwise(lit("")).as("got"),
+      TextFunctions.domainBlocked(col("text"), Seq("ads.example"))
+        .as("gotBlocked")).collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("got") == r.getAs[String]("want"))
+      assert(r.getAs[Boolean]("gotBlocked") == r.getAs[Boolean]("wantBlocked"))
+    }
+  }
+
   test("dropEmbeddingDups keeps one canonical row per semantic cluster") {
     import org.apache.spark.sql.functions.col
     val base = Tables.embeddings(spark, sf)
