@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** One-call training-data curation: the end-to-end pipeline a user of the
+  * reference would otherwise assemble by hand from this library's pieces
+  * (the q_curation_funnel rules, the dedup family, decontamination), in
+  * the order that is cheap at 100 TB:
+  *
+  *  1. narrow per-row filters FIRST (language, quality, repetition — no
+  *     shuffle) so every later shuffle sees the smallest possible corpus;
+  *  2. PII scrubbing (narrow rewrite, keeps the row);
+  *  3. exact dedup (fingerprint groupBy — and doing it BEFORE minhash
+  *     also defuses the hot-bucket hazard: n identical docs would share
+  *     every LSH band key and enumerate n² candidate pairs);
+  *  4. MinHash near-dedup on the surviving canonical set;
+  *  5. benchmark decontamination (corpus grams vs a broadcast benchmark
+  *     gram set — never doc × doc).
+  *
+  * Each stage is the already-oracle-checked operator; this object only
+  * fixes the composition order and surfaces a per-stage count report.
+  */
+object Curation {
+
+  /** Filter thresholds mirroring the curation-funnel defaults. */
+  case class Rules(
+      langs: Set[String] = Set("en"),
+      minQuality: Double = 0.3,
+      maxRepetition: Double = 0.2,
+      nearDupThreshold: Double = 0.8,
+      decontaminateMinOverlap: Long = 2)
+
+  private def passesFilters(textCol: Column, rules: Rules): Column =
+    TextFunctions.langId(textCol).isInCollection(rules.langs) &&
+      TextFunctions.qualityScore(textCol) >= rules.minQuality &&
+      TextFunctions.repetitionRatio(textCol) <= rules.maxRepetition
+
+  /** The curated corpus: filtered, scrubbed, exact- and near-deduped,
+    * decontaminated. Output columns = input columns with `textCol`
+    * replaced by its PII-scrubbed text. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: Option[DataFrame] = None,
+      rules: Rules = Rules()): DataFrame = {
+    val filtered = docs.where(passesFilters(col(textCol), rules))
+      .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
+    val exact = Dedup.dropExactDups(filtered, idCol, textCol)
+    val near = Dedup.dropNearDups(exact, idCol, textCol,
+      rules.nearDupThreshold)
+    benchmark match {
+      case None => near
+      case Some(b) =>
+        val contaminated = DataPrep.contaminationFlags(near, b, idCol,
+          textCol, minOverlap = rules.decontaminateMinOverlap)
+          .select(idCol)
+        near.join(contaminated, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Per-stage survivor counts — 4 actions over progressively smaller
+    * frames; run it when the funnel numbers matter, not on every call. */
+  def report(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: Option[DataFrame] = None,
+      rules: Rules = Rules()): Map[String, Long] = {
+    val filtered = docs.where(passesFilters(col(textCol), rules))
+      .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
+    val exact = Dedup.dropExactDups(filtered, idCol, textCol)
+    val near = Dedup.dropNearDups(exact, idCol, textCol,
+      rules.nearDupThreshold)
+    val curated = benchmark match {
+      case None => near
+      case Some(b) =>
+        near.join(DataPrep.contaminationFlags(near, b, idCol, textCol,
+            minOverlap = rules.decontaminateMinOverlap).select(idCol),
+          Seq(idCol), "left_anti")
+    }
+    Map(
+      "input" -> docs.count(),
+      "after_filters" -> filtered.count(),
+      "after_exact_dedup" -> exact.count(),
+      "after_near_dedup" -> near.count(),
+      "curated" -> curated.count())
+  }
+}

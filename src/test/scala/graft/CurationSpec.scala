@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val good1 = "the quick brown fox jumps over the lazy dog and " +
+    "it was a fine day for all of the animals in the field as they sat " +
+    "by the river"
+  private val good2 = "a different story about the weather in the north " +
+    "where it rains for most of the year and the people are used to it " +
+    "by now"
+  private val pii = "please write to us at user@example.com if you want " +
+    "to hear more about the plan for the garden and the trees we hope " +
+    "to plant this spring"
+  private val contam = "this is the secret benchmark passage that must " +
+    "never appear in the training data for it would leak the answers"
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, good1), (2L, good2),
+      (3L, good1),                                 // exact dup of 1
+      (4L, good1 + " with a few extra tail words"), // near dup of 1
+      (5L, "el perro corre por la calle y se va a la casa donde vive " +
+        "con toda la familia"),                    // non-English
+      (6L, Seq.fill(12)("the cat sat on the mat and").mkString(" ")), // repetitive
+      (7L, pii),                                   // survives, redacted
+      (8L, contam + " plus some extra words around the passage to make " +
+        "it a real document"))                     // contaminated
+      .toDF("doc_id", "text")
+  }
+
+  test("curate composes filters, dedup stages and decontamination") {
+    import spark.implicits._
+    val benchmark = Seq((100L, contam)).toDF("doc_id", "text")
+    val kept = graft.operators.Curation
+      .curate(corpus, "doc_id", "text", Some(benchmark))
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 7L))
+    val redacted = kept.where($"doc_id" === 7L)
+      .select("text").head().getString(0)
+    assert(redacted.contains("<EMAIL>") && !redacted.contains("user@"))
+  }
+
+  test("report counts every funnel stage") {
+    val r = graft.operators.Curation.report(corpus, "doc_id", "text")
+    assert(r("input") == 8L)
+    assert(r("after_filters") == 6L)     // -5 (lang), -6 (repetition)
+    assert(r("after_exact_dedup") == 5L) // -3
+    assert(r("after_near_dedup") == 4L)  // -4
+    assert(r("curated") == 4L)           // no benchmark given
+  }
+}
