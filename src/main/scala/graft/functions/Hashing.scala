@@ -32,4 +32,20 @@ object Hashing {
   /** `sha256(device_id || '|' || pg_text(ts))` as lower-case hex. */
   def rawEventHashId(deviceId: Column, ts: Column): Column =
     sha2(concat(deviceId, lit("|"), pgTimestampText(ts)), 256)
+
+  /** First 7 bytes of MD5(UTF-8), little-endian, as a non-negative long:
+    * the exact bits of DuckDB's `md5_number_upper(s) % 2^56`, so any plan
+    * built over this hash has a SQL-recomputable oracle twin. This is the
+    * codegen'd expression sibling of `Dedup.hash64Md5` (which covers the
+    * full 64 bits but needs a UDF to keep the signed top byte exact —
+    * 56 bits always fit a signed long, so `md5`/`substring`/`conv`
+    * builtins suffice and the hash stays inside whole-stage codegen).
+    * The hex pairs are concatenated in reverse byte order because
+    * `md5_number_upper` reads the first 8 digest bytes little-endian. */
+  def md5Long56(c: Column): Column = {
+    val hex = md5(c)
+    val le = concat(Seq(13, 11, 9, 7, 5, 3, 1)
+      .map(i => substring(hex, i, 2)): _*)
+    conv(le, 16, 10).cast("long")
+  }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-profiling statistics for training-data curation: the vocabulary
+  * frequency/coverage profile (the Zipf curve a tokenizer budget is sized
+  * against) and adjacent-bigram pointwise mutual information (the
+  * collocation signal used for phrase mining and embedding co-occurrence
+  * prep, Church & Hanks 1990).
+  *
+  * Both are one-corpus-pass aggregations: token explode → keyed agg with
+  * map-side combine; everything after runs on vocab-sized frames (top-k
+  * via TakeOrderedAndProject, scalar totals carried in-plan as 1-row
+  * broadcast crossJoins — never a driver round-trip).
+  */
+object CorpusStats {
+
+  /** Top-`k` vocabulary with rank and cumulative corpus coverage:
+    * (rank, word, freq, cum_frac). `cum_frac` is the fraction of ALL
+    * running tokens covered by ranks 1..i — the Zipf coverage curve —
+    * floor-quantized to 1e-6 for engine-exact comparison (cumulative and
+    * total counts are exact integers; their double quotient is the same
+    * IEEE value in any engine, and floor of identical doubles is exact).
+    *
+    * Plan shape: corpus-sized word agg → distributed top-k (
+    * TakeOrderedAndProject, no global sort) → rank/cumsum window over the
+    * k-row result partitioned on a constant non-foldable bucket (the
+    * q_bm25 pattern: a foldable literal would be stripped by
+    * EliminateWindowPartitions and trip the single-partition warning). */
+  def vocabStats(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val freq = Tokenizer.wordFreq(docs, textCol)
+    val total = freq.agg(sum("freq").as("_total"))
+    val top = freq.orderBy(col("freq").desc, col("word")).limit(k)
+    val bucket = coalesce(substring(col("word"), 1, 0), lit(""))
+    val w = Window.partitionBy(bucket)
+      .orderBy(col("freq").desc, col("word"))
+    val cum = Window.partitionBy(bucket)
+      .orderBy(col("freq").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_frac",
+        floor(sum(col("freq")).over(cum).cast("double") * 1000000 /
+          col("_total")) / 1000000)
+      .select("rank", "word", "freq", "cum_frac")
+  }
+
+  /** Adjacent-bigram PMI: for each token bigram (a,b) with count >=
+    * `minCount`, pmi = ln(P(a,b) / (P(a)·P(b))) with P(a,b) = n_ab/N_big
+    * and P(x) = n_x/N_tok. Emitted floor-quantized (`pmi_q6` = floor(pmi ·
+    * 1e6), the q_bm25 discipline: ln over identical IEEE doubles is
+    * engine-exact, so quantized values compare bit-for-bit).
+    *
+    * Plan: two corpus-sized keyed aggs (unigrams, bigrams) with map-side
+    * combine; unigram vocab broadcast-joined twice onto the bigram table;
+    * scalar totals ride in-plan via 1-row broadcast crossJoins. Nothing
+    * after the aggs touches corpus-sized data. */
+  def bigramPmi(docs: DataFrame, textCol: String,
+      minCount: Long = 5): DataFrame = {
+    val toks = docs.select(
+      filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_w"))
+    val nTok = uni.agg(sum("n_w").as("_n_tok"))
+    val bi = toks.where(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("w_a"),
+          element_at(col("tk"), i + 2).as("w_b")))).as("p"))
+      .groupBy(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val nBig = bi.agg(sum("n_ab").as("_n_big"))
+    bi.where(col("n_ab") >= minCount)
+      .join(broadcast(uni.select(col("word").as("w_a"),
+        col("n_w").as("n_a"))), Seq("w_a"))
+      .join(broadcast(uni.select(col("word").as("w_b"),
+        col("n_w").as("n_b"))), Seq("w_b"))
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBig))
+      .select(col("w_a"), col("w_b"), col("n_ab"),
+        floor(log(
+          (col("n_ab").cast("double") / col("_n_big")) /
+            ((col("n_a").cast("double") / col("_n_tok")) *
+              (col("n_b").cast("double") / col("_n_tok"))))
+          * 1000000).cast("long").as("pmi_q6"))
+  }
+}

@@ -95,6 +95,30 @@ object DataPrep {
             x => x.getField("text"))).as("packed"))
   }
 
+  /** Deterministic stratified sampling: exactly `n` rows per stratum
+    * (fewer only when the stratum is smaller), chosen by ranking each
+    * stratum on a content-stable hash draw ([[graft.functions.Hashing
+    * .md5Long56]] over a salted id) — same id → same rank order on every
+    * run and engine, so samples are reproducible and the oracle replays
+    * them exactly.
+    *
+    * Scale shape: the `row_number <= n` filter over a partitioned window
+    * is rewritten by Spark's WindowGroupLimit rule into a per-partition
+    * top-n that keeps only n rows per map partition BEFORE the stratum
+    * shuffle — each stratum never materializes more than
+    * n × shuffle-partitions rows, so a 100 TB stratum costs a top-n scan,
+    * not a full sort. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      n: Int, salt: String = "sample|"): DataFrame = {
+    import graft.functions.Hashing
+    val w = Window.partitionBy(strataCol).orderBy(
+      Hashing.md5Long56(concat(lit(salt), col(idCol).cast("string"))),
+      col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= n)
+      .drop("_rk")
+  }
+
   /** Deterministic source-mixture sampling — the dataset-mixing primitive
     * (e.g. "30% web, 60% code, 10% wiki" for a training run): keep each
     * document with probability `weights(source)`, decided by a

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed tokenizer-training primitives: the byte-pair-encoding
+  * pipeline of Sennrich et al. 2016 ("Neural Machine Translation of Rare
+  * Words with Subword Units"), restructured for Spark's execution model.
+  *
+  * The scale design is the whole point: the corpus is reduced ONCE to a
+  * weighted word vocabulary — the only corpus-sized shuffle, and it gets
+  * map-side partial aggregation for free — and every BPE iteration after
+  * that runs on the vocabulary alone. At 100 TB the corpus holds ~10^11
+  * running words but the distinct-word vocab is ~10^7 rows, so each merge
+  * costs a vocab-sized job, not a corpus pass. (This mirrors how the
+  * published BPE implementations train from a pre-counted word-frequency
+  * dict rather than raw text; here the dict is a DataFrame and the merge
+  * loop keeps the connectedComponents persist discipline so lineage and
+  * recompute stay constant per iteration.)
+  */
+object Tokenizer {
+
+  /** Weighted word vocabulary: (word, freq), lower-cased, whitespace
+    * tokenization. The one corpus-sized aggregation of the pipeline. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+
+  /** First-iteration BPE statistics straight off the corpus: adjacent
+    * character-pair counts weighted by word frequency, the quantity the
+    * first merge decision ranks. Emitted as `(pair, n)` with the pair
+    * rendered "l r" (space-joined), ordered by count then pair so the
+    * top-`k` cut is total-ordered and engine-portable. Pure composition:
+    * corpus → word-freq shuffle → vocab-local pair explode → vocab-sized
+    * re-agg. */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+      topK: Int = 50): DataFrame =
+    wordFreq(docs, textCol)
+      .where(length(col("word")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => concat(col("word").substr(i, lit(1)), lit(" "),
+          col("word").substr(i + 1, lit(1))))).as("pair"))
+      .groupBy("pair")
+      .agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+
+  /** Adjacent symbol pairs of a vocab row, weighted by `freq`: the
+    * per-iteration merge statistics. `symbols` is an array column. */
+  private def pairStats(vocab: DataFrame): DataFrame =
+    vocab
+      .where(size(col("symbols")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(0), size(col("symbols")) - 2),
+        i => struct(
+          element_at(col("symbols"), i + 1).as("left"),
+          element_at(col("symbols"), i + 2).as("right")))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum("freq").as("n"))
+
+  /** Greedy left-to-right application of one merge (left,right)→left+right
+    * over a symbol array, as a codegen'd `aggregate` fold (no UDF): the
+    * accumulator rebuilds the array, fusing a pair only when the previous
+    * emitted symbol is `left` and the current is `right`. Because the fused
+    * symbol becomes the new "previous", overlapping occurrences resolve
+    * left-to-right exactly like the reference BPE implementations
+    * ("aaaa" + merge (a,a) → ["aa","aa"], not ["aa","a","a"]). */
+  private def applyMerge(symbols: Column, left: String,
+      right: String): Column =
+    aggregate(
+      symbols,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            get(acc, size(acc) - 1) === lit(left) && x === lit(right),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(lit(left + right))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `merges` BPE merge rules from the corpus. Returns the learned
+    * rules in application order. `eow` (when non-empty) is appended to each
+    * word as the classic end-of-word symbol so learned subwords distinguish
+    * word-final position.
+    *
+    * BPE is inherently sequential — each merge depends on the previous —
+    * so the loop runs `merges` vocab-sized jobs from the driver. Iteration
+    * discipline matches [[Dedup.connectedComponents]]: each round's vocab
+    * is persisted and the previous round's cache dropped, and the plan is
+    * localCheckpoint'ed every few rounds so lineage depth (and driver
+    * analysis time) stays constant instead of growing per merge. */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
+      eow: String = "</w>", minPairCount: Long = 2): Seq[(String, String)] = {
+    import org.apache.spark.storage.StorageLevel
+    val base = wordFreq(docs, textCol)
+    val initSymbols = {
+      val chars = filter(split(col("word"), ""), s => length(s) > 0)
+      if (eow.isEmpty) chars else concat(chars, array(lit(eow)))
+    }
+    var vocab = base.select(initSymbols.as("symbols"), col("freq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var learned = List.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < merges && !done) {
+      val top = pairStats(vocab)
+        .orderBy(col("n").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("n") < minPairCount) done = true
+      else {
+        val (l, r) = (top(0).getAs[String]("left"),
+          top(0).getAs[String]("right"))
+        learned ::= (l, r)
+        val next = vocab
+          .select(applyMerge(col("symbols"), l, r).as("symbols"), col("freq"))
+        val kept =
+          if ((round + 1) % 8 == 0) next.localCheckpoint()
+          else next.persist(StorageLevel.MEMORY_AND_DISK)
+        kept.count() // materialize before dropping the parent cache
+        vocab.unpersist(false)
+        vocab = kept
+      }
+      round += 1
+    }
+    vocab.unpersist(false)
+    learned.reverse
+  }
+
+  /** Segment a word with learned merge rules (applied in training order) —
+    * the inference twin of [[bpeTrain]], used by the spec to pin the
+    * classic fixture end-to-end. Plain Scala on one word; corpus-scale
+    * segmentation would map this over the vocab then broadcast-join words
+    * to subwords. */
+  def segment(word: String, rules: Seq[(String, String)],
+      eow: String = "</w>"): Seq[String] = {
+    var syms: Seq[String] =
+      word.map(_.toString) ++ (if (eow.isEmpty) Nil else Seq(eow))
+    rules.foreach { case (l, r) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { s =>
+        if (out.nonEmpty && out.last == l && s == r)
+          out(out.length - 1) = l + r
+        else out += s
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{CorpusStats, Dedup, SimilaritySearch, Tokenizer, Winnow}
 
 /** The LLM-data-pipeline operator set (dedup, text analysis, similarity
   * search) over the `documents`/`embeddings` tables, oracle-checked where
@@ -522,6 +522,51 @@ object DocQueries {
         .select(col("query_id"), col("id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- first-iteration BPE merge statistics (tokenizer training):
+    // adjacent char-pair counts weighted by word frequency — the corpus
+    // reduces ONCE to the weighted vocab, pairs explode on vocab-sized
+    // data only ([[Tokenizer]]; the iterative trainer is TokenizerSpec-
+    // gated, this pins the statistics every merge decision ranks) ----
+    "q_bpe_pairs" -> ((s, d) => {
+      Tokenizer.bpePairCounts(docsPar(s, d), "text", topK = 50)
+    }),
+
+    // ---- vocabulary Zipf profile: top-30 words with rank + cumulative
+    // corpus coverage, floor-quantized (exact-integer cumsum/total →
+    // identical IEEE quotient both engines) ----
+    "q_vocab_stats" -> ((s, d) => {
+      CorpusStats.vocabStats(docsPar(s, d), "text", k = 30)
+        .orderBy("rank")
+    }),
+
+    // ---- adjacent-bigram PMI (collocation mining): quantized ln over
+    // exact count ratios, unigram vocab broadcast back twice, corpus
+    // totals in-plan ----
+    "q_pmi_bigrams" -> ((s, d) => {
+      CorpusStats.bigramPmi(docsPar(s, d), "text", minCount = 5)
+        .orderBy("w_a", "w_b")
+    }),
+
+    // ---- winnowing fingerprints (Schleimer et al., MOSS): per-doc
+    // distinct sliding-window minima over char-8-gram hashes, on the
+    // DuckDB-portable md5Long56 hash so the oracle replays the exact
+    // fingerprint set (production default is xxhash64) ----
+    "q_winnow" -> ((s, d) => {
+      Winnow.fingerprints(docsPar(s, d), "doc_id", "text", k = 8, w = 10,
+          hashFn = graft.functions.Hashing.md5Long56)
+        .orderBy("doc_id", "fp")
+    }),
+
+    // ---- deterministic stratified sampling: exactly 20 docs per source,
+    // ranked by salted content hash — WindowGroupLimit keeps per-stratum
+    // state at top-n, the oracle replays the exact draw ----
+    "q_stratified_sample" -> ((s, d) => {
+      import graft.operators.DataPrep
+      DataPrep.stratifiedSample(docsPar(s, d).select("doc_id", "source"),
+          "doc_id", "source", n = 20)
+        .orderBy("doc_id")
     }))
 
   /** DuckDB twin of [[TextFunctions.langId]] + [[TextFunctions.qualityScore]]
@@ -1201,5 +1246,104 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |  FROM scored
         |)
         |SELECT query_id, id, rank, round(cosine, 6) AS cosine
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents
+        |), f AS (
+        |  SELECT word, count(*) AS freq FROM w
+        |  WHERE length(word) > 0 GROUP BY word
+        |), p AS (
+        |  SELECT unnest(list_transform(range(1, length(word)),
+        |    i -> word[i:i] || ' ' || word[i+1:i+1])) AS pair, freq
+        |  FROM f WHERE length(word) >= 2
+        |)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    "q_vocab_stats" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents
+        |), f AS (
+        |  SELECT word, count(*) AS freq FROM w
+        |  WHERE length(word) > 0 GROUP BY word
+        |), tot AS (
+        |  SELECT CAST(sum(freq) AS DOUBLE) AS total FROM f
+        |), top AS (
+        |  SELECT word, freq FROM f ORDER BY freq DESC, word LIMIT 30
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) AS INTEGER)
+        |    AS rank,
+        |  word, CAST(freq AS BIGINT) AS freq,
+        |  floor(CAST(sum(freq) OVER (ORDER BY freq DESC, word
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    * 1000000 / total) / 1000000 AS cum_frac
+        |FROM top CROSS JOIN tot
+        |ORDER BY rank""".stripMargin,
+
+    "q_pmi_bigrams" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), u AS (
+        |  SELECT word, count(*) AS n_w
+        |  FROM (SELECT unnest(tk) AS word FROM t) GROUP BY word
+        |), ntok AS (
+        |  SELECT CAST(sum(n_w) AS DOUBLE) AS n_tok FROM u
+        |), b AS (
+        |  SELECT p['w_a'] AS w_a, p['w_b'] AS w_b, count(*) AS n_ab
+        |  FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> struct_pack(w_a := tk[i], w_b := tk[i+1]))) AS p
+        |    FROM t WHERE len(tk) >= 2)
+        |  GROUP BY 1, 2
+        |), nbig AS (
+        |  SELECT CAST(sum(n_ab) AS DOUBLE) AS n_big FROM b
+        |)
+        |SELECT w_a, w_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(floor(ln(
+        |    (CAST(n_ab AS DOUBLE) / n_big) /
+        |    ((CAST(ua.n_w AS DOUBLE) / n_tok) *
+        |     (CAST(ub.n_w AS DOUBLE) / n_tok)))
+        |    * 1000000) AS BIGINT) AS pmi_q6
+        |FROM b
+        |JOIN u ua ON ua.word = b.w_a
+        |JOIN u ub ON ub.word = b.w_b
+        |CROSS JOIN ntok CROSS JOIN nbig
+        |WHERE n_ab >= 5
+        |ORDER BY w_a, w_b""".stripMargin,
+
+    // exact replay of Winnow.fingerprints(k=8, w=10, md5Long56):
+    // md5_number_upper % 2^56 IS md5Long56 (first 7 digest bytes,
+    // little-endian — the Hashing.md5Long56 contract)
+    "q_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, list_transform(range(1, length(t) - 6),
+        |    i -> CAST(md5_number_upper(t[i:i+7]) % 72057594037927936
+        |      AS BIGINT)) AS hs
+        |  FROM d WHERE length(t) >= 17
+        |)
+        |SELECT doc_id,
+        |  unnest(list_distinct(list_transform(range(0, len(hs) - 9),
+        |    j -> list_min(hs[j+1:j+10])))) AS fp
+        |FROM h
+        |ORDER BY doc_id, fp""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(md5_number_upper('sample|' ||
+        |          CAST(doc_id AS VARCHAR)) % 72057594037927936 AS BIGINT),
+        |        doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Tokenizer
+import org.scalatest.funsuite.AnyFunSuite
+
+class TokenizerSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("wordFreq counts lower-cased whitespace tokens") {
+    import spark.implicits._
+    val docs = Seq("The cat the DOG", "dog  dog").toDF("text")
+    val got = Tokenizer.wordFreq(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("the" -> 2L, "cat" -> 1L, "dog" -> 3L))
+  }
+
+  test("bpePairCounts weights char pairs by word frequency") {
+    import spark.implicits._
+    // "aba" x3, "ab" x1 → pair "a b": 3*2 (two positions... "aba" has
+    // pairs (a,b),(b,a)) — enumerate exactly:
+    //   aba: (a b), (b a)   freq 3
+    //   ab:  (a b)          freq 1
+    val docs = Seq("aba aba", "aba ab").toDF("text")
+    val got = Tokenizer.bpePairCounts(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a b" -> 4L, "b a" -> 3L))
+  }
+
+  test("bpeTrain learns the classic merges on the Sennrich-style fixture") {
+    import spark.implicits._
+    // the canonical BPE walkthrough corpus: {low:5, lower:2, newest:6,
+    // widest:3}. With </w> markers the first merges are driven by
+    // "est</w>" (9 occurrences): (e,s) 9 → (es,t) 9 → (est,</w>) 9,
+    // then (l,o) 7 → (lo,w) 7 ...
+    val docs = Seq.fill(5)("low").mkString(" ") + " " +
+      Seq.fill(2)("lower").mkString(" ") + " " +
+      Seq.fill(6)("newest").mkString(" ") + " " +
+      Seq.fill(3)("widest").mkString(" ")
+    val rules = Tokenizer.bpeTrain(Seq(docs).toDF("text"), "text",
+      merges = 5)
+    assert(rules.take(5) == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w")))
+  }
+
+  test("segment applies learned rules greedily left-to-right") {
+    val rules = Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"))
+    assert(Tokenizer.segment("lowest", rules) ==
+      Seq("low", "est</w>"))
+    assert(Tokenizer.segment("newest", rules) ==
+      Seq("n", "e", "w", "est</w>"))
+  }
+
+  test("overlapping pairs merge left-to-right (aaaa + (a,a) → aa,aa)") {
+    import spark.implicits._
+    val docs = Seq("aaaa").toDF("text")
+    val rules = Tokenizer.bpeTrain(docs, "text", merges = 1, eow = "")
+    assert(rules == Seq(("a", "a")))
+    assert(Tokenizer.segment("aaaa", rules, eow = "") == Seq("aa", "aa"))
+    assert(Tokenizer.segment("aaa", rules, eow = "") == Seq("aa", "a"))
+  }
+
+  test("bpeTrain stops when no pair reaches minPairCount") {
+    import spark.implicits._
+    val docs = Seq("ab cd ef").toDF("text")
+    // every pair occurs once < minPairCount=2 → no merges learned
+    assert(Tokenizer.bpeTrain(docs, "text", merges = 3, eow = "") == Nil)
+  }
+}

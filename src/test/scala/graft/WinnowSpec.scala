@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.Hashing
+import graft.operators.{CorpusStats, Winnow}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WinnowSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("identical documents get identical fingerprint sets") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The  quick brown fox jumps over the LAZY dog".toLowerCase))
+      .toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", k = 4, w = 3)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L).nonEmpty)
+  }
+
+  test("winnowing guarantee: a shared substring of length >= w+k-1 " +
+      "yields a shared fingerprint") {
+    import spark.implicits._
+    val shared = "unique shared span of text here"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"zeta eta theta iota kappa $shared omega"))
+      .toDF("doc_id", "text")
+    val (k, w) = (5, 4)
+    assert(shared.length >= w + k - 1)
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", k = k, w = w)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+  }
+
+  test("disjoint-alphabet documents share no fingerprints; " +
+      "overlapPairs flags only real overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+      (2L, "iiii jjjj kkkk llll mmmm nnnn oooo pppp"),
+      (3L, "aaaa bbbb cccc dddd eeee ffff qqqq rrrr"))
+      .toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", k = 4, w = 3)
+    val pairs = Winnow.overlapPairs(fps, "doc_id", minShared = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 3L)))
+  }
+
+  test("portable hash variant matches xxhash64 variant in COUNT " +
+      "(selection positions agree) and md5Long56 is non-negative 56-bit") {
+    import spark.implicits._
+    val docs = Seq((1L, "some moderately long text for fingerprinting ok"))
+      .toDF("doc_id", "text")
+    val n64 = Winnow.fingerprints(docs, "doc_id", "text", 4, 3).count()
+    val n56 = Winnow.fingerprints(docs, "doc_id", "text", 4, 3,
+      hashFn = Hashing.md5Long56).count()
+    // different hash → different minima can collide/differ slightly in
+    // DISTINCT size, but both sample ~2/(w+1) of grams; sanity-bound both
+    assert(n64 > 0 && n56 > 0)
+    val vals = docs.select(Hashing.md5Long56(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(vals.forall(v => v >= 0 && v < (1L << 56)))
+  }
+
+  test("documents shorter than one window produce no fingerprints") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny")).toDF("doc_id", "text")
+    assert(Winnow.fingerprints(docs, "doc_id", "text", k = 8, w = 10)
+      .count() == 0L)
+  }
+
+  test("vocabStats ranks by freq and accumulates coverage to 1.0") {
+    import spark.implicits._
+    val docs = Seq("a a a b b c").toDF("text")
+    val got = CorpusStats.vocabStats(docs, "text", k = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1, "a", 3L), (2, "b", 2L), (3, "c", 1L)))
+    assert(got.last._4 == 1.0)
+    assert(got.head._4 == 0.5)
+  }
+
+  test("bigramPmi: collocated pair scores above independence") {
+    import spark.implicits._
+    // "x y" always adjacent; "p"/"q" never adjacent to each other
+    val docs = Seq.fill(20)("x y p q").mkString(" ")
+    val got = CorpusStats.bigramPmi(Seq(docs).toDF("text"), "text",
+        minCount = 5)
+      .collect().map(r => ((r.getAs[String]("w_a"), r.getAs[String]("w_b")),
+        r.getAs[Long]("pmi_q6"))).toMap
+    // x→y occurs every time x occurs → pmi > 0 (above independence)
+    assert(got(("x", "y")) > 0)
+  }
+}
