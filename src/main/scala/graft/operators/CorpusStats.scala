@@ -47,6 +47,40 @@ object CorpusStats {
       .select("rank", "word", "freq", "cum_frac")
   }
 
+  /** Per-document unigram log-probability — the cheap LM quality signal
+    * of the CCNet-style filtering pipelines (Wenzek et al. 2020: docs are
+    * binned by language-model perplexity; the unigram model is the
+    * zero-dependency floor of that family). For each document:
+    * `sum_q6` = Σ_tokens floor(ln(freq(tok)/N) · 1e6) and the per-token
+    * mean `avg_logprob` = sum_q6 / (1e6 · n_tokens).
+    *
+    * Determinism is the point of the quantization: a float sum over an
+    * unordered partition reduce is run-order-dependent, but the per-token
+    * contributions are exact integers (ln of identical IEEE quotients,
+    * floored), so their sum commutes and the emitted mean is the same
+    * bits on every engine — the q_bm25 discipline.
+    *
+    * Plan: corpus-sized unigram agg (map-side combine) → vocab broadcast
+    * back onto the exploded corpus → per-doc agg. */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+    val uni = words.groupBy("word").agg(count(lit(1)).as("n_w"))
+    val nTok = uni.agg(sum("n_w").as("_n_tok"))
+    words
+      .join(broadcast(uni), Seq("word"))
+      .crossJoin(broadcast(nTok))
+      .select(col(idCol),
+        floor(log(col("n_w").cast("double") / col("_n_tok")) * 1000000)
+          .cast("long").as("cq"))
+      .groupBy(idCol)
+      .agg(sum("cq").as("sum_q6"), count(lit(1)).as("n_tokens"))
+      .withColumn("avg_logprob",
+        col("sum_q6").cast("double") / (col("n_tokens") * 1000000))
+  }
+
   /** Adjacent-bigram PMI: for each token bigram (a,b) with count >=
     * `minCount`, pmi = ln(P(a,b) / (P(a)·P(b))) with P(a,b) = n_ab/N_big
     * and P(x) = n_x/N_tok. Emitted floor-quantized (`pmi_q6` = floor(pmi ·

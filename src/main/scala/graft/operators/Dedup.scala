@@ -31,6 +31,22 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
       .where(col("n_dups") > 1)
 
+  /** Bag-of-words duplicates: like [[exactDupGroups]] but the key is the
+    * md5 of the SORTED token multiset, so word-order shuffles (a common
+    * scraped-content permutation exact dedup misses) land in one group.
+    * Sorting is per-row (array_sort of the token array); only the 32-byte
+    * key and id shuffle. Returns (canonical_id, n_bow_dups), groups > 1. */
+  def bowDupGroups(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol),
+        md5(concat_ws(" ", array_sort(filter(
+          split(lower(trim(col(textCol))), "\\s+"),
+          t => length(t) > 0))).cast("binary")).as("bow"))
+      .groupBy("bow")
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_bow_dups"))
+      .where(col("n_bow_dups") > 1)
+
   /** Keep one row per exact-duplicate group (the min-id row). */
   def dropExactDups(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
@@ -192,7 +208,7 @@ object Dedup {
   }
 
   /** Stable 64-bit string hash (two seeded 32-bit MurmurHash3 halves). */
-  private def hash64(s: String): Long = {
+  private[operators] def hash64(s: String): Long = {
     import scala.util.hashing.MurmurHash3
     val hi = MurmurHash3.stringHash(s, 0x9747b28c)
     val lo = MurmurHash3.stringHash(s, 0x85ebca6b)

@@ -129,6 +129,26 @@ object Tokenizer {
     learned.reverse
   }
 
+  /** Corpus-scale subword segmentation with learned rules: segment the
+    * DISTINCT words (one [[segment]] per vocab row — the only place the
+    * sequential merge logic runs), then broadcast-join the subword arrays
+    * back onto the corpus' exploded words. Returns (idCol, word,
+    * subwords). At 100 TB the segmentation cost is vocab-sized and the
+    * corpus pays one broadcast hash join — the same "reduce to the vocab
+    * first" shape as training. */
+  def segmentCorpus(docs: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)], eow: String = "</w>"): DataFrame = {
+    val segUdf = udf((w: String) => segment(w, rules, eow))
+    val words = docs
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+    val vocabSeg = words.select("word").distinct()
+      .withColumn("subwords", segUdf(col("word")))
+    words.join(broadcast(vocabSeg), Seq("word"))
+      .select(col(idCol), col("word"), col("subwords"))
+  }
+
   /** Segment a word with learned merge rules (applied in training order) —
     * the inference twin of [[bpeTrain]], used by the spec to pin the
     * classic fixture end-to-end. Plain Scala on one word; corpus-scale

@@ -20,28 +20,67 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
-  /** Distinct winnowing fingerprints per document: (idCol, fp). `hashFn`
-    * defaults to xxhash64 (fastest); pass [[graft.functions.Hashing
-    * .md5Long56]] for the DuckDB-portable hash the oracle twin replays.
-    * Documents shorter than one full window (len < k + w - 1 normalized
-    * chars) produce no rows — too short to fingerprint at this (k, w). */
+  /** Distinct winnowing fingerprints per document: (idCol, fp). With
+    * `portable = true` grams are hashed with the first-7-md5-bytes
+    * little-endian value (== `Hashing.md5Long56` == DuckDB
+    * `md5_number_upper % 2^56`), so the oracle twin replays the exact
+    * fingerprint set; the default is the dedup family's fast 64-bit
+    * string hash. Documents shorter than one full window (len < k + w - 1
+    * normalized chars) produce no rows — too short to fingerprint at this
+    * (k, w).
+    *
+    * The per-row work is a deliberate Scala kernel, not higher-order
+    * array expressions, for the [[Dedup.minhashSig]] reason: `transform`
+    * lambdas evaluate interpreted (no whole-stage codegen), re-deriving
+    * the hash tree per window — an expression formulation measured 16 s
+    * at sf0.1 where this kernel takes well under a second. The kernel is
+    * O(n) per row via a monotonic-deque sliding minimum. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int,
-      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+      k: Int, w: Int, portable: Boolean = false): DataFrame = {
+    val kernel = udf { (norm: String) => winnowKernel(norm, k, w, portable) }
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    // Materialize the gram-hash array in its own projection: the window
-    // stage references it twice (length + every slice), and inlining the
-    // tree into each lambda would re-hash all n grams per window —
-    // O(n²·k) per row instead of O(n·(k+w)). CollapseProject keeps the
-    // split because the alias is non-cheap and multiply-referenced.
     df.where(length(norm) >= k + w - 1)
-      .select(col(idCol), transform(
-        sequence(lit(1), length(norm) - (k - 1)),
-        i => hashFn(norm.substr(i, lit(k)))).as("_hs"))
-      .select(col(idCol),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(col("_hs")) - w),
-          j => array_min(slice(col("_hs"), j + 1, lit(w)))))).as("fp"))
+      .select(col(idCol), explode(kernel(norm)).as("fp"))
+  }
+
+  /** Distinct sliding-window minima over the k-gram hashes of `norm`,
+    * ascending. Monotonic deque: each gram index enters and leaves the
+    * candidate queue once — O(n) total, constant extra state of at most
+    * `w` indices. */
+  private[operators] def winnowKernel(norm: String, k: Int, w: Int,
+      portable: Boolean): Array[Long] = {
+    if (norm == null || norm.length < k + w - 1) return Array.emptyLongArray
+    val m = norm.length - k + 1
+    val hs = new Array[Long](m)
+    if (portable) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < m) {
+        hs(i) = Dedup.hash64Md5(md, norm.substring(i, i + k)) &
+          0xffffffffffffffL // low 7 bytes == md5_number_upper % 2^56
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < m) { hs(i) = Dedup.hash64(norm.substring(i, i + k)); i += 1 }
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val deque = new Array[Int](m)   // indices, values increasing
+    var head = 0
+    var tail = 0                    // exclusive
+    var i = 0
+    while (i < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out.add(hs(deque(head)))
+      i += 1
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { res(j) = it.next(); j += 1 }
+    res
   }
 
   /** Document pairs sharing at least `minShared` fingerprints — the

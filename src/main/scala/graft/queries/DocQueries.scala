@@ -555,7 +555,7 @@ object DocQueries {
     // fingerprint set (production default is xxhash64) ----
     "q_winnow" -> ((s, d) => {
       Winnow.fingerprints(docsPar(s, d), "doc_id", "text", k = 8, w = 10,
-          hashFn = graft.functions.Hashing.md5Long56)
+          portable = true)
         .orderBy("doc_id", "fp")
     }),
 
@@ -567,6 +567,32 @@ object DocQueries {
       DataPrep.stratifiedSample(docsPar(s, d).select("doc_id", "source"),
           "doc_id", "source", n = 20)
         .orderBy("doc_id")
+    }),
+
+    // ---- per-doc unigram log-probability (CCNet-style LM quality
+    // floor): per-token contributions floor-quantized to exact integers
+    // so the per-doc sum commutes — a float sum over an unordered reduce
+    // would be run-order-dependent (the q_bm25 discipline) ----
+    "q_unigram_logprob" -> ((s, d) => {
+      CorpusStats.unigramLogProb(docsPar(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- bag-of-words dedup: the key is the sorted token multiset, so
+    // word-order permutations (injected here as the sorted-token
+    // rendering of every doc_id%9=0 doc) fall into one group; the oracle
+    // groups by the sorted token STRING itself, proving the md5-keyed
+    // plan loses nothing ----
+    "q_bow_dedup" -> ((s, d) => {
+      val docs = docsPar(s, d).select("doc_id", "text")
+      val shuffled = docs.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat_ws(" ", array_sort(filter(
+            split(lower(trim(col("text"))), "\\s+"),
+            t => length(t) > 0))).as("text"))
+      Dedup.bowDupGroups(docs.unionByName(shuffled), "doc_id", "text")
+        .select("canonical_id", "n_bow_dups")
+        .orderBy("canonical_id")
     }))
 
   /** DuckDB twin of [[TextFunctions.langId]] + [[TextFunctions.qualityScore]]
@@ -1345,5 +1371,50 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |          CAST(doc_id AS VARCHAR)) % 72057594037927936 AS BIGINT),
         |        doc_id) AS rk
         |  FROM documents)
-        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin)
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH ww AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0
+        |), u AS (
+        |  SELECT word, count(*) AS n_w FROM ww GROUP BY word
+        |), ntok AS (
+        |  SELECT CAST(sum(n_w) AS DOUBLE) AS n_tok FROM u
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(CAST(n_w AS DOUBLE) / n_tok) * 1000000)
+        |      AS BIGINT) AS cq
+        |  FROM ww JOIN u USING (word) CROSS JOIN ntok
+        |)
+        |SELECT doc_id, CAST(sum(cq) AS BIGINT) AS sum_q6,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(cq) AS DOUBLE) / (count(*) * 1000000) AS avg_logprob
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // groups by the sorted token STRING itself — proves the Spark plan's
+    // md5 bag key loses nothing
+    "q_bow_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0)), ' ')
+        |  FROM documents WHERE doc_id % 9 = 0
+        |), k AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0)), ' ') AS bow
+        |  FROM docs
+        |)
+        |SELECT min(doc_id) AS canonical_id,
+        |  CAST(count(*) AS BIGINT) AS n_bow_dups
+        |FROM k GROUP BY bow HAVING count(*) > 1
+        |ORDER BY canonical_id""".stripMargin)
 }

@@ -60,6 +60,22 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.segment("aaa", rules, eow = "") == Seq("aa", "a"))
   }
 
+  test("segmentCorpus applies learned rules to every corpus word via " +
+      "the vocab broadcast") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lowest"), (2L, "newest")).toDF("doc_id", "text")
+    val rules = Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"))
+    val got = Tokenizer.segmentCorpus(docs, "doc_id", "text", rules)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+      .toSet
+    assert(got == Set(
+      (1L, "low", Seq("low", "</w>")),
+      (1L, "lowest", Seq("low", "est</w>")),
+      (2L, "newest", Seq("n", "e", "w", "est</w>"))))
+  }
+
   test("bpeTrain stops when no pair reaches minPairCount") {
     import spark.implicits._
     val docs = Seq("ab cd ef").toDF("text")

@@ -51,20 +51,26 @@ class WinnowSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 3L)))
   }
 
-  test("portable hash variant matches xxhash64 variant in COUNT " +
-      "(selection positions agree) and md5Long56 is non-negative 56-bit") {
+  test("portable kernel hash == the codegen'd md5Long56 expression " +
+      "bit for bit, and both variants fingerprint") {
     import spark.implicits._
     val docs = Seq((1L, "some moderately long text for fingerprinting ok"))
       .toDF("doc_id", "text")
     val n64 = Winnow.fingerprints(docs, "doc_id", "text", 4, 3).count()
     val n56 = Winnow.fingerprints(docs, "doc_id", "text", 4, 3,
-      hashFn = Hashing.md5Long56).count()
-    // different hash → different minima can collide/differ slightly in
-    // DISTINCT size, but both sample ~2/(w+1) of grams; sanity-bound both
+      portable = true).count()
     assert(n64 > 0 && n56 > 0)
-    val vals = docs.select(Hashing.md5Long56(col("text")).as("h"))
+    // the kernel's masked hash64Md5 must equal the expression md5Long56
+    // on arbitrary strings — the oracle's replayability hinges on it
+    val samples = Seq("abc", "winnow me", "x", "the quick brown fox")
+    val expr = samples.toDF("s")
+      .select(Hashing.md5Long56(col("s")).as("h"))
       .collect().map(_.getLong(0))
-    assert(vals.forall(v => v >= 0 && v < (1L << 56)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val kernel = samples.map(s =>
+      graft.operators.Dedup.hash64Md5(md, s) & 0xffffffffffffffL)
+    assert(expr.toSeq == kernel)
+    assert(expr.forall(v => v >= 0 && v < (1L << 56)))
   }
 
   test("documents shorter than one window produce no fingerprints") {
