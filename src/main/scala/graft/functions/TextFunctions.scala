@@ -115,6 +115,33 @@ object TextFunctions {
       .otherwise((total - distinctGrams).cast("double") / total)
   }
 
+  /** Deflate compression ratio of the UTF-8 text: compressed/original
+    * size — the Gopher-family "too compressible = too repetitive, too
+    * incompressible = noise" quality heuristic, which catches loop spam
+    * that token-level repetition misses (repeats longer than the n-gram
+    * window, repeated paragraphs). Deterministic: java.util.zip with a
+    * fixed level is stable across JVMs. Per-row Scala kernel (a codec is
+    * not expressible as Catalyst expressions); narrow, no shuffle.
+    * Spec-gated — DuckDB has no SQL deflate, so there is deliberately no
+    * oracle twin. */
+  def compressionRatio(text: Column): Column = {
+    val kernel = udf { (s: String) =>
+      if (s == null || s.isEmpty) 1.0
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6, false)
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](bytes.length + 64)
+        var n = 0
+        // only the SIZE is needed; the buffer is scratch space
+        while (!d.finished()) n += d.deflate(buf, 0, buf.length)
+        d.end()
+        n.toDouble / bytes.length
+      }
+    }
+    kernel(text)
+  }
+
   /** PII patterns (emails, IPv4, US-style phone numbers) restricted to the
     * RE2 ∩ java.util.regex common dialect — no lookaround, no backrefs —
     * so the Spark expressions and the DuckDB oracle match byte for byte. */
