@@ -95,6 +95,28 @@ object DataPrep {
             x => x.getField("text"))).as("packed"))
   }
 
+  /** Contiguous global sequence ids 0..n-1 in `orderCol` order — the
+    * sample-index assignment a training run needs, done the way that
+    * scales: range-repartition + partition-local sort, then RDD
+    * zipWithIndex (per-partition counts in one pass, offsets broadcast,
+    * ids stamped in a second). The naive `row_number() OVER (ORDER BY …)`
+    * is a single-partition window — one task holding the whole corpus —
+    * which is exactly what this operator exists to avoid; the RDD hop is
+    * the documented per-partition-imperative exception, and the result
+    * is equal to the SQL row_number contract (the oracle proves it). */
+  def contiguousIds(df: DataFrame, orderCol: String,
+      idName: String = "seq_id"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val schema = sorted.schema.add(idName, LongType, nullable = false)
+    val withIds = sorted.rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(withIds, schema)
+  }
+
   /** Deterministic stratified sampling: exactly `n` rows per stratum
     * (fewer only when the stratum is smaller), chosen by ranking each
     * stratum on a content-stable hash draw ([[graft.functions.Hashing

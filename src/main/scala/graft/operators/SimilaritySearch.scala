@@ -274,4 +274,24 @@ object SimilaritySearch {
       .where(col("rank") <= k)
       .select("query_id", "id", "cosine", "rank")
   }
+
+  /** PCA dimensionality reduction of an embedding column — the standard
+    * preprocessing of the SemDeDup/embedding-clustering pipelines (reduce
+    * 1k-dim embeddings to the top-k variance directions before the
+    * O(dim) cosine work). MLlib's distributed PCA: covariance accumulates
+    * via a treeAggregate over the cluster, the small k×dim basis ships
+    * back broadcast, and projection is a narrow per-row matrix-vector
+    * product — no corpus shuffle anywhere. Returns (idCol, `pca` =
+    * array<double> of length k). */
+  def pcaReduce(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val prepped = df.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("_v"))
+    val model = new PCA().setInputCol("_v").setOutputCol("_p").setK(k)
+      .fit(prepped)
+    model.transform(prepped)
+      .select(col(idCol), vector_to_array(col("_p")).as("pca"))
+  }
 }

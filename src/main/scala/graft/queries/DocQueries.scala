@@ -593,6 +593,17 @@ object DocQueries {
       Dedup.bowDupGroups(docs.unionByName(shuffled), "doc_id", "text")
         .select("canonical_id", "n_bow_dups")
         .orderBy("canonical_id")
+    }),
+
+    // ---- contiguous global sequence ids (training sample indexing):
+    // range-repartition + zipWithIndex — NOT the single-partition global
+    // row_number window; the oracle IS that row_number, proving the
+    // distributed plan meets the same contract ----
+    "q_contiguous_ids" -> ((s, d) => {
+      import graft.operators.DataPrep
+      DataPrep.contiguousIds(docsPar(s, d).select("doc_id", "source"),
+          "doc_id")
+        .orderBy("doc_id")
     }))
 
   /** DuckDB twin of [[TextFunctions.langId]] + [[TextFunctions.qualityScore]]
@@ -1416,5 +1427,11 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |SELECT min(doc_id) AS canonical_id,
         |  CAST(count(*) AS BIGINT) AS n_bow_dups
         |FROM k GROUP BY bow HAVING count(*) > 1
-        |ORDER BY canonical_id""".stripMargin)
+        |ORDER BY canonical_id""".stripMargin,
+
+    "q_contiguous_ids" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+        |    AS seq_id
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -108,4 +108,31 @@ class DataPrepSpec extends AnyFunSuite {
     assert(out.keySet == Set(1L))
     assert(out(1L) == 4L)
   }
+
+  test("contiguousIds assigns 0..n-1 in order regardless of input " +
+      "partitioning") {
+    import spark.implicits._
+    val df = (1 to 97).map(i => (i * 7L % 1000, s"v$i"))
+      .toDF("k", "v").repartition(13) // scrambled partitions
+    val got = DataPrep.contiguousIds(df, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.map(_._2).toSeq == (0L until 97L))
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+  }
+
+  test("pcaReduce projects to k dims and maps identical vectors " +
+      "identically") {
+    import graft.operators.SimilaritySearch
+    import spark.implicits._
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array(i.toDouble, 2.0 * i, 0.5 * i + 1, 3.0))
+    } :+ (100L, Array(5.0, 10.0, 3.5, 3.0)) :+ // dup of i=5
+      (5L + 1000, Array(5.0, 10.0, 3.5, 3.0))
+    val df = vecs.toDF("vec_id", "embedding")
+    val red = SimilaritySearch.pcaReduce(df, "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(red.values.forall(_.length == 2))
+    assert(red(100L) == red(5L + 1000))
+  }
 }
