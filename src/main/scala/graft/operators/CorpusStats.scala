@@ -30,7 +30,13 @@ object CorpusStats {
     * q_bm25 pattern: a foldable literal would be stripped by
     * EliminateWindowPartitions and trip the single-partition warning). */
   def vocabStats(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    // The vocab feeds two plan branches (top-k + the coverage total);
+    // without the persist each branch re-runs the corpus-sized explode +
+    // agg — an extra full corpus pass at scale. Vocab-sized blocks stay
+    // resident for the session (the minhash shingle-base discipline:
+    // Bench clears the cache per query; a warehouse would materialize).
     val freq = Tokenizer.wordFreq(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = freq.agg(sum("freq").as("_total"))
     val top = freq.orderBy(col("freq").desc, col("word")).limit(k)
     val bucket = coalesce(substring(col("word"), 1, 0), lit(""))
@@ -67,7 +73,11 @@ object CorpusStats {
     val words = docs.select(col(idCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
+    // persisted: the vocab feeds the broadcast join AND the token total —
+    // unpersisted, each consumer re-runs the corpus-sized agg (see
+    // vocabStats note)
     val uni = words.groupBy("word").agg(count(lit(1)).as("n_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTok = uni.agg(sum("n_w").as("_n_tok"))
     words
       .join(broadcast(uni), Seq("word"))
@@ -96,15 +106,18 @@ object CorpusStats {
     val toks = docs.select(
       filter(split(lower(trim(col(textCol))), "\\s+"),
         t => length(t) > 0).as("tk"))
+    // both aggs feed two consumers (stats + their totals) — persist so
+    // the corpus-sized explodes run once (see vocabStats note)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val uni = toks.select(explode(col("tk")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n_w"))
+      .groupBy("word").agg(count(lit(1)).as("n_w")).persist(lvl)
     val nTok = uni.agg(sum("n_w").as("_n_tok"))
     val bi = toks.where(size(col("tk")) >= 2)
       .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
         i => struct(element_at(col("tk"), i + 1).as("w_a"),
           element_at(col("tk"), i + 2).as("w_b")))).as("p"))
       .groupBy(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
-      .agg(count(lit(1)).as("n_ab"))
+      .agg(count(lit(1)).as("n_ab")).persist(lvl)
     val nBig = bi.agg(sum("n_ab").as("_n_big"))
     bi.where(col("n_ab") >= minCount)
       .join(broadcast(uni.select(col("word").as("w_a"),
