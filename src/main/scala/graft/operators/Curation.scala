@@ -24,28 +24,58 @@ import graft.functions.TextFunctions
   */
 object Curation {
 
-  /** Filter thresholds mirroring the curation-funnel defaults. */
+  /** Filter thresholds mirroring the curation-funnel defaults.
+    * `compressionBand` is the Gopher-style deflate-ratio window (too
+    * compressible = loop spam beyond the n-gram horizon, too
+    * incompressible = noise) — `None` disables it. `bowDedup` extends
+    * exact dedup to word-order permutations. */
   case class Rules(
       langs: Set[String] = Set("en"),
       minQuality: Double = 0.3,
       maxRepetition: Double = 0.2,
+      compressionBand: Option[(Double, Double)] = None,
+      bowDedup: Boolean = false,
       nearDupThreshold: Double = 0.8,
       decontaminateMinOverlap: Long = 2)
 
-  private def passesFilters(textCol: Column, rules: Rules): Column =
-    TextFunctions.langId(textCol).isInCollection(rules.langs) &&
-      TextFunctions.qualityScore(textCol) >= rules.minQuality &&
-      TextFunctions.repetitionRatio(textCol) <= rules.maxRepetition
+  private def passesFilters(textCol: Column, rules: Rules): Column = {
+    val base =
+      TextFunctions.langId(textCol).isInCollection(rules.langs) &&
+        TextFunctions.qualityScore(textCol) >= rules.minQuality &&
+        TextFunctions.repetitionRatio(textCol) <= rules.maxRepetition
+    rules.compressionBand match {
+      case None => base
+      case Some((lo, hi)) =>
+        val cr = TextFunctions.compressionRatio(textCol)
+        base && cr >= lo && cr <= hi
+    }
+  }
 
-  /** The curated corpus: filtered, scrubbed, exact- and near-deduped,
-    * decontaminated. Output columns = input columns with `textCol`
-    * replaced by its PII-scrubbed text. */
+  /** Keep one row per bag-of-words group (min-id canonical) — the
+    * word-order-insensitive sibling of [[Dedup.dropExactDups]]. */
+  private def dropBowDups(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val keep = docs
+      .select(col(idCol).as("_id"),
+        md5(concat_ws(" ", array_sort(filter(
+          split(lower(trim(col(textCol))), "\\s+"),
+          t => length(t) > 0))).cast("binary")).as("_bow"))
+      .groupBy("_bow").agg(min("_id").as(idCol))
+      .drop("_bow")
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** The curated corpus: filtered, scrubbed, exact- (optionally
+    * bag-of-words-) and near-deduped, decontaminated. Output columns =
+    * input columns with `textCol` replaced by its PII-scrubbed text. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       benchmark: Option[DataFrame] = None,
       rules: Rules = Rules()): DataFrame = {
     val filtered = docs.where(passesFilters(col(textCol), rules))
       .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
-    val exact = Dedup.dropExactDups(filtered, idCol, textCol)
+    val exact0 = Dedup.dropExactDups(filtered, idCol, textCol)
+    val exact =
+      if (rules.bowDedup) dropBowDups(exact0, idCol, textCol) else exact0
     val near = Dedup.dropNearDups(exact, idCol, textCol,
       rules.nearDupThreshold)
     benchmark match {
@@ -65,7 +95,9 @@ object Curation {
       rules: Rules = Rules()): Map[String, Long] = {
     val filtered = docs.where(passesFilters(col(textCol), rules))
       .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
-    val exact = Dedup.dropExactDups(filtered, idCol, textCol)
+    val exact0 = Dedup.dropExactDups(filtered, idCol, textCol)
+    val exact =
+      if (rules.bowDedup) dropBowDups(exact0, idCol, textCol) else exact0
     val near = Dedup.dropNearDups(exact, idCol, textCol,
       rules.nearDupThreshold)
     val curated = benchmark match {

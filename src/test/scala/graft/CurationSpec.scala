@@ -52,4 +52,27 @@ class CurationSpec extends AnyFunSuite {
     assert(r("after_near_dedup") == 4L)  // -4
     assert(r("curated") == 4L)           // no benchmark given
   }
+
+  test("bag-of-words dedup stage drops word-order permutations; " +
+      "compression band drops long-period loop spam") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // 20-word period: repetitionRatio's 3-gram window misses it, the
+    // deflate ratio does not
+    val loopSpam = Seq.fill(12)("the quick brown fox jumps over a lazy " +
+      "dog while the other animals watch from the side of the field")
+      .mkString(" ")
+    val permuted = good1.split(" ").reverse.mkString(" ")
+    val docs = Seq((1L, good1), (2L, good2), (3L, permuted),
+      (4L, loopSpam)).toDF("doc_id", "text")
+    val defaults = Curation.curate(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // default rules: permutation and loop spam both survive
+    assert(Set(1L, 2L, 3L).subsetOf(defaults))
+    val strict = Curation.curate(docs, "doc_id", "text",
+        rules = Curation.Rules(bowDedup = true,
+          compressionBand = Some((0.2, 0.95))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L, 2L))
+  }
 }
