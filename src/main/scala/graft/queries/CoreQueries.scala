@@ -393,6 +393,33 @@ object CoreQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ---- TPC-H Q10: returned-item reporting — top customers by revenue
+    // lost to returns. Fact filter (l_returnflag = 'R') reaches the scan;
+    // customer/nation broadcast; cents-quantized revenue → engine-exact
+    // ranking; distributed top-k ----
+    "q_tpch_q10" -> ((s, d) => {
+      val cust = customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val nat = nation(s, d).select("n_nationkey", "n_name")
+      val ord = orders(s, d)
+        .where(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1997-01-01")
+        .select("o_orderkey", "o_custkey")
+      val li = lineitem(s, d)
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long").as("rev_c"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((sum("rev_c").cast("double") / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    }),
+
     // ---- time-RANGE window: trailing 1-hour per-user mean — the
     // interval-frame capability (RANGE BETWEEN x PRECEDING) that row
     // frames can't express on irregular event times ----
@@ -851,6 +878,22 @@ object CoreQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND c_nationkey = n_nationkey
+        |  AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q_range_window" ->
       """SELECT event_id, user_id,

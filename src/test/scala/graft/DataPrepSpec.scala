@@ -109,6 +109,26 @@ class DataPrepSpec extends AnyFunSuite {
     assert(out(1L) == 4L)
   }
 
+  test("stratifiedSample takes exactly n per stratum deterministically " +
+      "and plans a pre-shuffle WindowGroupLimit") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("id", "grp")
+    val sampled = DataPrep.stratifiedSample(df, "id", "grp", n = 7)
+    val rows = sampled.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("s0" -> 7, "s1" -> 7, "s2" -> 7))
+    // determinism: identical draw on a re-run
+    val again = DataPrep.stratifiedSample(df, "id", "grp", n = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // the scale property PLANS.md documents: per-stratum state is top-n
+    // BEFORE the shuffle, not a full sort
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("contiguousIds assigns 0..n-1 in order regardless of input " +
       "partitioning") {
     import spark.implicits._
