@@ -149,6 +149,54 @@ object Tokenizer {
       .select(col(idCol), col("word"), col("subwords"))
   }
 
+  /** Text → token-id sequences: segment the corpus with learned rules,
+    * then map subwords to contiguous integer ids from a deterministic
+    * vocab (subwords ranked by corpus frequency desc, then
+    * lexicographically; unknown subwords — impossible when the vocab was
+    * built by this same call chain, possible with a foreign vocab — map
+    * to `unkId`). Returns (idCol, input_ids: array<int>) with one row per
+    * document, subwords in document word order.
+    *
+    * The id vocabulary is subword-count-sized → broadcast; the corpus
+    * pays the [[segmentCorpus]] broadcast join plus one keyed groupBy to
+    * reassemble per-document arrays (the unavoidable shuffle — ids must
+    * gather to their document). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)], eow: String = "</w>",
+      unkId: Int = 0): DataFrame = {
+    val segUdf = udf((w: String) => segment(w, rules, eow))
+    // explicit (word index, subword index) keys — NOT stream-order ids —
+    // so reassembly order survives any partitioning/AQE re-plan
+    val words = docs
+      .select(col(idCol), posexplode(filter(
+        split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0)))
+      .withColumnRenamed("pos", "_widx")
+      .withColumnRenamed("col", "word")
+    val vocabSeg = words.select("word").distinct()
+      .withColumn("subwords", segUdf(col("word")))
+    val segmented = words.join(broadcast(vocabSeg), Seq("word"))
+    val vocabIds = segmented
+      .select(explode(col("subwords")).as("subword"))
+      .groupBy("subword").agg(count(lit(1)).as("n"))
+      .select(col("subword"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(coalesce(substring(col("subword"), 1, 0), lit("")))
+          .orderBy(col("n").desc, col("subword"))).as("tok_id"))
+    segmented
+      .select(col(idCol), col("_widx"), posexplode(col("subwords")))
+      .withColumnRenamed("pos", "_sidx")
+      .withColumnRenamed("col", "subword")
+      .join(broadcast(vocabIds), Seq("subword"), "left")
+      .select(col(idCol), col("_widx"), col("_sidx"),
+        coalesce(col("tok_id"), lit(unkId)).as("tok_id"))
+      .groupBy(idCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("_widx"), col("_sidx"),
+          col("tok_id")))),
+        x => x.getField("tok_id").cast("int")).as("input_ids"))
+  }
+
   /** Segment a word with learned merge rules (applied in training order) —
     * the inference twin of [[bpeTrain]], used by the spec to pin the
     * classic fixture end-to-end. Plain Scala on one word; corpus-scale

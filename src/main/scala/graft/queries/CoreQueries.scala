@@ -420,6 +420,28 @@ object CoreQueries {
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     }),
 
+    // ---- TPC-H Q18 (large-volume customers): orders whose total
+    // quantity exceeds a threshold — the aggregate-filtered semi-join
+    // shape. The qualifying-order set is computed once from lineitem
+    // (two-phase agg + HAVING) and semi-joins back; integer quantities
+    // → engine-exact threshold ----
+    "q_tpch_q18" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey"),
+          round(col("l_quantity")).cast("long").as("qty"))
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("qty").as("total_qty"))
+        .where(col("total_qty") > 80)
+      val ord = orders(s, d).select("o_orderkey", "o_custkey")
+      val cust = customer(s, d).select("c_custkey", "c_name")
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("l_orderkey"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("l_orderkey"))
+        .limit(50)
+    }),
+
     // ---- time-RANGE window: trailing 1-hour per-user mean — the
     // interval-frame capability (RANGE BETWEEN x PRECEDING) that row
     // frames can't express on irregular event times ----
@@ -894,6 +916,20 @@ object CoreQueries {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING total_qty > 80
+        |)
+        |SELECT c_custkey, c_name, l_orderkey, total_qty
+        |FROM big, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |ORDER BY total_qty DESC, l_orderkey
+        |LIMIT 50""".stripMargin,
 
     "q_range_window" ->
       """SELECT event_id, user_id,

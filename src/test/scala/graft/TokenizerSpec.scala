@@ -76,6 +76,24 @@ class TokenizerSpec extends AnyFunSuite {
       (2L, "newest", Seq("n", "e", "w", "est</w>"))))
   }
 
+  test("encode maps subwords to frequency-ranked ids in document order " +
+      "and round-trips through the vocab") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low newest"), (2L, "newest low"))
+      .toDF("doc_id", "text")
+    val rules = Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"))
+    // subword streams: doc1 = low </w> low </w> n e w est</w>
+    //                  doc2 = n e w est</w> low </w>
+    // corpus counts: </w> x3, low x3, est</w> x2, n x2, e x2, w x2
+    // rank (n desc, subword asc): 1=</w> 2=low 3=e 4=est</w> 5=n 6=w
+    val got = Tokenizer.encode(docs, "doc_id", "text", rules)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got(1L) == List(2, 1, 2, 1, 5, 3, 6, 4))
+    assert(got(2L) == List(5, 3, 6, 4, 2, 1))
+  }
+
   test("bpeTrain stops when no pair reaches minPairCount") {
     import spark.implicits._
     val docs = Seq("ab cd ef").toDF("text")
