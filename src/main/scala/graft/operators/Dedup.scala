@@ -47,6 +47,51 @@ object Dedup {
         count(lit(1)).as("n_bow_dups"))
       .where(col("n_bow_dups") > 1)
 
+  /** Per-document duplicated-span statistics (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): for
+    * each doc, how many of its distinct word `n`-grams also appear in at
+    * least one OTHER document. Grams leave the scan as 8-byte xxhash64
+    * keys — the shuffle carries (doc_id, hash) pairs, never text (the
+    * q_ngram_span_dedup plan, packaged as a reusable operator). Returns
+    * (idCol, n_grams, n_dup_grams, dup_frac); docs shorter than one
+    * gram get no row. */
+  def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val t = docs.select(col(idCol),
+      split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+        .as("tk"))
+    val grams = t.where(size(col("tk")) >= n)
+      .select(col(idCol), explode(array_distinct(transform(
+        sequence(lit(0), size(col("tk")) - n),
+        i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(n))))
+      ))).as("gh"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds shared-agg + join-back
+    val shared = grams.groupBy("gh")
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+    val perDoc = grams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val dupPerDoc = grams.join(shared.select("gh"), Seq("gh"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_grams"))
+    perDoc.join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        (coalesce(col("n_dup_grams"), lit(0L)).cast("double") /
+          col("n_grams")).as("dup_frac"))
+  }
+
+  /** Drop documents whose duplicated-span fraction exceeds
+    * `maxDupFraction` — the practical action on [[spanDupStats]] (keep
+    * docs that are mostly original; docs too short to have a gram are
+    * kept). */
+  def dropSpanDups(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDupFraction: Double = 0.5): DataFrame = {
+    val flagged = spanDupStats(docs, idCol, textCol, n)
+      .where(col("dup_frac") > maxDupFraction)
+      .select(idCol)
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Keep one row per exact-duplicate group (the min-id row). */
   def dropExactDups(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {

@@ -51,6 +51,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("spanDupStats counts shared n-grams; dropSpanDups removes " +
+      "span-dominated docs and keeps originals") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val core = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, core + " eleven twelve"),         // source of the shared span
+      (2L, core + " tail"),                  // mostly the shared span
+      (3L, "totally unrelated words making up an original document " +
+        "with no overlap at all"),
+      (4L, "tiny"))                          // < n tokens: no gram row
+      .toDF("doc_id", "text")
+    val stats = Dedup.spanDupStats(docs, "doc_id", "text", n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1+2 share the 3 8-grams inside the common 10-word span
+    assert(stats(1L)._2 == 3L && stats(2L)._2 == 3L)
+    assert(stats(3L)._2 == 0L)
+    assert(!stats.contains(4L))
+    val kept = Dedup.dropSpanDups(docs, "doc_id", "text", n = 8,
+        maxDupFraction = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc1: 3 of 5 grams duplicated (0.6) and doc2: 3 of 4 (0.75) —
+    // both over the 0.5 bar → dropped; doc3 original and doc4
+    // (gram-less) survive
+    assert(kept == Set(3L, 4L))
+  }
+
   test("langId picks the dominant stopword language") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
