@@ -122,7 +122,8 @@ object Bench {
       "q_embed_quantize", "q_dedup_clusters", "q_gap_fill", "q_merge",
       "q_embed_dedup", "q_url_filter", "q_bpe_pairs", "q_vocab_stats",
       "q_pmi_bigrams", "q_winnow", "q_stratified_sample",
-      "q_unigram_logprob", "q_bow_dedup", "q_contiguous_ids")
+      "q_unigram_logprob", "q_bow_dedup", "q_contiguous_ids",
+      "q_bigram_logprob")
     warm(extraNames)
     val extraJson = toJson(timed(extraNames))
 

@@ -91,6 +91,52 @@ object CorpusStats {
         col("sum_q6").cast("double") / (col("n_tokens") * 1000000))
   }
 
+  /** Per-document smoothed bigram log-probability — one rung up the LM
+    * ladder from [[unigramLogProb]] toward the CCNet perplexity signal:
+    * mean over a document's bigrams of ln P(w_i | w_{i-1}) with add-one
+    * smoothing, P = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V). Counts and
+    * V are exact integers, so the quotient is the same IEEE double in
+    * any engine and the floor-quantized per-bigram contributions sum
+    * exactly (the [[unigramLogProb]] discipline).
+    *
+    * Plan: bigram + unigram corpus aggs (map-side combine, persisted —
+    * each feeds a broadcast join AND a scalar), broadcast back onto the
+    * per-doc exploded bigrams, per-doc agg. Documents with < 2 tokens
+    * have no bigram and get no row. */
+  def bigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.select(col(idCol),
+      filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0).as("tk"))
+    val docBigrams = toks.where(size(col("tk")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("tk")) - 2),
+          i => struct(element_at(col("tk"), i + 1).as("w_a"),
+            element_at(col("tk"), i + 2).as("w_b")))).as("p"))
+      .select(col(idCol), col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+    val uni = toks.select(explode(col("tk")).as("w_a"))
+      .groupBy("w_a").agg(count(lit(1)).as("n_a")).persist(lvl)
+    val vocabSize = uni.agg(count(lit(1)).as("_v"))
+    val bi = docBigrams.groupBy("w_a", "w_b")
+      .agg(count(lit(1)).as("n_ab"))
+    // bi is bigram-vocab-sized (can exceed broadcast limits at corpus
+    // scale) → keyed join, AQE may still broadcast when small; the
+    // unigram vocab and scalar V broadcast as usual
+    docBigrams
+      .join(bi, Seq("w_a", "w_b"))
+      .join(broadcast(uni), Seq("w_a"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col(idCol),
+        floor(log((col("n_ab").cast("double") + 1.0) /
+            (col("n_a").cast("double") + col("_v")))
+          * 1000000).cast("long").as("cq"))
+      .groupBy(idCol)
+      .agg(sum("cq").as("sum_q6"), count(lit(1)).as("n_bigrams"))
+      .withColumn("avg_logprob",
+        col("sum_q6").cast("double") / (col("n_bigrams") * 1000000))
+  }
+
   /** Adjacent-bigram PMI: for each token bigram (a,b) with count >=
     * `minCount`, pmi = ln(P(a,b) / (P(a)·P(b))) with P(a,b) = n_ab/N_big
     * and P(x) = n_x/N_tok. Emitted floor-quantized (`pmi_q6` = floor(pmi ·

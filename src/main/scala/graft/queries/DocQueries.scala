@@ -578,6 +578,14 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- per-doc smoothed bigram log-probability (the next LM-quality
+    // rung above q_unigram_logprob): add-one-smoothed conditional
+    // probabilities, integer-quantized per-bigram so doc sums commute ----
+    "q_bigram_logprob" -> ((s, d) => {
+      CorpusStats.bigramLogProb(docsPar(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- bag-of-words dedup: the key is the sorted token multiset, so
     // word-order permutations (injected here as the sorted-token
     // rendering of every doc_id%9=0 doc) fall into one group; the oracle
@@ -1403,6 +1411,39 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |)
         |SELECT doc_id, CAST(sum(cq) AS BIGINT) AS sum_q6,
         |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(cq) AS DOUBLE) / (count(*) * 1000000) AS avg_logprob
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), db AS (
+        |  SELECT doc_id, p['w_a'] AS w_a, p['w_b'] AS w_b
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |      i -> struct_pack(w_a := tk[i], w_b := tk[i+1]))) AS p
+        |    FROM t WHERE len(tk) >= 2)
+        |), u AS (
+        |  SELECT w_a, count(*) AS n_a
+        |  FROM (SELECT unnest(tk) AS w_a FROM t) GROUP BY w_a
+        |), v AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS vs FROM u
+        |), b AS (
+        |  SELECT w_a, w_b, count(*) AS n_ab FROM db GROUP BY w_a, w_b
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln((CAST(n_ab AS DOUBLE) + 1.0) /
+        |        (CAST(n_a AS DOUBLE) + vs)) * 1000000) AS BIGINT) AS cq
+        |  FROM db
+        |  JOIN b USING (w_a, w_b)
+        |  JOIN u USING (w_a)
+        |  CROSS JOIN v
+        |)
+        |SELECT doc_id, CAST(sum(cq) AS BIGINT) AS sum_q6,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(sum(cq) AS DOUBLE) / (count(*) * 1000000) AS avg_logprob
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
