@@ -23,6 +23,17 @@ object ExportSink {
       .option("compression", "snappy")
       .parquet(outDir)
 
+  /** ORC twin of [[goldParquet]]: same partition layout and in-file
+    * ordering contract in the other columnar format Spark ships
+    * natively — for consumers standardized on ORC warehouses. */
+  def goldOrc(df: DataFrame, outDir: String): Unit =
+    df.repartition(col("device_date"))
+      .sortWithinPartitions("device_date", "timestamp")
+      .write.mode("overwrite")
+      .partitionBy("device_date")
+      .option("compression", "zlib")
+      .orc(outDir)
+
   /** Candidate CSV sink (S8): header'd CSV like the orchestrator's final
     * output (`05_cpd_orchestrator_polars.py:605-612`). */
   def candidatesCsv(df: DataFrame, outDir: String): Unit =

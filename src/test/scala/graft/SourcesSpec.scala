@@ -114,6 +114,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(chk.getAs[Long]("n_null_critical") == 0)
   }
 
+  test("ORC gold export mirrors the parquet layout and round-trips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toFile
+    val df = Seq(
+      ("2025-08-11", java.sql.Timestamp.valueOf("2025-08-11 01:00:00"),
+        "dev-a", 1.5),
+      ("2025-08-11", java.sql.Timestamp.valueOf("2025-08-11 00:30:00"),
+        "dev-b", 2.5),
+      ("2025-08-12", java.sql.Timestamp.valueOf("2025-08-12 09:00:00"),
+        "dev-a", 3.5))
+      .toDF("device_date", "timestamp", "device_id", "speed")
+    ExportSink.goldOrc(df, s"$dir/gold")
+    assert(new java.io.File(s"$dir/gold/device_date=2025-08-11").exists())
+    assert(new java.io.File(s"$dir/gold/device_date=2025-08-12").exists())
+    val back = spark.read.orc(s"$dir/gold")
+    assert(back.count() == 3)
+    assert(back.where($"device_date" === "2025-08-11").count() == 2)
+    assert(back.select("device_id", "speed").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      Set(("dev-a", 1.5), ("dev-b", 2.5), ("dev-a", 3.5)))
+  }
+
   test("Label-Studio export: per-device-day CSVs + task manifest") {
     import spark.implicits._
     val t0 = 1722297600000L
