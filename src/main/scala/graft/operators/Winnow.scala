@@ -47,7 +47,7 @@ object Winnow {
     * ascending. Monotonic deque: each gram index enters and leaves the
     * candidate queue once — O(n) total, constant extra state of at most
     * `w` indices. */
-  private[operators] def winnowKernel(norm: String, k: Int, w: Int,
+  private[graft] def winnowKernel(norm: String, k: Int, w: Int,
       portable: Boolean): Array[Long] = {
     if (norm == null || norm.length < k + w - 1) return Array.emptyLongArray
     val m = norm.length - k + 1

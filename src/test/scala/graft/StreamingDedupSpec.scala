@@ -41,4 +41,35 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(got.toSet == batch.toSet)
     } finally q.stop()
   }
+
+  test("streaming curation filters junk, scrubs PII, and dedups — " +
+      "narrow rules attach to the stream unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ts = java.sql.Timestamp.valueOf("2025-07-30 00:00:05")
+    val good = "the quick brown fox jumps over the lazy dog and it was " +
+      "a fine day for all of the animals in the field by the river"
+    val withPii = good + " contact me at someone@example.com please"
+    val docs = input.toDF().toDF("doc_id", "text", "event_ts")
+    val q = graft.streaming.StreamingCuration
+      .curateStream(docs, "text", "event_ts")
+      .writeStream.format("memory").queryName("curated_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, good, ts),
+        (2L, "el perro corre por la calle y vive con la familia", ts),
+        (3L, Seq.fill(12)("loop the loop and").mkString(" "), ts),
+        (4L, withPii, ts),
+        (5L, good, ts)) // duplicate of 1
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT text FROM curated_stream").collect()
+        .map(_.getString(0))
+      // 2 dropped (lang), 3 dropped (repetition), 5 deduped vs 1
+      assert(rows.length == 2, s"got ${rows.length}: ${rows.toSeq}")
+      assert(rows.exists(_.contains("<EMAIL>")))
+      assert(!rows.exists(_.contains("someone@")))
+    } finally q.stop()
+  }
 }

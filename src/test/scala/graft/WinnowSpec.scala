@@ -73,6 +73,29 @@ class WinnowSpec extends AnyFunSuite {
     assert(expr.forall(v => v >= 0 && v < (1L << 56)))
   }
 
+  test("kernel matches the naive sliding-min reference on random strings") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcde f"
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(60)
+      val s = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+      val (k, w) = (1 + rnd.nextInt(4), 1 + rnd.nextInt(5))
+      val naive: Seq[Long] =
+        if (s.length < k + w - 1) Seq.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hs = (0 to s.length - k).map(i =>
+            graft.operators.Dedup.hash64Md5(md, s.substring(i, i + k)) &
+              0xffffffffffffffL)
+          (0 to hs.length - w).map(j => hs.slice(j, j + w).min)
+            .distinct.sorted
+        }
+      val got = graft.operators.Winnow
+        .winnowKernel(s, k, w, portable = true).toSeq
+      assert(got == naive, s"s='$s' k=$k w=$w")
+    }
+  }
+
   test("documents shorter than one window produce no fingerprints") {
     import spark.implicits._
     val docs = Seq((1L, "tiny")).toDF("doc_id", "text")
