@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
-/** Document deduplication at corpus scale — exact, MinHash-LSH, and
-  * SimHash variants (the beyond-parity LLM-data-pipeline operator set).
+/** Document deduplication at corpus scale — exact, bag-of-words,
+  * duplicated-span, MinHash-LSH, SimHash, and embedding-cosine variants,
+  * plus the checkpointed connected-components closure and the SemDeDup
+  * composition (the beyond-parity LLM-data-pipeline operator set).
   *
   * Scale design notes:
   *  - exact dedup: hash-groupBy on a 64-bit fingerprint — one shuffle of
