@@ -99,10 +99,16 @@ object CorpusStats {
     * any engine and the floor-quantized per-bigram contributions sum
     * exactly (the [[unigramLogProb]] discipline).
     *
-    * Plan: bigram + unigram corpus aggs (map-side combine, persisted —
-    * each feeds a broadcast join AND a scalar), broadcast back onto the
-    * per-doc exploded bigrams, per-doc agg. Documents with < 2 tokens
-    * have no bigram and get no row. */
+    * Plan: bigram + unigram corpus aggs (map-side combine), broadcast /
+    * keyed-joined back onto the per-doc exploded bigrams, per-doc agg.
+    * Only the VOCAB-sized `uni` is persisted (it feeds the broadcast join
+    * and the scalar V). `docBigrams` feeds two branches (the `bi` agg and
+    * the join left side) and deliberately RECOMPUTES its corpus-sized
+    * explode in each: re-running a narrow explode over the scan is
+    * cheaper at 100 TB than pinning a corpus-sized cache (the
+    * [[unigramLogProb]] / DocJsonl discipline — persist vocab-sized
+    * frames only). Documents with < 2 tokens have no bigram and get no
+    * row. */
   def bigramLogProb(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -38,7 +38,10 @@ object Curation {
       nearDupThreshold: Double = 0.8,
       decontaminateMinOverlap: Long = 2)
 
-  private def passesFilters(textCol: Column, rules: Rules): Column = {
+  /** The narrow per-row rule predicate — shared with
+    * [[graft.streaming.StreamingCuration]] so batch and stream apply the
+    * SAME filter stack (one definition; no drift as rules grow). */
+  private[graft] def passesFilters(textCol: Column, rules: Rules): Column = {
     val base =
       TextFunctions.langId(textCol).isInCollection(rules.langs) &&
         TextFunctions.qualityScore(textCol) >= rules.minQuality &&

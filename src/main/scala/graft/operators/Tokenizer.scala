@@ -102,6 +102,12 @@ object Tokenizer {
     }
     var vocab = base.select(initSymbols.as("symbols"), col("freq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Release handle for the CURRENT round's materialization. Checkpoint
+    // rounds truncate lineage via RDD.localCheckpoint on the row RDD we
+    // hold here — Dataset.localCheckpoint would store its blocks outside
+    // the CacheManager, making Dataset.unpersist a silent no-op and
+    // leaking one vocab-sized block set per 8 merges over a long run.
+    var release: () => Unit = { val v = vocab; () => { v.unpersist(false); () } }
     var learned = List.empty[(String, String)]
     var round = 0
     var done = false
@@ -116,16 +122,24 @@ object Tokenizer {
         learned ::= (l, r)
         val next = vocab
           .select(applyMerge(col("symbols"), l, r).as("symbols"), col("freq"))
-        val kept =
-          if ((round + 1) % 8 == 0) next.localCheckpoint()
-          else next.persist(StorageLevel.MEMORY_AND_DISK)
-        kept.count() // materialize before dropping the parent cache
-        vocab.unpersist(false)
+        val (kept, keptRelease): (DataFrame, () => Unit) =
+          if ((round + 1) % 8 == 0) {
+            val rows = next.rdd // plain RDD: lineage cut + explicit blocks
+            rows.localCheckpoint()
+            (docs.sparkSession.createDataFrame(rows, next.schema),
+              () => { rows.unpersist(false); () })
+          } else {
+            val df = next.persist(StorageLevel.MEMORY_AND_DISK)
+            (df, () => { df.unpersist(false); () })
+          }
+        kept.count() // materialize before dropping the parent blocks
+        release()
         vocab = kept
+        release = keptRelease
       }
       round += 1
     }
-    vocab.unpersist(false)
+    release()
     learned.reverse
   }
 

@@ -36,10 +36,16 @@ object DocJsonl {
       .json(path)
 
   /** Read and split (good, quarantined): a record is quarantined when it
-    * failed to parse OR misses the required identity/content fields. */
+    * failed to parse OR misses the required identity/content fields.
+    *
+    * Deliberately NOT cached: each returned frame is a narrow filter over
+    * a splittable source, so materializing both costs two cheap scans —
+    * while a `.cache()` here would pin a corpus-sized block set for the
+    * whole session (the repo's persist convention is vocab-sized frames
+    * only). */
   def readValidated(spark: SparkSession, path: String)
       : (DataFrame, DataFrame) = {
-    val raw = read(spark, path).cache()
+    val raw = read(spark, path)
     val bad = raw.where(col("_corrupt_record").isNotNull ||
       col("doc_id").isNull || col("text").isNull)
     val good = raw.where(col("_corrupt_record").isNull &&

@@ -16,17 +16,22 @@ import graft.operators.Curation
 object StreamingCuration {
 
   /** Filter → scrub → dedup-within-watermark over a streaming corpus.
-    * `tsCol` must be an event-time timestamp column. */
+    * `tsCol` must be an event-time timestamp column.
+    *
+    * The rule predicate is [[Curation.passesFilters]] itself (including
+    * `compressionBand` when set), so batch and stream can never drift.
+    * `bowDedup` is rejected: bag-of-words dedup groups over the whole
+    * corpus (a batch shuffle) and has no bounded-state streaming twin —
+    * run it in the periodic compaction pass. */
   def curateStream(docs: DataFrame, textCol: String, tsCol: String,
       rules: Curation.Rules = Curation.Rules(),
       watermark: String = "10 minutes"): DataFrame = {
+    require(!rules.bowDedup,
+      "bowDedup is batch-only (corpus-wide groupBy); " +
+        "run Curation.curate in the compaction pass instead")
     val t = col(textCol)
-    val passes =
-      TextFunctions.langId(t).isInCollection(rules.langs) &&
-        TextFunctions.qualityScore(t) >= rules.minQuality &&
-        TextFunctions.repetitionRatio(t) <= rules.maxRepetition
     StreamingDedup.dedupStream(
-      docs.where(passes)
+      docs.where(Curation.passesFilters(t, rules))
         .withColumn(textCol, TextFunctions.redactPii(t)),
       textCol, tsCol, watermark)
   }

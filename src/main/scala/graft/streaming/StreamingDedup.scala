@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
-  /** Normalized-text fingerprint (md5 of whitespace-collapsed lower text)
-    * — identical to the batch exact-dedup key. */
+  /** Normalized-text fingerprint — the SAME key (same function, same
+    * values) as the batch exact-dedup path
+    * ([[graft.functions.TextFunctions.fingerprint]], xxhash64 of the
+    * whitespace-collapsed lower text), so stream state and batch
+    * fingerprint tables are directly joinable/comparable on this column. */
   def fingerprint(textCol: String): org.apache.spark.sql.Column =
-    md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+    graft.functions.TextFunctions.fingerprint(col(textCol))
 
   /** Drop duplicate documents within the watermark horizon. `tsCol` must
     * be an event-time timestamp column. */

@@ -29,15 +29,19 @@ class StreamingDedupSpec extends AnyFunSuite {
       input.addData((4L, "delta  EPSILON", ts))
       q.processAllAvailable()
       val got = spark.sql("SELECT fingerprint FROM dedup_stream").collect()
-        .map(_.getString(0))
+        .map(_.getLong(0))
       assert(got.length == 2, s"expected 2 unique docs, got ${got.length}")
-      // batch twin: same fingerprints survive the batch exact dedup
+      // batch twin: the stream key IS the batch exact-dedup key — the
+      // surviving stream fingerprints must equal the batch-side
+      // TextFunctions.fingerprint values row for row, so stream state and
+      // batch fingerprint tables are joinable on this column
       val batch = Seq((1L, "alpha beta gamma"), (2L, "ALPHA  beta GAMMA"),
         (3L, "delta epsilon"), (4L, "delta  EPSILON"))
         .toDF("doc_id", "text")
-        .withColumn("fingerprint", StreamingDedup.fingerprint("text"))
+        .withColumn("fingerprint",
+          graft.functions.TextFunctions.fingerprint(col("text")))
         .select("fingerprint").distinct()
-        .collect().map(_.getString(0))
+        .collect().map(_.getLong(0))
       assert(got.toSet == batch.toSet)
     } finally q.stop()
   }
@@ -71,5 +75,17 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(rows.exists(_.contains("<EMAIL>")))
       assert(!rows.exists(_.contains("someone@")))
     } finally q.stop()
+  }
+
+  test("streaming curation rejects batch-only bowDedup up front") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "event_ts")
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingCuration.curateStream(docs, "text",
+        "event_ts", graft.operators.Curation.Rules(bowDedup = true))
+    }
+    assert(ex.getMessage.contains("batch-only"))
   }
 }
