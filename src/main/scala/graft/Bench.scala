@@ -45,17 +45,38 @@ object Bench {
     // Throughput anchors in their OWN SparkContext, measured first: they
     // are the longest-running measurements (3.2M-row pipelines) and the
     // most sensitive to shuffle-file/GC residue (the same anchor measured
-    // 11 s on a fresh context and 44 s after ~80 query executions). One
-    // discarded small-SF pass pays the codegen/JIT cost, then the context
-    // is stopped — its shuffle/local dirs are deleted — so the per-query
-    // benches below start equally fresh and stay comparable round over
-    // round.
+    // 11 s on a fresh context and 44 s after ~80 query executions).
+    // FIVE reps, each in a fresh context (stop() deletes shuffle/local
+    // dirs) with its own discarded small-SF warm pass; the reported
+    // number is the per-metric MIN and every raw rep rides along in the
+    // JSON. Min, not median: contamination on this shared box is strictly
+    // ADDITIVE (a co-located load spike can only slow a rep down, never
+    // speed it up) and spikes last minutes — long enough to swallow a
+    // majority of consecutive reps, which is exactly how the r4-r6
+    // recordings swung 38<->76 s on unchanged code (and how a median-of-3
+    // prototype of this block measured 11.7 s vs 26.6 s back-to-back).
+    // The min is the code's capability; the reps expose the noise.
     val warmDir = "/root/testdata/sf0.001"
-    val anchorSession = newSession()
-    throughputAnchors(anchorSession, warmDir)
-    anchorSession.catalog.clearCache()
-    val derived = throughputAnchors(anchorSession, sfDir)
-    anchorSession.stop()
+    val anchorRuns = (1 to 5).flatMap { _ =>
+      val s = newSession()
+      try {
+        throughputAnchors(s, warmDir)
+        s.catalog.clearCache()
+        throughputAnchors(s, sfDir)
+      } finally s.stop()
+    }
+    def reps(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val derived =
+      if (anchorRuns.isEmpty) "{}"
+      else {
+        val rows = anchorRuns.head.rows
+        val nCsv = anchorRuns.head.ingestRows
+        val tSec = anchorRuns.map(_.transformSec).min
+        val cSec = anchorRuns.map(_.cpdSec).min
+        val iSec = anchorRuns.map(_.ingestSec).min
+        f"""{"rows":$rows,"transform_sec":$tSec%.3f,"transform_rows_per_s":${rows / tSec}%.0f,"features_cpd_sec":$cSec%.3f,"features_cpd_rows_per_s":${rows / cSec}%.0f,"ingest_rows":$nCsv,"ingest_sec":$iSec%.3f,"ingest_rows_per_s":${nCsv / iSec}%.0f,"transform_reps":${reps(anchorRuns.map(_.transformSec))},"features_cpd_reps":${reps(anchorRuns.map(_.cpdSec))},"ingest_reps":${reps(anchorRuns.map(_.ingestSec))}}"""
+      }
 
     val spark = newSession()
     val qs = SparkEntry.queries
@@ -123,7 +144,7 @@ object Bench {
       "q_embed_dedup", "q_url_filter", "q_bpe_pairs", "q_vocab_stats",
       "q_pmi_bigrams", "q_winnow", "q_stratified_sample",
       "q_unigram_logprob", "q_bow_dedup", "q_contiguous_ids",
-      "q_bigram_logprob")
+      "q_bigram_logprob", "q_kn_logprob", "q_bpe_encode")
     warm(extraNames)
     val extraJson = toJson(timed(extraNames))
 
@@ -131,7 +152,12 @@ object Bench {
     spark.stop()
   }
 
-  private def throughputAnchors(spark: SparkSession, sfDir: String): String = {
+  /** One rep's raw anchor timings (seconds; rows are rep-invariant). */
+  private case class AnchorTimes(rows: Long, transformSec: Double,
+      cpdSec: Double, ingestRows: Long, ingestSec: Double)
+
+  private def throughputAnchors(spark: SparkSession,
+      sfDir: String): Option[AnchorTimes] = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Cpd, FeatureEngineering, TelemetryTransform}
     try {
@@ -219,15 +245,15 @@ object Bench {
       graft.sources.TelemetryCsv.bronzeSink(bronze, s"$tmp/bronze")
       val ingestSec = (System.nanoTime() - t2) / 1e9
 
-      // the anchor runs twice (warm + timed); without cleanup each run
-      // leaks a ~100 MB csv+bronze tree in /tmp
+      // the anchors run ten times (5 reps x warm + timed); without cleanup
+      // each run leaks a ~100 MB csv+bronze tree in /tmp
       deleteRecursively(new java.io.File(tmp))
 
-      f"""{"rows":$nRows,"transform_sec":$transformSec%.3f,"transform_rows_per_s":${nRows / transformSec}%.0f,"features_cpd_sec":$cpdSec%.3f,"features_cpd_rows_per_s":${nRows / cpdSec}%.0f,"ingest_rows":$nCsv,"ingest_sec":$ingestSec%.3f,"ingest_rows_per_s":${nCsv / ingestSec}%.0f}"""
+      Some(AnchorTimes(nRows, transformSec, cpdSec, nCsv, ingestSec))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] derived anchors failed: ${e.getMessage}")
-        "{}"
+        None
     }
   }
 

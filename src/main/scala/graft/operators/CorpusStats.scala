@@ -143,6 +143,68 @@ object CorpusStats {
         col("sum_q6").cast("double") / (col("n_bigrams") * 1000000))
   }
 
+  /** Per-document interpolated Kneser-Ney bigram log-probability — the
+    * top rung of this LM-quality family ([[unigramLogProb]] →
+    * [[bigramLogProb]] → here), the smoothing the CCNet-style perplexity
+    * filters actually use (Chen & Goodman 1999). For each document bigram
+    * (a,b):
+    *
+    *   P_KN(b|a) = max(c(a,b) − D, 0)/c(a·)
+    *             + (D · N1+(a,·)/c(a·)) · N1+(·,b)/N1+(··)
+    *
+    * with D = 0.75 (the classic absolute discount, exact in binary),
+    * c(a·) = Σ_b c(a,b), N1+(a,·)/N1+(·,b) the distinct continuation
+    * type counts and N1+(··) the total bigram type count. Every input is
+    * an exact integer (or the exact 0.75), and the arithmetic tree is
+    * mirrored operation-for-operation in the SQL oracle, so the IEEE
+    * result is bit-identical across engines and the floor-quantized
+    * per-bigram contributions (`·1e6`) sum commutatively — the
+    * [[unigramLogProb]] discipline.
+    *
+    * Plan: ONE corpus-sized bigram agg (map-side combine), persisted —
+    * it feeds the context/continuation/type-total aggs AND the scoring
+    * join, all bigram-vocab-sized. `docBigrams` recomputes its narrow
+    * explode per branch (the [[bigramLogProb]] discipline: never pin a
+    * corpus-sized cache). Documents with < 2 tokens get no row. */
+  def knLogProb(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.select(col(idCol),
+      filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0).as("tk"))
+    val docBigrams = toks.where(size(col("tk")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("tk")) - 2),
+          i => struct(element_at(col("tk"), i + 1).as("w_a"),
+            element_at(col("tk"), i + 2).as("w_b")))).as("p"))
+      .select(col(idCol), col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+    val bi = docBigrams.groupBy("w_a", "w_b")
+      .agg(count(lit(1)).as("n_ab")).persist(lvl)
+    // context stats c(a·) and N1+(a,·); continuation types N1+(·,b);
+    // type total N1+(··) — all bigram-vocab-sized, broadcastable
+    val ctx = bi.groupBy("w_a")
+      .agg(sum("n_ab").as("c_a"), count(lit(1)).as("n1p_a"))
+    val cont = bi.groupBy("w_b").agg(count(lit(1)).as("t_b"))
+    val types = bi.agg(count(lit(1)).as("_t_all"))
+    val d = lit(discount)
+    docBigrams
+      .join(bi, Seq("w_a", "w_b"))
+      .join(broadcast(ctx), Seq("w_a"))
+      .join(broadcast(cont), Seq("w_b"))
+      .crossJoin(broadcast(types))
+      .select(col(idCol),
+        floor(log(
+          greatest(col("n_ab").cast("double") - d, lit(0.0)) /
+            col("c_a").cast("double") +
+            (d * col("n1p_a").cast("double") / col("c_a").cast("double")) *
+              (col("t_b").cast("double") / col("_t_all").cast("double")))
+          * 1000000).cast("long").as("cq"))
+      .groupBy(idCol)
+      .agg(sum("cq").as("sum_q6"), count(lit(1)).as("n_bigrams"))
+      .withColumn("avg_logprob",
+        col("sum_q6").cast("double") / (col("n_bigrams") * 1000000))
+  }
+
   /** Adjacent-bigram PMI: for each token bigram (a,b) with count >=
     * `minCount`, pmi = ln(P(a,b) / (P(a)·P(b))) with P(a,b) = n_ab/N_big
     * and P(x) = n_x/N_tok. Emitted floor-quantized (`pmi_q6` = floor(pmi ·

@@ -533,6 +533,17 @@ object DocQueries {
       Tokenizer.bpePairCounts(docsPar(s, d), "text", topK = 50)
     }),
 
+    // ---- BPE encode with gate-SF-pinned merge rules ([[BpeOracle]], the
+    // IvfOracle pattern): the sequential merge application is pinned as
+    // word→subword VALUES, everything distributed — subword frequency
+    // ranking, id assignment, per-doc (widx,sidx) reassembly — replays
+    // live in the SQL oracle, so the encode PLAN is what's checked ----
+    "q_bpe_encode" -> ((s, d) => {
+      Tokenizer.encode(docsPar(s, d), "doc_id", "text",
+          graft.queries.BpeOracle.pinnedRules)
+        .orderBy("doc_id")
+    }),
+
     // ---- vocabulary Zipf profile: top-30 words with rank + cumulative
     // corpus coverage, floor-quantized (exact-integer cumsum/total →
     // identical IEEE quotient both engines) ----
@@ -583,6 +594,17 @@ object DocQueries {
     // probabilities, integer-quantized per-bigram so doc sums commute ----
     "q_bigram_logprob" -> ((s, d) => {
       CorpusStats.bigramLogProb(docsPar(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- interpolated Kneser-Ney bigram log-probability (Chen &
+    // Goodman 1999 — the smoothing CCNet-grade perplexity filters
+    // actually use): absolute discount D=0.75 (exact in binary) +
+    // continuation-probability backoff; every input is an exact integer
+    // and the arithmetic tree is mirrored op-for-op in the oracle, so
+    // the quantized contributions match bit-for-bit ----
+    "q_kn_logprob" -> ((s, d) => {
+      CorpusStats.knLogProb(docsPar(s, d), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -1293,6 +1315,8 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |SELECT query_id, id, rank, round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    "q_bpe_encode" -> graft.queries.BpeOracle.sql,
+
     "q_bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
@@ -1441,6 +1465,49 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |  JOIN b USING (w_a, w_b)
         |  JOIN u USING (w_a)
         |  CROSS JOIN v
+        |)
+        |SELECT doc_id, CAST(sum(cq) AS BIGINT) AS sum_q6,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(cq) AS DOUBLE) / (count(*) * 1000000) AS avg_logprob
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Kneser-Ney: context stats c(a·)/N1+(a,·), continuation types
+    // N1+(·,b) and the type total all derive from the bigram count table;
+    // the P_KN arithmetic tree mirrors CorpusStats.knLogProb op-for-op
+    "q_kn_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), db AS (
+        |  SELECT doc_id, p['w_a'] AS w_a, p['w_b'] AS w_b
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |      i -> struct_pack(w_a := tk[i], w_b := tk[i+1]))) AS p
+        |    FROM t WHERE len(tk) >= 2)
+        |), b AS (
+        |  SELECT w_a, w_b, count(*) AS n_ab FROM db GROUP BY w_a, w_b
+        |), ctx AS (
+        |  SELECT w_a, CAST(sum(n_ab) AS BIGINT) AS c_a,
+        |    count(*) AS n1p_a
+        |  FROM b GROUP BY w_a
+        |), cont AS (
+        |  SELECT w_b, count(*) AS t_b FROM b GROUP BY w_b
+        |), ty AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS t_all FROM b
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(
+        |      greatest(CAST(n_ab AS DOUBLE) - 0.75, 0.0) /
+        |        CAST(c_a AS DOUBLE) +
+        |      (0.75 * CAST(n1p_a AS DOUBLE) / CAST(c_a AS DOUBLE)) *
+        |        (CAST(t_b AS DOUBLE) / t_all)) * 1000000) AS BIGINT) AS cq
+        |  FROM db
+        |  JOIN b USING (w_a, w_b)
+        |  JOIN ctx USING (w_a)
+        |  JOIN cont USING (w_b)
+        |  CROSS JOIN ty
         |)
         |SELECT doc_id, CAST(sum(cq) AS BIGINT) AS sum_q6,
         |  CAST(count(*) AS BIGINT) AS n_bigrams,

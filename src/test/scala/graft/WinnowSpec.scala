@@ -115,6 +115,47 @@ class WinnowSpec extends AnyFunSuite {
     assert(got.head._4 == 0.5)
   }
 
+  test("knLogProb matches the hand-computed interpolated Kneser-Ney " +
+      "fixture and quantizes exactly") {
+    import spark.implicits._
+    // corpus "a b a b a c": bigrams ab:2 ba:2 ac:1
+    // ctx a: c=3 n1p=2; ctx b: c=2 n1p=1; cont types a:1 b:1 c:1, T=3
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = CorpusStats.knLogProb(docs, "doc_id", "text").collect()
+    assert(got.length == 1)
+    def pkn(cab: Long, ca: Long, n1pA: Long, tb: Long, tAll: Long) =
+      math.max(cab.toDouble - 0.75, 0.0) / ca.toDouble +
+        (0.75 * n1pA.toDouble / ca.toDouble) * (tb.toDouble / tAll.toDouble)
+    def q(p: Double): Long = math.floor(math.log(p) * 1000000).toLong
+    val expected = // doc order: ab, ba, ab, ba, ac
+      2 * q(pkn(2, 3, 2, 1, 3)) + 2 * q(pkn(2, 2, 1, 1, 3)) +
+        q(pkn(1, 3, 2, 1, 3))
+    val r = got(0)
+    assert(r.getAs[Long]("sum_q6") == expected)
+    assert(r.getAs[Long]("n_bigrams") == 5L)
+    assert(r.getAs[Double]("avg_logprob") == expected.toDouble / 5e6)
+  }
+
+  test("knLogProb: P_KN over a context's continuations sums to 1 " +
+      "(the interpolation identity), checked via single-bigram docs") {
+    import spark.implicits._
+    // Score every possible continuation of context "a" as its own doc;
+    // exp of the per-doc logprob recovers P_KN(b|a), which must sum to 1
+    // over the continuation vocabulary when the counts come from one
+    // shared corpus. Build that corpus so every bigram is present.
+    val corpus = Seq((1L, "a b a c a a b c")).toDF("doc_id", "text")
+    val bigrams = Seq("a a", "a b", "a c") // all continuations of "a"
+    val probe = corpus.unionByName(
+      bigrams.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text"))
+    val got = CorpusStats.knLogProb(probe, "doc_id", "text")
+      .where(col("doc_id") >= 100L)
+      .collect().map(_.getAs[Double]("avg_logprob"))
+    val total = got.map(math.exp).sum
+    // quantization costs at most ~1e-6 relative per term
+    assert(math.abs(total - 1.0) < 1e-4, s"sum of P_KN(.|a) = $total")
+  }
+
   test("bigramPmi: collocated pair scores above independence") {
     import spark.implicits._
     // "x y" always adjacent; "p"/"q" never adjacent to each other
