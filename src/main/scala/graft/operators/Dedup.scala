@@ -94,6 +94,89 @@ object Dedup {
     docs.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Maximal duplicated-substring spans — the suffix-array half of Lee
+    * et al. 2022's ExactSubstr dedup, re-expressed Spark-first. A
+    * substring is duplicated when it occurs at >= 2 token positions
+    * anywhere in the corpus (a doc repeating its own phrase counts,
+    * unlike [[spanDupStats]]' cross-doc signal). Every position emits
+    * its forward `minLen`-token gram as an 8-byte xxhash64; grams with
+    * >= 2 corpus occurrences mark their covering token range
+    * duplicated, and per doc the overlapping/adjacent ranges merge into
+    * MAXIMAL spans by gaps-and-islands. This recovers exactly the
+    * suffix-array answer at the >= minLen grain: a duplicated span of
+    * length L >= minLen is precisely a run of L − minLen + 1
+    * consecutive duplicated minLen-grams, and the maximal merge
+    * reassembles it with exact token boundaries. The suffix array
+    * itself is replaced by a hash-count — the Spark-shaped trade: two
+    * keyed shuffles of (id, pos, hash) triples instead of one global
+    * sorted structure no cluster primitive builds incrementally.
+    *
+    * Returns (idCol, span_start, span_end): half-open token-index
+    * ranges over the whitespace-normalized lower-cased token array, one
+    * row per maximal span. */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col(idCol),
+      split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+        .as("tk"))
+    // one (id, pos, hash) triple per token position — hashed before the
+    // shuffle so text never leaves the scan; persisted for the
+    // shared-count + join-back branches (the q_ngram_span_dedup
+    // discipline: 24-byte triples, tokenize once)
+    val pos = t.where(size(col("tk")) >= minLen)
+      .select(col(idCol), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - minLen)).as("p"))
+      .select(col(idCol), col("p"),
+        xxhash64(concat_ws(" ",
+          slice(col("tk"), col("p") + 1, lit(minLen)))).as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = pos.groupBy("gh").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+    // gaps-and-islands over each doc's duplicated positions: ranges
+    // [p, p+minLen) and [q, q+minLen) merge iff q <= p + minLen
+    val w = Window.partitionBy(col(idCol)).orderBy("p")
+    pos.join(dup.select("gh"), Seq("gh"))
+      .withColumn("_brk",
+        when(col("p") > lag("p", 1).over(w) + minLen, 1).otherwise(0))
+      .withColumn("_island", sum("_brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + minLen).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Rebuild each document with every maximal duplicated span removed —
+    * the cut action on [[exactSubstrSpans]]. Conservative variant of
+    * Lee et al.'s: they keep one occurrence per duplicate chain, which
+    * needs a global per-chain argmin (another corpus shuffle); removing
+    * all occurrences is one pass and strictly safer against
+    * memorization. Surviving tokens rejoin with single spaces (the span
+    * indices are defined over the whitespace-normalized token array, so
+    * the output text is normalized too). Docs with no span pass through
+    * with their original text. The per-row index filter is a HOF over
+    * the doc's OWN span list (a few entries) — O(len · spans)
+    * interpreted, but with no corpus-sized subtree re-evaluated per
+    * element, which is what made HOFs a trap elsewhere. */
+  def stripExactSubstrSpans(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 8): DataFrame = {
+    val spans = exactSubstrSpans(docs, idCol, textCol, minLen)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("_spans"))
+    val tk = split(
+      regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("_spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", filter(tk, (t, i) =>
+            !exists(col("_spans"), s =>
+              i >= s.getField("span_start") &&
+                i < s.getField("span_end"))))))
+      .drop("_spans")
+  }
+
   /** Keep one row per exact-duplicate group (the min-id row). */
   def dropExactDups(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {

@@ -446,6 +446,18 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- maximal duplicated-substring spans (Lee et al. ExactSubstr,
+    // the suffix-array half): per-position 8-token gram hashes →
+    // >= 2-occurrence grams → gaps-and-islands merge into maximal spans
+    // with exact token boundaries. The oracle replays positions over
+    // the gram TEXT itself (proving the hashed plan loses nothing) and
+    // the same window islands, so span boundaries must match exactly ----
+    "q_exact_substr" -> ((s, d) => {
+      Dedup.exactSubstrSpans(docsWithDups(s, d), "doc_id", "text",
+          minLen = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- int8 symmetric embedding quantization (ANN index prep):
     // per-vector scale = max |x|, q_i = floor(x_i·127/scale), clamped to
     // -127 (IEEE can put x/maxabs a ulp below -1 when x = -maxabs, which
@@ -1272,6 +1284,42 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |SELECT doc_id, count(*) AS n_dup_grams
         |FROM g JOIN shared USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // positions replay over the gram text (lossless-hash proof, the
+    // q_ngram_span_dedup discipline); DuckDB's 1-based list positions
+    // shift to Spark's 0-based token indices at the final select
+    "q_exact_substr" -> (docsWithDupsCte +
+      """, toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS t
+        |  FROM docs
+        |), pos AS (
+        |  SELECT doc_id, unnest(range(1, len(t) - 6)) AS p, t
+        |  FROM toks WHERE len(t) >= 8
+        |), g AS (
+        |  SELECT doc_id, p,
+        |    t[p] || ' ' || t[p+1] || ' ' || t[p+2] || ' ' || t[p+3]
+        |      || ' ' || t[p+4] || ' ' || t[p+5] || ' ' || t[p+6] || ' '
+        |      || t[p+7] AS gram
+        |  FROM pos
+        |), dup AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        |), d AS (
+        |  SELECT doc_id, p FROM g JOIN dup USING (gram)
+        |), brk AS (
+        |  SELECT doc_id, p, CASE WHEN p > lag(p) OVER
+        |      (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END AS b
+        |  FROM d
+        |), isl AS (
+        |  SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk
+        |)
+        |SELECT doc_id, CAST(min(p) - 1 AS INT) AS span_start,
+        |  CAST(max(p) - 1 + 8 AS INT) AS span_end
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin),
 
     // same floor-of-identical-doubles argument as q_repetition: the
     // double widening, the division, and the floor are all IEEE-exact

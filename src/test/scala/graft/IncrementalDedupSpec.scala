@@ -79,6 +79,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(kept == Set(3L, 4L))
   }
 
+  test("exactSubstrSpans finds maximal spans with exact boundaries " +
+      "(cross-doc and self-repeat); strip removes them") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val shared = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      // shared 10-token span at offset 2 of doc 1 and offset 0 of doc 2
+      (1L, "pre amble " + shared + " post word tail here now end"),
+      (2L, shared + " completely different continuation follows here"),
+      // doc 3 repeats its OWN 8-token phrase (positions 0 and 10)
+      (3L, "aa bb cc dd ee ff gg hh x1 x2 aa bb cc dd ee ff gg hh"),
+      (4L, "short doc"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text", minLen = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sorted
+    // maximal merge: 3 overlapping dup 8-grams reassemble the 10-token
+    // span, not three 8-token fragments
+    assert(spans.toSeq == Seq((1L, 2, 12), (2L, 0, 10),
+      (3L, 0, 8), (3L, 10, 18)))
+    val stripped = Dedup.stripExactSubstrSpans(docs, "doc_id", "text",
+        minLen = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stripped(1L) == "pre amble post word tail here now end")
+    assert(stripped(2L) == "completely different continuation follows here")
+    assert(stripped(3L) == "x1 x2")
+    assert(stripped(4L) == "short doc") // untouched (no span)
+  }
+
   test("langId picks the dominant stopword language") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
