@@ -145,7 +145,7 @@ object Bench {
       "q_pmi_bigrams", "q_winnow", "q_stratified_sample",
       "q_unigram_logprob", "q_bow_dedup", "q_contiguous_ids",
       "q_bigram_logprob", "q_kn_logprob", "q_bpe_encode",
-      "q_exact_substr")
+      "q_exact_substr", "q_gopher_repetition")
     warm(extraNames)
     val extraJson = toJson(timed(extraNames))
 
@@ -193,10 +193,19 @@ object Bench {
         lit("d").as("prndl"),
         lit("f").as("parking_brake_applied"),
         col("props").as("extras"))
-      val t0 = System.nanoTime()
-      TelemetryTransform.transform(raw)
-        .write.format("noop").mode("overwrite").save()
-      val transformSec = (System.nanoTime() - t0) / 1e9
+      // short (~1 s) anchors carry the largest relative jitter — time
+      // them twice within the rep and keep the better pass (the CPD
+      // anchor is ~10x longer and stays single-pass)
+      def minOf2(run: () => Unit): Double =
+        (1 to 2).map { _ =>
+          val t = System.nanoTime()
+          run()
+          (System.nanoTime() - t) / 1e9
+        }.min
+      val transformSec = minOf2 { () =>
+        TelemetryTransform.transform(raw)
+          .write.format("noop").mode("overwrite").save()
+      }
 
       // STEP 4+5: window feature stack + downsample + PELT
       val silver = ev.select(
@@ -240,11 +249,11 @@ object Bench {
         .write.option("header", "true").option("escape", "\"")
         .mode("overwrite").csv(s"$tmp/csv")
       val nCsv = nRows * 10 / rep // event_id % rep is uniform over 0..rep-1
-      val t2 = System.nanoTime()
-      val bronze = graft.sources.TelemetryCsv.read(spark, s"$tmp/csv",
-        validate = false)
-      graft.sources.TelemetryCsv.bronzeSink(bronze, s"$tmp/bronze")
-      val ingestSec = (System.nanoTime() - t2) / 1e9
+      val ingestSec = minOf2 { () =>
+        val bronze = graft.sources.TelemetryCsv.read(spark, s"$tmp/csv",
+          validate = false)
+        graft.sources.TelemetryCsv.bronzeSink(bronze, s"$tmp/bronze")
+      }
 
       // the anchors run ten times (5 reps x warm + timed); without cleanup
       // each run leaks a ~100 MB csv+bronze tree in /tmp

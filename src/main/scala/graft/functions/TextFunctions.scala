@@ -115,6 +115,80 @@ object TextFunctions {
       .otherwise((total - distinctGrams).cast("double") / total)
   }
 
+  /** Gopher repetition-filter statistics (Rae et al. 2021, Table A1 —
+    * the published quality-filter family): returns a struct of
+    * (dup_line_frac, dup_line_char_frac, top n-gram char fraction,
+    * duplicated m-gram char fraction). One row-local pass — narrow, no
+    * shuffle; every stat is a per-document reduction, which is the
+    * 100 TB shape. Deliberately a Scala kernel: the per-row line/gram
+    * group-counting needs a hash map, which HOF expressions cannot
+    * build (and interpreted HOFs re-evaluate subtrees per element —
+    * the measured trap).
+    *
+    * Conventions (each deterministic and SQL-replayable, pinned by the
+    * q_gopher_repetition oracle):
+    *  - lines: '\n'-split, space-trimmed, empties dropped;
+    *    dup_line_frac = (occurrences − distinct)/occurrences;
+    *    dup_line_char_frac weights each occurrence beyond a line's
+    *    first by its character length.
+    *  - top gram: word `topN`-grams over the whitespace-normalized
+    *    lower text; fraction = chars(top gram)·count / chars(normalized
+    *    text); ties break to the lexicographically smallest gram.
+    *  - dup gram: occurrence-weighted — Σ count·chars over `dupN`-grams
+    *    with count ≥ 2, over Σ count·chars of all dupN-grams (the paper
+    *    de-overlaps covered characters; the occurrence-weighted variant
+    *    is the common reimplementation and replays exactly in SQL). */
+  def gopherStats(text: Column, topN: Int = 2, dupN: Int = 5): Column = {
+    val kernel = udf((s: String, tn: Int, dn: Int) =>
+      gopherStatsKernel(s, tn, dn))
+    kernel(text, lit(topN), lit(dupN))
+  }
+
+  private[graft] def gopherStatsKernel(s: String, topN: Int,
+      dupN: Int): (Double, Double, Double, Double) = {
+    if (s == null || s.isEmpty) return (0.0, 0.0, 0.0, 0.0)
+    val lines = s.split('\n').map(_.trim).filter(_.nonEmpty)
+    var dupLineFrac = 0.0
+    var dupLineCharFrac = 0.0
+    if (lines.nonEmpty) {
+      val groups = lines.groupBy(identity).view.mapValues(_.length)
+      val total = lines.length.toLong
+      dupLineFrac = (total - groups.size).toDouble / total
+      var dupChars = 0L
+      var allChars = 0L
+      groups.foreach { case (l, c) =>
+        allChars += c.toLong * l.length
+        dupChars += (c - 1).toLong * l.length
+      }
+      if (allChars > 0) dupLineCharFrac = dupChars.toDouble / allChars
+    }
+    val norm = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val words: Array[String] =
+      if (norm.isEmpty) Array.empty else norm.split(' ')
+    def gramCounts(n: Int): Map[String, Int] =
+      if (words.length < n) Map.empty
+      else (0 to words.length - n)
+        .map(i => words.slice(i, i + n).mkString(" "))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val topG = gramCounts(topN)
+    val topFrac =
+      if (topG.isEmpty || norm.isEmpty) 0.0
+      else {
+        // max count, ties to the lexicographically smallest gram
+        val (g, c) = topG.minBy { case (g, c) => (-c, g) }
+        (c.toLong * g.length).toDouble / norm.length
+      }
+    val dupG = gramCounts(dupN)
+    var dupNum = 0L
+    var dupDen = 0L
+    dupG.foreach { case (g, c) =>
+      dupDen += c.toLong * g.length
+      if (c >= 2) dupNum += c.toLong * g.length
+    }
+    val dupFrac = if (dupDen > 0) dupNum.toDouble / dupDen else 0.0
+    (dupLineFrac, dupLineCharFrac, topFrac, dupFrac)
+  }
+
   /** Deflate compression ratio of the UTF-8 text: compressed/original
     * size — the Gopher-family "too compressible = too repetitive, too
     * incompressible = noise" quality heuristic, which catches loop spam

@@ -387,6 +387,29 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Gopher repetition-filter suite (Rae et al. 2021 Table A1):
+    // duplicate-line fractions + top/dup n-gram char fractions, one
+    // row-local kernel pass (no shuffle). Lines are synthesized
+    // deterministically (replace ' the ' with newline — plain
+    // non-overlapping string replace, identical both engines) since the
+    // synthetic corpus is single-line; emitted ratios floor-scaled, the
+    // q_repetition convention ----
+    "q_gopher_repetition" -> ((s, d) => {
+      val lined = docsPar(s, d).select(col("doc_id"),
+        replace(col("text"), lit(" the "), lit("\n")).as("text"))
+      def q6(c: org.apache.spark.sql.Column) = floor(c * 1e6) / 1e6
+      lined
+        .select(col("doc_id"),
+          TextFunctions.gopherStats(col("text"), topN = 2, dupN = 5)
+            .as("g"))
+        .select(col("doc_id"),
+          q6(col("g._1")).as("dup_line_frac"),
+          q6(col("g._2")).as("dup_line_char_frac"),
+          q6(col("g._3")).as("top_2gram_char_frac"),
+          q6(col("g._4")).as("dup_5gram_char_frac"))
+        .orderBy("doc_id")
+    }),
+
     // ---- context-window chunking (training-data prep): split each doc
     // into 64-token chunks; emit per-chunk token count + first token —
     // the slice plumbing a tokenize-and-pack pipeline needs ----
@@ -1222,6 +1245,79 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |       ELSE CAST(total - n_distinct AS DOUBLE) / total > 0.2
         |       END AS flagged
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // replays the Gopher kernel's line/gram group-counting with per-doc
+    // unnest + GROUP BY; every fraction is exact-integer arithmetic
+    // widened once to double, so the floor-quantized values match
+    // bit-for-bit (the q_repetition convention)
+    "q_gopher_repetition" ->
+      """WITH lined AS (
+        |  SELECT doc_id, replace(text, ' the ', chr(10)) AS text
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id, trim(l) AS line FROM (
+        |    SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        |    FROM lined)
+        |  WHERE length(trim(l)) > 0
+        |), lg AS (
+        |  SELECT doc_id, line, count(*) AS c
+        |  FROM lines GROUP BY doc_id, line
+        |), lstat AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) - count(*) AS DOUBLE) /
+        |      CAST(sum(c) AS BIGINT) AS dlf,
+        |    CASE WHEN sum(c * length(line)) > 0 THEN
+        |      CAST(sum((c - 1) * length(line)) AS DOUBLE) /
+        |        CAST(sum(c * length(line)) AS BIGINT)
+        |      ELSE 0.0 END AS dlcf
+        |  FROM lg GROUP BY doc_id
+        |), w AS (
+        |  SELECT doc_id, string_split(nt, ' ') AS t,
+        |    length(nt) AS total_chars
+        |  FROM (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |    FROM lined)
+        |), g2c AS (
+        |  SELECT doc_id, total_chars, gram, count(*) AS c FROM (
+        |    SELECT doc_id, total_chars,
+        |      unnest(list_transform(range(1, len(t)),
+        |        i -> t[i] || ' ' || t[i+1])) AS gram
+        |    FROM w WHERE len(t) >= 2)
+        |  GROUP BY doc_id, total_chars, gram
+        |), top2 AS (
+        |  SELECT doc_id,
+        |    CAST(c * length(gram) AS DOUBLE) / total_chars AS tf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY c DESC, gram) AS rn
+        |  FROM g2c
+        |), g5c AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(t) - 3),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |          || t[i+3] || ' ' || t[i+4])) AS gram
+        |    FROM w WHERE len(t) >= 5)
+        |  GROUP BY doc_id, gram
+        |), dup5 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN sum(c * length(gram)) > 0 THEN
+        |      CAST(sum(CASE WHEN c >= 2 THEN c * length(gram)
+        |        ELSE 0 END) AS DOUBLE) /
+        |        CAST(sum(c * length(gram)) AS BIGINT)
+        |      ELSE 0.0 END AS df
+        |  FROM g5c GROUP BY doc_id
+        |)
+        |SELECT l.doc_id,
+        |  floor(coalesce(s.dlf, 0.0) * 1e6) / 1e6 AS dup_line_frac,
+        |  floor(coalesce(s.dlcf, 0.0) * 1e6) / 1e6 AS dup_line_char_frac,
+        |  floor(coalesce(t2.tf, 0.0) * 1e6) / 1e6 AS top_2gram_char_frac,
+        |  floor(coalesce(d5.df, 0.0) * 1e6) / 1e6 AS dup_5gram_char_frac
+        |FROM lined l
+        |LEFT JOIN lstat s USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, tf FROM top2 WHERE rn = 1) t2
+        |  USING (doc_id)
+        |LEFT JOIN dup5 d5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_chunk_docs" ->
       """WITH t AS (

@@ -212,6 +212,27 @@ class KernelSpec extends AnyFunSuite {
     assert(Enums.prndlMap == prndlArms)
   }
 
+  test("gopherStatsKernel matches the hand-computed repetition fixture") {
+    import graft.functions.TextFunctions
+    // lines: "a b" x3 + "c d" -> dlf (4-2)/4, dlcf (2*3)/(3*3+3)
+    // norm "a b c d a b a b": top 2-gram "a b" count 3, chars 3, len 15
+    // 5-grams all distinct -> dup5 0
+    val (dlf, dlcf, tf, df) =
+      TextFunctions.gopherStatsKernel("a b\nc d\na b\na b", 2, 5)
+    assert(dlf == 0.5 && dlcf == 0.5)
+    assert(tf == 9.0 / 15)
+    assert(df == 0.0)
+    // tie on counts -> lexicographically smallest gram wins
+    val (_, _, tfTie, _) = TextFunctions.gopherStatsKernel("x y y x", 2, 5)
+    assert(tfTie == 3.0 / 7)
+    // degenerate loop: every 5-gram duplicated
+    val loop = Seq.fill(8)("p q r s t").mkString(" ")
+    val (_, _, _, dfLoop) = TextFunctions.gopherStatsKernel(loop, 2, 5)
+    assert(dfLoop == 1.0)
+    assert(TextFunctions.gopherStatsKernel("", 2, 5) ==
+      ((0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("WKT POINT Z rendering matches the PostGIS ST_AsText shape") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
