@@ -74,6 +74,77 @@ object DataPrep {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed n-gram profile is. Features
+    * are word unigrams + adjacent bigrams hashed into `buckets` buckets;
+    * the target and raw corpora each fit an add-one-smoothed bucket
+    * distribution, and a document's log importance weight is the sum
+    * over its feature OCCURRENCES of ln p_target(bucket) − ln
+    * p_raw(bucket). Select by top weight or threshold downstream
+    * (weighted Gumbel sampling in the paper; the weight is the
+    * engine-checked part).
+    *
+    * Scale shape: TWO corpus-sized gram aggs (map-side combine) reduce
+    * both corpora to bucket tables of at most `buckets` rows; the
+    * log-ratio table is bucket-sized BY CONSTRUCTION → broadcast; the
+    * raw corpus then pays one narrow explode + broadcast join + per-doc
+    * agg. Nothing after the aggs is corpus-sized.
+    *
+    * Determinism: the per-bucket log-ratio is floor-quantized to 1e-6
+    * ONCE (ln of exact-integer quotients — identical IEEE bits in any
+    * engine), so per-doc sums are integer sums and commute (the
+    * unigramLogProb discipline). `portable = true` swaps xxhash64 for
+    * the DuckDB-replayable md5Long56 bucket hash (the q_winnow pattern).
+    *
+    * Returns (idCol, n_feats, weight_q6, avg_logratio). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096,
+      portable: Boolean = false): DataFrame = {
+    def bucketOf(gram: Column): Column =
+      pmod(if (portable) graft.functions.Hashing.md5Long56(gram)
+           else xxhash64(gram), lit(buckets.toLong))
+    def featBuckets(df: DataFrame, extra: Column*): DataFrame = {
+      val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0)
+      // guard the bigram branch: sequence(1, 0) would run DESCENDING and
+      // element_at(tk, 0) errors under ANSI — single-token docs emit
+      // their unigram only
+      val bigrams = when(size(col("tk")) >= 2,
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      df.select(extra :+ toks.as("tk"): _*)
+        .select(extra :+ explode(concat(col("tk"), bigrams)).as("gram"): _*)
+        .select(extra :+ bucketOf(col("gram")).as("bucket"): _*)
+    }
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // bucket tables: <= `buckets` rows each — persist (they feed their
+    // own total AND the ratio join; bucket-sized, the vocab convention)
+    val t = featBuckets(target).groupBy("bucket")
+      .agg(count(lit(1)).as("tc")).persist(lvl)
+    val r = featBuckets(raw, col(idCol)).drop(idCol).groupBy("bucket")
+      .agg(count(lit(1)).as("rc")).persist(lvl)
+    val tTot = t.agg(sum("tc").as("_tt"))
+    val rTot = r.agg(sum("rc").as("_rt"))
+    val b = lit(buckets.toDouble)
+    val ratio = r.join(t, Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        floor((log((coalesce(col("tc"), lit(0L)).cast("double") + 1.0) /
+            (col("_tt").cast("double") + b)) -
+          log((col("rc").cast("double") + 1.0) /
+            (col("_rt").cast("double") + b)))
+          * 1000000).cast("long").as("lr_q6"))
+    featBuckets(raw, col(idCol))
+      .join(broadcast(ratio), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"), sum("lr_q6").as("weight_q6"))
+      .withColumn("avg_logratio",
+        col("weight_q6").cast("double") / (col("n_feats") * 1000000))
+  }
+
   /** Assemble the packed training sequences: after [[shardByTokenBudget]]
     * assigns shard ids, concatenate each shard's documents in id order
     * with `sep` — the final byte-level artifact a tokenize-and-pack

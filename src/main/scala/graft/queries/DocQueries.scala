@@ -517,6 +517,21 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- DSIR importance weights (Xie et al. 2023 data selection):
+    // hashed unigram+bigram features, add-one-smoothed target/raw
+    // bucket distributions, per-doc quantized log importance weight.
+    // Both corpora reduce to <= 4096-row bucket tables (broadcast by
+    // construction); the raw side pays one narrow explode + broadcast
+    // join. Portable md5 buckets so the oracle replays the exact hash ----
+    "q_dsir" -> ((s, d) => {
+      import graft.operators.DataPrep
+      val docs = docsPar(s, d)
+      val target = docs.where(col("source").isin("src0", "src1"))
+      DataPrep.dsirWeights(docs, target, "doc_id", "text",
+          buckets = 4096, portable = true)
+        .orderBy("doc_id")
+    }),
+
     // ---- brute-force cosine top-k (exact ANN baseline) ----
     "q_ann_cosine" -> ((s, d) => {
       val emb = embeddings(s, d)
@@ -1357,6 +1372,58 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |FROM cg JOIN bg USING (gram)
         |GROUP BY cg.doc_id HAVING count(DISTINCT cg.gram) >= 2
         |ORDER BY doc_id""".stripMargin,
+
+    // replays the md5Long56 bucket hash, the add-one smoothing, and the
+    // once-quantized per-bucket log ratio; per-doc sums are integer
+    // sums, so they commute on both engines
+    "q_dsir" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS t
+        |  FROM documents
+        |), ttk AS (
+        |  SELECT list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS t
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |), rb AS (
+        |  SELECT doc_id,
+        |    CAST(md5_number_upper(gram) % 72057594037927936 AS BIGINT)
+        |      % 4096 AS bucket
+        |  FROM (SELECT doc_id, unnest(t || CASE WHEN len(t) >= 2 THEN
+        |      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS gram
+        |    FROM tk)
+        |), tb AS (
+        |  SELECT
+        |    CAST(md5_number_upper(gram) % 72057594037927936 AS BIGINT)
+        |      % 4096 AS bucket
+        |  FROM (SELECT unnest(t || CASE WHEN len(t) >= 2 THEN
+        |      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS gram
+        |    FROM ttk)
+        |), rc AS (
+        |  SELECT bucket, count(*) AS rcnt FROM rb GROUP BY bucket
+        |), tcn AS (
+        |  SELECT bucket, count(*) AS tcnt FROM tb GROUP BY bucket
+        |), tot AS (
+        |  SELECT (SELECT CAST(sum(rcnt) AS BIGINT) FROM rc) AS rt,
+        |    (SELECT CAST(sum(tcnt) AS BIGINT) FROM tcn) AS tt
+        |), ratio AS (
+        |  SELECT rc.bucket,
+        |    CAST(floor((ln((CAST(coalesce(tcn.tcnt, 0) AS DOUBLE) + 1.0) /
+        |        (CAST(tt AS DOUBLE) + 4096.0)) -
+        |      ln((CAST(rc.rcnt AS DOUBLE) + 1.0) /
+        |        (CAST(rt AS DOUBLE) + 4096.0))) * 1000000)
+        |      AS BIGINT) AS lr
+        |  FROM rc LEFT JOIN tcn USING (bucket) CROSS JOIN tot
+        |)
+        |SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  CAST(sum(r.lr) AS BIGINT) AS weight_q6,
+        |  CAST(sum(r.lr) AS DOUBLE) / (count(*) * 1000000) AS avg_logratio
+        |FROM rb JOIN ratio r USING (bucket)
+        |GROUP BY rb.doc_id ORDER BY rb.doc_id""".stripMargin,
 
     // groups by the gram TEXT itself (the Spark plan ships 8-byte xxhash64
     // keys) — agreement proves the hashed plan loses nothing (identical up

@@ -141,6 +141,37 @@ class DataPrepSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
   }
 
+  test("dsirWeights ranks target-domain docs above off-domain docs " +
+      "and is invariant to doc order") {
+    import graft.operators.DataPrep
+    import spark.implicits._
+    val sci = Seq("the cell divides under the microscope lens",
+      "the enzyme binds the protein in the cell wall",
+      "the microscope shows the enzyme and the protein")
+    val web = Seq("click here to win a free prize now",
+      "best deals and offers click the link now")
+    val target = sci.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val raw = (Seq(
+      (10L, "the protein and the enzyme in the cell"), // sci-like
+      (11L, "win free prize deals click now here"))    // web-like
+      ++ web.zipWithIndex.map { case (t, i) => (20L + i, t) })
+      .toDF("doc_id", "text")
+    val w = DataPrep.dsirWeights(raw, target, "doc_id", "text",
+        buckets = 512)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Double]("avg_logratio")).toMap
+    assert(w(10L) > w(11L),
+      s"sci-like doc should outweigh web-like: ${w(10L)} vs ${w(11L)}")
+    // permuting the raw rows leaves every weight identical (the
+    // quantized-integer sum commutes)
+    val w2 = DataPrep.dsirWeights(raw.orderBy(col("doc_id").desc), target,
+        "doc_id", "text", buckets = 512)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Double]("avg_logratio")).toMap
+    assert(w == w2)
+  }
+
   test("pcaReduce projects to k dims and maps identical vectors " +
       "identically") {
     import graft.operators.SimilaritySearch
