@@ -54,13 +54,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // The q_ann_ivf oracle replays centroids PINNED at the gate SF; at any
-    // other SF the Spark side retrains per-corpus and the pinned replay
-    // would false-fail, so off-gate dumps fall back to rows-only for it.
+    // The q_ann_ivf / q_ann_pq oracles replay centroids/codebooks PINNED
+    // at the gate SF; at any other SF the Spark side retrains per-corpus
+    // and the pinned replay would false-fail, so off-gate dumps fall back
+    // to rows-only for them.
     val oracles =
       if (sfDir.stripSuffix("/").endsWith(graft.queries.IvfOracle.gateSfSuffix))
         SparkEntry.oracleSql
-      else SparkEntry.oracleSql - "q_ann_ivf"
+      else SparkEntry.oracleSql - "q_ann_ivf" - "q_ann_pq"
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

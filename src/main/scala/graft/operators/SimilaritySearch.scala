@@ -275,6 +275,123 @@ object SimilaritySearch {
       .select("query_id", "id", "cosine", "rank")
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the embedding splits
+    * into `m` subspaces, each with its own `ksub`-centroid codebook
+    * (k-means over the bounded deterministic sample, seed + subspace
+    * index), a vector encodes as `m` small codes, and queries rank
+    * candidates by ADC — the sum of per-subspace distances from the
+    * query sub-vector to each candidate's reconstructed centroid. This
+    * is the memory-bound ANN scale path: the corpus compresses ~dim·8/m
+    * bytes → m bytes per vector, encode is a narrow kernel under
+    * broadcast codebooks, and scoring never touches the original
+    * vectors. (Compose with [[ivfTopK]]'s cell routing for IVFADC; this
+    * operator is the exhaustive-ADC variant that pins the quantizer.)
+    *
+    * Vectors are unit-normalized ([[unitNorm]]) before training,
+    * encoding, and scoring, so the L2 ADC ordering equals the cosine
+    * ordering the other ANN operators rank by.
+    *
+    * Determinism: codebooks are seeded and sample-order-stable (the
+    * [[ivfTopK]] discipline); assignment ties break to the lowest cell;
+    * each per-subspace ADC contribution is floor-quantized to 1e-9
+    * integers so the cross-subspace sum commutes and replays exactly in
+    * SQL (adc_q9 = Σ_m floor(d_m · 1e9)).
+    *
+    * Returns (query_id, id, rank, adc_q9). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, seed: Long = 42,
+      maxTrain: Int = 50000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val corpusN = c.count()
+    val every = math.max(1L, corpusN / maxTrain)
+    val sample = c
+      .where(pmod(xxhash64(col("id")), lit(every)) === 0)
+      .orderBy("id")
+      .limit(maxTrain)
+      .select("v").collect()
+      .map(r => unitNorm(r.getSeq[Double](0)))
+    val codebooks = trainPqCodebooks(sample, m, ksub, seed)
+
+    def subDist(v: Seq[Double], mi: Int, ctr: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < ctr.length) {
+        val t = ctr(j) - v(mi * ctr.length + j); s += t * t; j += 1
+      }
+      s
+    }
+    def nearestCell(v: Seq[Double], mi: Int): Int = {
+      val cb = codebooks(mi)
+      var best = 0; var bestD = Double.MaxValue
+      var cell = 0
+      while (cell < cb.length) {
+        val dd = subDist(v, mi, cb(cell))
+        if (dd < bestD) { bestD = dd; best = cell } // ties → lowest cell
+        cell += 1
+      }
+      best
+    }
+    val encodeUdf = udf((v: Seq[Double]) => {
+      val n = unitNorm(v)
+      Array.tabulate(m)(mi => nearestCell(n, mi))
+    })
+    // per-pair ADC over the codes: m quantized lookups, ascending
+    // subspace order (matches the SQL replay's integer sum)
+    val adcUdf = udf((codes: Seq[Int], qv: Seq[Double]) => {
+      val n = unitNorm(qv)
+      var s = 0L; var mi = 0
+      while (mi < m) {
+        s += math.floor(subDist(n, mi, codebooks(mi)(codes(mi))) * 1e9)
+          .toLong
+        mi += 1
+      }
+      s
+    })
+    val encoded = c.withColumn("codes", encodeUdf(col("v"))).drop("v")
+    val q = queries.select(col(qidCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_q9").asc, col("id"))
+    encoded.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("adc_q9", adcUdf(col("codes"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "rank", "adc_q9")
+  }
+
+  /** Unit-normalize a vector (ascending-index square sum, one sqrt, one
+    * division per element — the exact arithmetic the SQL oracle
+    * replays). PQ trains, encodes, and scores on the unit sphere so its
+    * L2 ADC ordering equals the cosine ordering of the exact baseline. */
+  private[operators] def unitNorm(v: Seq[Double]): Array[Double] = {
+    var s = 0.0; var j = 0
+    while (j < v.length) { s += v(j) * v(j); j += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Double](v.length)
+    j = 0
+    while (j < v.length) { out(j) = v(j) / n; j += 1 }
+    out
+  }
+
+  /** Per-subspace PQ codebooks: `m` independent k-means runs over the
+    * sample's sub-vectors, seeded `seed + subspace` — deterministic and
+    * replayable by the oracle generator. */
+  private[operators] def trainPqCodebooks(sample: Array[Array[Double]],
+      m: Int, ksub: Int, seed: Long): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "PQ needs a non-empty training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val d = dim / m
+    Array.tabulate(m) { mi =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, mi * d,
+        (mi + 1) * d))
+      trainCentroids(sub, ksub, iters = 20, seed = seed + mi)
+    }
+  }
+
   /** PCA dimensionality reduction of an embedding column — the standard
     * preprocessing of the SemDeDup/embedding-clustering pipelines (reduce
     * 1k-dim embeddings to the top-k variance directions before the

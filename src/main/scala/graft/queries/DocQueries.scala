@@ -556,6 +556,21 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- product-quantization ANN (Jégou et al. 2011): per-subspace
+    // codebooks pinned at the gate SF oracle-side ([[PqOracle]], the
+    // IvfOracle pattern); the Spark side trains + encodes + ADC-ranks
+    // live, with per-subspace contributions floor-quantized so the
+    // cross-subspace sum commutes on both engines ----
+    "q_ann_pq" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      SimilaritySearch.pqTopK(emb, queries,
+          "vec_id", "embedding", "vec_id", k = 10,
+          m = graft.queries.PqOracle.m,
+          ksub = graft.queries.PqOracle.ksub)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- LSH-bucketed ANN (scale path), fully oracle-checked: portable
     // integer-Rademacher buckets are recomputed exactly by the SQL
     // oracle, so candidate sets and ranks must match row for row ----
@@ -1503,6 +1518,10 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |        CAST(greatest(-127, floor(x * 127.0 / maxabs)) AS INT))
         |    END, ',') AS q8
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    // pinned-codebook replay of the deterministic PQ pipeline (valid at
+    // the gate SF only — Verify omits it elsewhere, the q_ann_ivf rule)
+    "q_ann_pq" -> graft.queries.PqOracle.sql,
 
     // pinned-centroid replay of the deterministic IVF pipeline (valid at
     // the gate SF; see IvfOracle's scaladoc for the regeneration recipe)
