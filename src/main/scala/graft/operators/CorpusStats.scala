@@ -205,6 +205,87 @@ object CorpusStats {
         col("sum_q6").cast("double") / (col("n_bigrams") * 1000000))
   }
 
+  /** Per-document interpolated Kneser-Ney TRIGRAM log-probability — one
+    * rung above [[knLogProb]] toward the 5-gram KenLM CCNet filters use.
+    * Full Chen & Goodman recursion, lower orders built from continuation
+    * counts of the order above (all derived from ONE trigram table):
+    *
+    *   P(c|a,b) = max(c(abc) − D, 0)/c(ab·) + D·N1+(ab·)/c(ab·) · P(c|b)
+    *   P(c|b)   = max(N1+(·bc) − D, 0)/N1+(·b·)
+    *            + D·N1+(b·)/N1+(·b·) · P(c)
+    *   P(c)     = N1+(·c) / N1+(··)
+    *
+    * with D = 0.75 (exact in binary), N1+(·bc) the distinct-predecessor
+    * count of trigram (·,b,c), N1+(·b·) = Σ_c N1+(·bc), N1+(b·) the
+    * distinct continuations of b, N1+(·c)/N1+(··) the unigram
+    * continuation distribution over the (b,c) type table. Every input is
+    * an exact integer (or the exact 0.75) and the arithmetic tree is
+    * mirrored operation-for-operation in the SQL oracle, so quantized
+    * per-trigram contributions (`·1e6`) compare bit-for-bit and sum
+    * commutatively — the [[knLogProb]] discipline.
+    *
+    * Plan: ONE corpus-sized trigram agg (map-side combine), persisted —
+    * every lower-order stat is an agg over it or over the (b,c)
+    * continuation table (also persisted; both trigram/bigram-VOCAB-sized,
+    * not corpus-sized). tri/ctx2/cont2 are keyed joins (bigram-vocab keys
+    * can exceed broadcast limits at corpus scale; AQE broadcasts when
+    * small), the unigram-sized ctx1/cont1 and the scalar type total
+    * broadcast. `docTrigrams` recomputes its narrow explode per branch
+    * (never pin a corpus-sized cache). Documents with < 3 tokens get no
+    * row. */
+  def kn3LogProb(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.select(col(idCol),
+      filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0).as("tk"))
+    val docTrigrams = toks.where(size(col("tk")) >= 3)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("tk")) - 3),
+          i => struct(element_at(col("tk"), i + 1).as("w_a"),
+            element_at(col("tk"), i + 2).as("w_b"),
+            element_at(col("tk"), i + 3).as("w_c")))).as("p"))
+      .select(col(idCol), col("p.w_a").as("w_a"), col("p.w_b").as("w_b"),
+        col("p.w_c").as("w_c"))
+    val tri = docTrigrams.groupBy("w_a", "w_b", "w_c")
+      .agg(count(lit(1)).as("n_abc")).persist(lvl)
+    // highest-order context stats c(ab·), N1+(ab·)
+    val ctx2 = tri.groupBy("w_a", "w_b")
+      .agg(sum("n_abc").as("c_ab"), count(lit(1)).as("n1p_ab"))
+    // (b,c) continuation types N1+(·bc) — the middle order's "counts";
+    // persisted: feeds its own context/continuation/type-total aggs AND
+    // the scoring join
+    val cont2 = tri.groupBy("w_b", "w_c")
+      .agg(count(lit(1)).as("n1p_bc")).persist(lvl)
+    val ctx1 = cont2.groupBy("w_b")
+      .agg(sum("n1p_bc").as("tot_b"), count(lit(1)).as("typ_b"))
+    val cont1 = cont2.groupBy("w_c").agg(count(lit(1)).as("n1p_c"))
+    val types = cont2.agg(count(lit(1)).cast("double").as("_t_all"))
+    val d = lit(discount)
+    docTrigrams
+      .join(tri, Seq("w_a", "w_b", "w_c"))
+      .join(ctx2, Seq("w_a", "w_b"))
+      .join(cont2, Seq("w_b", "w_c"))
+      .join(broadcast(ctx1), Seq("w_b"))
+      .join(broadcast(cont1), Seq("w_c"))
+      .crossJoin(broadcast(types))
+      .select(col(idCol),
+        floor(log(
+          greatest(col("n_abc").cast("double") - d, lit(0.0)) /
+            col("c_ab").cast("double") +
+            (d * col("n1p_ab").cast("double") / col("c_ab").cast("double")) *
+              (greatest(col("n1p_bc").cast("double") - d, lit(0.0)) /
+                col("tot_b").cast("double") +
+                (d * col("typ_b").cast("double") /
+                  col("tot_b").cast("double")) *
+                  (col("n1p_c").cast("double") / col("_t_all"))))
+          * 1000000).cast("long").as("cq"))
+      .groupBy(idCol)
+      .agg(sum("cq").as("sum_q6"), count(lit(1)).as("n_trigrams"))
+      .withColumn("avg_logprob",
+        col("sum_q6").cast("double") / (col("n_trigrams") * 1000000))
+  }
+
   /** Adjacent-bigram PMI: for each token bigram (a,b) with count >=
     * `minCount`, pmi = ln(P(a,b) / (P(a)·P(b))) with P(a,b) = n_ab/N_big
     * and P(x) = n_x/N_tok. Emitted floor-quantized (`pmi_q6` = floor(pmi ·

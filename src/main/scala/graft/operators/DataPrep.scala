@@ -176,15 +176,23 @@ object DataPrep {
     * the documented per-partition-imperative exception, and the result
     * is equal to the SQL row_number contract (the oracle proves it). */
   def contiguousIds(df: DataFrame, orderCol: String,
-      idName: String = "seq_id"): DataFrame = {
+      idName: String = "seq_id"): DataFrame =
+    contiguousIdsBy(df, Seq(col(orderCol)), idName)
+
+  /** Multi-key / descending-order variant (e.g. a frequency ranking
+    * `Seq(col("n").desc, col("subword"))` — [[graft.operators.Tokenizer
+    * .encode]]'s vocab-id assignment). `startAt` shifts the first id
+    * (1 for row_number parity). */
+  def contiguousIdsBy(df: DataFrame, order: Seq[Column], idName: String,
+      startAt: Long = 0L): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(col(orderCol))
-      .sortWithinPartitions(orderCol)
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
     val schema = sorted.schema.add(idName, LongType, nullable = false)
     val withIds = sorted.rdd.zipWithIndex()
-      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + startAt)) }
     spark.createDataFrame(withIds, schema)
   }
 

@@ -190,13 +190,16 @@ object Tokenizer {
     val vocabSeg = words.select("word").distinct()
       .withColumn("subwords", segUdf(col("word")))
     val segmented = words.join(broadcast(vocabSeg), Seq("word"))
-    val vocabIds = segmented
-      .select(explode(col("subwords")).as("subword"))
-      .groupBy("subword").agg(count(lit(1)).as("n"))
-      .select(col("subword"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(coalesce(substring(col("subword"), 1, 0), lit("")))
-          .orderBy(col("n").desc, col("subword"))).as("tok_id"))
+    // (n desc, subword) frequency ranking via range-repartition +
+    // zipWithIndex (DataPrep.contiguousIds) — NOT a global window: a
+    // row_number over a constant partition key funnels the whole subword
+    // vocab through one task, a straggler once vocabs reach 10^7
+    val vocabIds = DataPrep.contiguousIdsBy(
+        segmented
+          .select(explode(col("subwords")).as("subword"))
+          .groupBy("subword").agg(count(lit(1)).as("n")),
+        Seq(col("n").desc, col("subword")), "tok_id", startAt = 1L)
+      .select(col("subword"), col("tok_id"))
     segmented
       .select(col(idCol), col("_widx"), posexplode(col("subwords")))
       .withColumnRenamed("pos", "_sidx")

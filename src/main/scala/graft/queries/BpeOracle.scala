@@ -57,7 +57,8 @@ object BpeOracle {
       |  FROM tok GROUP BY subword
       |)
       |SELECT t.doc_id,
-      |  CAST(list(v.tok_id ORDER BY t.widx, t.sidx) AS INT[]) AS input_ids
+      |  array_to_string(list(v.tok_id ORDER BY t.widx, t.sidx), ',')
+      |    AS input_ids_csv
       |FROM tok t JOIN vocab v USING (subword)
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin

@@ -418,15 +418,21 @@ object DocQueries {
         col("doc_id"),
         split(trim(col("text")), "\\s+").as("toks"),
         TextFunctions.tokenCountWs(col("text")).as("n_tokens"))
+      // the per-chunk struct array is built INSIDE the row and `toks` is
+      // dropped BEFORE the explode — exploding chunk_idx first would make
+      // every chunk row carry the whole document's token array
+      // (O(doc_len × n_chunks) bytes per doc) just to read one element
       t.where(col("n_tokens") > 0)
-        .withColumn("chunk_idx",
-          explode(sequence(lit(0L),
-            ceil(col("n_tokens") / 64.0).cast("long") - 1)))
-        .select(col("doc_id"), col("chunk_idx"),
-          least(lit(64L), col("n_tokens") - col("chunk_idx") * 64)
-            .as("chunk_tokens"),
-          element_at(col("toks"), (col("chunk_idx") * 64 + 1).cast("int"))
-            .as("first_token"))
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0L), ceil(col("n_tokens") / 64.0).cast("long") - 1),
+            i => struct(
+              i.as("chunk_idx"),
+              least(lit(64L), col("n_tokens") - i * 64).as("chunk_tokens"),
+              element_at(col("toks"), (i * 64 + 1).cast("int"))
+                .as("first_token")))).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_tokens"),
+          col("c.first_token"))
         .orderBy("doc_id", "chunk_idx")
     }),
 
@@ -604,8 +610,15 @@ object DocQueries {
     // ranking, id assignment, per-doc (widx,sidx) reassembly — replays
     // live in the SQL oracle, so the encode PLAN is what's checked ----
     "q_bpe_encode" -> ((s, d) => {
+      // gate surface is the joined-string twin of input_ids (the
+      // q_collect_series discipline): the driver's pandas row-sort cannot
+      // hash array cells, so array<int> columns must never reach the gate.
+      // Library users call Tokenizer.encode directly for the array form.
       Tokenizer.encode(docsPar(s, d), "doc_id", "text",
           graft.queries.BpeOracle.pinnedRules)
+        .select(col("doc_id"),
+          array_join(col("input_ids").cast("array<string>"), ",")
+            .as("input_ids_csv"))
         .orderBy("doc_id")
     }),
 
@@ -670,6 +683,16 @@ object DocQueries {
     // the quantized contributions match bit-for-bit ----
     "q_kn_logprob" -> ((s, d) => {
       CorpusStats.knLogProb(docsPar(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- interpolated Kneser-Ney TRIGRAM log-probability (full Chen &
+    // Goodman recursion, lower orders from continuation counts of the
+    // order above — one rung up from q_kn_logprob toward CCNet's 5-gram
+    // KenLM): same exact-integer inputs + op-for-op mirrored arithmetic
+    // tree, so quantized contributions match bit-for-bit ----
+    "q_kn3_logprob" -> ((s, d) => {
+      CorpusStats.kn3LogProb(docsPar(s, d), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -1741,6 +1764,64 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |)
         |SELECT doc_id, CAST(sum(cq) AS BIGINT) AS sum_q6,
         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(cq) AS DOUBLE) / (count(*) * 1000000) AS avg_logprob
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // dt/tri/cont2 are MATERIALIZED: DuckDB inlines plain CTEs, and with
+    // the scalar CROSS JOIN present the re-expanded 4-deep chain makes
+    // the optimizer blow up (observed: 70 GB / >10 min at sf0.01;
+    // materialized: 0.5 s)
+    "q_kn3_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), dt AS MATERIALIZED (
+        |  SELECT doc_id, p['w_a'] AS w_a, p['w_b'] AS w_b, p['w_c'] AS w_c
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> struct_pack(w_a := tk[i], w_b := tk[i+1],
+        |        w_c := tk[i+2]))) AS p
+        |    FROM t WHERE len(tk) >= 3)
+        |), tri AS MATERIALIZED (
+        |  SELECT w_a, w_b, w_c, count(*) AS n_abc
+        |  FROM dt GROUP BY w_a, w_b, w_c
+        |), ctx2 AS (
+        |  SELECT w_a, w_b, CAST(sum(n_abc) AS BIGINT) AS c_ab,
+        |    count(*) AS n1p_ab
+        |  FROM tri GROUP BY w_a, w_b
+        |), cont2 AS MATERIALIZED (
+        |  SELECT w_b, w_c, count(*) AS n1p_bc FROM tri GROUP BY w_b, w_c
+        |), ctx1 AS (
+        |  SELECT w_b, CAST(sum(n1p_bc) AS BIGINT) AS tot_b,
+        |    count(*) AS typ_b
+        |  FROM cont2 GROUP BY w_b
+        |), cont1 AS (
+        |  SELECT w_c, count(*) AS n1p_c FROM cont2 GROUP BY w_c
+        |), ty AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS t_all FROM cont2
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(
+        |      greatest(CAST(n_abc AS DOUBLE) - 0.75, 0.0) /
+        |        CAST(c_ab AS DOUBLE) +
+        |      (0.75 * CAST(n1p_ab AS DOUBLE) / CAST(c_ab AS DOUBLE)) *
+        |        (greatest(CAST(n1p_bc AS DOUBLE) - 0.75, 0.0) /
+        |          CAST(tot_b AS DOUBLE) +
+        |         (0.75 * CAST(typ_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) *
+        |           (CAST(n1p_c AS DOUBLE) / t_all))) * 1000000)
+        |      AS BIGINT) AS cq
+        |  FROM dt
+        |  JOIN tri USING (w_a, w_b, w_c)
+        |  JOIN ctx2 USING (w_a, w_b)
+        |  JOIN cont2 USING (w_b, w_c)
+        |  JOIN ctx1 USING (w_b)
+        |  JOIN cont1 USING (w_c)
+        |  CROSS JOIN ty
+        |)
+        |SELECT doc_id, CAST(sum(cq) AS BIGINT) AS sum_q6,
+        |  CAST(count(*) AS BIGINT) AS n_trigrams,
         |  CAST(sum(cq) AS DOUBLE) / (count(*) * 1000000) AS avg_logprob
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -156,6 +156,53 @@ class WinnowSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) < 1e-4, s"sum of P_KN(.|a) = $total")
   }
 
+  test("kn3LogProb matches the hand-computed trigram Kneser-Ney fixture " +
+      "and quantizes exactly") {
+    import spark.implicits._
+    // corpus "a b a b a c": trigrams aba:2 bab:1 bac:1
+    // ctx2 (a,b): c=2 n1p=1; (b,a): c=2 n1p=2
+    // cont2 (b,a):1 (a,b):1 (a,c):1; ctx1 b: tot=1 typ=1; a: tot=2 typ=2
+    // cont1 a:1 b:1 c:1; T=3
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = CorpusStats.kn3LogProb(docs, "doc_id", "text").collect()
+    assert(got.length == 1)
+    def pkn3(nAbc: Long, cAb: Long, n1pAb: Long, n1pBc: Long, totB: Long,
+        typB: Long, n1pC: Long, tAll: Long): Double =
+      math.max(nAbc.toDouble - 0.75, 0.0) / cAb.toDouble +
+        (0.75 * n1pAb.toDouble / cAb.toDouble) *
+          (math.max(n1pBc.toDouble - 0.75, 0.0) / totB.toDouble +
+            (0.75 * typB.toDouble / totB.toDouble) *
+              (n1pC.toDouble / tAll.toDouble))
+    def q(p: Double): Long = math.floor(math.log(p) * 1000000).toLong
+    val expected = // doc order: aba, bab, aba, bac
+      2 * q(pkn3(2, 2, 1, 1, 1, 1, 1, 3)) +
+        q(pkn3(1, 2, 2, 1, 2, 2, 1, 3)) +
+        q(pkn3(1, 2, 2, 1, 2, 2, 1, 3))
+    val r = got(0)
+    assert(r.getAs[Long]("sum_q6") == expected)
+    assert(r.getAs[Long]("n_trigrams") == 4L)
+    assert(r.getAs[Double]("avg_logprob") == expected.toDouble / 4e6)
+  }
+
+  test("kn3LogProb: P_KN over a context's continuations sums to 1 " +
+      "(the interpolation identity holds through both backoff levels)") {
+    import spark.implicits._
+    // Score every continuation of context "a b" as its own single-trigram
+    // doc; exp(avg_logprob) recovers P(c|a,b), which must sum to 1 over
+    // the full continuation vocabulary {a,b,c} of the combined corpus.
+    val corpus = Seq((1L, "a b a c a a b c")).toDF("doc_id", "text")
+    val trigrams = Seq("a b a", "a b b", "a b c")
+    val probe = corpus.unionByName(
+      trigrams.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text"))
+    val got = CorpusStats.kn3LogProb(probe, "doc_id", "text")
+      .where(col("doc_id") >= 100L)
+      .collect().map(_.getAs[Double]("avg_logprob"))
+    assert(got.length == 3)
+    val total = got.map(math.exp).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"sum of P_KN(.|a,b) = $total")
+  }
+
   test("bigramPmi: collocated pair scores above independence") {
     import spark.implicits._
     // "x y" always adjacent; "p"/"q" never adjacent to each other

@@ -44,6 +44,24 @@ def fmt(v):
     return str(v)
 
 
+def reject_nested(df, side, name):
+    """Driver parity: the driver sorts result rows with pandas, which
+    crashes on ndarray/list/dict cells (TypeError: unhashable type) —
+    r7's q_bpe_encode ERRORed at the driver while this checker passed it
+    because fmt() stringifies arrays before sorting. Any nested-typed
+    result column is therefore a hard local FAIL: emit array_join(...)
+    strings or explode to rows instead."""
+    for c in df.columns:
+        for v in df[c]:
+            if isinstance(v, (np.ndarray, list, tuple, dict)):
+                raise ValueError(
+                    f"{side} column '{c}' of {name} is array/struct-typed "
+                    "(driver's pandas row-sort crashes on nested cells); "
+                    "emit a joined string or explode to rows")
+            if v is not None:
+                break
+
+
 def norm_df(df):
     cols = sorted(df.columns)
     rows = []
@@ -67,6 +85,8 @@ def main():
         try:
             gdf = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
             edf = con.execute(sql).df()
+            reject_nested(gdf, "spark", name)
+            reject_nested(edf, "oracle", name)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_bad += 1
