@@ -113,9 +113,18 @@ object Dedup {
     *
     * Returns (idCol, span_start, span_end): half-open token-index
     * ranges over the whitespace-normalized lower-cased token array, one
-    * row per maximal span. */
+    * row per maximal span.
+    *
+    * `keepOne = true` applies Lee et al.'s actual policy: one occurrence
+    * per duplicate chain survives — the chain's least (id, pos)
+    * occurrence is canonical and is NOT reported as duplicated. Costs
+    * one per-chain argmin folded into the same keyed agg
+    * (min(struct(id, pos)) rides the count shuffle; no extra pass).
+    * Default false = strip-all (strictly safer against memorization,
+    * but changes corpus statistics vs the paper — both policies are a
+    * filter over the same chain table). */
   def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 8): DataFrame = {
+      minLen: Int = 8, keepOne: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = docs.select(col(idCol),
       split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
@@ -131,12 +140,27 @@ object Dedup {
         xxhash64(concat_ws(" ",
           slice(col("tk"), col("p") + 1, lit(minLen)))).as("gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dup = pos.groupBy("gh").agg(count(lit(1)).as("n"))
-      .where(col("n") >= 2)
+    val dupPos =
+      if (keepOne) {
+        // per-chain argmin rides the count agg: the least (id, pos)
+        // occurrence is canonical and filtered OUT of the dup set
+        val chains = pos.groupBy("gh")
+          .agg(count(lit(1)).as("n"),
+            min(struct(col(idCol).as("_cid"), col("p").as("_cp")))
+              .as("_mn"))
+          .where(col("n") >= 2)
+        pos.join(chains.select("gh", "_mn"), Seq("gh"))
+          .where(!(col(idCol) === col("_mn._cid") &&
+            col("p") === col("_mn._cp")))
+      } else {
+        val dup = pos.groupBy("gh").agg(count(lit(1)).as("n"))
+          .where(col("n") >= 2)
+        pos.join(dup.select("gh"), Seq("gh"))
+      }
     // gaps-and-islands over each doc's duplicated positions: ranges
     // [p, p+minLen) and [q, q+minLen) merge iff q <= p + minLen
     val w = Window.partitionBy(col(idCol)).orderBy("p")
-    pos.join(dup.select("gh"), Seq("gh"))
+    dupPos
       .withColumn("_brk",
         when(col("p") > lag("p", 1).over(w) + minLen, 1).otherwise(0))
       .withColumn("_island", sum("_brk").over(
@@ -148,11 +172,12 @@ object Dedup {
   }
 
   /** Rebuild each document with every maximal duplicated span removed —
-    * the cut action on [[exactSubstrSpans]]. Conservative variant of
-    * Lee et al.'s: they keep one occurrence per duplicate chain, which
-    * needs a global per-chain argmin (another corpus shuffle); removing
-    * all occurrences is one pass and strictly safer against
-    * memorization. Surviving tokens rejoin with single spaces (the span
+    * the cut action on [[exactSubstrSpans]]. Default `keepOne = false`
+    * removes ALL occurrences (strictly safer against memorization);
+    * `keepOne = true` is Lee et al.'s published policy — each duplicate
+    * chain's least-(id, pos) occurrence survives the cut (the argmin
+    * rides the chain-count agg, see [[exactSubstrSpans]]).
+    * Surviving tokens rejoin with single spaces (the span
     * indices are defined over the whitespace-normalized token array, so
     * the output text is normalized too). Docs with no span pass through
     * with their original text. The per-row index filter is a HOF over
@@ -160,8 +185,9 @@ object Dedup {
     * interpreted, but with no corpus-sized subtree re-evaluated per
     * element, which is what made HOFs a trap elsewhere. */
   def stripExactSubstrSpans(docs: DataFrame, idCol: String,
-      textCol: String, minLen: Int = 8): DataFrame = {
-    val spans = exactSubstrSpans(docs, idCol, textCol, minLen)
+      textCol: String, minLen: Int = 8,
+      keepOne: Boolean = false): DataFrame = {
+    val spans = exactSubstrSpans(docs, idCol, textCol, minLen, keepOne)
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("_spans"))

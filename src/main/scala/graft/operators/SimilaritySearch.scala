@@ -316,27 +316,9 @@ object SimilaritySearch {
       .map(r => unitNorm(r.getSeq[Double](0)))
     val codebooks = trainPqCodebooks(sample, m, ksub, seed)
 
-    def subDist(v: Seq[Double], mi: Int, ctr: Array[Double]): Double = {
-      var s = 0.0; var j = 0
-      while (j < ctr.length) {
-        val t = ctr(j) - v(mi * ctr.length + j); s += t * t; j += 1
-      }
-      s
-    }
-    def nearestCell(v: Seq[Double], mi: Int): Int = {
-      val cb = codebooks(mi)
-      var best = 0; var bestD = Double.MaxValue
-      var cell = 0
-      while (cell < cb.length) {
-        val dd = subDist(v, mi, cb(cell))
-        if (dd < bestD) { bestD = dd; best = cell } // ties → lowest cell
-        cell += 1
-      }
-      best
-    }
     val encodeUdf = udf((v: Seq[Double]) => {
       val n = unitNorm(v)
-      Array.tabulate(m)(mi => nearestCell(n, mi))
+      Array.tabulate(m)(mi => pqNearestCell(codebooks, n, mi))
     })
     // per-pair ADC over the codes: m quantized lookups, ascending
     // subspace order (matches the SQL replay's integer sum)
@@ -344,7 +326,7 @@ object SimilaritySearch {
       val n = unitNorm(qv)
       var s = 0L; var mi = 0
       while (mi < m) {
-        s += math.floor(subDist(n, mi, codebooks(mi)(codes(mi))) * 1e9)
+        s += math.floor(pqSubDist(n, mi, codebooks(mi)(codes(mi))) * 1e9)
           .toLong
         mi += 1
       }
@@ -356,6 +338,117 @@ object SimilaritySearch {
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_q9").asc, col("id"))
     encoded.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("adc_q9", adcUdf(col("codes"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "rank", "adc_q9")
+  }
+
+  /** Squared L2 between a PQ sub-centroid and sub-vector `mi` of `v`
+    * (ascending-index accumulation — the exact arithmetic the SQL
+    * oracles replay). Shared by [[pqTopK]] and [[ivfPqTopK]]. */
+  private[operators] def pqSubDist(v: Seq[Double], mi: Int,
+      ctr: Array[Double]): Double = {
+    var s = 0.0; var j = 0
+    while (j < ctr.length) {
+      val t = ctr(j) - v(mi * ctr.length + j); s += t * t; j += 1
+    }
+    s
+  }
+
+  /** Nearest sub-codebook cell for sub-vector `mi` of `v`; ties break
+    * to the lowest cell (the oracle's (dist, cell) row_number order). */
+  private[operators] def pqNearestCell(
+      codebooks: Array[Array[Array[Double]]], v: Seq[Double],
+      mi: Int): Int = {
+    val cb = codebooks(mi)
+    var best = 0; var bestD = Double.MaxValue
+    var cell = 0
+    while (cell < cb.length) {
+      val dd = pqSubDist(v, mi, cb(cell))
+      if (dd < bestD) { bestD = dd; best = cell }
+      cell += 1
+    }
+    best
+  }
+
+  /** IVF-PQ ANN (IVFADC, Jégou et al. 2011 §V): [[ivfTopK]]'s coarse
+    * cell routing composed with [[pqTopK]]'s quantized ADC scoring —
+    * the standard FAISS pairing that makes PQ ranking probe-bucket
+    * sized instead of corpus-sized. Each corpus vector stores only
+    * (cell, m codes); a query ADC-ranks just the candidates in its
+    * `nprobe` nearest cells under broadcast codebooks, so at 100 TB the
+    * scoring work is nprobe/nlist of the corpus and the shuffled state
+    * is a few bytes per vector.
+    *
+    * Documented deviation from the paper: codes quantize the vector
+    * itself, not the residual v − centroid (FAISS's `by_residual=false`
+    * mode) — residual codes would decouple the codebooks from
+    * [[pqTopK]]'s and double the pinned-oracle surface for a recall
+    * gain the synthetic gate vectors can't resolve.
+    *
+    * Everything runs on the unit sphere ([[unitNorm]]) so ADC ordering
+    * equals cosine ordering; unlike [[ivfTopK]] the coarse centroids
+    * are trained on UNIT vectors, letting one normalize serve routing
+    * and coding. Same determinism discipline as [[pqTopK]]: bounded
+    * hash-sampled id-ordered training set, coarse k-means seeded
+    * `seed`, sub-codebooks `seed + mi` — identical inputs to pqTopK, so
+    * at a given SF the IVFPQ sub-codebooks ARE the PQ sub-codebooks
+    * (the pinned oracle reuses them); ties to the lowest cell; ADC
+    * contributions floor-quantized to 1e-9 integers (`adc_q9`).
+    *
+    * Returns (query_id, id, rank, adc_q9). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      nlist: Int = 8, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
+      seed: Long = 42, maxTrain: Int = 50000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val corpusN = c.count()
+    val every = math.max(1L, corpusN / maxTrain)
+    val sample = c
+      .where(pmod(xxhash64(col("id")), lit(every)) === 0)
+      .orderBy("id")
+      .limit(maxTrain)
+      .select("v").collect()
+      .map(r => unitNorm(r.getSeq[Double](0)))
+    val coarse = trainCentroids(sample, nlist, iters = 20, seed = seed)
+    val codebooks = trainPqCodebooks(sample, m, ksub, seed)
+
+    // ranked coarse cells of a unit vector; stable sort keeps ascending
+    // cell on ties (== the oracle's (dist, cell) order)
+    def nearestCoarse(n: Array[Double], take: Int): Seq[Int] =
+      coarse.zipWithIndex.map { case (ctr, i) => (i, sqDist(ctr, n)) }
+        .sortBy(_._2).take(take).map(_._1).toSeq
+
+    // one normalize pass serves cell routing AND code assignment
+    val encodeUdf = udf((v: Seq[Double]) => {
+      val n = unitNorm(v)
+      (nearestCoarse(n, 1).head,
+        Array.tabulate(m)(mi => pqNearestCell(codebooks, n, mi)))
+    })
+    val encoded = c.withColumn("e", encodeUdf(col("v")))
+      .select(col("id"), col("e._1").as("cell"), col("e._2").as("codes"))
+    val q = queries.select(col(qidCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val probeUdf = udf((qv: Seq[Double]) =>
+      nearestCoarse(unitNorm(qv), nprobe))
+    val probed = q.withColumn("cell", explode(probeUdf(col("qv"))))
+    val adcUdf = udf((codes: Seq[Int], qv: Seq[Double]) => {
+      val n = unitNorm(qv)
+      var s = 0L; var mi = 0
+      while (mi < m) {
+        s += math.floor(pqSubDist(n, mi, codebooks(mi)(codes(mi))) * 1e9)
+          .toLong
+        mi += 1
+      }
+      s
+    })
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_q9").asc, col("id"))
+    encoded.join(broadcast(probed), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
       .withColumn("adc_q9", adcUdf(col("codes"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -487,6 +487,19 @@ object DocQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // ---- keep-one ExactSubstr (Lee et al.'s published policy): each
+    // duplicate chain's least-(doc_id, pos) occurrence is canonical and
+    // survives; only the REST are reported as duplicated spans. The
+    // per-chain argmin rides the chain-count agg (min(struct) in the
+    // same shuffle); the oracle replays the argmin as a row_number over
+    // the gram TEXT, so chain identity AND the keep-one filter are both
+    // proven lossless under hashing ----
+    "q_exact_substr_keep" -> ((s, d) => {
+      Dedup.exactSubstrSpans(docsWithDups(s, d), "doc_id", "text",
+          minLen = 8, keepOne = true)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- int8 symmetric embedding quantization (ANN index prep):
     // per-vector scale = max |x|, q_i = floor(x_i·127/scale), clamped to
     // -127 (IEEE can put x/maxabs a ulp below -1 when x = -maxabs, which
@@ -559,6 +572,24 @@ object DocQueries {
           "vec_id", "embedding", "vec_id", k = 10, nlist = 8, nprobe = 4)
         .select(col("query_id"), col("id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- IVF-PQ ANN (IVFADC, the standard FAISS pairing): coarse cell
+    // routing makes the quantized ADC ranking probe-bucket sized instead
+    // of corpus-sized — the scale rung above q_ann_pq's exhaustive ADC.
+    // Oracle pins unit-space coarse centroids + reuses PqOracle's
+    // sub-codebooks (identical training inputs ⇒ identical books) and
+    // replays route → encode → ADC → rank in SQL ([[IvfPqOracle]]) ----
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      SimilaritySearch.ivfPqTopK(emb, queries,
+          "vec_id", "embedding", "vec_id", k = 10,
+          nlist = graft.queries.IvfPqOracle.nlist,
+          nprobe = graft.queries.IvfPqOracle.nprobe,
+          m = graft.queries.PqOracle.m,
+          ksub = graft.queries.PqOracle.ksub)
         .orderBy("query_id", "rank")
     }),
 
@@ -1522,6 +1553,46 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin),
 
+    // keep-one twin: the chain argmin is replayed as row_number over the
+    // gram TEXT ordered by (doc_id, p) — rn 1 is the canonical survivor,
+    // rn >= 2 in a >= 2-occurrence chain is duplicated
+    "q_exact_substr_keep" -> (docsWithDupsCte +
+      """, toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS t
+        |  FROM docs
+        |), pos AS (
+        |  SELECT doc_id, unnest(range(1, len(t) - 6)) AS p, t
+        |  FROM toks WHERE len(t) >= 8
+        |), g AS (
+        |  SELECT doc_id, p,
+        |    t[p] || ' ' || t[p+1] || ' ' || t[p+2] || ' ' || t[p+3]
+        |      || ' ' || t[p+4] || ' ' || t[p+5] || ' ' || t[p+6] || ' '
+        |      || t[p+7] AS gram
+        |  FROM pos
+        |), d AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p,
+        |      count(*) OVER (PARTITION BY gram) AS n,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, p)
+        |        AS rn
+        |    FROM g)
+        |  WHERE n >= 2 AND rn >= 2
+        |), brk AS (
+        |  SELECT doc_id, p, CASE WHEN p > lag(p) OVER
+        |      (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END AS b
+        |  FROM d
+        |), isl AS (
+        |  SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk
+        |)
+        |SELECT doc_id, CAST(min(p) - 1 AS INT) AS span_start,
+        |  CAST(max(p) - 1 + 8 AS INT) AS span_end
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin),
+
     // same floor-of-identical-doubles argument as q_repetition: the
     // double widening, the division, and the floor are all IEEE-exact
     // replays of the Spark plan, and the emitted scale is the exact
@@ -1545,6 +1616,7 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
     // pinned-codebook replay of the deterministic PQ pipeline (valid at
     // the gate SF only — Verify omits it elsewhere, the q_ann_ivf rule)
     "q_ann_pq" -> graft.queries.PqOracle.sql,
+    "q_ann_ivfpq" -> graft.queries.IvfPqOracle.sql,
 
     // pinned-centroid replay of the deterministic IVF pipeline (valid at
     // the gate SF; see IvfOracle's scaladoc for the regeneration recipe)

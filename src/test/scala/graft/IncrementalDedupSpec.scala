@@ -109,6 +109,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(stripped(4L) == "short doc") // untouched (no span)
   }
 
+  test("exactSubstrSpans keepOne: the least-(id, pos) occurrence per " +
+      "chain survives; only the rest are spans (Lee et al. policy)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val shared = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, "pre amble " + shared + " post word tail here now end"),
+      (2L, shared + " completely different continuation follows here"),
+      (3L, "aa bb cc dd ee ff gg hh x1 x2 aa bb cc dd ee ff gg hh"),
+      (4L, "short doc"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text",
+        minLen = 8, keepOne = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sorted
+    // doc 1 holds every chain's argmin (lowest doc_id) → keeps its copy;
+    // doc 3's self-repeat keeps the FIRST occurrence only
+    assert(spans.toSeq == Seq((2L, 0, 10), (3L, 10, 18)))
+    // keep-one spans are a subset of strip-all spans
+    val all = Dedup.exactSubstrSpans(docs, "doc_id", "text", minLen = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans.forall(all.contains))
+    val stripped = Dedup.stripExactSubstrSpans(docs, "doc_id", "text",
+        minLen = 8, keepOne = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stripped(1L).contains(shared)) // canonical copy survives
+    assert(stripped(2L) == "completely different continuation follows here")
+    assert(stripped(3L) == "aa bb cc dd ee ff gg hh x1 x2")
+    assert(stripped(4L) == "short doc")
+  }
+
   test("langId picks the dominant stopword language") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

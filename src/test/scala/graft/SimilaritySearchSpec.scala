@@ -53,6 +53,36 @@ class SimilaritySearchSpec extends AnyFunSuite {
       again.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("IVF-PQ ANN recalls real signal vs the exact top-10, ranks only " +
+      "probed-cell candidates, and is deterministic") {
+    val exact = topkSet(SimilaritySearch.bruteForceTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", k = 10))
+    val ivfpq = SimilaritySearch.ivfPqTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", k = 10,
+      nlist = 8, nprobe = 4, m = 16, ksub = 16)
+    val got = topkSet(ivfpq)
+    val recalls = exact.map { case (q, want) =>
+      want.intersect(got.getOrElse(q, Set.empty)).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    // routing halves the candidate pool (nprobe/nlist = 1/2) on top of
+    // PQ's lossy code, on near-random vectors — the floor is the PQ
+    // bound scaled by the probe ratio, far above chance (~0.02)
+    assert(mean >= 0.2, s"mean IVF-PQ recall $mean")
+    // every ranked list is a valid 1..n prefix
+    ivfpq.collect().groupBy(_.getAs[Long]("query_id"))
+      .foreach { case (_, rows) =>
+        assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ==
+          (1 to rows.length))
+      }
+    // seeded training + quantized ADC → bit-identical re-run
+    val again = SimilaritySearch.ivfPqTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", k = 10,
+      nlist = 8, nprobe = 4, m = 16, ksub = 16)
+    assert(ivfpq.collect().map(_.toString).sorted.toSeq ==
+      again.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("LSH ANN returns valid ranked subsets of the corpus") {
     val lsh = SimilaritySearch.lshTopK(
       emb, queries, "vec_id", "embedding", "vec_id", k = 10, bits = 4)
