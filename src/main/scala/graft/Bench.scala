@@ -144,7 +144,8 @@ object Bench {
       "q_embed_dedup", "q_url_filter", "q_bpe_pairs", "q_vocab_stats",
       "q_pmi_bigrams", "q_winnow", "q_stratified_sample",
       "q_unigram_logprob", "q_bow_dedup", "q_contiguous_ids",
-      "q_bigram_logprob", "q_kn_logprob", "q_kn3_logprob", "q_bpe_encode",
+      "q_bigram_logprob", "q_kn_logprob", "q_kn3_logprob", "q_kn5_logprob",
+      "q_bpe_encode",
       "q_exact_substr", "q_exact_substr_keep", "q_gopher_repetition",
       "q_dsir", "q_ann_pq", "q_ann_ivfpq")
     warm(extraNames)

@@ -286,6 +286,96 @@ object CorpusStats {
         col("sum_q6").cast("double") / (col("n_trigrams") * 1000000))
   }
 
+  /** Per-document interpolated Kneser-Ney 5-GRAM log-probability — the
+    * full CCNet grain (their KenLM perplexity filter is a 5-gram model),
+    * completing the [[unigramLogProb]] → [[bigramLogProb]] →
+    * [[knLogProb]] → [[kn3LogProb]] ladder. Chen & Goodman recursion
+    * over FOUR backoff levels, each lower order built from continuation
+    * counts of the order above:
+    *
+    *   c_5 = raw 5-gram counts;  c_i(g) = N1+(·g) over the c_{i+1} table
+    *   P_i(w | ctx) = max(c_i − D, 0)/tot_i + D·typ_i/tot_i · P_{i-1}
+    *   P_1(w)       = N1+(·w) / N1+(··)   (over the c_2 type table)
+    *
+    * where tot_i/typ_i are the context's count-sum and distinct-
+    * continuation count at level i. Every input is an exact integer (or
+    * the exact 0.75) and the 4-deep arithmetic tree is mirrored
+    * operation-for-operation in the SQL oracle — the [[kn3LogProb]]
+    * discipline, two rungs deeper.
+    *
+    * Plan: ONE corpus-sized 5-gram agg (map-side combine), persisted;
+    * each lower-level continuation table is a grouped count of the level
+    * above (g4 ← g5, g3 ← g4, g2 ← g3 — all n-gram-vocab-sized,
+    * shrinking, persisted where multi-consumed). Gram-keyed scoring
+    * joins stay keyed (AQE broadcasts when small); the unigram-sized
+    * tables and the scalar type total broadcast. `docGrams` recomputes
+    * its narrow explode per branch. Documents with < 5 tokens get no
+    * row. */
+  def kn5LogProb(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val n = 5
+    val wcols = (1 to n).map(i => s"w$i")
+    val toks = docs.select(col(idCol),
+      filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0).as("tk"))
+    val docGrams = toks.where(size(col("tk")) >= n)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("tk")) - n),
+          i => struct(wcols.zipWithIndex.map { case (w, j) =>
+            element_at(col("tk"), i + j + 1).as(w) }: _*))).as("p"))
+      .select(col(idCol) +: wcols.map(w => col(s"p.$w").as(w)): _*)
+    // c_5 raw counts, then each level's continuation-type table is a
+    // grouped row-count of the level above (drop the leading word)
+    val g5 = docGrams.groupBy(wcols.map(col): _*)
+      .agg(count(lit(1)).as("c5")).persist(lvl)
+    val g4 = g5.groupBy(wcols.drop(1).map(col): _*)
+      .agg(count(lit(1)).as("c4")).persist(lvl)
+    val g3 = g4.groupBy(wcols.drop(2).map(col): _*)
+      .agg(count(lit(1)).as("c3")).persist(lvl)
+    val g2 = g3.groupBy(wcols.drop(3).map(col): _*)
+      .agg(count(lit(1)).as("c2")).persist(lvl)
+    // per-level context stats (count-sum + distinct continuations)
+    val ctx5 = g5.groupBy(wcols.dropRight(1).map(col): _*)
+      .agg(sum("c5").as("tot5"), count(lit(1)).as("typ5"))
+    val ctx4 = g4.groupBy(wcols.slice(1, 4).map(col): _*)
+      .agg(sum("c4").as("tot4"), count(lit(1)).as("typ4"))
+    val ctx3 = g3.groupBy(wcols.slice(2, 4).map(col): _*)
+      .agg(sum("c3").as("tot3"), count(lit(1)).as("typ3"))
+    val ctx2 = g2.groupBy(col("w4"))
+      .agg(sum("c2").as("tot2"), count(lit(1)).as("typ2"))
+    val c1 = g2.groupBy(col("w5")).agg(count(lit(1)).as("n1p_w"))
+    val types = g2.agg(count(lit(1)).cast("double").as("_t_all"))
+    val d = lit(discount)
+    def dbl(c: String) = col(c).cast("double")
+    val p1 = dbl("n1p_w") / col("_t_all")
+    val p2 = greatest(dbl("c2") - d, lit(0.0)) / dbl("tot2") +
+      (d * dbl("typ2") / dbl("tot2")) * p1
+    val p3 = greatest(dbl("c3") - d, lit(0.0)) / dbl("tot3") +
+      (d * dbl("typ3") / dbl("tot3")) * p2
+    val p4 = greatest(dbl("c4") - d, lit(0.0)) / dbl("tot4") +
+      (d * dbl("typ4") / dbl("tot4")) * p3
+    val p5 = greatest(dbl("c5") - d, lit(0.0)) / dbl("tot5") +
+      (d * dbl("typ5") / dbl("tot5")) * p4
+    docGrams
+      .join(g5, wcols)
+      .join(ctx5, wcols.dropRight(1))
+      .join(g4, wcols.drop(1))
+      .join(ctx4, wcols.slice(1, 4))
+      .join(g3, wcols.drop(2))
+      .join(ctx3, wcols.slice(2, 4))
+      .join(g2, wcols.drop(3))
+      .join(broadcast(ctx2), Seq("w4"))
+      .join(broadcast(c1), Seq("w5"))
+      .crossJoin(broadcast(types))
+      .select(col(idCol),
+        floor(log(p5) * 1000000).cast("long").as("cq"))
+      .groupBy(idCol)
+      .agg(sum("cq").as("sum_q6"), count(lit(1)).as("n_grams"))
+      .withColumn("avg_logprob",
+        col("sum_q6").cast("double") / (col("n_grams") * 1000000))
+  }
+
   /** Adjacent-bigram PMI: for each token bigram (a,b) with count >=
     * `minCount`, pmi = ln(P(a,b) / (P(a)·P(b))) with P(a,b) = n_ab/N_big
     * and P(x) = n_x/N_tok. Emitted floor-quantized (`pmi_q6` = floor(pmi ·

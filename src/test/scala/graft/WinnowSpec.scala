@@ -203,6 +203,40 @@ class WinnowSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) < 1e-4, s"sum of P_KN(.|a,b) = $total")
   }
 
+  test("kn5LogProb: P_KN over a 4-word context's continuations sums to " +
+      "1 (the interpolation identity holds through four backoff levels)") {
+    import spark.implicits._
+    // Score every continuation of context "a b a b" as its own
+    // single-5-gram doc; exp(avg_logprob) recovers P(w|a,b,a,b), which
+    // must sum to 1 over the combined corpus's full vocabulary {a,b,c}
+    // (the probes themselves put every letter in continuation position).
+    val corpus = Seq((1L, "a b a b a c b c a a b")).toDF("doc_id", "text")
+    val grams = Seq("a b a b a", "a b a b b", "a b a b c")
+    val probe = corpus.unionByName(
+      grams.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text"))
+    val got = CorpusStats.kn5LogProb(probe, "doc_id", "text")
+      .where(col("doc_id") >= 100L)
+      .collect().map(_.getAs[Double]("avg_logprob"))
+    assert(got.length == 3)
+    // proper probabilities: every quantized logprob is <= 0
+    assert(got.forall(_ <= 0.0))
+    val total = got.map(math.exp).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"sum of P_KN(.|a,b,a,b) = $total")
+  }
+
+  test("kn5LogProb covers exactly the docs with >= 5 tokens and agrees " +
+      "with kn3LogProb's doc coverage contract") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d"), (3L, ""), (4L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.kn5LogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_grams")).toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L))
+  }
+
   test("bigramPmi: collocated pair scores above independence") {
     import spark.implicits._
     // "x y" always adjacent; "p"/"q" never adjacent to each other
