@@ -190,21 +190,7 @@ object Tokenizer {
     val vocabSeg = words.select("word").distinct()
       .withColumn("subwords", segUdf(col("word")))
     val segmented = words.join(broadcast(vocabSeg), Seq("word"))
-    // (n desc, subword) frequency ranking via range-repartition +
-    // zipWithIndex (DataPrep.contiguousIds) — NOT a global window: a
-    // row_number over a constant partition key funnels the whole subword
-    // vocab through one task, a straggler once vocabs reach 10^7.
-    // The vocab-sized agg is persisted FIRST: zipWithIndex runs an eager
-    // per-partition count job before the stamped pass, so an unpersisted
-    // input would pay the corpus-sized explode+agg subtree twice
-    // (measured 5.4 s vs 3.3 s at sf0.1)
-    val subwordCounts = segmented
-      .select(explode(col("subwords")).as("subword"))
-      .groupBy("subword").agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocabIds = DataPrep.contiguousIdsBy(subwordCounts,
-        Seq(col("n").desc, col("subword")), "tok_id", startAt = 1L)
-      .select(col("subword"), col("tok_id"))
+    val vocabIds = vocabulary(docs, textCol, rules, eow)
     segmented
       .select(col(idCol), col("_widx"), posexplode(col("subwords")))
       .withColumnRenamed("pos", "_sidx")
@@ -217,6 +203,60 @@ object Tokenizer {
         array_sort(collect_list(struct(col("_widx"), col("_sidx"),
           col("tok_id")))),
         x => x.getField("tok_id").cast("int")).as("input_ids"))
+  }
+
+  /** The deterministic id vocabulary [[encode]] assigns against:
+    * (subword, tok_id) with ids 1..V ranked by corpus frequency desc,
+    * then lexicographically. Built the scale-correct way — the corpus
+    * reduces to a persisted vocab-sized count table, then
+    * [[DataPrep.contiguousIdsBy]] (range-repartition + zipWithIndex)
+    * ranks it; a `row_number` global window would funnel the vocab
+    * through one task. The persist matters: zipWithIndex runs an eager
+    * per-partition count job before its stamped pass, so an unpersisted
+    * input would pay the corpus-sized explode+agg subtree twice
+    * (measured 5.4 s vs 4.5 s at sf0.1). */
+  def vocabulary(docs: DataFrame, textCol: String,
+      rules: Seq[(String, String)], eow: String = "</w>"): DataFrame = {
+    val segUdf = udf((w: String) => segment(w, rules, eow))
+    val words = docs
+      .select(explode(filter(
+        split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0)).as("word"))
+    val vocabSeg = words.select("word").distinct()
+      .withColumn("subwords", segUdf(col("word")))
+    val subwordCounts = words.join(broadcast(vocabSeg), Seq("word"))
+      .select(explode(col("subwords")).as("subword"))
+      .groupBy("subword").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    DataPrep.contiguousIdsBy(subwordCounts,
+        Seq(col("n").desc, col("subword")), "tok_id", startAt = 1L)
+      .select(col("subword"), col("tok_id"))
+  }
+
+  /** Token-id sequences → text: the inverse of [[encode]] given the
+    * same [[vocabulary]]. Ids join back to subwords (vocab-sized →
+    * broadcast), per-document order is kept by explicit position keys,
+    * subwords concatenate and the `eow` markers become the word
+    * separators — so `decode(encode(docs), vocabulary(docs))` equals
+    * the whitespace-normalized lower-cased corpus exactly (the
+    * q_bpe_roundtrip gate). One keyed shuffle (the per-doc gather),
+    * mirror of encode's. Caveat: a corpus word containing the literal
+    * `eow` string would corrupt the reassembly — the standard BPE
+    * end-of-word-marker collision, inherited from the paper's scheme.
+    * Returns (idCol, text). */
+  def decode(encoded: DataFrame, idCol: String, idsCol: String,
+      vocab: DataFrame, eow: String = "</w>"): DataFrame = {
+    val pos = encoded
+      .select(col(idCol), posexplode(col(idsCol)))
+      .withColumnRenamed("pos", "_p")
+      .withColumnRenamed("col", "tok_id")
+    pos.join(broadcast(vocab.select("subword", "tok_id")), Seq("tok_id"))
+      .groupBy(idCol)
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("_p"), col("subword")))),
+        x => x.getField("subword"))).as("_joined"))
+      .select(col(idCol),
+        trim(replace(col("_joined"), lit(eow), lit(" "))).as("text"))
   }
 
   /** Segment a word with learned merge rules (applied in training order) —

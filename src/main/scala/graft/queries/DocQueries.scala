@@ -653,6 +653,21 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- tokenize → detokenize round trip: decode(encode(docs)) must
+    // equal the whitespace-normalized lower-cased corpus EXACTLY — one
+    // driver-green gate over the whole encode path (segmentation, id
+    // assignment, positional reassembly) AND the decode inverse (id →
+    // subword join, order reconstruction, eow unmarking) ----
+    "q_bpe_roundtrip" -> ((s, d) => {
+      val docs = docsPar(s, d)
+      val rules = graft.queries.BpeOracle.pinnedRules
+      Tokenizer.decode(
+          Tokenizer.encode(docs, "doc_id", "text", rules),
+          "doc_id", "input_ids",
+          Tokenizer.vocabulary(docs, "text", rules))
+        .orderBy("doc_id")
+    }),
+
     // ---- vocabulary Zipf profile: top-30 words with rank + cumulative
     // corpus coverage, floor-quantized (exact-integer cumsum/total →
     // identical IEEE quotient both engines) ----
@@ -1853,6 +1868,19 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
     // the scalar CROSS JOIN present the re-expanded 4-deep chain makes
     // the optimizer blow up (observed: 70 GB / >10 min at sf0.01;
     // materialized: 0.5 s)
+    // the round trip is the identity on the normalized corpus — the
+    // oracle is just that normalization, so ANY encode/decode defect
+    // (lost subword, wrong order, wrong id, eow damage) hash-fails
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0), ' ') AS text
+        |FROM documents
+        |WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |  x -> length(x) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
     "q_kn3_logprob" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(

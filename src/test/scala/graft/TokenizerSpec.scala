@@ -100,4 +100,29 @@ class TokenizerSpec extends AnyFunSuite {
     // every pair occurs once < minPairCount=2 → no merges learned
     assert(Tokenizer.bpeTrain(docs, "text", merges = 3, eow = "") == Nil)
   }
+
+  test("decode inverts encode exactly on the normalized corpus " +
+      "(messy whitespace and case included)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "  LOW low \t NEWest  "),
+      (2L, "newest\n\nlow"),
+      (3L, "   "), // whitespace-only: no words → no encoded/decoded row
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val rules = Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"))
+    val vocab = Tokenizer.vocabulary(docs, "text", rules)
+    val got = Tokenizer.decode(
+        Tokenizer.encode(docs, "doc_id", "text", rules),
+        "doc_id", "input_ids", vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "low low newest",
+      2L -> "newest low",
+      4L -> "solo"))
+    // vocab ids are a contiguous 1..V ranking
+    val ids = vocab.collect().map(_.getAs[Long]("tok_id")).sorted
+    assert(ids.toSeq == (1L to ids.length))
+  }
 }
