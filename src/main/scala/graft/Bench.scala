@@ -145,7 +145,7 @@ object Bench {
       "q_pmi_bigrams", "q_winnow", "q_stratified_sample",
       "q_unigram_logprob", "q_bow_dedup", "q_contiguous_ids",
       "q_bigram_logprob", "q_kn_logprob", "q_kn3_logprob", "q_kn5_logprob",
-      "q_bpe_encode", "q_bpe_roundtrip",
+      "q_ccnet_bands", "q_bpe_encode", "q_bpe_roundtrip",
       "q_exact_substr", "q_exact_substr_keep", "q_gopher_repetition",
       "q_dsir", "q_ann_pq", "q_ann_ivfpq")
     warm(extraNames)

@@ -376,6 +376,63 @@ object CorpusStats {
         col("sum_q6").cast("double") / (col("n_grams") * 1000000))
   }
 
+  /** CCNet-style perplexity banding (Wenzek et al. 2020): score every
+    * document with the 5-gram KN LM ([[kn5LogProb]]), fit head/middle
+    * band bounds from a BOUNDED deterministic sample, and label each
+    * scorable document head / middle / tail — the LM-quality partition
+    * CCNet feeds into training-data selection.
+    *
+    * Scale/determinism choices, each deliberate:
+    *  - bounds come from a content-stable md5-draw sample capped at
+    *    `maxSample` (CCNet fits its bounds offline on a sample too);
+    *    an exact global percentile would buffer every doc's score in
+    *    one aggregator at 100 TB.
+    *  - bounds are NEAREST-RANK order statistics (value at rank
+    *    ceil(n/3), ceil(2n/3) of the sample ordered desc), not
+    *    interpolated percentiles: interpolation formulas differ at the
+    *    ulp level across engines, and an integer-vs-integer comparison
+    *    against an order statistic cannot flip on a ulp. The rank-k
+    *    VALUE is tie-stable, so no tiebreak column is needed. The
+    *    single-task rank window is bounded by `maxSample`, not the
+    *    corpus.
+    *  - the narrow per-doc score frame is persisted: it feeds both the
+    *    sample and the final labeling, and recomputing it means
+    *    re-running kn5's ten-join pipeline; at ~24 bytes/doc this is
+    *    orders of magnitude below corpus size (the one documented
+    *    exception to "persist vocab-sized only").
+    *
+    * Returns (idCol, avg_q6 = floor(avg_logprob·1e6), band); documents
+    * with < 5 tokens are unscorable and get no row. */
+  def perplexityBands(docs: DataFrame, idCol: String, textCol: String,
+      maxSample: Int = 50000, salt: String = "ppl|"): DataFrame = {
+    import graft.functions.Hashing
+    import org.apache.spark.sql.expressions.Window
+    val scored = kn5LogProb(docs, idCol, textCol)
+      .select(col(idCol),
+        floor(col("avg_logprob") * 1000000).cast("long").as("avg_q6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample = scored
+      .orderBy(Hashing.md5Long56(
+        concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+      .limit(maxSample)
+    val ranked = sample
+      .withColumn("_rk", row_number().over(Window.orderBy(col("avg_q6").desc)))
+    val cnt = sample.agg(count(lit(1)).as("_n"))
+    val bounds = ranked.crossJoin(broadcast(cnt))
+      .agg(
+        max(when(col("_rk") ===
+          greatest(ceil(col("_n") / 3.0), lit(1L)), col("avg_q6")))
+          .as("_b_head"),
+        max(when(col("_rk") ===
+          greatest(ceil(col("_n") * 2.0 / 3.0), lit(1L)), col("avg_q6")))
+          .as("_b_mid"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col(idCol), col("avg_q6"),
+        when(col("avg_q6") >= col("_b_head"), lit("head"))
+          .when(col("avg_q6") >= col("_b_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("band"))
+  }
+
   /** Adjacent-bigram PMI: for each token bigram (a,b) with count >=
     * `minCount`, pmi = ln(P(a,b) / (P(a)·P(b))) with P(a,b) = n_ab/N_big
     * and P(x) = n_x/N_tok. Emitted floor-quantized (`pmi_q6` = floor(pmi ·

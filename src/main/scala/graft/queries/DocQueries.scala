@@ -752,6 +752,16 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- CCNet perplexity banding (Wenzek et al. 2020): kn5 scores →
+    // nearest-rank band bounds from a bounded md5-draw sample →
+    // head/middle/tail labels — the LM-quality partition CCNet feeds
+    // into data selection. Bounds are order statistics, not interpolated
+    // percentiles, so the cross-engine compare is integer-exact ----
+    "q_ccnet_bands" -> ((s, d) => {
+      CorpusStats.perplexityBands(docsPar(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- bag-of-words dedup: the key is the sorted token multiset, so
     // word-order permutations (injected here as the sorted-token
     // rendering of every doc_id%9=0 doc) fall into one group; the oracle
@@ -1044,6 +1054,89 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
       |FROM scores
       |ORDER BY score DESC, doc_id
       |LIMIT 20""".stripMargin
+
+  /** Shared core of the q_kn5_logprob / q_ccnet_bands oracles: the full
+    * 5-gram KN pipeline up to the per-doc `scored` CTE (the
+    * q_kn3_logprob MATERIALIZED discipline, two rungs deeper — every
+    * multi-consumer CTE in the g5→g4→g3→g2 chain is materialized). */
+  private val kn5OracleCore: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents
+      |), dt AS MATERIALIZED (
+      |  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2, p['w3'] AS w3,
+      |    p['w4'] AS w4, p['w5'] AS w5
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+      |      i -> struct_pack(w1 := tk[i], w2 := tk[i+1], w3 := tk[i+2],
+      |        w4 := tk[i+3], w5 := tk[i+4]))) AS p
+      |    FROM t WHERE len(tk) >= 5)
+      |), g5 AS MATERIALIZED (
+      |  SELECT w1, w2, w3, w4, w5, count(*) AS c5
+      |  FROM dt GROUP BY w1, w2, w3, w4, w5
+      |), g4 AS MATERIALIZED (
+      |  SELECT w2, w3, w4, w5, count(*) AS c4
+      |  FROM g5 GROUP BY w2, w3, w4, w5
+      |), g3 AS MATERIALIZED (
+      |  SELECT w3, w4, w5, count(*) AS c3 FROM g4 GROUP BY w3, w4, w5
+      |), g2 AS MATERIALIZED (
+      |  SELECT w4, w5, count(*) AS c2 FROM g3 GROUP BY w4, w5
+      |), ctx5 AS (
+      |  SELECT w1, w2, w3, w4, CAST(sum(c5) AS BIGINT) AS tot5,
+      |    count(*) AS typ5
+      |  FROM g5 GROUP BY w1, w2, w3, w4
+      |), ctx4 AS (
+      |  SELECT w2, w3, w4, CAST(sum(c4) AS BIGINT) AS tot4,
+      |    count(*) AS typ4
+      |  FROM g4 GROUP BY w2, w3, w4
+      |), ctx3 AS (
+      |  SELECT w3, w4, CAST(sum(c3) AS BIGINT) AS tot3,
+      |    count(*) AS typ3
+      |  FROM g3 GROUP BY w3, w4
+      |), ctx2 AS (
+      |  SELECT w4, CAST(sum(c2) AS BIGINT) AS tot2, count(*) AS typ2
+      |  FROM g2 GROUP BY w4
+      |), c1 AS (
+      |  SELECT w5, count(*) AS n1p_w FROM g2 GROUP BY w5
+      |), ty AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS t_all FROM g2
+      |), c AS (
+      |  SELECT doc_id,
+      |    CAST(floor(ln(
+      |      greatest(CAST(c5 AS DOUBLE) - 0.75, 0.0) /
+      |        CAST(tot5 AS DOUBLE) +
+      |      (0.75 * CAST(typ5 AS DOUBLE) / CAST(tot5 AS DOUBLE)) *
+      |        (greatest(CAST(c4 AS DOUBLE) - 0.75, 0.0) /
+      |          CAST(tot4 AS DOUBLE) +
+      |         (0.75 * CAST(typ4 AS DOUBLE) / CAST(tot4 AS DOUBLE)) *
+      |           (greatest(CAST(c3 AS DOUBLE) - 0.75, 0.0) /
+      |             CAST(tot3 AS DOUBLE) +
+      |            (0.75 * CAST(typ3 AS DOUBLE) / CAST(tot3 AS DOUBLE)) *
+      |              (greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0) /
+      |                CAST(tot2 AS DOUBLE) +
+      |               (0.75 * CAST(typ2 AS DOUBLE) /
+      |                 CAST(tot2 AS DOUBLE)) *
+      |                 (CAST(n1p_w AS DOUBLE) / t_all))))) * 1000000)
+      |      AS BIGINT) AS cq
+      |  FROM dt
+      |  JOIN g5 USING (w1, w2, w3, w4, w5)
+      |  JOIN ctx5 USING (w1, w2, w3, w4)
+      |  JOIN g4 USING (w2, w3, w4, w5)
+      |  JOIN ctx4 USING (w2, w3, w4)
+      |  JOIN g3 USING (w3, w4, w5)
+      |  JOIN ctx3 USING (w3, w4)
+      |  JOIN g2 USING (w4, w5)
+      |  JOIN ctx2 USING (w4)
+      |  JOIN c1 USING (w5)
+      |  CROSS JOIN ty
+      |), scored AS MATERIALIZED (
+      |  SELECT doc_id, CAST(sum(cq) AS BIGINT) AS sum_q6,
+      |    CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(sum(cq) AS DOUBLE) / (count(*) * 1000000) AS avg_logprob
+      |  FROM c GROUP BY doc_id
+      |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_mixture" ->
@@ -1935,85 +2028,46 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |  CAST(sum(cq) AS DOUBLE) / (count(*) * 1000000) AS avg_logprob
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // the q_kn3_logprob MATERIALIZED discipline, two rungs deeper: every
-    // multi-consumer CTE in the g5→g4→g3→g2 chain is materialized
-    "q_kn5_logprob" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(
-        |    string_split_regex(lower(trim(text)), '\s+'),
-        |    x -> length(x) > 0) AS tk
-        |  FROM documents
-        |), dt AS MATERIALIZED (
-        |  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2, p['w3'] AS w3,
-        |    p['w4'] AS w4, p['w5'] AS w5
-        |  FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
-        |      i -> struct_pack(w1 := tk[i], w2 := tk[i+1], w3 := tk[i+2],
-        |        w4 := tk[i+3], w5 := tk[i+4]))) AS p
-        |    FROM t WHERE len(tk) >= 5)
-        |), g5 AS MATERIALIZED (
-        |  SELECT w1, w2, w3, w4, w5, count(*) AS c5
-        |  FROM dt GROUP BY w1, w2, w3, w4, w5
-        |), g4 AS MATERIALIZED (
-        |  SELECT w2, w3, w4, w5, count(*) AS c4
-        |  FROM g5 GROUP BY w2, w3, w4, w5
-        |), g3 AS MATERIALIZED (
-        |  SELECT w3, w4, w5, count(*) AS c3 FROM g4 GROUP BY w3, w4, w5
-        |), g2 AS MATERIALIZED (
-        |  SELECT w4, w5, count(*) AS c2 FROM g3 GROUP BY w4, w5
-        |), ctx5 AS (
-        |  SELECT w1, w2, w3, w4, CAST(sum(c5) AS BIGINT) AS tot5,
-        |    count(*) AS typ5
-        |  FROM g5 GROUP BY w1, w2, w3, w4
-        |), ctx4 AS (
-        |  SELECT w2, w3, w4, CAST(sum(c4) AS BIGINT) AS tot4,
-        |    count(*) AS typ4
-        |  FROM g4 GROUP BY w2, w3, w4
-        |), ctx3 AS (
-        |  SELECT w3, w4, CAST(sum(c3) AS BIGINT) AS tot3,
-        |    count(*) AS typ3
-        |  FROM g3 GROUP BY w3, w4
-        |), ctx2 AS (
-        |  SELECT w4, CAST(sum(c2) AS BIGINT) AS tot2, count(*) AS typ2
-        |  FROM g2 GROUP BY w4
-        |), c1 AS (
-        |  SELECT w5, count(*) AS n1p_w FROM g2 GROUP BY w5
-        |), ty AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS t_all FROM g2
-        |), c AS (
+    // built on the shared kn5OracleCore (see above)
+    "q_kn5_logprob" -> (kn5OracleCore +
+      """
+        |SELECT doc_id, sum_q6, n_grams, avg_logprob
+        |FROM scored ORDER BY doc_id""".stripMargin),
+
+    // CCNet perplexity bands: bounds are NEAREST-RANK order statistics
+    // of a bounded md5-draw sample (no interpolation to mirror across
+    // engines — integer comparisons cannot flip on a ulp); the rank-k
+    // VALUE is tie-stable so no tiebreak is needed
+    "q_ccnet_bands" -> (kn5OracleCore +
+      """, sq AS MATERIALIZED (
         |  SELECT doc_id,
-        |    CAST(floor(ln(
-        |      greatest(CAST(c5 AS DOUBLE) - 0.75, 0.0) /
-        |        CAST(tot5 AS DOUBLE) +
-        |      (0.75 * CAST(typ5 AS DOUBLE) / CAST(tot5 AS DOUBLE)) *
-        |        (greatest(CAST(c4 AS DOUBLE) - 0.75, 0.0) /
-        |          CAST(tot4 AS DOUBLE) +
-        |         (0.75 * CAST(typ4 AS DOUBLE) / CAST(tot4 AS DOUBLE)) *
-        |           (greatest(CAST(c3 AS DOUBLE) - 0.75, 0.0) /
-        |             CAST(tot3 AS DOUBLE) +
-        |            (0.75 * CAST(typ3 AS DOUBLE) / CAST(tot3 AS DOUBLE)) *
-        |              (greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0) /
-        |                CAST(tot2 AS DOUBLE) +
-        |               (0.75 * CAST(typ2 AS DOUBLE) /
-        |                 CAST(tot2 AS DOUBLE)) *
-        |                 (CAST(n1p_w AS DOUBLE) / t_all))))) * 1000000)
-        |      AS BIGINT) AS cq
-        |  FROM dt
-        |  JOIN g5 USING (w1, w2, w3, w4, w5)
-        |  JOIN ctx5 USING (w1, w2, w3, w4)
-        |  JOIN g4 USING (w2, w3, w4, w5)
-        |  JOIN ctx4 USING (w2, w3, w4)
-        |  JOIN g3 USING (w3, w4, w5)
-        |  JOIN ctx3 USING (w3, w4)
-        |  JOIN g2 USING (w4, w5)
-        |  JOIN ctx2 USING (w4)
-        |  JOIN c1 USING (w5)
-        |  CROSS JOIN ty
+        |    CAST(floor(avg_logprob * 1000000) AS BIGINT) AS avg_q6
+        |  FROM scored
+        |), sample AS MATERIALIZED (
+        |  SELECT doc_id, avg_q6 FROM sq
+        |  ORDER BY CAST(md5_number_upper('ppl|' ||
+        |      CAST(doc_id AS VARCHAR)) % 72057594037927936 AS BIGINT),
+        |    doc_id
+        |  LIMIT 50000
+        |), ranked AS (
+        |  SELECT avg_q6, row_number() OVER (ORDER BY avg_q6 DESC) AS rk
+        |  FROM sample
+        |), nn AS (
+        |  SELECT count(*) AS n FROM sample
+        |), bounds AS (
+        |  SELECT
+        |    max(CASE WHEN rk = greatest(CAST(ceil(n / 3.0) AS BIGINT), 1)
+        |      THEN avg_q6 END) AS b_head,
+        |    max(CASE WHEN rk =
+        |        greatest(CAST(ceil(n * 2.0 / 3.0) AS BIGINT), 1)
+        |      THEN avg_q6 END) AS b_mid
+        |  FROM ranked CROSS JOIN nn
         |)
-        |SELECT doc_id, CAST(sum(cq) AS BIGINT) AS sum_q6,
-        |  CAST(count(*) AS BIGINT) AS n_grams,
-        |  CAST(sum(cq) AS DOUBLE) / (count(*) * 1000000) AS avg_logprob
-        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, avg_q6,
+        |  CASE WHEN avg_q6 >= b_head THEN 'head'
+        |       WHEN avg_q6 >= b_mid THEN 'middle'
+        |       ELSE 'tail' END AS band
+        |FROM sq CROSS JOIN bounds ORDER BY doc_id""".stripMargin),
 
     // groups by the sorted token STRING itself — proves the Spark plan's
     // md5 bag key loses nothing

@@ -237,6 +237,35 @@ class WinnowSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 4L -> 1L))
   }
 
+  test("perplexityBands partitions scorable docs into head/middle/tail " +
+      "consistent with an independent rank replay") {
+    import spark.implicits._
+    // 9 scorable docs with varying repetitiveness (repetitive = higher
+    // logprob = head) + one unscorable short doc
+    val docs = ((1L to 9L).map { i =>
+      val rep = ("a b c d e " * i.toInt).trim
+      val uniq = (1 to (10 - i.toInt)).map(j => s"w${i}_$j").mkString(" ")
+      (i, s"$rep $uniq")
+    } :+ (100L, "too short")).toDF("doc_id", "text")
+    val got = CorpusStats.perplexityBands(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("avg_q6"),
+        r.getAs[String]("band")))
+    assert(got.length == 9) // the 2-token doc is unscorable
+    // independent replay: nearest-rank bounds over ALL scores (sample =
+    // everything at this size), then integer comparisons
+    val byScore = got.sortBy(-_._2)
+    val n = byScore.length
+    val bHead = byScore(math.max(math.ceil(n / 3.0).toInt, 1) - 1)._2
+    val bMid = byScore(math.max(math.ceil(n * 2.0 / 3.0).toInt, 1) - 1)._2
+    got.foreach { case (id, q, band) =>
+      val want = if (q >= bHead) "head" else if (q >= bMid) "middle"
+        else "tail"
+      assert(band == want, s"doc $id: $band != $want")
+    }
+    assert(got.map(_._3).toSet == Set("head", "middle", "tail"))
+  }
+
   test("bigramPmi: collocated pair scores above independence") {
     import spark.implicits._
     // "x y" always adjacent; "p"/"q" never adjacent to each other
