@@ -61,7 +61,8 @@ object Verify {
     val oracles =
       if (sfDir.stripSuffix("/").endsWith(graft.queries.IvfOracle.gateSfSuffix))
         SparkEntry.oracleSql
-      else SparkEntry.oracleSql - "q_ann_ivf" - "q_ann_pq" - "q_ann_ivfpq"
+      else SparkEntry.oracleSql - "q_ann_ivf" - "q_ann_pq" -
+        "q_ann_ivfpq" - "q_ann_ivfpq_res"
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

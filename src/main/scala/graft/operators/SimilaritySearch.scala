@@ -146,7 +146,8 @@ object SimilaritySearch {
     * MLlib dependency whose Kryo serialization of vector task results
     * proved fragile at high local parallelism. */
   /** Shared squared-distance kernel for quantizer train/assign/probe. */
-  @inline private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+  @inline private[operators] def sqDist(a: Array[Double],
+      b: Array[Double]): Double = {
     var d = 0.0; var j = 0
     while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
     d
@@ -381,27 +382,29 @@ object SimilaritySearch {
     * scoring work is nprobe/nlist of the corpus and the shuffled state
     * is a few bytes per vector.
     *
-    * Documented deviation from the paper: codes quantize the vector
-    * itself, not the residual v − centroid (FAISS's `by_residual=false`
-    * mode) — residual codes would decouple the codebooks from
-    * [[pqTopK]]'s and double the pinned-oracle surface for a recall
-    * gain the synthetic gate vectors can't resolve.
+    * `byResidual = false` (default) quantizes the vector itself —
+    * FAISS's `by_residual=false` mode, whose sub-codebooks are
+    * identical to [[pqTopK]]'s (same inputs, same seed chain).
+    * `byResidual = true` is the paper's full IVFADC: codes quantize
+    * the residual v − centroid(cell), which concentrates the codebook's
+    * dynamic range on the within-cell offsets; the query's ADC then
+    * scores against its PER-PROBED-CELL residual q − centroid(cell)
+    * under its own pinned residual codebooks.
     *
     * Everything runs on the unit sphere ([[unitNorm]]) so ADC ordering
     * equals cosine ordering; unlike [[ivfTopK]] the coarse centroids
     * are trained on UNIT vectors, letting one normalize serve routing
     * and coding. Same determinism discipline as [[pqTopK]]: bounded
     * hash-sampled id-ordered training set, coarse k-means seeded
-    * `seed`, sub-codebooks `seed + mi` — identical inputs to pqTopK, so
-    * at a given SF the IVFPQ sub-codebooks ARE the PQ sub-codebooks
-    * (the pinned oracle reuses them); ties to the lowest cell; ADC
+    * `seed`, sub-codebooks `seed + mi`; ties to the lowest cell; ADC
     * contributions floor-quantized to 1e-9 integers (`adc_q9`).
     *
     * Returns (query_id, id, rank, adc_q9). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int,
       nlist: Int = 8, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
-      seed: Long = 42, maxTrain: Int = 50000): DataFrame = {
+      seed: Long = 42, maxTrain: Int = 50000,
+      byResidual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -414,19 +417,32 @@ object SimilaritySearch {
       .select("v").collect()
       .map(r => unitNorm(r.getSeq[Double](0)))
     val coarse = trainCentroids(sample, nlist, iters = 20, seed = seed)
-    val codebooks = trainPqCodebooks(sample, m, ksub, seed)
 
     // ranked coarse cells of a unit vector; stable sort keeps ascending
     // cell on ties (== the oracle's (dist, cell) order)
     def nearestCoarse(n: Array[Double], take: Int): Seq[Int] =
       coarse.zipWithIndex.map { case (ctr, i) => (i, sqDist(ctr, n)) }
         .sortBy(_._2).take(take).map(_._1).toSeq
+    def residual(n: Array[Double], cell: Int): Array[Double] = {
+      val ctr = coarse(cell)
+      Array.tabulate(n.length)(j => n(j) - ctr(j))
+    }
+
+    // residual mode trains the sub-codebooks on the sample's residuals
+    // (paper IVFADC); plain mode on the unit vectors (== pqTopK's books)
+    val codebooks =
+      if (byResidual)
+        trainPqCodebooks(
+          sample.map(n => residual(n, nearestCoarse(n, 1).head)),
+          m, ksub, seed)
+      else trainPqCodebooks(sample, m, ksub, seed)
 
     // one normalize pass serves cell routing AND code assignment
     val encodeUdf = udf((v: Seq[Double]) => {
       val n = unitNorm(v)
-      (nearestCoarse(n, 1).head,
-        Array.tabulate(m)(mi => pqNearestCell(codebooks, n, mi)))
+      val cell = nearestCoarse(n, 1).head
+      val coded: Seq[Double] = if (byResidual) residual(n, cell) else n
+      (cell, Array.tabulate(m)(mi => pqNearestCell(codebooks, coded, mi)))
     })
     val encoded = c.withColumn("e", encodeUdf(col("v")))
       .select(col("id"), col("e._1").as("cell"), col("e._2").as("codes"))
@@ -435,12 +451,14 @@ object SimilaritySearch {
     val probeUdf = udf((qv: Seq[Double]) =>
       nearestCoarse(unitNorm(qv), nprobe))
     val probed = q.withColumn("cell", explode(probeUdf(col("qv"))))
-    val adcUdf = udf((codes: Seq[Int], qv: Seq[Double]) => {
+    // residual ADC scores against the query's PER-PROBED-CELL residual
+    val adcUdf = udf((codes: Seq[Int], qv: Seq[Double], cell: Int) => {
       val n = unitNorm(qv)
+      val scored: Seq[Double] = if (byResidual) residual(n, cell) else n
       var s = 0L; var mi = 0
       while (mi < m) {
-        s += math.floor(pqSubDist(n, mi, codebooks(mi)(codes(mi))) * 1e9)
-          .toLong
+        s += math.floor(pqSubDist(scored, mi, codebooks(mi)(codes(mi)))
+          * 1e9).toLong
         mi += 1
       }
       s
@@ -449,7 +467,7 @@ object SimilaritySearch {
       .orderBy(col("adc_q9").asc, col("id"))
     encoded.join(broadcast(probed), Seq("cell"))
       .where(col("id") =!= col("query_id"))
-      .withColumn("adc_q9", adcUdf(col("codes"), col("qv")))
+      .withColumn("adc_q9", adcUdf(col("codes"), col("qv"), col("cell")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "id", "rank", "adc_q9")

@@ -593,6 +593,24 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- residual IVF-PQ (the paper's full IVFADC, by_residual=true):
+    // codes quantize v − centroid(cell) under pinned residual
+    // codebooks; the query ADC scores against its per-probed-cell
+    // residual. The oracle replays the whole routed residual pipeline
+    // ([[IvfPqOracle.templateResidual]]) ----
+    "q_ann_ivfpq_res" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      SimilaritySearch.ivfPqTopK(emb, queries,
+          "vec_id", "embedding", "vec_id", k = 10,
+          nlist = graft.queries.IvfPqOracle.nlist,
+          nprobe = graft.queries.IvfPqOracle.nprobe,
+          m = graft.queries.PqOracle.m,
+          ksub = graft.queries.PqOracle.ksub,
+          byResidual = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- product-quantization ANN (Jégou et al. 2011): per-subspace
     // codebooks pinned at the gate SF oracle-side ([[PqOracle]], the
     // IvfOracle pattern); the Spark side trains + encodes + ADC-ranks
@@ -1735,6 +1753,7 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
     // the gate SF only — Verify omits it elsewhere, the q_ann_ivf rule)
     "q_ann_pq" -> graft.queries.PqOracle.sql,
     "q_ann_ivfpq" -> graft.queries.IvfPqOracle.sql,
+    "q_ann_ivfpq_res" -> graft.queries.IvfPqOracle.sqlResidual,
 
     // pinned-centroid replay of the deterministic IVF pipeline (valid at
     // the gate SF; see IvfOracle's scaladoc for the regeneration recipe)

@@ -83,6 +83,26 @@ class SimilaritySearchSpec extends AnyFunSuite {
       again.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("residual IVF-PQ (paper IVFADC) recalls real signal and is " +
+      "deterministic") {
+    val exact = topkSet(SimilaritySearch.bruteForceTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", k = 10))
+    val res = SimilaritySearch.ivfPqTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", k = 10,
+      nlist = 8, nprobe = 4, m = 16, ksub = 16, byResidual = true)
+    val got = topkSet(res)
+    val recalls = exact.map { case (q, want) =>
+      want.intersect(got.getOrElse(q, Set.empty)).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean residual IVF-PQ recall $mean")
+    val again = SimilaritySearch.ivfPqTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", k = 10,
+      nlist = 8, nprobe = 4, m = 16, ksub = 16, byResidual = true)
+    assert(res.collect().map(_.toString).sorted.toSeq ==
+      again.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("LSH ANN returns valid ranked subsets of the corpus") {
     val lsh = SimilaritySearch.lshTopK(
       emb, queries, "vec_id", "embedding", "vec_id", k = 10, bits = 4)

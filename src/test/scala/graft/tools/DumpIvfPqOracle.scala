@@ -64,6 +64,28 @@ object DumpIvfPqOracle {
     println(graft.queries.IvfPqOracle.template(coarseRows, bookRows,
       dim = sample(0).length, subDim = sample(0).length / m, k = 10))
     println("=== END IVFPQ ORACLE SQL ===")
+
+    // residual variant: EXACT replay of ivfPqTopK(byResidual = true)'s
+    // training — per-sample residual vs the nearest coarse centroid
+    // (ties to the lowest cell), then the same per-subspace k-means
+    def nearestCell(n: Array[Double]): Int =
+      coarse.zipWithIndex.map { case (ctr, i) =>
+        (i, SimilaritySearch.sqDist(ctr, n))
+      }.sortBy(_._2).head._1
+    val residuals = sample.map { n =>
+      val ctr = coarse(nearestCell(n))
+      Array.tabulate(n.length)(jj => n(jj) - ctr(jj))
+    }
+    val resBooks = SimilaritySearch.trainPqCodebooks(residuals, m, ksub,
+      seed = 42)
+    val resRows = for {
+      (cb, mi) <- resBooks.zipWithIndex.toSeq
+      (ctr, cell) <- cb.zipWithIndex.toSeq
+    } yield s"($mi, $cell, [${ctr.mkString(", ")}])"
+    println("=== BEGIN RESIDUAL BOOK ROWS " +
+      "(IvfPqOracle.pinnedResidualBookRows) ===")
+    resRows.foreach(r => println("    \"" + r + "\","))
+    println("=== END RESIDUAL BOOK ROWS ===")
     spark.stop()
   }
 }
