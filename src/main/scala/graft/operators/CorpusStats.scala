@@ -306,11 +306,12 @@ object CorpusStats {
     * Plan: ONE corpus-sized 5-gram agg (map-side combine), persisted;
     * each lower-level continuation table is a grouped count of the level
     * above (g4 ← g5, g3 ← g4, g2 ← g3 — all n-gram-vocab-sized,
-    * shrinking, persisted where multi-consumed). Gram-keyed scoring
-    * joins stay keyed (AQE broadcasts when small); the unigram-sized
-    * tables and the scalar type total broadcast. `docGrams` recomputes
-    * its narrow explode per branch. Documents with < 5 tokens get no
-    * row. */
+    * shrinking, persisted where multi-consumed). Context stats pre-join
+    * onto their gram tables at VOCAB scale, so the corpus-sized doc-gram
+    * stream pays 5 scoring joins (one per level + the scalar), not 9.
+    * Gram-keyed joins stay keyed (AQE broadcasts when small); the scalar
+    * type total broadcasts. `docGrams` recomputes its narrow explode per
+    * branch. Documents with < 5 tokens get no row. */
   def kn5LogProb(docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -335,7 +336,10 @@ object CorpusStats {
       .agg(count(lit(1)).as("c3")).persist(lvl)
     val g2 = g3.groupBy(wcols.drop(3).map(col): _*)
       .agg(count(lit(1)).as("c2")).persist(lvl)
-    // per-level context stats (count-sum + distinct continuations)
+    // per-level context stats (count-sum + distinct continuations),
+    // pre-joined onto their gram tables at VOCAB scale so the
+    // corpus-sized doc-gram stream pays 5 scoring joins, not 9 — the
+    // merged tables are the same size as the gram tables they extend
     val ctx5 = g5.groupBy(wcols.dropRight(1).map(col): _*)
       .agg(sum("c5").as("tot5"), count(lit(1)).as("typ5"))
     val ctx4 = g4.groupBy(wcols.slice(1, 4).map(col): _*)
@@ -346,6 +350,10 @@ object CorpusStats {
       .agg(sum("c2").as("tot2"), count(lit(1)).as("typ2"))
     val c1 = g2.groupBy(col("w5")).agg(count(lit(1)).as("n1p_w"))
     val types = g2.agg(count(lit(1)).cast("double").as("_t_all"))
+    val g5e = g5.join(ctx5, wcols.dropRight(1))
+    val g4e = g4.join(ctx4, wcols.slice(1, 4))
+    val g3e = g3.join(ctx3, wcols.slice(2, 4))
+    val g2e = g2.join(ctx2, Seq("w4")).join(c1, Seq("w5"))
     val d = lit(discount)
     def dbl(c: String) = col(c).cast("double")
     val p1 = dbl("n1p_w") / col("_t_all")
@@ -358,15 +366,10 @@ object CorpusStats {
     val p5 = greatest(dbl("c5") - d, lit(0.0)) / dbl("tot5") +
       (d * dbl("typ5") / dbl("tot5")) * p4
     docGrams
-      .join(g5, wcols)
-      .join(ctx5, wcols.dropRight(1))
-      .join(g4, wcols.drop(1))
-      .join(ctx4, wcols.slice(1, 4))
-      .join(g3, wcols.drop(2))
-      .join(ctx3, wcols.slice(2, 4))
-      .join(g2, wcols.drop(3))
-      .join(broadcast(ctx2), Seq("w4"))
-      .join(broadcast(c1), Seq("w5"))
+      .join(g5e, wcols)
+      .join(g4e, wcols.drop(1))
+      .join(g3e, wcols.drop(2))
+      .join(g2e, wcols.drop(3))
       .crossJoin(broadcast(types))
       .select(col(idCol),
         floor(log(p5) * 1000000).cast("long").as("cq"))
