@@ -91,6 +91,48 @@ object Curation {
     }
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning…", §2.2): the published heuristics that
+    * turned Common Crawl into C4, applied to newline-delimited page text.
+    *
+    * Line rules (a line survives iff ALL hold):
+    *   - ends in a terminal punctuation mark (. ! ? or closing quote);
+    *   - contains at least `minWordsPerLine` words (paper: 3);
+    *   - does not contain the word "javascript" (case-insensitive).
+    * Page rules (the page survives iff ALL hold):
+    *   - at least `minLinesPerPage` surviving lines (paper: 5 sentences);
+    *   - no "lorem ipsum" anywhere (case-insensitive);
+    *   - no curly bracket anywhere.
+    * (The paper's fourth page rule — a bad-words blocklist — is the
+    * caller's `pageBlockPhrases`; the default carries only the paper's
+    * own two phrases, no external word list ships with the library.)
+    *
+    * Scale shape: one narrow per-row pass of codegen HOFs (split /
+    * filter / array_join) — no shuffle, no UDF; at 100 TB this is
+    * scan-bound. Beyond-reference operator (the reference's cleaning
+    * stage is telemetry sentinels); slots before [[curate]]'s filters. */
+  def c4LineClean(docs: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 3, minLinesPerPage: Int = 5,
+      pageBlockPhrases: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+        size(filter(split(trim(l), "\\s+"), w => length(w) > 0))
+          >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    val pageOk = pageBlockPhrases
+      .map(p => !lower(col(textCol)).contains(p.toLowerCase))
+      .foldLeft(size(kept) >= minLinesPerPage)(_ && _)
+    docs.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      pageOk.as("page_kept"),
+      when(pageOk, array_join(kept, "\n")).otherwise(lit(""))
+        .as("cleaned_text"))
+  }
+
   /** Per-stage survivor counts — 4 actions over progressively smaller
     * frames; run it when the funnel numbers matter, not on every call. */
   def report(docs: DataFrame, idCol: String, textCol: String,

@@ -534,6 +534,48 @@ object Dedup {
     df.join(canonical, Seq(idCol), "left_semi")
   }
 
+  /** Corpus-level exact LINE deduplication — the MassiveText / RefinedWeb
+    * "remove duplicated lines across documents" step (Rae et al. 2021
+    * §A.1.2; Penedo et al. 2023): every distinct line keeps only its
+    * first occurrence (min doc id, then min line index) and all other
+    * copies are dropped; documents are reassembled from their surviving
+    * lines in original order.
+    *
+    * Scale shape: lines leave the scan as 8-byte xxhash64 keys, so the
+    * argmin shuffle carries (hash, doc, idx) — never text; the argmin's
+    * output is itself the keep-set, regrouped by doc into surviving line
+    * INDICES (two keyed shuffles total), and the final text is rebuilt
+    * row-locally by indexing the doc's own line array. Line text crosses
+    * no shuffle anywhere. The oracle replays the same argmin keyed by
+    * the line TEXT itself, proving the hashed plan lossless (up to
+    * xxhash64 collisions, ~n²/2⁶⁴).
+    *
+    * Returns (idCol, n_lines, n_kept_lines, cleaned_text) for every
+    * input doc (docs with no surviving lines get 0 / empty string). */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    // compact key table: (doc, idx, hash) — 20 bytes/line. The argmin's
+    // output IS the keep-set — (hash, keep_doc, keep_idx) — so no join
+    // back to the line table is needed; regroup it by doc directly.
+    val lines = docs
+      .select(col(idCol).as("_doc"),
+        posexplode(split(col(textCol), "\n")).as(Seq("_idx", "_line")))
+      .select(col("_doc"), col("_idx"), xxhash64(col("_line")).as("_h"))
+    val keptIdx = lines.groupBy("_h")
+      .agg(min_by(struct(col("_doc"), col("_idx")),
+        struct(col("_doc"), col("_idx"))).as("_k"))
+      .groupBy(col("_k._doc").as(idCol))
+      .agg(sort_array(collect_list(col("_k._idx"))).as("_keep"))
+    docs.join(keptIdx, Seq(idCol), "left")
+      .select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"),
+        coalesce(size(col("_keep")), lit(0)).cast("long")
+          .as("n_kept_lines"),
+        array_join(transform(coalesce(col("_keep"), lit(Array.emptyIntArray)),
+          i => element_at(split(col(textCol), "\n"), i + 1)), "\n")
+          .as("cleaned_text"))
+  }
+
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, bits: Int = 16): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)

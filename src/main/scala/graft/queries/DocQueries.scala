@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions
@@ -41,6 +41,47 @@ object DocQueries {
           concat(col("text"), lit(" graft extra tail")).as("text"),
           col("source")))
   }
+
+  /** Deterministic page structure over the word-soup corpus (which has
+    * no newlines or punctuation of its own): 8-word lines; a terminal
+    * '.' on lines where (seed+j)%3 != 0; ' javascript' injected where
+    * (seed+j)%7 == 0; page-level 'lorem ipsum' / curly-brace lines
+    * appended for seed%13 == 0 / seed%17 == 0. The SAME expression runs
+    * in the oracle CTE ([[pageCte]]), so the C4 and line-dedup rules are
+    * exercised on known-positive structure — the docsWithDups
+    * convention, at line grain. */
+  private def pageText(seed: Column, text: Column): Column = {
+    val ws = split(text, " ")
+    val nLines = ceil(size(ws) / lit(8.0)).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1), j =>
+      concat(
+        array_join(slice(ws, j * 8 + 1, lit(8)), " "),
+        when((seed + j) % 7 === 0, " javascript").otherwise(""),
+        when((seed + j) % 3 =!= 0, ".").otherwise("")))
+    concat(
+      array_join(lines, "\n"),
+      when(seed % 13 === 0, "\nlorem ipsum dolor sit amet.").otherwise(""),
+      when(seed % 17 === 0, "\nconfig { x }.").otherwise(""))
+  }
+
+  /** DuckDB twin of [[pageText]]: emits `(doc_id, page)` from a source
+    * relation exposing (doc_id, text); `seed` is a SQL expression over
+    * doc_id. */
+  private def pageCte(source: String, seed: String): String =
+    s"""pages AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(
+       |      range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+       |      j -> array_to_string(ws[j*8+1:j*8+8], ' ')
+       |        || CASE WHEN ($seed + j) % 7 = 0 THEN ' javascript' ELSE '' END
+       |        || CASE WHEN ($seed + j) % 3 <> 0 THEN '.' ELSE '' END),
+       |      chr(10))
+       |    || CASE WHEN ($seed) % 13 = 0
+       |         THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+       |    || CASE WHEN ($seed) % 17 = 0
+       |         THEN chr(10) || 'config { x }.' ELSE '' END AS page
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $source)
+       |)""".stripMargin
 
   private val docsWithDupsCte: String =
     """WITH docs AS (
@@ -805,6 +846,34 @@ object DocQueries {
       import graft.operators.DataPrep
       DataPrep.contiguousIds(docsPar(s, d).select("doc_id", "source"),
           "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- C4 line-level cleaning (Raffel et al. 2020 §2.2): the
+    // published Common-Crawl→C4 heuristics over deterministic synthetic
+    // page structure (the corpus has no lines/punctuation of its own —
+    // pageText plants terminal-punct, javascript, lorem-ipsum and brace
+    // violations; same expression in the oracle CTE). One narrow
+    // codegen-HOF pass, no shuffle ----
+    "q_c4_clean" -> ((s, d) => {
+      import graft.operators.Curation
+      val pages = docsPar(s, d).select(col("doc_id"),
+        pageText(col("doc_id"), col("text")).as("page"))
+      Curation.c4LineClean(pages, "doc_id", "page")
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus-level exact line dedup (MassiveText/RefinedWeb): every
+    // distinct line keeps only its (min doc, min idx) occurrence. Pages
+    // are seeded by doc_id % 100000 so the injected exact copies
+    // (+100000) produce IDENTICAL pages (all lines dup away) and the
+    // near copies (+200000) share all but their final line. The oracle
+    // replays the argmin keyed by line TEXT — the hashed plan proven
+    // lossless (q_ngram_span_dedup discipline) ----
+    "q_para_dedup" -> ((s, d) => {
+      val pages = docsWithDups(s, d).select(col("doc_id"),
+        pageText(col("doc_id") % 100000, col("text")).as("page"))
+      Dedup.lineDedup(pages, "doc_id", "page")
         .orderBy("doc_id")
     }))
 
@@ -2115,5 +2184,60 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
       """SELECT doc_id, source,
         |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
         |    AS seq_id
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replays pageText + the C4 line/page rules verbatim over the same
+    // synthetic page structure. (Concatenation, not interpolation into a
+    // margin string: the CTE's '||' continuations would be eaten by the
+    // outer stripMargin.)
+    "q_c4_clean" ->
+      (s"WITH ${pageCte("documents", "doc_id")},\n" +
+      """sp AS (
+         |  SELECT doc_id, page, string_split(page, chr(10)) AS lines
+         |  FROM pages
+         |), k AS (
+         |  SELECT doc_id, page, lines,
+         |    list_filter(lines, l ->
+         |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+         |      AND len(list_filter(string_split_regex(trim(l), '\s+'),
+         |            w -> length(w) > 0)) >= 3
+         |      AND NOT contains(lower(l), 'javascript')) AS kept
+         |  FROM sp
+         |)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         |  (len(kept) >= 5 AND NOT contains(lower(page), 'lorem ipsum')
+         |     AND NOT contains(page, '{')) AS page_kept,
+         |  CASE WHEN len(kept) >= 5
+         |        AND NOT contains(lower(page), 'lorem ipsum')
+         |        AND NOT contains(page, '{')
+         |       THEN array_to_string(kept, chr(10)) ELSE '' END
+         |    AS cleaned_text
+         |FROM k ORDER BY doc_id""".stripMargin),
+
+    // the keep-first argmin keyed by line TEXT (the Spark plan keys by
+    // xxhash64 — this check proves the hashed plan lossless)
+    "q_para_dedup" ->
+      (s"$docsWithDupsCte,\n${pageCte("docs", "(doc_id % 100000)")},\n" +
+      """l AS (
+         |  SELECT doc_id, generate_subscripts(lns, 1) - 1 AS idx,
+         |    unnest(lns) AS line
+         |  FROM (SELECT doc_id, string_split(page, chr(10)) AS lns
+         |        FROM pages)
+         |), r AS (
+         |  SELECT doc_id, idx, line,
+         |    row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) rn
+         |  FROM l
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS nk,
+         |    string_agg(line, chr(10) ORDER BY idx) AS ctext
+         |  FROM r WHERE rn = 1 GROUP BY doc_id
+         |)
+         |SELECT p.doc_id,
+         |  CAST(len(string_split(p.page, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(coalesce(agg.nk, 0) AS BIGINT) AS n_kept_lines,
+         |  coalesce(agg.ctext, '') AS cleaned_text
+         |FROM pages p LEFT JOIN agg ON p.doc_id = agg.doc_id
+         |ORDER BY p.doc_id""".stripMargin))
 }

@@ -75,4 +75,56 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(strict == Set(1L, 2L))
   }
+
+  test("c4LineClean applies the published line and page rules") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val goodPage = Seq(
+      "this is a good line.",        // kept
+      "too short.",                  // < 3 words
+      "no terminal punct here",      // no . ! ? "
+      "this line mentions javascript sadly.", // javascript
+      "another perfectly good line!",
+      "a third fine line?",
+      "he said \"yes indeed\"",      // ends in closing quote
+      "one more to clear the page minimum.").mkString("\n")
+    val fourLinePage = Seq(          // only 4 surviving lines < 5
+      "a good line number one.", "a good line number two.",
+      "a good line number three.", "a good line number four.")
+      .mkString("\n")
+    val loremPage = goodPage + "\nsome lorem ipsum filler appears here."
+    val bracePage = goodPage + "\nvar config = { x } ends the page."
+    val docs = Seq((1L, goodPage), (2L, fourLinePage), (3L, loremPage),
+      (4L, bracePage)).toDF("doc_id", "text")
+    val r = Curation.c4LineClean(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getBoolean(3), x.getString(4)))
+      .toMap
+    assert(r(1L)._1 == 8 && r(1L)._2 == 5 && r(1L)._3)
+    assert(r(1L)._4 == Seq("this is a good line.",
+      "another perfectly good line!", "a third fine line?",
+      "he said \"yes indeed\"",
+      "one more to clear the page minimum.").mkString("\n"))
+    assert(!r(2L)._3 && r(2L)._2 == 4)   // below min surviving lines
+    assert(!r(3L)._3 && r(3L)._4 == "")  // lorem ipsum page rule
+    assert(!r(4L)._3)                    // curly-bracket page rule
+  }
+
+  test("lineDedup keeps only the (min doc, min idx) copy of each line") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "x\ny\nz"),   // all first occurrences
+      (2L, "y\nw\nx"),   // y, x dup away; w survives
+      (3L, "z"),         // fully deduplicated
+      (4L, "d\nd")       // within-doc dup: first copy only
+    ).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(1L) == ((3L, 3L, "x\ny\nz")))
+    assert(r(2L) == ((3L, 1L, "w")))
+    assert(r(3L) == ((1L, 0L, "")))
+    assert(r(4L) == ((2L, 1L, "d")))
+  }
 }
