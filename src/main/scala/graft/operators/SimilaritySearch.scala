@@ -202,10 +202,14 @@ object SimilaritySearch {
     centers
   }
 
+  /** `trainedCentroids`: pre-trained coarse centroids (e.g. a full-corpus
+    * [[KMeans.train]] + [[KMeans.dequantize]]) — when given, the bounded
+    * driver-sample training path is skipped entirely. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42,
-      maxTrain: Int = 50000): DataFrame = {
+      maxTrain: Int = 50000,
+      trainedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
     import org.apache.spark.sql.expressions.Window
 
@@ -214,15 +218,16 @@ object SimilaritySearch {
 
     // bounded deterministic training sample: hash-filter then id-ordered
     // take — stable across partitioning/parallelism
-    val corpusN = c.count()
-    val every = math.max(1L, corpusN / maxTrain)
-    val sample = c
-      .where(pmod(xxhash64(col("id")), lit(every)) === 0)
-      .orderBy("id")
-      .limit(maxTrain)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    val centroids = trainCentroids(sample, nlist, iters = 20, seed = seed)
-      .zipWithIndex
+    val centroids = trainedCentroids.getOrElse {
+      val corpusN = c.count()
+      val every = math.max(1L, corpusN / maxTrain)
+      val sample = c
+        .where(pmod(xxhash64(col("id")), lit(every)) === 0)
+        .orderBy("id")
+        .limit(maxTrain)
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      trainCentroids(sample, nlist, iters = 20, seed = seed)
+    }.zipWithIndex
 
     // cell assignment == probing with nprobe=1: one ranked-cells kernel
     def nearestCells(v: Seq[Double], n: Int): Seq[Int] =

@@ -863,6 +863,28 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- one distributed Lloyd k-means step (the full-corpus IVF
+    // trainer): floor-quantized integer vectors, broadcast-centroid
+    // row-local assignment, one map-side-combining aggregation whose
+    // shuffle carries only k (count, Σvec) partials. Init is the
+    // portable (md5(id), id) draw; the oracle replays init, the
+    // lowest-index-tie-break assignment, and the floor(sum/count)
+    // update exactly ----
+    "q_kmeans_iter" -> ((s, d) => {
+      import graft.operators.KMeans
+      import s.implicits._
+      val e = embeddings(s, d)
+      val cs = KMeans.initCentroids(e, "vec_id", "embedding", 8, 1024)
+      KMeans.iterate(e, "embedding", 1024, cs)
+        .flatMap { case (c, n, vec) =>
+          vec.zipWithIndex.map { case (v, j) =>
+            (c.toLong, n, j.toLong, v)
+          }
+        }.toSeq
+        .toDF("cluster_id", "n_assigned", "dim_idx", "centroid_q")
+        .orderBy("cluster_id", "dim_idx")
+    }),
+
     // ---- corpus-level exact line dedup (MassiveText/RefinedWeb): every
     // distinct line keeps only its (min doc, min idx) occurrence. Pages
     // are seeded by doc_id % 100000 so the injected exact copies
@@ -2215,6 +2237,49 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
          |       THEN array_to_string(kept, chr(10)) ELSE '' END
          |    AS cleaned_text
          |FROM k ORDER BY doc_id""".stripMargin),
+
+    // replays KMeans' quantize → md5-draw init → integer-distance
+    // assignment → floor(sum/count) update, one full Lloyd step
+    "q_kmeans_iter" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+        |  FROM embeddings
+        |), init AS (
+        |  SELECT q, CAST(row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT)
+        |    AS cluster_id
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+        |), d AS (
+        |  SELECT e.vec_id, i.cluster_id, e.q,
+        |    list_sum(list_transform(range(1, 65),
+        |      j -> (e.q[j] - i.q[j]) * (e.q[j] - i.q[j]))) AS dist
+        |  FROM e CROSS JOIN init i
+        |), a AS (
+        |  SELECT vec_id, cluster_id, q,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cluster_id) AS rn
+        |  FROM d
+        |), upd AS (
+        |  SELECT cluster_id, CAST(j - 1 AS BIGINT) AS dim_idx,
+        |    CAST(count(*) AS BIGINT) AS n_assigned,
+        |    CAST(floor(sum(q[j]) * 1.0 / count(*)) AS BIGINT) AS centroid_q
+        |  FROM a, (SELECT unnest(range(1, 65)) AS j) dims
+        |  WHERE rn = 1
+        |  GROUP BY cluster_id, j
+        |)
+        |SELECT i.cluster_id,
+        |  CAST(coalesce(u.n_assigned, 0) AS BIGINT) AS n_assigned,
+        |  dd.dim_idx,
+        |  coalesce(u.centroid_q, i.q[CAST(dd.dim_idx + 1 AS BIGINT)])
+        |    AS centroid_q
+        |FROM init i
+        |CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS BIGINT)
+        |            AS dim_idx) dd
+        |LEFT JOIN upd u ON u.cluster_id = i.cluster_id
+        |  AND u.dim_idx = dd.dim_idx
+        |ORDER BY i.cluster_id, dd.dim_idx""".stripMargin,
 
     // the keep-first argmin keyed by line TEXT (the Spark plan keys by
     // xxhash64 — this check proves the hashed plan lossless)
