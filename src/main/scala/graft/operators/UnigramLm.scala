@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-language-model tokenizer (Kudo 2018, "Subword Regularization:
+  * Improving Neural Network Translation Models with Multiple Subword
+  * Candidates" — the SentencePiece `unigram` algorithm), restructured for
+  * Spark's execution model alongside the BPE pipeline in [[Tokenizer]].
+  *
+  * Scale design mirrors [[Tokenizer.bpeTrain]]: the corpus reduces ONCE
+  * to a weighted word vocabulary (the only corpus-sized shuffle, with
+  * map-side combine), and everything after runs on vocab-sized frames:
+  *
+  *  - seed vocabulary = frequent substrings of the (marked) words, a
+  *    vocab-local substring explode + re-agg (SQL-expressible — the
+  *    q_sp_vocab oracle replays it);
+  *  - each EM iteration is one vocab-sized job: Viterbi-segment the
+  *    DISTINCT words under a broadcast piece-score table, aggregate
+  *    per-piece expected counts (hard-EM / Viterbi counts — the
+  *    deterministic variant; full forward-backward expectation is the
+  *    paper's soft-EM, documented deviation), collect the ≤ seed-sized
+  *    count table to the driver, update scores;
+  *  - pruning keeps all single characters (the paper's coverage
+  *    invariant) and drops the lowest-count multi-char pieces until the
+  *    target vocab size is reached.
+  *
+  * Words are prefixed with the SentencePiece word-boundary marker '▁'
+  * (U+2581), so decode is marker-driven: concatenate pieces, turn '▁'
+  * into spaces, trim — `decode(encode(docs)) ==` the whitespace-
+  * normalized lower-cased corpus exactly (the q_sp_roundtrip gate,
+  * q_bpe_roundtrip's discipline). A corpus word containing the literal
+  * marker would corrupt reassembly — the standard SentencePiece
+  * collision, inherited from the scheme.
+  *
+  * Determinism: Viterbi ties break to the longest final piece (strict
+  * `>` over ascending split points); EM counts are exact integer sums;
+  * score updates happen in one driver pass; pruning cuts on the total
+  * order (count desc, piece asc). Training is therefore bit-identical
+  * under any partitioning.
+  */
+object UnigramLm {
+
+  val Marker = "▁"
+
+  /** Trained model: `pieces` ranked by (count desc, piece asc) carrying
+    * (piece, viterbi count, log-prob). Ids are the rank + 1; 0 = unk. */
+  case class Model(pieces: Seq[(String, Long, Double)], maxPieceLen: Int) {
+    lazy val scores: Map[String, Double] =
+      pieces.map(p => p._1 -> p._3).toMap
+    lazy val ids: Map[String, Int] =
+      pieces.zipWithIndex.map { case (p, i) => p._1 -> (i + 1) }.toMap
+    lazy val byId: Map[Int, String] =
+      ids.map { case (p, i) => i -> p }
+  }
+
+  /** Marked word vocabulary: ('▁'+word, freq) — [[Tokenizer.wordFreq]]
+    * plus the boundary marker. */
+  def markedWordFreq(docs: DataFrame, textCol: String): DataFrame =
+    Tokenizer.wordFreq(docs, textCol)
+      .select(concat(lit(Marker), col("word")).as("word"), col("freq"))
+
+  /** Seed vocabulary: every substring of length 1..maxPieceLen of every
+    * marked word, weighted by Σ word-freq over occurrence positions —
+    * all single characters (coverage) plus the top `multiSeeds`
+    * multi-char candidates by (weight × length desc, piece asc), a
+    * total-ordered engine-portable cut (the bpePairCounts discipline).
+    * Emits (piece, w, is_char). */
+  def seedVocab(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      multiSeeds: Int = 1000): DataFrame = {
+    val subs = markedWordFreq(docs, textCol)
+      .select(col("freq"), explode(flatten(transform(
+        sequence(lit(1), length(col("word"))),
+        i => transform(
+          sequence(lit(1),
+            least(lit(maxPieceLen), length(col("word")) - i + 1)),
+          l => col("word").substr(i, l))))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chars = subs.where(length(col("piece")) === 1)
+      .select(col("piece"), col("w"), lit(true).as("is_char"))
+    val multi = subs.where(length(col("piece")) >= 2)
+      .orderBy((col("w") * length(col("piece"))).desc, col("piece"))
+      .limit(multiSeeds)
+      .select(col("piece"), col("w"), lit(false).as("is_char"))
+    chars.unionByName(multi)
+  }
+
+  /** Viterbi segmentation of one marked word: maximize Σ log p(piece)
+    * over all segmentations into known pieces; unknown single chars get
+    * `unkScore` (coverage fallback — every word stays segmentable). Ties
+    * break to the smallest split point, i.e. the longest final piece —
+    * deterministic. Shared by training (hard-EM counts) and [[encode]].
+    */
+  def viterbi(word: String, scores: Map[String, Double], maxPieceLen: Int,
+      unkScore: Double = -100.0): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val dp = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    dp(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        val s = scores.get(word.substring(i, j)) match {
+          case Some(x) => x
+          case None => if (j - i == 1) unkScore else Double.NegativeInfinity
+        }
+        if (s > Double.NegativeInfinity && dp(i) + s > dp(j)) {
+          dp(j) = dp(i) + s
+          back(j) = i
+        }
+        i += 1
+      }
+      j += 1
+    }
+    var out = List.empty[String]
+    var p = n
+    while (p > 0) { out ::= word.substring(back(p), p); p = back(p) }
+    out
+  }
+
+  /** Train a unigram-LM vocabulary of ≤ `vocabSize` pieces (all single
+    * chars always included). `emIters` hard-EM rounds per prune cycle;
+    * `pruneFrac` of surviving multi-char pieces dropped per cycle until
+    * the target size is reached, then one final EM settles the scores. */
+  def train(docs: DataFrame, textCol: String, vocabSize: Int = 400,
+      emIters: Int = 2, maxPieceLen: Int = 4, multiSeeds: Int = 1000,
+      pruneFrac: Double = 0.25): Model = {
+    val spark = docs.sparkSession
+    val words = markedWordFreq(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = seedVocab(docs, textCol, maxPieceLen, multiSeeds)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // init scores from seed weights (normalized log-likelihoods)
+      var pieces: Map[String, Double] = {
+        val total = seed.map(_._2).sum.toDouble
+        seed.map { case (p, w) => p -> math.log(w / total) }.toMap
+      }
+      var counts: Map[String, Long] = seed.toMap.view.mapValues(_ => 0L).toMap
+
+      def emRound(): Map[String, Long] = {
+        val bc = spark.sparkContext.broadcast(pieces)
+        val segU = udf { (w: String) =>
+          viterbi(w, bc.value, maxPieceLen)
+        }
+        val out = words
+          .select(col("freq"), explode(segU(col("word"))).as("piece"))
+          .groupBy("piece").agg(sum("freq").as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        bc.destroy()
+        out
+      }
+      def mStep(c: Map[String, Long]): Unit = {
+        counts = c
+        val total = math.max(1L, c.values.sum).toDouble
+        // unused pieces keep a floor score only if single chars
+        // (coverage); unused multi-char pieces drop out here
+        pieces = pieces.flatMap { case (p, _) =>
+          c.get(p) match {
+            case Some(n) => Some(p -> math.log(n / total))
+            case None if p.length == 1 => Some(p -> math.log(0.5 / total))
+            case None => None
+          }
+        }
+      }
+
+      var target = false
+      while (!target) {
+        var it = 0
+        while (it < emIters) { mStep(emRound()); it += 1 }
+        val multi = pieces.keys.filter(_.length > 1)
+        val nChars = pieces.size - multi.size
+        if (pieces.size <= vocabSize) target = true
+        else {
+          val keepN =
+            math.max(vocabSize - nChars, (multi.size * (1 - pruneFrac)).toInt)
+          val kept = multi.toSeq
+            .sortBy(p => (-counts.getOrElse(p, 0L), p))
+            .take(keepN).toSet
+          pieces = pieces.filter { case (p, _) =>
+            p.length == 1 || kept(p) }
+          if (keepN == multi.size) target = true // cannot shrink further
+        }
+      }
+      mStep(emRound()) // settle scores on the final vocabulary
+      val ranked = pieces.keys.toSeq
+        .map(p => (p, counts.getOrElse(p, 0L), pieces(p)))
+        .sortBy { case (p, n, _) => (-n, p) }
+      Model(ranked, maxPieceLen)
+    } finally { words.unpersist(); () }
+  }
+
+  /** (subword, tok_id) frame of the model's deterministic id ranking —
+    * the unigram twin of [[Tokenizer.vocabulary]] (model is driver-side
+    * and bounded by vocabSize, so this is a local relation). */
+  def vocabularyDf(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.pieces.zipWithIndex
+      .map { case ((p, _, _), i) => (p, i + 1) }
+      .toDF("subword", "tok_id")
+  }
+
+  /** Text → token-id sequences under a trained model: Viterbi-segment
+    * the DISTINCT marked words (vocab-sized), broadcast-join back, gather
+    * per doc with explicit (word idx, piece idx) keys — the
+    * [[Tokenizer.encode]] plan with the marker convention. Returns
+    * (idCol, input_ids: array<int>). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      model: Model, unkId: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val segU = udf { (w: String) =>
+      viterbi(w, bc.value.scores, bc.value.maxPieceLen)
+    }
+    val words = docs
+      .select(col(idCol), posexplode(filter(
+        split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0)))
+      .withColumnRenamed("pos", "_widx")
+      .select(col(idCol), col("_widx"),
+        concat(lit(Marker), col("col")).as("word"))
+    val vocabSeg = words.select("word").distinct()
+      .withColumn("pieces", segU(col("word")))
+    words.join(broadcast(vocabSeg), Seq("word"))
+      .select(col(idCol), col("_widx"), posexplode(col("pieces")))
+      .withColumnRenamed("pos", "_sidx")
+      .withColumnRenamed("col", "subword")
+      .join(broadcast(vocabularyDf(spark, model)), Seq("subword"), "left")
+      .select(col(idCol), col("_widx"), col("_sidx"),
+        coalesce(col("tok_id"), lit(unkId)).as("tok_id"))
+      .groupBy(idCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("_widx"), col("_sidx"),
+          col("tok_id")))),
+        x => x.getField("tok_id").cast("int")).as("input_ids"))
+  }
+
+  /** Token-id sequences → text: ids join back to pieces (broadcast),
+    * order restored by position key, pieces concatenate and markers
+    * become spaces — the exact inverse of [[encode]] for any corpus the
+    * model's single-char coverage spans. Returns (idCol, text). */
+  def decode(encoded: DataFrame, idCol: String, idsCol: String,
+      model: Model): DataFrame = {
+    val spark = encoded.sparkSession
+    val pos = encoded
+      .select(col(idCol), posexplode(col(idsCol)))
+      .withColumnRenamed("pos", "_p")
+      .withColumnRenamed("col", "tok_id")
+    pos.join(broadcast(vocabularyDf(spark, model)), Seq("tok_id"))
+      .groupBy(idCol)
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("_p"), col("subword")))),
+        x => x.getField("subword"))).as("_joined"))
+      .select(col(idCol),
+        trim(replace(col("_joined"), lit(Marker), lit(" "))).as("text"))
+  }
+}

@@ -849,6 +849,33 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- unigram-LM (SentencePiece) seed vocabulary: all substrings
+    // (len ≤ 4) of the marker-prefixed words, weighted by occurrence ×
+    // word freq — all single chars plus the top-200 multi-char
+    // candidates on the total order (w × len desc, piece asc). One
+    // corpus-sized word reduction, then vocab-local substring explode ----
+    "q_sp_vocab" -> ((s, d) => {
+      import graft.operators.UnigramLm
+      UnigramLm.seedVocab(docsPar(s, d), "text", maxPieceLen = 4,
+          multiSeeds = 200)
+        .orderBy("piece")
+    }),
+
+    // ---- unigram-LM tokenize → detokenize round trip: hard-EM training
+    // (Viterbi counts over the distinct-word vocab under broadcast piece
+    // scores), Viterbi encode, marker-driven decode — must reproduce the
+    // whitespace-normalized lower-cased corpus EXACTLY (the
+    // q_bpe_roundtrip discipline for the second tokenizer family) ----
+    "q_sp_roundtrip" -> ((s, d) => {
+      import graft.operators.UnigramLm
+      val docs = docsPar(s, d)
+      val m = UnigramLm.train(docs, "text", vocabSize = 300,
+        emIters = 2, multiSeeds = 500)
+      UnigramLm.decode(UnigramLm.encode(docs, "doc_id", "text", m),
+          "doc_id", "input_ids", m)
+        .orderBy("doc_id")
+    }),
+
     // ---- C4 line-level cleaning (Raffel et al. 2020 §2.2): the
     // published Common-Crawl→C4 heuristics over deterministic synthetic
     // page structure (the corpus has no lines/punctuation of its own —
@@ -2237,6 +2264,49 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
          |       THEN array_to_string(kept, chr(10)) ELSE '' END
          |    AS cleaned_text
          |FROM k ORDER BY doc_id""".stripMargin),
+
+    // replays the marked-word substring explode + the (w × len, piece)
+    // total-order cut of UnigramLm.seedVocab
+    "q_sp_vocab" ->
+      """WITH wf AS (
+        |  SELECT '▁' || word AS word, count(*) AS freq
+        |  FROM (SELECT unnest(list_filter(
+        |          string_split_regex(lower(trim(text)), '\s+'),
+        |          x -> length(x) > 0)) AS word FROM documents)
+        |  GROUP BY 1
+        |), subs AS (
+        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS w
+        |  FROM (
+        |    SELECT freq, unnest(flatten(list_transform(
+        |      range(1, length(word) + 1),
+        |      i -> list_transform(
+        |        range(1, least(4, length(word) - i + 1) + 1),
+        |        l -> substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER))))))
+        |      AS piece
+        |    FROM wf)
+        |  GROUP BY piece
+        |), multi AS (
+        |  SELECT piece, w, false AS is_char FROM subs
+        |  WHERE length(piece) >= 2
+        |  ORDER BY w * length(piece) DESC, piece LIMIT 200
+        |)
+        |SELECT piece, w, is_char FROM
+        |  (SELECT piece, w, true AS is_char FROM subs
+        |   WHERE length(piece) = 1
+        |   UNION ALL SELECT * FROM multi)
+        |ORDER BY piece""".stripMargin,
+
+    // the round trip's fixed point IS the normalized corpus (the
+    // q_bpe_roundtrip oracle, second tokenizer family)
+    "q_sp_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0), ' ') AS text
+        |FROM documents
+        |WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |  x -> length(x) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // replays KMeans' quantize → md5-draw init → integer-distance
     // assignment → floor(sum/count) update, one full Lloyd step
