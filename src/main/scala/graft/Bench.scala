@@ -147,7 +147,9 @@ object Bench {
       "q_bigram_logprob", "q_kn_logprob", "q_kn3_logprob", "q_kn5_logprob",
       "q_ccnet_bands", "q_bpe_encode", "q_bpe_roundtrip",
       "q_exact_substr", "q_exact_substr_keep", "q_gopher_repetition",
-      "q_dsir", "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_res")
+      "q_dsir", "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_res",
+      "q_c4_clean", "q_para_dedup", "q_kmeans_iter", "q_sp_vocab",
+      "q_sp_roundtrip")
     warm(extraNames)
     val extraJson = toJson(timed(extraNames))
 

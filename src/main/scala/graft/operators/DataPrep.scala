@@ -196,6 +196,21 @@ object DataPrep {
     spark.createDataFrame(withIds, schema)
   }
 
+  /** Deterministic global training-data shuffle: every row gets a
+    * contiguous shuffle position by ranking on a salted content-stable
+    * hash draw (md5(seed ∥ id), ties to id) — same seed → same
+    * permutation on every run, engine, and partitioning, so epoch
+    * ordering is reproducible and the oracle replays the draw exactly.
+    * Scale shape is [[contiguousIdsBy]]'s: range-repartition on the draw
+    * + zipWithIndex — never a one-task global window. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+      posName: String = "shuffle_pos"): DataFrame =
+    contiguousIdsBy(
+      df.withColumn("_draw",
+        md5(concat(lit(seed), col(idCol).cast("string")))),
+      Seq(col("_draw"), col(idCol)), posName)
+      .drop("_draw")
+
   /** Deterministic stratified sampling: exactly `n` rows per stratum
     * (fewer only when the stratum is smaller), chosen by ranking each
     * stratum on a content-stable hash draw ([[graft.functions.Hashing

@@ -393,6 +393,38 @@ object CoreQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ---- TPC-H Q6: the forecasting-revenue-change scan — a pure
+    // filter+agg with NO join: every predicate (shipdate year, discount
+    // band, quantity cap) pushes to the parquet scan, and the whole plan
+    // is one WholeStageCodegen over a cents-quantized running sum ----
+    "q_tpch_q6" -> ((s, d) => {
+      lineitem(s, d)
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01" &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg((sum(floor(col("l_extendedprice") * col("l_discount") * 100)
+          .cast("long")).cast("double") / 100.0).as("revenue"))
+    }),
+
+    // ---- TPC-H Q14: promotion-effect ratio — one month of lineitem
+    // broadcast-joined to part, promo share as a ratio of two exact
+    // cents sums (identical BIGINTs → identical IEEE quotient) ----
+    "q_tpch_q14" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .where(col("l_shipdate") >= "1996-03-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long").as("rev_c"))
+      li.join(broadcast(part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("rev_c"))
+            .otherwise(0L)).cast("double") /
+          sum(col("rev_c")).cast("double")).as("promo_revenue"))
+    }),
+
     // ---- TPC-H Q10: returned-item reporting — top customers by revenue
     // lost to returns. Fact filter (l_returnflag = 'R') reaches the scan;
     // customer/nation broadcast; cents-quantized revenue → engine-exact
@@ -900,6 +932,26 @@ object CoreQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)
+        |    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT) ELSE 0 END) AS DOUBLE) /
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS DOUBLE) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name,

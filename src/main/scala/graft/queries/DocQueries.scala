@@ -849,6 +849,17 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic epoch shuffle (training-data ordering): global
+    // permutation by salted md5 draw, positions stamped by
+    // range-repartition + zipWithIndex (the q_contiguous_ids mechanism —
+    // never a one-task window); the oracle replays the identical draw ----
+    "q_corpus_shuffle" -> ((s, d) => {
+      import graft.operators.DataPrep
+      DataPrep.deterministicShuffle(
+          docsPar(s, d).select("doc_id", "source"), "doc_id", "epoch0-")
+        .orderBy("doc_id")
+    }),
+
     // ---- unigram-LM (SentencePiece) seed vocabulary: all substrings
     // (len ≤ 4) of the marker-prefixed words, weighted by occurrence ×
     // word freq — all single chars plus the top-200 multi-char
@@ -2264,6 +2275,15 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
          |       THEN array_to_string(kept, chr(10)) ELSE '' END
          |    AS cleaned_text
          |FROM k ORDER BY doc_id""".stripMargin),
+
+    // the oracle IS the global row_number over the same salted draw —
+    // the distributed zipWithIndex plan must meet its contract
+    "q_corpus_shuffle" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('epoch0-' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS BIGINT) AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // replays the marked-word substring explode + the (w × len, piece)
     // total-order cut of UnigramLm.seedVocab
