@@ -248,6 +248,62 @@ object DataPrep {
     * a content-stable draw needs content, and SQL agrees (NULL < w is
     * NULL → filtered); without the guard the hash UDF would NPE where
     * the SQL twin silently drops. Narrow per-row op — no shuffle. */
+  /** Temperature-based mixture sampling — the multilingual/multi-source
+    * rebalancing rule of Raffel et al. 2020 §3.4.3 / Conneau et al. 2020
+    * (XLM-R): a group with corpus share p_g is sampled so the OUTPUT
+    * composition follows p_g^α (α < 1 upweights tail groups). The
+    * data-dependent sibling of [[mixtureSample]]'s fixed keep rates.
+    *
+    * Determinism discipline: group weights are quantized to integers
+    * (s_g = floor(p_g^α × 1e9)) BEFORE the normalizer sum, so the sum
+    * commutes exactly under any agg order; each group's keep rate is one
+    * double expression over exact integers (identical tree → identical
+    * IEEE result in the oracle) and the row decision compares in integer
+    * hash space: keep iff md5Long56(salt ∥ id) < floor(rate × 2⁵⁶).
+    * With the default α = 0.5 the power is `sqrt` — IEEE-exact on both
+    * engines, the case the q_mixture_temperature oracle pins; other α go
+    * through `pow`, whose last ulp is libm-dependent (document before
+    * gating such a config).
+    *
+    * Plan shape: group stats are a tiny two-phase agg; corpus totals and
+    * the weight normalizer ride as global windows over the
+    * group-cardinality-sized stats frame (bounded single-task windows —
+    * the q_ccnet_bands precedent); the per-group threshold table
+    * broadcast-joins back on the group key and the keep filter is
+    * row-local — nothing after the scan shuffles corpus-sized data.
+    * Keeps rows with their `keep_thresh` attached. */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double = 0.5, targetFrac: Double = 0.5,
+      salt: String = "temp|"): DataFrame = {
+    import graft.functions.Hashing
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac in (0, 1]")
+    // the totals ride as GLOBAL windows over the stats frame — stats is
+    // group-cardinality-sized (languages/sources: bounded small), so the
+    // single-task window is bounded by design (the q_ccnet_bands
+    // bounded-rank precedent) and avoids the self-join crossJoin
+    // ambiguity of deriving scalar totals from the same lineage
+    val w = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_N", sum("_n").over(w))
+      .withColumn("_s", floor((
+        if (alpha == 0.5) sqrt(col("_n").cast("double") / col("_N"))
+        else pow(col("_n").cast("double") / col("_N"), alpha)) * 1e9)
+        .cast("long"))
+      .withColumn("_S", sum("_s").over(w))
+      .withColumn("_rate", least(lit(1.0),
+        lit(targetFrac) * col("_N").cast("double") *
+          col("_s").cast("double") /
+          (col("_S").cast("double") * col("_n").cast("double"))))
+      .select(col(groupCol),
+        floor(col("_rate") * lit(72057594037927936.0)).cast("long")
+          .as("keep_thresh"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .where(Hashing.md5Long56(concat(lit(salt),
+        col(idCol).cast("string"))) < col("keep_thresh"))
+  }
+
   def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty, "mixture needs at least one source weight")

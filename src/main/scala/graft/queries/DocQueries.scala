@@ -849,6 +849,19 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- temperature mixture sampling (α = 0.5): keep rates derived
+    // from corpus shares so output composition follows p^α — integer-
+    // quantized group weights, one double rate expression over exact
+    // ints, row decisions in integer hash space; the oracle replays the
+    // whole derivation ----
+    "q_mixture_temperature" -> ((s, d) => {
+      import graft.operators.DataPrep
+      DataPrep.temperatureSample(
+          docsPar(s, d).select("doc_id", "source"), "doc_id", "source")
+        .select("doc_id", "source", "keep_thresh")
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic epoch shuffle (training-data ordering): global
     // permutation by salted md5 draw, positions stamped by
     // range-repartition + zipWithIndex (the q_contiguous_ids mechanism —
@@ -2275,6 +2288,35 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
          |       THEN array_to_string(kept, chr(10)) ELSE '' END
          |    AS cleaned_text
          |FROM k ORDER BY doc_id""".stripMargin),
+
+    // replays temperatureSample's integer-quantized weight, the exact
+    // rate expression tree, and the 2^56 hash-space decision
+    "q_mixture_temperature" ->
+      """WITH stats AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_total FROM stats
+        |), sg AS (
+        |  SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE) / n_total) * 1e9) AS BIGINT)
+        |      AS s
+        |  FROM stats, tot
+        |), ss AS (
+        |  SELECT CAST(sum(s) AS BIGINT) AS s_total FROM sg
+        |), th AS (
+        |  SELECT source,
+        |    CAST(floor(least(1.0,
+        |      0.5 * CAST(n_total AS DOUBLE) * CAST(s AS DOUBLE) /
+        |        (CAST(s_total AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      * 72057594037927936.0) AS BIGINT) AS keep_thresh
+        |  FROM sg, tot, ss
+        |)
+        |SELECT d.doc_id, d.source, t.keep_thresh
+        |FROM documents d JOIN th t USING (source)
+        |WHERE CAST(md5_number_upper('temp|' || CAST(d.doc_id AS VARCHAR))
+        |    % 72057594037927936 AS BIGINT) < t.keep_thresh
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the oracle IS the global row_number over the same salted draw —
     // the distributed zipWithIndex plan must meet its contract
