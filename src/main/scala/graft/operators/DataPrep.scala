@@ -283,19 +283,24 @@ object DataPrep {
     // single-task window is bounded by design (the q_ccnet_bands
     // bounded-rank precedent) and avoids the self-join crossJoin
     // ambiguity of deriving scalar totals from the same lineage
+    // column names must differ by more than case: Spark resolves
+    // case-insensitively by default, so withColumn("_N") would REPLACE
+    // "_n" and silently collapse every rate to targetFrac (caught by
+    // DataPrepSpec's skewed fixture — the uniform-source gate corpus
+    // cannot distinguish the two)
     val w = Window.partitionBy().rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val rates = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
-      .withColumn("_N", sum("_n").over(w))
-      .withColumn("_s", floor((
-        if (alpha == 0.5) sqrt(col("_n").cast("double") / col("_N"))
-        else pow(col("_n").cast("double") / col("_N"), alpha)) * 1e9)
+    val rates = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_gn"))
+      .withColumn("_ntot", sum("_gn").over(w))
+      .withColumn("_gs", floor((
+        if (alpha == 0.5) sqrt(col("_gn").cast("double") / col("_ntot"))
+        else pow(col("_gn").cast("double") / col("_ntot"), alpha)) * 1e9)
         .cast("long"))
-      .withColumn("_S", sum("_s").over(w))
+      .withColumn("_stot", sum("_gs").over(w))
       .withColumn("_rate", least(lit(1.0),
-        lit(targetFrac) * col("_N").cast("double") *
-          col("_s").cast("double") /
-          (col("_S").cast("double") * col("_n").cast("double"))))
+        lit(targetFrac) * col("_ntot").cast("double") *
+          col("_gs").cast("double") /
+          (col("_stot").cast("double") * col("_gn").cast("double"))))
       .select(col(groupCol),
         floor(col("_rate") * lit(72057594037927936.0)).cast("long")
           .as("keep_thresh"))

@@ -405,11 +405,16 @@ object SimilaritySearch {
     * contributions floor-quantized to 1e-9 integers (`adc_q9`).
     *
     * Returns (query_id, id, rank, adc_q9). */
+  /** `trainedCoarse`: pre-trained coarse centroids in UNIT-vector space
+    * (e.g. full-corpus [[KMeans.train]] over unit-normalized vectors +
+    * [[KMeans.dequantize]]) — replaces the bounded-sample coarse
+    * training; the PQ sub-codebooks still train on the local sample. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int,
       nlist: Int = 8, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
       seed: Long = 42, maxTrain: Int = 50000,
-      byResidual: Boolean = false): DataFrame = {
+      byResidual: Boolean = false,
+      trainedCoarse: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -421,7 +426,8 @@ object SimilaritySearch {
       .limit(maxTrain)
       .select("v").collect()
       .map(r => unitNorm(r.getSeq[Double](0)))
-    val coarse = trainCentroids(sample, nlist, iters = 20, seed = seed)
+    val coarse = trainedCoarse.getOrElse(
+      trainCentroids(sample, nlist, iters = 20, seed = seed))
 
     // ranked coarse cells of a unit vector; stable sort keeps ascending
     // cell on ties (== the oracle's (dist, cell) order)

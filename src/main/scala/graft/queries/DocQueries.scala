@@ -856,8 +856,14 @@ object DocQueries {
     // whole derivation ----
     "q_mixture_temperature" -> ((s, d) => {
       import graft.operators.DataPrep
-      DataPrep.temperatureSample(
-          docsPar(s, d).select("doc_id", "source"), "doc_id", "source")
+      // the corpus' sources are exactly uniform, where p^α rebalancing
+      // is indistinguishable from a flat targetFrac — fold the long tail
+      // into one majority group (deterministic, mirrored in the oracle)
+      // so the gate actually exercises the sqrt math
+      val skewed = docsPar(s, d).select(col("doc_id"),
+        when(col("source").isin("src0", "src1"), col("source"))
+          .otherwise(lit("src_major")).as("source"))
+      DataPrep.temperatureSample(skewed, "doc_id", "source")
         .select("doc_id", "source", "keep_thresh")
         .orderBy("doc_id")
     }),
@@ -2292,9 +2298,14 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
     // replays temperatureSample's integer-quantized weight, the exact
     // rate expression tree, and the 2^56 hash-space decision
     "q_mixture_temperature" ->
-      """WITH stats AS (
+      """WITH skewed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN source IN ('src0', 'src1') THEN source
+        |         ELSE 'src_major' END AS source
+        |  FROM documents
+        |), stats AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n
-        |  FROM documents GROUP BY source
+        |  FROM skewed GROUP BY source
         |), tot AS (
         |  SELECT CAST(sum(n) AS BIGINT) AS n_total FROM stats
         |), sg AS (
@@ -2313,7 +2324,7 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |  FROM sg, tot, ss
         |)
         |SELECT d.doc_id, d.source, t.keep_thresh
-        |FROM documents d JOIN th t USING (source)
+        |FROM skewed d JOIN th t USING (source)
         |WHERE CAST(md5_number_upper('temp|' || CAST(d.doc_id AS VARCHAR))
         |    % 72057594037927936 AS BIGINT) < t.keep_thresh
         |ORDER BY d.doc_id""".stripMargin,

@@ -186,4 +186,31 @@ class DataPrepSpec extends AnyFunSuite {
     assert(red.values.forall(_.length == 2))
     assert(red(100L) == red(5L + 1000))
   }
+
+  test("temperatureSample pulls output composition toward p^alpha") {
+    import graft.operators.DataPrep
+    import spark.implicits._
+    // 90/10 input split; at alpha=0.5 the target composition is
+    // sqrt-rebalanced: 0.75/0.25 — the minority share must rise well
+    // above its input share
+    val docs = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val kept = DataPrep.temperatureSample(docs, "doc_id", "source",
+        alpha = 0.5, targetFrac = 0.5)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = kept.values.sum.toDouble
+    val smallShare = kept("small") / total
+    assert(smallShare > 0.15 && smallShare < 0.35,
+      s"small share $smallShare not near sqrt-rebalanced 0.25")
+    // determinism: same draw under different partitioning
+    val again = DataPrep.temperatureSample(docs.repartition(7), "doc_id",
+        "source", alpha = 0.5, targetFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = DataPrep.temperatureSample(docs, "doc_id", "source",
+        alpha = 0.5, targetFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
 }

@@ -100,4 +100,26 @@ class KMeansSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"mean recall $mean under nprobe=4/8")
   }
+
+  test("ivfPqTopK accepts full-corpus trained coarse centroids") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian()))).toDF("id", "vec")
+    val queries = (0 until 5).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian()))).toDF("qid", "vec")
+    // coarse centroids must live in UNIT space — train on normalized
+    // vectors (the hook's documented contract)
+    val unit = corpus.select(col("id"),
+      transform(col("vec"),
+        x => x / sqrt(aggregate(col("vec"), lit(0.0),
+          (a, v) => a + v * v))).as("vec"))
+    val cs = KMeans.dequantize(
+      KMeans.train(unit, "id", "vec", k = 4, scale = 4096), 4096)
+    val out = SimilaritySearch.ivfPqTopK(corpus, queries, "id", "vec",
+      "qid", k = 5, nlist = 4, nprobe = 4, m = 8, ksub = 8,
+      trainedCoarse = Some(cs))
+    assert(out.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5L))
+  }
 }
