@@ -34,4 +34,26 @@ object StreamingDedup {
       .withColumn("fingerprint", fingerprint(textCol))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Streaming LINE-grain dedup — the streaming twin of
+    * [[graft.operators.Dedup.lineDedup]]: documents explode to
+    * (doc, idx, line) rows, each line keyed by the batch operator's SAME
+    * xxhash64 key, and a line hash seen within the watermark horizon is
+    * dropped corpus-wide (first arrival wins — the stream-order
+    * rendering of the batch argmin; under event-time skew inside one
+    * micro-batch the engine keeps an arbitrary one, the standard
+    * dropDuplicates contract). Docs are NOT reassembled in-stream —
+    * emitting surviving (doc, idx, line) rows keeps state at one hash
+    * per line instead of buffering whole documents; the downstream sink
+    * regroups per doc if it needs page text (the batch operator's
+    * row-local rebuild is the compaction-pass tool). State is bounded by
+    * the horizon, exactly like [[dedupStream]]. */
+  def lineDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .select(col(idCol), col(tsCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+      .withColumn("line_hash", xxhash64(col("line")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("line_hash")
 }

@@ -46,6 +46,39 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming line dedup keeps each line's first arrival and " +
+      "matches the batch twin's surviving line set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ts = java.sql.Timestamp.valueOf("2025-07-30 00:00:05")
+    val docs = input.toDF().toDF("doc_id", "text", "event_ts")
+    val q = graft.streaming.StreamingDedup
+      .lineDedupStream(docs, "doc_id", "text", "event_ts")
+      .writeStream.format("memory").queryName("line_dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "x\ny\nz", ts))
+      q.processAllAvailable()
+      // cross-batch: doc 2 repeats y and x, brings w; doc 3 is all-dup
+      input.addData((2L, "y\nw\nx", ts), (3L, "z", ts))
+      q.processAllAvailable()
+      val survived = spark.sql(
+          "SELECT doc_id, line FROM line_dedup_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(survived == Set((1L, "x"), (1L, "y"), (1L, "z"), (2L, "w")))
+      // batch twin on the same corpus (doc order == arrival order):
+      // the surviving (doc, line) set must agree
+      val batchDocs = Seq((1L, "x\ny\nz"), (2L, "y\nw\nx"), (3L, "z"))
+        .toDF("doc_id", "text")
+      val batch = graft.operators.Dedup
+        .lineDedup(batchDocs, "doc_id", "text")
+        .collect().flatMap(r => r.getString(3).split("\n")
+          .filter(_.nonEmpty).map(l => (r.getLong(0), l))).toSet
+      assert(survived == batch)
+    } finally q.stop()
+  }
+
   test("streaming curation filters junk, scrubs PII, and dedups — " +
       "narrow rules attach to the stream unchanged") {
     import spark.implicits._
