@@ -248,6 +248,49 @@ object DataPrep {
     * a content-stable draw needs content, and SQL agrees (NULL < w is
     * NULL → filtered); without the guard the hash UDF would NPE where
     * the SQL twin silently drops. Narrow per-row op — no shuffle. */
+  /** GPT-style training-example assembly — the terminal artifact of the
+    * tokenize-and-pack path: per group (the stream shard, e.g. source),
+    * documents concatenate in id order with an `eosId` separator into
+    * one token stream, which is cut into fixed `exampleLen`-token
+    * examples that CROSS document boundaries (the standard pretraining
+    * chunking; the last example of each group may be short).
+    *
+    * Emitted per example: (groupCol, example_idx, n_tokens, first_tok,
+    * sum_ids) — counts and integer id sums, exact under any agg order,
+    * so the q_train_examples oracle replays the whole composition
+    * (pinned-rule BPE encode → offsets → chunking) hash-exactly.
+    *
+    * Scale shape: the per-doc offset is an exclusive prefix-sum window
+    * partitioned by the group (the [[packShards]] discipline — packing
+    * is sequential only within a shard, shards pack in parallel); then
+    * one posexplode and one keyed two-phase agg. Token arrays never
+    * shuffle: only (group, offset) ride the window, and the explode is
+    * row-local. */
+  def trainExamples(encoded: DataFrame, idCol: String, groupCol: String,
+      idsCol: String = "input_ids", eosId: Int = 0,
+      exampleLen: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // offsets computed over a NARROW (id, group, len) projection so the
+    // token arrays never ride the window Exchange; the join back on the
+    // id reuses encode's hash partitioning on that key
+    val off = encoded
+      .select(col(idCol), col(groupCol),
+        (size(col(idsCol)) + 1).cast("long").as("_n1"))
+      .withColumn("_off", coalesce(sum("_n1").over(w), lit(0L)))
+      .select(col(idCol), col("_off"))
+    encoded.join(off, Seq(idCol))
+      .select(col(groupCol), col("_off"),
+        posexplode(concat(col(idsCol), array(lit(eosId)))))
+      .withColumn("_gpos", col("_off") + col("pos"))
+      .withColumn("example_idx",
+        floor(col("_gpos") / exampleLen).cast("long"))
+      .groupBy(col(groupCol), col("example_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min_by(col("col"), col("_gpos")).cast("long").as("first_tok"),
+        sum(col("col")).cast("long").as("sum_ids"))
+  }
+
   /** Temperature-based mixture sampling — the multilingual/multi-source
     * rebalancing rule of Raffel et al. 2020 §3.4.3 / Conneau et al. 2020
     * (XLM-R): a group with corpus share p_g is sampled so the OUTPUT

@@ -30,7 +30,10 @@ object BpeOracle {
   /** Full oracle SQL around segmentation VALUES rows
     * ("('word', ['sub', ...])" strings). Single source of the pipeline
     * SQL for generator + pinned oracle. */
-  def template(segRows: Seq[String]): String = {
+  /** The shared pipeline CTEs (pinned segmentation → tokens → id vocab)
+    * — single source for [[template]] AND [[exampleTemplate]], so the
+    * two gates can't drift. */
+  private def coreCtes(segRows: Seq[String]): String = {
     val values = segRows.map("    " + _).mkString(",\n")
     s"""WITH seg AS (
       |  SELECT word, CAST(subs AS VARCHAR[]) AS subs FROM (VALUES
@@ -55,14 +58,51 @@ object BpeOracle {
       |  SELECT subword,
       |    row_number() OVER (ORDER BY count(*) DESC, subword) AS tok_id
       |  FROM tok GROUP BY subword
-      |)
-      |SELECT t.doc_id,
-      |  array_to_string(list(v.tok_id ORDER BY t.widx, t.sidx), ',')
-      |    AS input_ids_csv
-      |FROM tok t JOIN vocab v USING (subword)
-      |GROUP BY t.doc_id
-      |ORDER BY t.doc_id""".stripMargin
+      |)""".stripMargin
   }
+
+  def template(segRows: Seq[String]): String =
+    coreCtes(segRows) + "\n" +
+      """SELECT t.doc_id,
+        |  array_to_string(list(v.tok_id ORDER BY t.widx, t.sidx), ',')
+        |    AS input_ids_csv
+        |FROM tok t JOIN vocab v USING (subword)
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+
+  /** q_train_examples oracle: the encode pipeline above, then per-source
+    * EOS-joined concatenation in doc-id order, exclusive prefix-sum
+    * offsets, and fixed-64-token example chunking — integer counts/sums
+    * only, so the compare is exact. */
+  def exampleTemplate(segRows: Seq[String]): String =
+    coreCtes(segRows) + ",\n" +
+      """ids AS (
+        |  SELECT t.doc_id, list(v.tok_id ORDER BY t.widx, t.sidx) AS idsv
+        |  FROM tok t JOIN vocab v USING (subword)
+        |  GROUP BY t.doc_id
+        |), ds AS (
+        |  SELECT s.source, i.doc_id, i.idsv,
+        |    CAST(len(i.idsv) + 1 AS BIGINT) AS n1
+        |  FROM ids i JOIN documents s USING (doc_id)
+        |), offs AS (
+        |  SELECT source, doc_id, idsv,
+        |    coalesce(sum(n1) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM ds
+        |), tp AS (
+        |  SELECT source, off + j - 1 AS gpos,
+        |    CASE WHEN j <= len(idsv) THEN idsv[j] ELSE 0 END AS tok_id
+        |  FROM (SELECT source, off, idsv,
+        |          unnest(range(1, len(idsv) + 2)) AS j
+        |        FROM offs)
+        |)
+        |SELECT source, CAST(floor(gpos / 64) AS BIGINT) AS example_idx,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(arg_min(tok_id, gpos) AS BIGINT) AS first_tok,
+        |  CAST(sum(tok_id) AS BIGINT) AS sum_ids
+        |FROM tp GROUP BY source, example_idx
+        |ORDER BY source, example_idx""".stripMargin
 
   /** Merge rules trained at the gate SF by DumpBpeOracle (application
     * order). */
@@ -134,4 +174,5 @@ object BpeOracle {
     "('window', ['w', 'in', 'd', 'ow</w>'])")
 
   val sql: String = template(pinnedSegRows)
+  val exampleSql: String = exampleTemplate(pinnedSegRows)
 }

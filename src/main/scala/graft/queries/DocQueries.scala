@@ -849,6 +849,22 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- GPT-style training-example assembly, the terminal artifact of
+    // tokenize-and-pack: pinned-rule BPE encode → per-source EOS-joined
+    // token stream in doc order → exclusive-prefix-sum offsets → fixed
+    // 64-token examples crossing doc boundaries. The oracle replays the
+    // WHOLE composition from the pinned segmentation ----
+    "q_train_examples" -> ((s, d) => {
+      import graft.operators.DataPrep
+      val docs = docsPar(s, d)
+      val enc = Tokenizer.encode(docs, "doc_id", "text",
+        graft.queries.BpeOracle.pinnedRules)
+      DataPrep.trainExamples(
+          enc.join(docs.select("doc_id", "source"), Seq("doc_id")),
+          "doc_id", "source")
+        .orderBy("source", "example_idx")
+    }),
+
     // ---- temperature mixture sampling (α = 0.5): keep rates derived
     // from corpus shares so output composition follows p^α — integer-
     // quantized group weights, one double rate expression over exact
@@ -2294,6 +2310,8 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
          |       THEN array_to_string(kept, chr(10)) ELSE '' END
          |    AS cleaned_text
          |FROM k ORDER BY doc_id""".stripMargin),
+
+    "q_train_examples" -> graft.queries.BpeOracle.exampleSql,
 
     // replays temperatureSample's integer-quantized weight, the exact
     // rate expression tree, and the 2^56 hash-space decision

@@ -213,4 +213,41 @@ class DataPrepSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == first)
   }
+
+  test("trainExamples cuts the EOS-joined per-group stream into " +
+      "fixed-length examples that cross doc boundaries") {
+    import spark.implicits._
+    // group s stream (eos=0): 1,2,3,0, 4,5,0,6, 7,8,9,0 → three len-4
+    // examples; doc 2's tokens straddle examples 1 and 2 via the eos
+    val docs = Seq(
+      (1L, "s", Seq(1, 2, 3)),
+      (2L, "s", Seq(4, 5)),
+      (3L, "s", Seq(6, 7, 8, 9)),
+      (4L, "t", Seq(11, 12, 13, 14, 15)) // t: 11..15,0 → len-4 + len-2
+    ).toDF("doc_id", "source", "input_ids")
+    val out = DataPrep.trainExamples(docs, "doc_id", "source",
+        exampleLen = 4)
+      .orderBy("source", "example_idx")
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("example_idx"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("first_tok"),
+        r.getAs[Long]("sum_ids")))
+    assert(out.toSeq == Seq(
+      ("s", 0L, 4L, 1L, 6L),   // [1,2,3,0]
+      ("s", 1L, 4L, 4L, 15L),  // [4,5,0,6]
+      ("s", 2L, 4L, 7L, 24L),  // [7,8,9,0]
+      ("t", 0L, 4L, 11L, 50L), // [11,12,13,14]
+      ("t", 1L, 2L, 15L, 15L)  // [15,0] — short tail example
+    ))
+    // partitioning-invariant: the offsets come from a keyed window, not
+    // physical row order
+    val again = DataPrep.trainExamples(docs.repartition(7), "doc_id",
+        "source", exampleLen = 4)
+      .orderBy("source", "example_idx")
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("example_idx"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("first_tok"),
+        r.getAs[Long]("sum_ids")))
+    assert(again.toSeq == out.toSeq)
+  }
 }
