@@ -281,6 +281,13 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Unicode normalization (NFC/NFKC/NFD/NFKD) via the native codegen'd
+    * [[graft.plans.UnicodeNormalizeExpression]] — zero-copy on ASCII and
+    * already-normal inputs. The session must carry GraftExtensions;
+    * callers go through query helpers or operators that register it. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    call_function("unicode_normalize", text, lit(form))
+
   /** Character n-gram shingle set (distinct, lowercased, whitespace
     * normalized) — input to MinHash/Jaccard. */
   /** Kernel: distinct character n-grams of the whitespace-normalized,

@@ -101,6 +101,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.pointInPolygonDescriptor)
     e.injectFunction(GraftExtensions.vecCosineDescriptor)
     e.injectFunction(GraftExtensions.lshSignatureDescriptor)
+    e.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
   }
 }
 
@@ -139,6 +140,24 @@ object GraftExtensions {
       (exprs: Seq[Expression]) =>
         LshSignatureExpression(exprs(0), exprs(1)))
 
+  val unicodeNormalizeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalizeExpression].getName,
+        "unicode_normalize"),
+      (exprs: Seq[Expression]) => {
+        // the form is plan-time metadata, not data: require a literal so
+        // the Form lookup never runs per row
+        val form = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            UnicodeNormalizeExpression.formIndex(v.toString)
+          case _ => throw new IllegalArgumentException(
+            "unicode_normalize(str, form): form must be a string literal")
+        }
+        UnicodeNormalizeExpression(exprs(0), form)
+      })
+
   /** Register into an already-built session (builder extensions only apply
     * to sessions constructed with `withExtensions`; `getOrCreate` on an
     * existing session ignores them). */
@@ -147,7 +166,8 @@ object GraftExtensions {
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     Seq(parsePositionDescriptor, pointInPolygonDescriptor,
-        vecCosineDescriptor, lshSignatureDescriptor).foreach {
+        vecCosineDescriptor, lshSignatureDescriptor,
+        unicodeNormalizeDescriptor).foreach {
       case (id, info, builder) => registry.registerFunction(id, info, builder)
     }
   }

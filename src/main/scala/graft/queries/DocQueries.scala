@@ -308,6 +308,31 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- NFC normalization through the native codegen'd expression,
+    // cross-engine vs DuckDB's utf8proc nfc_normalize (a JDK-vs-ICU
+    // implementation parity gate). The ASCII corpus is invariant under
+    // NFC, so each row is decorated with deterministic DEnormalized
+    // prefixes (combining accents, the Angstrom singleton, a ligature
+    // NFC must preserve) — the same composition in the oracle — making
+    // the gate non-vacuous: post_len < pre_len on every row. ----
+    "q_nfc_normalize" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      // \u escapes, not raw glyphs (an NFC-normalizing editor would
+      // silently recompose them and vacuate the gate): combining acute,
+      // Angstrom-sign singleton, combining diaeresis, fi ligature
+      val deco = concat(
+        lit("Cafe\u0301 \u212B nai\u0308ve \uFB01ne "),
+        substring(col("text"), 1, 40))
+      docsPar(s, d).select(col("doc_id"), deco.as("deco"))
+        .select(
+          col("doc_id"),
+          TextFunctions.unicodeNormalize(col("deco"), "NFC").as("nfc_text"),
+          length(col("deco")).cast("long").as("pre_len"),
+          length(TextFunctions.unicodeNormalize(col("deco"), "NFC"))
+            .cast("long").as("post_len"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: REAL PNG encode → javax.imageio decode → pixel
     // features, oracle-checked against the closed-form fixture spec (the
     // synthetic media are solid-color PNGs whose dimensions and RGB are
@@ -1334,6 +1359,22 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
     "q_ann_lsh" -> annLshOracle,
     "q_lang_quality" -> langQualityOracle,
     "q_curation_funnel" -> curationOracle,
+
+    // same decorated composition as the Spark side (chr codepoints:
+    // 769 = U+0301 combining acute, 8491 = U+212B Angstrom sign,
+    // 776 = U+0308 combining diaeresis, 64257 = U+FB01 fi ligature)
+    "q_nfc_normalize" ->
+      """WITH deco AS (
+        |  SELECT doc_id,
+        |    'Cafe' || chr(769) || ' ' || chr(8491) || ' nai' || chr(776)
+        |      || 've ' || chr(64257) || 'ne ' || substr(text, 1, 40)
+        |      AS deco
+        |  FROM documents
+        |)
+        |SELECT doc_id, nfc_normalize(deco) AS nfc_text,
+        |  CAST(length(deco) AS BIGINT) AS pre_len,
+        |  CAST(length(nfc_normalize(deco)) AS BIGINT) AS post_len
+        |FROM deco ORDER BY doc_id""".stripMargin,
 
     // closed-form twin of Multimodal.syntheticSpec: what the real ImageIO
     // decode must recover from each generated solid-color PNG
