@@ -150,7 +150,8 @@ object Bench {
       "q_dsir", "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_res",
       "q_c4_clean", "q_para_dedup", "q_kmeans_iter", "q_sp_vocab",
       "q_sp_roundtrip", "q_mixture_temperature", "q_corpus_shuffle",
-      "q_train_examples")
+      "q_train_examples", "q_nfc_normalize", "q_token_histogram",
+      "q_epoch_plan")
     warm(extraNames)
     val extraJson = toJson(timed(extraNames))
 

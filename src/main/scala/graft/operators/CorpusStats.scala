@@ -478,4 +478,27 @@ object CorpusStats {
               (col("n_b").cast("double") / col("_n_tok"))))
           * 1000000).cast("long").as("pmi_q6"))
   }
+
+  /** Sequence-length histogram in power-of-two buckets — the standard
+    * corpus profile behind context-length and packing-budget decisions
+    * (how much of the corpus is truncated at 2k/8k/32k, what packing
+    * efficiency a budget buys).
+    *
+    * The bucket is `length(bin(n)) - 1` — the binary-digit count, an
+    * EXACT integer log2 in both engines — rather than `floor(log2(n))`,
+    * whose float rounding at power-of-two boundaries is libm-dependent
+    * and would flake the cross-engine hash compare.
+    *
+    * One narrow token-count pass → two-phase agg on ≤64 bucket keys. */
+  def tokenHistogram(docs: DataFrame, textCol: String): DataFrame = {
+    val n = graft.functions.TextFunctions.tokenCountWs(col(textCol))
+    docs.select(n.as("_n")).where(col("_n") > 0)
+      .select((length(bin(col("_n"))) - 1).cast("long").as("bucket"),
+        col("_n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_n").cast("long").as("total_tokens"),
+        min("_n").cast("long").as("min_tokens"),
+        max("_n").cast("long").as("max_tokens"))
+  }
 }

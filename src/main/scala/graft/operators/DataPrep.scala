@@ -291,6 +291,43 @@ object DataPrep {
         sum(col("col")).cast("long").as("sum_ids"))
   }
 
+  /** Epoch/mixture planning — the LLaMA-style data-recipe table (Touvron
+    * et al. 2023, table 1: per-source sampling proportion + epochs): given
+    * target mixture weights and a total token budget, how many tokens
+    * each source must contribute and how many passes (epochs) over the
+    * available data that implies. Epochs > 1 flags upsampled (repeated)
+    * sources; ≪ 1 means the source is subsampled.
+    *
+    * All-integer arithmetic so the cross-engine compare is exact: weights
+    * arrive as parts-per-million, target_tokens = budget × w_ppm DIV 1e6,
+    * epochs_ppm = target × 1e6 DIV tokens_avail, avail share likewise —
+    * no float division anywhere.
+    *
+    * Plan shape: one narrow token-count pass → two-phase agg to a
+    * group-cardinality-sized frame; the corpus total rides as a bounded
+    * global window over that tiny frame (the [[temperatureSample]]
+    * discipline); weights broadcast-join on the group key. */
+  def epochPlan(docs: DataFrame, groupCol: String, tokens: Column,
+      weightsPpm: Seq[(String, Long)], budgetTokens: Long): DataFrame = {
+    require(weightsPpm.nonEmpty, "weightsPpm must be non-empty")
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val weights = weightsPpm.toDF(groupCol, "w_ppm")
+    docs.select(col(groupCol), tokens.cast("long").as("_n"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_n").cast("long").as("tokens_avail"))
+      .withColumn("_tot", sum("tokens_avail").over(w))
+      .join(broadcast(weights), Seq(groupCol))
+      .select(col(groupCol), col("n_docs"), col("tokens_avail"),
+        expr("tokens_avail * 1000000L DIV _tot").as("avail_share_ppm"),
+        expr(s"${budgetTokens}L * w_ppm DIV 1000000L").as("target_tokens"),
+        expr(s"(${budgetTokens}L * w_ppm DIV 1000000L) * 1000000L " +
+          "DIV tokens_avail").as("epochs_ppm"))
+  }
+
   /** Temperature-based mixture sampling — the multilingual/multi-source
     * rebalancing rule of Raffel et al. 2020 §3.4.3 / Conneau et al. 2020
     * (XLM-R): a group with corpus share p_g is sampled so the OUTPUT

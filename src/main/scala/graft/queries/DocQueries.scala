@@ -760,6 +760,27 @@ object DocQueries {
         .orderBy("rank")
     }),
 
+    // ---- power-of-two sequence-length histogram (context-length /
+    // packing-budget profile): bucket = binary digit count − 1, an exact
+    // integer log2 in both engines (floor(log2(n)) float rounding at
+    // 2^k boundaries is libm-dependent) ----
+    "q_token_histogram" -> ((s, d) => {
+      CorpusStats.tokenHistogram(docsPar(s, d), "text")
+        .orderBy("bucket")
+    }),
+
+    // ---- LLaMA-style epoch/mixture plan: ppm weights × token budget →
+    // per-source target tokens and epochs, all-integer arithmetic ----
+    "q_epoch_plan" -> ((s, d) => {
+      import graft.operators.DataPrep
+      DataPrep.epochPlan(docsPar(s, d), "source",
+          TextFunctions.tokenCountWs(col("text")),
+          weightsPpm = Seq("src0" -> 400000L, "src1" -> 250000L,
+            "src2" -> 150000L, "src3" -> 120000L, "src4" -> 80000L),
+          budgetTokens = 10000000L)
+        .orderBy("source")
+    }),
+
     // ---- adjacent-bigram PMI (collocation mining): quantized ln over
     // exact count ratios, unigram vocab broadcast back twice, corpus
     // totals in-plan ----
@@ -1998,6 +2019,45 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // exact-integer log2 buckets via binary digit count, both engines
+    "q_token_histogram" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |  END AS n FROM documents
+        |)
+        |SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  CAST(min(n) AS BIGINT) AS min_tokens,
+        |  CAST(max(n) AS BIGINT) AS max_tokens
+        |FROM t WHERE n > 0 GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // integer-exact replay of epochPlan: same ppm weights, same DIV tree
+    "q_epoch_plan" ->
+      """WITH t AS (
+        |  SELECT source, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |  END AS n FROM documents
+        |), stats AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS tokens_avail
+        |  FROM t GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(tokens_avail) AS BIGINT) AS tot FROM stats
+        |), w(source, w_ppm) AS (VALUES
+        |  ('src0', CAST(400000 AS BIGINT)), ('src1', CAST(250000 AS BIGINT)),
+        |  ('src2', CAST(150000 AS BIGINT)), ('src3', CAST(120000 AS BIGINT)),
+        |  ('src4', CAST(80000 AS BIGINT))
+        |)
+        |SELECT s.source, s.n_docs, s.tokens_avail,
+        |  s.tokens_avail * 1000000 // tot.tot AS avail_share_ppm,
+        |  10000000 * w.w_ppm // 1000000 AS target_tokens,
+        |  (10000000 * w.w_ppm // 1000000) * 1000000 // s.tokens_avail
+        |    AS epochs_ppm
+        |FROM stats s JOIN w USING (source), tot
+        |ORDER BY source""".stripMargin,
 
     "q_vocab_stats" ->
       """WITH w AS (

@@ -214,6 +214,24 @@ class DataPrepSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("epochPlan: integer-exact targets and epochs; upsampled source " +
+      "shows epochs > 1") {
+    import spark.implicits._
+    // src a: 2 docs × 100 tokens = 200 avail; src b: 1 doc × 800 = 800.
+    // budget 1000, weights a=70%, b=30%: target a=700 (3.5 epochs),
+    // target b=300 (0.375 epochs)
+    val docs = Seq((1L, "a", 100L), (2L, "a", 100L), (3L, "b", 800L))
+      .toDF("doc_id", "source", "n")
+    val out = DataPrep.epochPlan(docs, "source", col("n"),
+        Seq("a" -> 700000L, "b" -> 300000L), budgetTokens = 1000L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 200L, 200000L, 700L, 3500000L),
+      ("b", 1L, 800L, 800000L, 300L, 375000L)))
+  }
+
   test("trainExamples cuts the EOS-joined per-group stream into " +
       "fixed-length examples that cross doc boundaries") {
     import spark.implicits._
