@@ -474,6 +474,99 @@ object CoreQueries {
         .limit(50)
     }),
 
+    // ---- TPC-H Q19 (discounted-revenue, adapted to this schema's
+    // columns: shipmode/shipinstruct/container don't exist, so the
+    // OR-of-conjunctive-bands runs over brand × size × quantity): the
+    // disjunctive-predicate-pushdown shape. The union bounds derivable
+    // from the OR (brand IN set, size ≤ 15, qty ≤ 30) are applied at
+    // the scans explicitly — the constraint-propagation a TPC-H-grade
+    // optimizer derives — so the broadcast join sees pre-shrunk sides
+    // and the OR only arbitrates survivors ----
+    "q_tpch_q19" -> ((s, d) => {
+      val p = part(s, d)
+        .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3") &&
+          col("p_size").between(1, 15))
+        .select("p_partkey", "p_brand", "p_size")
+      val li = lineitem(s, d)
+        .where(col("l_quantity").between(1, 30))
+        .select(col("l_partkey"), col("l_quantity"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long").as("rev_c"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+        .agg((sum("rev_c").cast("double") / 100.0).as("revenue"))
+    }),
+
+    // ---- TPC-H Q21 (suppliers who kept orders waiting, adapted: no
+    // receipt/commit dates in this schema, so "late" = shipped > 60
+    // days after the order date): the exists + not-exists double
+    // correlated self-join shape — a keyed semi-join against any other
+    // supplier on the order, then a keyed anti-join against any OTHER
+    // late supplier, leaving the sole blamable supplier per late
+    // order ----
+    "q_tpch_q21" -> ((s, d) => {
+      val late = col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val li = lineitem(s, d).select("l_orderkey", "l_suppkey",
+        "l_shipdate")
+      val l1 = li
+        .join(orders(s, d).where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(late)
+        .select("l_orderkey", "l_suppkey")
+      val withOther = l1.join(
+        li.select(col("l_orderkey").as("l2_orderkey"),
+          col("l_suppkey").as("l2_suppkey")),
+        col("l2_orderkey") === col("l_orderkey") &&
+          col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      val sole = withOther.join(
+        l1.select(col("l_orderkey").as("l3_orderkey"),
+          col("l_suppkey").as("l3_suppkey")),
+        col("l3_orderkey") === col("l_orderkey") &&
+          col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+      sole
+        .join(broadcast(supplier(s, d)
+          .select("s_suppkey", "s_name", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).where(col("n_name").isin(
+          "NATION_1", "NATION_5", "NATION_9", "NATION_13", "NATION_21"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // ---- TPC-H Q22 (global-sales-opportunity, adapted: no phone
+    // column, so the country code is c_nationkey, and since every
+    // customer here has orders the anti-join is against RECENT orders —
+    // lapsed rich customers): scalar-subquery threshold via integer
+    // cross-multiply (bal·n > Σbal dodges the avg float), broadcast
+    // 1-row total, keyed anti-join ----
+    "q_tpch_q22" -> ((s, d) => {
+      val cust = customer(s, d)
+        .where(col("c_nationkey").isin(0, 3, 7, 12, 17, 21, 24))
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_c"))
+      val pos = cust.where(col("bal_c") > 0)
+        .agg(sum("bal_c").as("_sum_c"), count(lit(1)).as("_n_pos"))
+      cust.crossJoin(broadcast(pos))
+        .where(col("bal_c") * col("_n_pos") > col("_sum_c"))
+        .join(orders(s, d).where(col("o_orderdate") >= "2000-01-01")
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum("bal_c").cast("double") / 100.0).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     // ---- time-RANGE window: trailing 1-hour per-user mean — the
     // interval-frame capability (RANGE BETWEEN x PRECEDING) that row
     // frames can't express on irregular event times ----
@@ -982,6 +1075,65 @@ object CoreQueries {
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         |ORDER BY total_qty DESC, l_orderkey
         |LIMIT 50""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |    * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11) OR
+        |  (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20) OR
+        |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+
+    // "late" adapted as shipped > order date + 60 days (no
+    // receipt/commit dates in this schema)
+    "q_tpch_q21" ->
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9', 'NATION_13',
+        |    'NATION_21')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+
+    // threshold via integer cross-multiply (bal·n > Σbal), cents exact
+    "q_tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        |  FROM customer
+        |  WHERE c_nationkey IN (0, 3, 7, 12, 17, 21, 24)
+        |), pos AS (
+        |  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+        |    CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM cust WHERE bal_c > 0
+        |)
+        |SELECT c_nationkey AS cntrycode,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM cust, pos
+        |WHERE bal_c * n_pos > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY cntrycode""".stripMargin,
 
     "q_range_window" ->
       """SELECT event_id, user_id,
