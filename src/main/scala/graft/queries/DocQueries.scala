@@ -760,6 +760,30 @@ object DocQueries {
         .orderBy("rank")
     }),
 
+    // ---- HyperLogLog distinct-count: the WHOLE sketch (bucketing, rank,
+    // register max-merge, harmonic estimator, linear-counting fallback)
+    // replays in SQL on the portable md5 hash — two scopes exercise both
+    // estimator branches: words (high cardinality, raw branch) and
+    // source (small-cardinality linear-counting branch) and lineitem
+    // line keys (~60k distinct at the gate SF: every bucket hit, raw
+    // harmonic-mean branch) ----
+    "q_hll_distinct" -> ((s, d) => {
+      import graft.operators.Hll
+      val docs = docsPar(s, d)
+      val words = docs.select(
+        explode(split(lower(trim(col("text"))), "\\s+")).as("k"))
+      val lines = graft.Tables.lineitem(s, d).select(
+        (col("l_orderkey") * 10 + col("l_linenumber"))
+          .cast("string").as("k"))
+      Hll.estimate(words, col("k")).withColumn("scope", lit("words"))
+        .unionByName(Hll.estimate(docs, col("source"))
+          .withColumn("scope", lit("source")))
+        .unionByName(Hll.estimate(lines, col("k"))
+          .withColumn("scope", lit("lineitem")))
+        .select("scope", "n_present", "s_scaled", "est_raw_q", "est_q")
+        .orderBy("scope")
+    }),
+
     // ---- power-of-two sequence-length histogram (context-length /
     // packing-budget profile): bucket = binary digit count − 1, an exact
     // integer log2 in both engines (floor(log2(n)) float rounding at
@@ -2019,6 +2043,48 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // full HLL replay: 2^45-scaled exact-integer registers, one shared
+    // double literal for α·m²·2^45, identical estimator trees
+    "q_hll_distinct" ->
+      """WITH keys AS (
+        |  SELECT 'words' AS scope,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS k
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source' AS scope, source AS k FROM documents
+        |  UNION ALL
+        |  SELECT 'lineitem' AS scope,
+        |    CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS k
+        |  FROM lineitem
+        |), h AS (
+        |  SELECT scope,
+        |    CAST(md5_number_upper(k) % 72057594037927936 AS BIGINT) AS h
+        |  FROM keys
+        |), regs AS (
+        |  SELECT scope, h // 17592186044416 AS bucket,
+        |    min(CASE WHEN h % 17592186044416 = 0 THEN 0
+        |      ELSE length(bin(h % 17592186044416)) END) AS min_len
+        |  FROM h GROUP BY scope, bucket
+        |), agg AS (
+        |  SELECT scope, CAST(count(*) AS BIGINT) AS n_present,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(min_len AS INT))
+        |        AS BIGINT)
+        |      + (4096 - CAST(count(*) AS BIGINT)) * 35184372088832
+        |      AS s_scaled
+        |  FROM regs GROUP BY scope
+        |)
+        |SELECT scope, n_present, s_scaled,
+        |  CAST(floor(4.2566823519294213e20 / CAST(s_scaled AS DOUBLE))
+        |    AS BIGINT) AS est_raw_q,
+        |  CAST(floor(CASE
+        |    WHEN 4.2566823519294213e20 / CAST(s_scaled AS DOUBLE)
+        |        <= 10240.0 AND n_present < 4096
+        |      THEN 4096.0 * ln(4096.0 /
+        |        CAST(4096 - n_present AS DOUBLE))
+        |    ELSE 4.2566823519294213e20 / CAST(s_scaled AS DOUBLE)
+        |  END) AS BIGINT) AS est_q
+        |FROM agg ORDER BY scope""".stripMargin,
 
     // exact-integer log2 buckets via binary digit count, both engines
     "q_token_histogram" ->
