@@ -55,10 +55,16 @@ object Hll {
   /** One-row estimate frame: (n_present, s_scaled, est_raw_q, est_q) —
     * the exact integer register summary plus the floor-quantized raw and
     * final (linear-counting-corrected) estimates. */
-  def estimate(df: DataFrame, key: Column): DataFrame = {
+  def estimate(df: DataFrame, key: Column): DataFrame =
+    estimateFromRegisters(registers(df, key))
+
+  /** Estimate from ANY register frame — a batch sketch, a merged union
+    * of shard sketches, or a snapshot of
+    * [[graft.streaming.StreamingHll]]'s continuously-maintained state. */
+  def estimateFromRegisters(regs: DataFrame): DataFrame = {
     val s = sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(min_len AS INT))"))
       .cast("long")
-    registers(df, key)
+    regs
       .agg(count(lit(1)).as("n_present"), s.as("_s_present"))
       .select(col("n_present"),
         (col("_s_present") + (lit(M.toLong) - col("n_present"))

@@ -760,6 +760,27 @@ object DocQueries {
         .orderBy("rank")
     }),
 
+    // ---- blocked fuzzy self-join (record linkage): md5-hex fixture
+    // names (distinct keys are ~30 edits apart; injected deletion /
+    // double-substitution variants are 1-2) so the found pairs are
+    // exactly the planted typos; prefix blocks keep the join block-local
+    // quadratic, the q_jaccard_pairs contract ----
+    "q_fuzzy_pairs" -> ((s, d) => {
+      import graft.operators.FuzzyJoin
+      val base = graft.Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("rec_id"),
+          md5(col("c_custkey").cast("string")).as("name"))
+      val dels = base.where(col("rec_id") % 7 === 0)
+        .select((col("rec_id") + 1000000L).as("rec_id"),
+          substring(col("name"), 1, 31).as("name"))
+      val subs = base.where(col("rec_id") % 13 === 0)
+        .select((col("rec_id") + 2000000L).as("rec_id"),
+          concat(substring(col("name"), 1, 30), lit("zz")).as("name"))
+      FuzzyJoin.selfPairs(
+          base.unionByName(dels).unionByName(subs), "rec_id", "name")
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- HyperLogLog distinct-count: the WHOLE sketch (bucketing, rank,
     // register max-merge, harmonic estimator, linear-counting fallback)
     // replays in SQL on the portable md5 hash — two scopes exercise both
@@ -2043,6 +2064,32 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // same fixture, same block/verify pipeline in SQL
+    "q_fuzzy_pairs" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS rec_id,
+        |    md5(CAST(c_custkey AS VARCHAR)) AS name
+        |  FROM customer
+        |), all_recs AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT rec_id + 1000000, substr(name, 1, 31)
+        |  FROM base WHERE rec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT rec_id + 2000000, substr(name, 1, 30) || 'zz'
+        |  FROM base WHERE rec_id % 13 = 0
+        |), sides AS (
+        |  SELECT rec_id, name, lower(substr(name, 1, 4)) AS blk,
+        |    length(name) AS len
+        |  FROM all_recs
+        |)
+        |SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM sides a JOIN sides b ON a.blk = b.blk
+        |WHERE a.rec_id < b.rec_id AND abs(a.len - b.len) <= 2
+        |  AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // full HLL replay: 2^45-scaled exact-integer registers, one shared
     // double literal for α·m²·2^45, identical estimator trees
