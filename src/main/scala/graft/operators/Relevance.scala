@@ -38,6 +38,37 @@ object Relevance {
     tf.join(broadcast(df), Seq("term"))
   }
 
+  /** Inverted-index build — the IR primitive under [[bm25]]: per term,
+    * document frequency, total term frequency, and the first `k` posting
+    * doc ids (sorted) as a bounded preview column.
+    *
+    * Scale shape: explode → (term, doc) two-phase agg → per-term stats
+    * agg, all keyed shuffles. The preview postings go through a
+    * `row_number ≤ k` window that Spark rewrites to WindowGroupLimit
+    * (per-task top-k state, the q_stratified_sample mechanism) — NOT a
+    * collect-everything-then-slice, so per-term state is k rows even for
+    * stopword-grade terms. Materializing FULL posting lists is a sink
+    * concern (the output there is corpus-sized by definition); this
+    * operator returns the index STATS plus the bounded heads that
+    * queries and oracles can compare exactly. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("tf_total"))
+    val heads = tf
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("term").orderBy("doc_id")))
+      .where(col("_rk") <= k)
+      .groupBy("term")
+      .agg(array_join(sort_array(collect_list("doc_id")), ",")
+        .as("postings_head"))
+    stats.join(heads, Seq("term"))
+  }
+
   /** Okapi BM25 scores of `queryTerms` against every document: returns
     * (doc_id, n_terms_hit, score) for documents matching ≥ 1 term.
     *

@@ -760,6 +760,15 @@ object DocQueries {
         .orderBy("rank")
     }),
 
+    // ---- inverted-index build (the IR primitive under BM25): per-term
+    // df / total tf / bounded sorted postings head via a WindowGroupLimit
+    // top-k, never collect-then-slice ----
+    "q_inverted_index" -> ((s, d) => {
+      import graft.operators.Relevance
+      Relevance.invertedIndex(docsPar(s, d), "doc_id", "text", k = 10)
+        .orderBy("term")
+    }),
+
     // ---- blocked fuzzy self-join (record linkage): md5-hex fixture
     // names (distinct keys are ~30 edits apart; injected deletion /
     // double-substitution variants are 1-2) so the found pairs are
@@ -2064,6 +2073,22 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // same tokenizer twin as bm25Oracle; list-slice == top-k heads
+    "q_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |    AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+        |)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS tf_total,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',')
+        |    AS postings_head
+        |FROM tf GROUP BY term ORDER BY term""".stripMargin,
 
     // same fixture, same block/verify pipeline in SQL
     "q_fuzzy_pairs" ->
