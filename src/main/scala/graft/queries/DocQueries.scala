@@ -814,6 +814,26 @@ object DocQueries {
         .orderBy("scope")
     }),
 
+    // ---- count-min frequency sketch (Cormode & Muthukrishnan): the
+    // register file built from ONE corpus word-count pass (weighted
+    // build == unit build, CmsSpec-pinned), probe = every word with
+    // exact count >= 50; est_n >= exact_n is the CMS one-sided
+    // guarantee and every value is exact-integer cross-engine ----
+    "q_cms" -> ((s, d) => {
+      import graft.operators.Cms
+      val counts = docsPar(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("k"))
+        .where(length(col("k")) > 0)
+        .groupBy("k").agg(count(lit(1)).as("exact_n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val regs = Cms.registersWeighted(counts, col("k"), col("exact_n"))
+      val probe = counts.where(col("exact_n") >= 50)
+      Cms.estimates(regs, probe.select("k"), "k")
+        .join(probe, Seq("k"))
+        .select(col("k").as("word"), col("exact_n"), col("est_n"))
+        .orderBy("word")
+    }),
+
     // ---- power-of-two sequence-length histogram (context-length /
     // packing-budget profile): bucket = binary digit count − 1, an exact
     // integer log2 in both engines (floor(log2(n)) float rounding at
@@ -2157,6 +2177,29 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |    ELSE 4.2566823519294213e20 / CAST(s_scaled AS DOUBLE)
         |  END) AS BIGINT) AS est_q
         |FROM agg ORDER BY scope""".stripMargin,
+
+    // full CMS replay: same depth-salted md5 addressing, integer sums,
+    // min-over-depths probe — every column exact cross-engine
+    "q_cms" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS exact_n FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS k FROM documents
+        |  ) WHERE length(k) > 0 GROUP BY k
+        |), hh AS MATERIALIZED (
+        |  SELECT k, exact_n, CAST(d.range AS INT) AS depth,
+        |    CAST(md5_number_upper(CAST(d.range AS VARCHAR) || '|' || k)
+        |      % 72057594037927936 AS BIGINT) % 1024 AS bucket
+        |  FROM w CROSS JOIN range(4) d
+        |), regs AS (
+        |  SELECT depth, bucket, CAST(sum(exact_n) AS BIGINT) AS n
+        |  FROM hh GROUP BY 1, 2
+        |)
+        |SELECT hh.k AS word, CAST(min(hh.exact_n) AS BIGINT) AS exact_n,
+        |  CAST(min(r.n) AS BIGINT) AS est_n
+        |FROM hh JOIN regs r USING (depth, bucket)
+        |WHERE hh.exact_n >= 50
+        |GROUP BY hh.k ORDER BY word""".stripMargin,
 
     // exact-integer log2 buckets via binary digit count, both engines
     "q_token_histogram" ->
