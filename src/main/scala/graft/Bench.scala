@@ -151,7 +151,8 @@ object Bench {
       "q_c4_clean", "q_para_dedup", "q_kmeans_iter", "q_sp_vocab",
       "q_sp_roundtrip", "q_mixture_temperature", "q_corpus_shuffle",
       "q_train_examples", "q_nfc_normalize", "q_token_histogram",
-      "q_epoch_plan", "q_hll_distinct", "q_cms", "q_fuzzy_pairs",
+      "q_epoch_plan", "q_hll_distinct", "q_cms", "q_bloom",
+      "q_fuzzy_pairs",
       "q_inverted_index",
       "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
       "q_tpch_q10", "q_tpch_q14", "q_tpch_q18", "q_tpch_q19",

@@ -77,6 +77,29 @@ object CoreQueries {
         .orderBy("n_name")
     }),
 
+    // ---- declarative bloom-filter membership: the filter is a bit
+    // TABLE (word_idx, word) built over orders.o_custkey with
+    // depth-salted portable hashes, probed by every customer key; the
+    // exact semi-join twin sits beside it so the no-false-negative
+    // guarantee (has_orders ⇒ in_bloom) is visible in the output and
+    // the few false positives are data, not error ----
+    "q_bloom" -> ((s, d) => {
+      import graft.operators.Bloom
+      val cust = customer(s, d)
+        .select(col("c_custkey").cast("long").as("c_custkey"))
+      val filt = Bloom.build(orders(s, d), col("o_custkey"))
+      val withOrders = orders(s, d)
+        .select(col("o_custkey").cast("long").as("c_custkey")).distinct()
+        .withColumn("has_orders", lit(true))
+      Bloom.mightContain(filt, cust, "c_custkey")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("in_bloom"))
+        .join(withOrders, Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("in_bloom"),
+          coalesce(col("has_orders"), lit(false)).as("has_orders"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- J2 interval join (point-in-range, per key): the reference's
     // label recombine join (02.1.2_...label_recombine.py:358-398) shape,
     // expressed on orders×lineitem: ship within 90 days of order date.
@@ -774,6 +797,39 @@ object CoreQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_suppkey = s_suppkey AND l_quantity > 25)
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // full bloom replay: same depth-salted addressing, 32-bit words in
+    // BIGINTs via bit_or, min-over-depths membership; exact twin EXISTS
+    "q_bloom" ->
+      """WITH addr AS MATERIALIZED (
+        |  SELECT CAST(d.range AS INT) AS depth,
+        |    CAST(md5_number_upper(CAST(d.range AS VARCHAR) || '|'
+        |        || CAST(o_custkey AS VARCHAR))
+        |      % 72057594037927936 AS BIGINT) % 65536 AS bit
+        |  FROM orders CROSS JOIN range(4) d
+        |), filt AS MATERIALIZED (
+        |  SELECT bit // 32 AS word_idx,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS word
+        |  FROM addr GROUP BY 1
+        |), paddr AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |    CAST(md5_number_upper(CAST(d.range AS VARCHAR) || '|'
+        |        || CAST(c_custkey AS VARCHAR))
+        |      % 72057594037927936 AS BIGINT) % 65536 AS bit
+        |  FROM customer CROSS JOIN range(4) d
+        |), pm AS (
+        |  SELECT c_custkey,
+        |    bool_and((coalesce(word, 0)
+        |      & (CAST(1 AS BIGINT) << CAST(bit % 32 AS INT))) <> 0)
+        |      AS in_bloom
+        |  FROM (SELECT c_custkey, bit, bit // 32 AS word_idx FROM paddr) p
+        |  LEFT JOIN filt USING (word_idx)
+        |  GROUP BY c_custkey
+        |)
+        |SELECT pm.c_custkey, pm.in_bloom,
+        |  EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = pm.c_custkey)
+        |    AS has_orders
+        |FROM pm ORDER BY c_custkey""".stripMargin,
 
     "q_interval_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
