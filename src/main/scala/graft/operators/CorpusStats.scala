@@ -479,6 +479,62 @@ object CorpusStats {
           * 1000000).cast("long").as("pmi_q6"))
   }
 
+  /** Per-slice unigram KL divergence and cross-entropy against the REST
+    * of the corpus — the distribution-shift profile behind mixture
+    * decisions (which sources look alike, which are outliers) and the
+    * information-theoretic sibling of [[graft.operators.DataPrep]]'s
+    * DSIR importance weights (Xie et al. score documents by exactly this
+    * kind of source-vs-target likelihood ratio).
+    *
+    * For slice s with the rest of the corpus r, over the JOINT vocab V
+    * with add-one smoothing: P(w) = (c_s(w)+1)/(N_s+V), Q(w) =
+    * (c_r(w)+1)/(N_r+V); KL(P‖Q) = Σ_w P·ln(P/Q) ≥ 0 and H(P,Q) =
+    * −Σ_w P·ln Q. Per-word contributions are floor-quantized at 1e9
+    * (exact-integer counts → identical IEEE quotients → identical ln →
+    * identical floor — the [[unigramLogProb]] discipline), so the sums
+    * commute and compare bit-for-bit cross-engine.
+    *
+    * Plan: ONE corpus-sized (slice, word) agg with map-side combine;
+    * everything after is vocab-sized — global word counts and per-slice
+    * totals derive from the persisted count table, the dense slice ×
+    * vocab grid is a broadcast cross of the (tiny) totals frame onto the
+    * vocab, and scalar totals ride in-plan as 1-row broadcasts. */
+  def unigramDivergence(docs: DataFrame, sliceCol: String,
+      textCol: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val counts = docs
+      .select(col(sliceCol).as("slice"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("slice", "word").agg(count(lit(1)).as("n_sw"))
+      .persist(lvl)
+    val vocab = counts.groupBy("word").agg(sum("n_sw").as("n_w"))
+    val totals = counts.groupBy("slice").agg(sum("n_sw").as("n_s"))
+    val scalars = vocab.agg(sum("n_w").as("_n_tok"),
+      count(lit(1)).as("_v"))
+    // dense slice × vocab grid: smoothing gives every joint-vocab word
+    // mass in every slice, including words the slice never uses
+    val p = col("_cp").cast("double") / col("_np")
+    val q = col("_cq").cast("double") / col("_nq")
+    vocab.crossJoin(broadcast(totals))
+      .join(counts, Seq("slice", "word"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("slice"), col("n_s"),
+        (coalesce(col("n_sw"), lit(0L)) + 1).as("_cp"),
+        (col("n_s") + col("_v")).as("_np"),
+        (col("n_w") - coalesce(col("n_sw"), lit(0L)) + 1).as("_cq"),
+        (col("_n_tok") - col("n_s") + col("_v")).as("_nq"))
+      .select(col("slice"), col("n_s"),
+        floor(p * log(p / q) * 1e9).cast("long").as("_kl_c"),
+        floor(-p * log(q) * 1e9).cast("long").as("_ce_c"))
+      .groupBy("slice")
+      .agg(min("n_s").as("n_tokens"),
+        sum("_kl_c").as("kl_q9"), sum("_ce_c").as("ce_q9"))
+      .select(col("slice"), col("n_tokens"), col("kl_q9"), col("ce_q9"),
+        (col("kl_q9").cast("double") / 1e9).as("kl"),
+        (col("ce_q9").cast("double") / 1e9).as("cross_entropy"))
+  }
+
   /** Sequence-length histogram in power-of-two buckets — the standard
     * corpus profile behind context-length and packing-budget decisions
     * (how much of the corpus is truncated at 2k/8k/32k, what packing

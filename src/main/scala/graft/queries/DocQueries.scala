@@ -814,6 +814,16 @@ object DocQueries {
         .orderBy("scope")
     }),
 
+    // ---- per-source unigram KL divergence + cross-entropy vs the rest
+    // of the corpus (distribution-shift profile for mixture decisions,
+    // the information-theoretic sibling of DSIR): add-one smoothing
+    // over the joint vocab, per-word contributions floor-quantized at
+    // 1e9 so the sums commute and compare bit-for-bit ----
+    "q_kl_divergence" -> ((s, d) => {
+      CorpusStats.unigramDivergence(docsPar(s, d), "source", "text")
+        .orderBy("slice")
+    }),
+
     // ---- count-min frequency sketch (Cormode & Muthukrishnan): the
     // register file built from ONE corpus word-count pass (weighted
     // build == unit build, CmsSpec-pinned), probe = every word with
@@ -2177,6 +2187,45 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |    ELSE 4.2566823519294213e20 / CAST(s_scaled AS DOUBLE)
         |  END) AS BIGINT) AS est_q
         |FROM agg ORDER BY scope""".stripMargin,
+
+    // op-for-op replay of unigramDivergence: same smoothing quotients,
+    // same ln trees, same 1e9 floor-quantized contributions
+    "q_kl_divergence" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT slice, word, CAST(count(*) AS BIGINT) AS n_sw FROM (
+        |    SELECT source AS slice,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents
+        |  ) WHERE length(word) > 0 GROUP BY 1, 2
+        |), v AS MATERIALIZED (
+        |  SELECT word, CAST(sum(n_sw) AS BIGINT) AS n_w FROM c GROUP BY 1
+        |), t AS MATERIALIZED (
+        |  SELECT slice, CAST(sum(n_sw) AS BIGINT) AS n_s FROM c GROUP BY 1
+        |), sc AS (
+        |  SELECT CAST(sum(n_w) AS BIGINT) AS n_tok,
+        |    CAST(count(*) AS BIGINT) AS vv FROM v
+        |), grid AS (
+        |  SELECT t.slice, t.n_s, v.n_w,
+        |    coalesce(c.n_sw, 0) + 1 AS cp, t.n_s + sc.vv AS np,
+        |    v.n_w - coalesce(c.n_sw, 0) + 1 AS cq,
+        |    sc.n_tok - t.n_s + sc.vv AS nq
+        |  FROM v CROSS JOIN t CROSS JOIN sc
+        |  LEFT JOIN c ON c.slice = t.slice AND c.word = v.word
+        |), contrib AS (
+        |  SELECT slice, n_s,
+        |    CAST(floor(CAST(cp AS DOUBLE) / np
+        |      * ln((CAST(cp AS DOUBLE) / np) / (CAST(cq AS DOUBLE) / nq))
+        |      * 1e9) AS BIGINT) AS kl_c,
+        |    CAST(floor(-(CAST(cp AS DOUBLE) / np)
+        |      * ln(CAST(cq AS DOUBLE) / nq) * 1e9) AS BIGINT) AS ce_c
+        |  FROM grid
+        |)
+        |SELECT slice, min(n_s) AS n_tokens,
+        |  CAST(sum(kl_c) AS BIGINT) AS kl_q9,
+        |  CAST(sum(ce_c) AS BIGINT) AS ce_q9,
+        |  CAST(sum(kl_c) AS DOUBLE) / 1e9 AS kl,
+        |  CAST(sum(ce_c) AS DOUBLE) / 1e9 AS cross_entropy
+        |FROM contrib GROUP BY slice ORDER BY slice""".stripMargin,
 
     // full CMS replay: same depth-salted md5 addressing, integer sums,
     // min-over-depths probe — every column exact cross-engine
