@@ -105,7 +105,9 @@ object Curation {
     *   - no curly bracket anywhere.
     * (The paper's fourth page rule — a bad-words blocklist — is the
     * caller's `pageBlockPhrases`; the default carries only the paper's
-    * own two phrases, no external word list ships with the library.)
+    * own phrases — "lorem ipsum" plus BOTH braces, so "no curly bracket
+    * anywhere" holds for '}' too — no external word list ships with the
+    * library.)
     *
     * Scale shape: one narrow per-row pass of codegen HOFs (split /
     * filter / array_join) — no shuffle, no UDF; at 100 TB this is
@@ -113,7 +115,8 @@ object Curation {
     * stage is telemetry sentinels); slots before [[curate]]'s filters. */
   def c4LineClean(docs: DataFrame, idCol: String, textCol: String,
       minWordsPerLine: Int = 3, minLinesPerPage: Int = 5,
-      pageBlockPhrases: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+      pageBlockPhrases: Seq[String] = Seq("lorem ipsum", "{", "}"))
+      : DataFrame = {
     val lines = split(col(textCol), "\n")
     val kept = filter(lines, l =>
       (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||

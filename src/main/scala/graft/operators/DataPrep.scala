@@ -310,6 +310,12 @@ object DataPrep {
   def epochPlan(docs: DataFrame, groupCol: String, tokens: Column,
       weightsPpm: Seq[(String, Long)], budgetTokens: Long): DataFrame = {
     require(weightsPpm.nonEmpty, "weightsPpm must be non-empty")
+    // budget × w_ppm is computed before the DIV (exactness over Long),
+    // so the product must not wrap: cap the budget at MaxValue/1e6
+    // (~9.2e12 tokens) and fail loudly rather than silently overflow.
+    require(budgetTokens >= 0 && budgetTokens <= Long.MaxValue / 1000000L,
+      s"budgetTokens must be in [0, ${Long.MaxValue / 1000000L}] " +
+        "(budget*1e6 must not overflow Long); got " + budgetTokens)
     val s = docs.sparkSession
     import s.implicits._
     val w = Window.partitionBy().rowsBetween(

@@ -557,22 +557,28 @@ object Dedup {
     // compact key table: (doc, idx, hash) — 20 bytes/line. The argmin's
     // output IS the keep-set — (hash, keep_doc, keep_idx) — so no join
     // back to the line table is needed; regroup it by doc directly.
-    val lines = docs
+    // The line array is split ONCE into `_lns` and indexed thereafter —
+    // split(textCol) inside the rebuild lambda would re-split the whole
+    // doc per kept line (the corpus-sized-subtree-per-element HOF trap,
+    // see stripExactSubstrSpans).
+    val withLns =
+      docs.select(col(idCol), split(col(textCol), "\n").as("_lns"))
+    val lines = withLns
       .select(col(idCol).as("_doc"),
-        posexplode(split(col(textCol), "\n")).as(Seq("_idx", "_line")))
+        posexplode(col("_lns")).as(Seq("_idx", "_line")))
       .select(col("_doc"), col("_idx"), xxhash64(col("_line")).as("_h"))
     val keptIdx = lines.groupBy("_h")
       .agg(min_by(struct(col("_doc"), col("_idx")),
         struct(col("_doc"), col("_idx"))).as("_k"))
       .groupBy(col("_k._doc").as(idCol))
       .agg(sort_array(collect_list(col("_k._idx"))).as("_keep"))
-    docs.join(keptIdx, Seq(idCol), "left")
+    withLns.join(keptIdx, Seq(idCol), "left")
       .select(col(idCol),
-        size(split(col(textCol), "\n")).cast("long").as("n_lines"),
+        size(col("_lns")).cast("long").as("n_lines"),
         coalesce(size(col("_keep")), lit(0)).cast("long")
           .as("n_kept_lines"),
         array_join(transform(coalesce(col("_keep"), lit(Array.emptyIntArray)),
-          i => element_at(split(col(textCol), "\n"), i + 1)), "\n")
+          i => element_at(col("_lns"), i + 1)), "\n")
           .as("cleaned_text"))
   }
 

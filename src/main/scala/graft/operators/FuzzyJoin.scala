@@ -33,12 +33,17 @@ object FuzzyJoin {
         col(strCol).as(s"s_$tag"),
         lower(substring(col(strCol), 1, blockPrefix)).as("blk"),
         length(col(strCol)).as(s"len_$tag"))
+    // the O(n·m) distance is computed ONCE after the cheap id/length
+    // pruning and the filter reads that column — a levenshtein call in
+    // both the join filter and the projection sits in separate operators
+    // where codegen cannot share the work.
     side("a").join(side("b"),
         Seq("blk"))
       .where(col("id_a") < col("id_b") &&
-        abs(col("len_a") - col("len_b")) <= maxDist &&
-        levenshtein(col("s_a"), col("s_b")) <= maxDist)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

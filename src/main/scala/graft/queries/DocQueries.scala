@@ -2634,10 +2634,12 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
          |  CAST(len(lines) AS BIGINT) AS n_lines,
          |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
          |  (len(kept) >= 5 AND NOT contains(lower(page), 'lorem ipsum')
-         |     AND NOT contains(page, '{')) AS page_kept,
+         |     AND NOT contains(page, '{')
+         |     AND NOT contains(page, '}')) AS page_kept,
          |  CASE WHEN len(kept) >= 5
          |        AND NOT contains(lower(page), 'lorem ipsum')
          |        AND NOT contains(page, '{')
+         |        AND NOT contains(page, '}')
          |       THEN array_to_string(kept, chr(10)) ELSE '' END
          |    AS cleaned_text
          |FROM k ORDER BY doc_id""".stripMargin),

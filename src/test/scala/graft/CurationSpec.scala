@@ -94,8 +94,9 @@ class CurationSpec extends AnyFunSuite {
       .mkString("\n")
     val loremPage = goodPage + "\nsome lorem ipsum filler appears here."
     val bracePage = goodPage + "\nvar config = { x } ends the page."
+    val closeBracePage = goodPage + "\na stray } appears on this page."
     val docs = Seq((1L, goodPage), (2L, fourLinePage), (3L, loremPage),
-      (4L, bracePage)).toDF("doc_id", "text")
+      (4L, bracePage), (5L, closeBracePage)).toDF("doc_id", "text")
     val r = Curation.c4LineClean(docs, "doc_id", "text")
       .collect().map(x => x.getLong(0) ->
         (x.getLong(1), x.getLong(2), x.getBoolean(3), x.getString(4)))
@@ -108,6 +109,7 @@ class CurationSpec extends AnyFunSuite {
     assert(!r(2L)._3 && r(2L)._2 == 4)   // below min surviving lines
     assert(!r(3L)._3 && r(3L)._4 == "")  // lorem ipsum page rule
     assert(!r(4L)._3)                    // curly-bracket page rule
+    assert(!r(5L)._3)                    // '}' alone also blocks the page
   }
 
   test("lineDedup keeps only the (min doc, min idx) copy of each line") {

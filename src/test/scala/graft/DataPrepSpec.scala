@@ -230,6 +230,14 @@ class DataPrepSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       ("a", 2L, 200L, 200000L, 700L, 3500000L),
       ("b", 1L, 800L, 800000L, 300L, 375000L)))
+    // budget × 1e6 beyond Long wraps silently in the DIV tree — the
+    // operator must refuse it loudly instead
+    val tooBig = Long.MaxValue / 1000000L + 1
+    val ex = intercept[IllegalArgumentException] {
+      DataPrep.epochPlan(docs, "source", col("n"),
+        Seq("a" -> 1000000L), budgetTokens = tooBig)
+    }
+    assert(ex.getMessage.contains("overflow"))
   }
 
   test("trainExamples cuts the EOS-joined per-group stream into " +
