@@ -5,22 +5,51 @@ import org.apache.spark.sql.functions._
 
 /** Plan-inspection utility: `runMain graft.Explain <sfDir> [query...]`
   * prints the formatted physical plan per query (checking pushdown /
-  * broadcast / codegen spans), or with `-t` also times each stage of the
-  * minhash pipeline for profiling.
+  * broadcast / codegen spans); `-minhash` times each stage of the
+  * minhash pipeline; `-time <sfDir> [query...]` times each query
+  * (bench-identical noop sink, min of 3 after a small-SF warm pass) at
+  * local[32] — the profiling twin of Bench's extras block.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSeq else Seq("q1_agg")
+    val timing = args.headOption.contains("-time")
+    val rest = if (timing) args.tail else args
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (rest.length > 1) rest.tail.toSeq else Seq("q1_agg")
+    val cores = if (timing) 32 else 8
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     if (names == Seq("-minhash")) { minhashBreakdown(spark, sfDir); return }
+
+    if (timing) {
+      val qs = SparkEntry.queries
+      names.filter(qs.contains).foreach { n =>
+        try {
+          qs(n)(spark, "/root/testdata/sf0.001")
+            .write.format("noop").mode("overwrite").save()
+          spark.catalog.clearCache()
+          val runs = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            sec
+          }
+          println(f"[time] $n min=${runs.min}%.3f reps=" +
+            runs.map(x => f"$x%.3f").mkString(","))
+        } catch { case e: Throwable =>
+          println(s"[time] $n FAILED: ${e.getMessage}")
+        }
+      }
+      spark.stop(); return
+    }
 
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -35,29 +35,41 @@ object Bloom {
   val K = 4
   val MBits = 65536 // 2048 32-bit words; ~1% fpp at n ≈ 8k keys
 
-  /** The K (word_idx, bit-in-word) addresses of one key — ONE shared
-    * helper for build and probe so the two can never disagree on
-    * addressing. The mask is derived by the caller (`shiftleft` needs a
-    * column shift, which the SQL form provides). */
-  private def wordAndBit(key: Column, k: Int, mBits: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => {
-        val bit = Hashing.md5Long56(concat(i.cast("string"), lit("|"),
-          key)) % mBits
-        // shiftright, not `/`: Column division is DOUBLE division
-        struct(shiftright(bit, 5).as("word_idx"),
-          (bit % 32).cast("int").as("bit"))
-      })
+  /** The bit address of one (depth, key) pair — ONE shared helper for
+    * build and probe so the two can never disagree on addressing.
+    *
+    * Deliberately a FLAT column over an already-exploded depth, not a
+    * `transform(sequence(...))` array: higher-order-function lambdas are
+    * evaluated interpreted (no whole-stage codegen, no common-
+    * subexpression elimination), so the md5 inside [[Hashing.md5Long56]]
+    * — whose hex-to-long rebuild references it 7 times — would run ~14×
+    * per address. In a codegen'd Project, CSE collapses it to one
+    * evaluation (measured 5× on the q_bloom build+probe). */
+  private def bitAddress(depth: Column, key: Column, mBits: Int): Column =
+    Hashing.md5Long56(concat(depth.cast("string"), lit("|"), key)) % mBits
+
+  /** (word_idx, _mask) rows: K per input row, one per depth salt.
+    * shiftright, not `/`: Column division is DOUBLE division. */
+  private def addresses(df: DataFrame, key: Column, k: Int,
+      mBits: Int, carry: Seq[Column]): DataFrame =
+    // K-way explode + md5 per address multiplies per-row work; a small
+    // single-split scan (one task) would serialize all of it, so spread
+    // the pre-explode rows first (no-op when the scan already has
+    // >= defaultParallelism splits, the cluster case)
+    graft.Tables.ensureParallelism(df)
+      .select(carry :+ key.cast("string").as("_key") :+
+        explode(sequence(lit(0), lit(k - 1))).as("_d"): _*)
+      .withColumn("_bit", bitAddress(col("_d"), col("_key"), mBits))
+      .select(carry :+ shiftright(col("_bit"), 5).as("word_idx") :+
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 32 AS INT))")
+          .as("_mask"): _*)
 
   /** Build the filter table (word_idx, word) from `df`'s `key` column.
     * Only set words appear; an absent word_idx is an all-zero word.
     * Inserts are idempotent (OR), so the input needs no distinct. */
   def build(df: DataFrame, key: Column, k: Int = K,
       mBits: Int = MBits): DataFrame =
-    df.select(explode(wordAndBit(key.cast("string"), k, mBits)).as("p"))
-      .select(col("p.word_idx").as("word_idx"), col("p.bit").as("_bit"))
-      .select(col("word_idx"),
-        expr("shiftleft(CAST(1 AS BIGINT), _bit)").as("_mask"))
+    addresses(df, key, k, mBits, Seq.empty)
       .groupBy("word_idx")
       .agg(bit_or(col("_mask")).as("word"))
 
@@ -73,13 +85,8 @@ object Bloom {
     * must share (k, mBits). */
   def mightContain(filter: DataFrame, keys: DataFrame, keyCol: String,
       k: Int = K, mBits: Int = MBits): DataFrame =
-    keys.select(col(keyCol).cast("string").as(keyCol))
-      .select(col(keyCol),
-        explode(wordAndBit(col(keyCol), k, mBits)).as("p"))
-      .select(col(keyCol), col("p.word_idx").as("word_idx"),
-        col("p.bit").as("_bit"))
-      .select(col(keyCol), col("word_idx"),
-        expr("shiftleft(CAST(1 AS BIGINT), _bit)").as("_mask"))
+    addresses(keys.select(col(keyCol).cast("string").as(keyCol)),
+        col(keyCol), k, mBits, Seq(col(keyCol)))
       .join(broadcast(filter), Seq("word_idx"), "left")
       .groupBy(keyCol)
       .agg(bool_and(coalesce(col("word"), lit(0L))

@@ -227,12 +227,14 @@ object CorpusStats {
     * Plan: ONE corpus-sized trigram agg (map-side combine), persisted —
     * every lower-order stat is an agg over it or over the (b,c)
     * continuation table (also persisted; both trigram/bigram-VOCAB-sized,
-    * not corpus-sized). tri/ctx2/cont2 are keyed joins (bigram-vocab keys
-    * can exceed broadcast limits at corpus scale; AQE broadcasts when
-    * small), the unigram-sized ctx1/cont1 and the scalar type total
-    * broadcast. `docTrigrams` recomputes its narrow explode per branch
-    * (never pin a corpus-sized cache). Documents with < 3 tokens get no
-    * row. */
+    * not corpus-sized). The backoff recursion folds into a per-trigram
+    * score table at trigram-vocab grain (tri/ctx2/cont2 keyed joins —
+    * bigram-vocab keys can exceed broadcast limits at corpus scale; AQE
+    * broadcasts when small — unigram-sized ctx1/cont1 and the scalar
+    * type total broadcast), so the corpus-sized doc-trigram stream pays
+    * exactly ONE keyed scoring join. `docTrigrams` recomputes its narrow
+    * explode per branch (never pin a corpus-sized cache). Documents with
+    * < 3 tokens get no row. */
   def kn3LogProb(docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -262,14 +264,17 @@ object CorpusStats {
     val cont1 = cont2.groupBy("w_c").agg(count(lit(1)).as("n1p_c"))
     val types = cont2.agg(count(lit(1)).cast("double").as("_t_all"))
     val d = lit(discount)
-    docTrigrams
-      .join(tri, Seq("w_a", "w_b", "w_c"))
+    // per-trigram quantized score at trigram-vocab grain: the backoff
+    // joins run between vocab-sized tables and the corpus-sized
+    // doc-trigram stream pays exactly ONE keyed join (the kn5LogProb
+    // one-scoring-join discipline)
+    val score3 = tri
       .join(ctx2, Seq("w_a", "w_b"))
       .join(cont2, Seq("w_b", "w_c"))
       .join(broadcast(ctx1), Seq("w_b"))
       .join(broadcast(cont1), Seq("w_c"))
       .crossJoin(broadcast(types))
-      .select(col(idCol),
+      .select(col("w_a"), col("w_b"), col("w_c"),
         floor(log(
           greatest(col("n_abc").cast("double") - d, lit(0.0)) /
             col("c_ab").cast("double") +
@@ -280,6 +285,9 @@ object CorpusStats {
                   col("tot_b").cast("double")) *
                   (col("n1p_c").cast("double") / col("_t_all"))))
           * 1000000).cast("long").as("cq"))
+    docTrigrams
+      .join(score3, Seq("w_a", "w_b", "w_c"))
+      .select(col(idCol), col("cq"))
       .groupBy(idCol)
       .agg(sum("cq").as("sum_q6"), count(lit(1)).as("n_trigrams"))
       .withColumn("avg_logprob",
@@ -306,12 +314,15 @@ object CorpusStats {
     * Plan: ONE corpus-sized 5-gram agg (map-side combine), persisted;
     * each lower-level continuation table is a grouped count of the level
     * above (g4 ← g5, g3 ← g4, g2 ← g3 — all n-gram-vocab-sized,
-    * shrinking, persisted where multi-consumed). Context stats pre-join
-    * onto their gram tables at VOCAB scale, so the corpus-sized doc-gram
-    * stream pays 5 scoring joins (one per level + the scalar), not 9.
-    * Gram-keyed joins stay keyed (AQE broadcasts when small); the scalar
-    * type total broadcasts. `docGrams` recomputes its narrow explode per
-    * branch. Documents with < 5 tokens get no row. */
+    * shrinking, persisted where multi-consumed). The ENTIRE backoff
+    * recursion is folded into one per-gram score table at the 5-gram-
+    * vocab grain — every level/context join happens between vocab-sized
+    * tables, and P_5 depends only on gram counts, so the corpus-sized
+    * doc-gram stream pays exactly ONE keyed scoring join (it used to pay
+    * four, shuffling the corpus once per backoff level). Gram-keyed
+    * joins stay keyed (AQE broadcasts when small); the scalar type total
+    * broadcasts. `docGrams` recomputes its narrow explode per branch.
+    * Documents with < 5 tokens get no row. */
   def kn5LogProb(docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -365,14 +376,17 @@ object CorpusStats {
       (d * dbl("typ4") / dbl("tot4")) * p3
     val p5 = greatest(dbl("c5") - d, lit(0.0)) / dbl("tot5") +
       (d * dbl("typ5") / dbl("tot5")) * p4
-    docGrams
-      .join(g5e, wcols)
+    // per-gram quantized score, computed entirely at 5-gram-vocab grain
+    val score5 = g5e
       .join(g4e, wcols.drop(1))
       .join(g3e, wcols.drop(2))
       .join(g2e, wcols.drop(3))
       .crossJoin(broadcast(types))
-      .select(col(idCol),
-        floor(log(p5) * 1000000).cast("long").as("cq"))
+      .select(wcols.map(col) :+
+        floor(log(p5) * 1000000).cast("long").as("cq"): _*)
+    docGrams
+      .join(score5, wcols)
+      .select(col(idCol), col("cq"))
       .groupBy(idCol)
       .agg(sum("cq").as("sum_q6"), count(lit(1)).as("n_grams"))
       .withColumn("avg_logprob",
