@@ -590,6 +590,168 @@ object CoreQueries {
         .orderBy("cntrycode")
     }),
 
+    // ---- TPC-H Q4 (order-priority checking, adapted: the schema subset
+    // has no commit/receipt dates, so "late" is shipped > 30 days after
+    // the order date): EXISTS over the fact table → left-semi join with
+    // a non-equi conjunct; the orders-side date window prunes first ----
+    "q_tpch_q4" -> ((s, d) => {
+      val ord = orders(s, d)
+        .where(col("o_orderdate") >= "1996-07-01" &&
+          col("o_orderdate") < "1996-10-01")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      ord.join(lineitem(s, d).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- TPC-H Q7 (volume shipping): the two-aliased-nation pattern —
+    // the same dim joined twice under different roles, with a symmetric
+    // nation-pair predicate and per-year revenue ----
+    "q_tpch_q7" -> ((s, d) => {
+      val n1 = nation(s, d).select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = nation(s, d).select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      lineitem(s, d)
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1998-01-01")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long").as("rev_c"))
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where((col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" &&
+            col("cust_nation") === "NATION_3"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((sum("rev_c").cast("double") / 100.0).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // ---- TPC-H Q8 (national market share): conditional-share agg —
+    // sum(case)/sum over exact cents, so the ratio divides two exact
+    // longs and rounds once; region restriction rides the customer dim,
+    // part/supplier dims broadcast against the one fact scan ----
+    "q_tpch_q8" -> ((s, d) => {
+      val asiaCust = customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(nation(s, d)
+          .select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long").as("vol_c"))
+        .join(broadcast(part(s, d).where(col("p_type") === "PROMO")
+          .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(orders(s, d)
+          .where(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1998-01-01")
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("s_nationkey") === 9, col("vol_c")).otherwise(0L))
+            .cast("double") / sum("vol_c").cast("double"), 6)
+          .as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // ---- TPC-H Q12 (shipping-mode priority, adapted: no l_shipmode in
+    // the schema subset, so the mode-like dimension is l_returnflag):
+    // the two-bucket conditional count over a date-windowed fact join ----
+    "q_tpch_q12" -> ((s, d) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      lineitem(s, d)
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01")
+        .select("l_orderkey", "l_returnflag")
+        .join(orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- TPC-H Q13 (customer order-count distribution): the
+    // group-by-of-a-group-by with a LEFT join so zero-order customers
+    // land in the c_count=0 bucket; the order filter (adapted: priority
+    // stands in for the comment NOT LIKE) sits in the join, not after it,
+    // so it cannot turn the outer join inner ----
+    "q_tpch_q13" -> ((s, d) => {
+      customer(s, d).select("c_custkey")
+        .join(orders(s, d)
+          .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---- TPC-H Q15 (top supplier): agg-then-argmax — the revenue CTE
+    // feeds both the max (1-row broadcast) and the equality probe, so
+    // the quarter's per-supplier revenue is computed once; cents keep
+    // the max/equality comparison exact where doubles could tie-break
+    // differently across engines ----
+    "q_tpch_q15" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100).cast("long")).as("rev_c"))
+      val mx = rev.agg(max("rev_c").as("_max_c"))
+      rev.crossJoin(broadcast(mx))
+        .where(col("rev_c") === col("_max_c"))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_c").cast("double") / 100.0).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- TPC-H Q17 (small-quantity-order revenue, adapted: no
+    // p_container, so the part class is the brand alone): the correlated
+    // per-part AVG subquery becomes a grouped (sum, count) joined back,
+    // with the 0.2·avg threshold as an integer cross-multiply
+    // (5·qty·n < Σqty) so no float average is ever compared ----
+    "q_tpch_q17" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        .join(broadcast(part(s, d).where(col("p_brand") === "Brand#23")
+          .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(sum("qty").as("_sum_q"), count(lit(1)).as("_n_q"))
+      li.join(perPart, Seq("l_partkey"))
+        .where(col("qty") * 5 * col("_n_q") < col("_sum_q"))
+        .agg((sum("price_c").cast("double") / 100.0 / 7.0).as("avg_yearly"))
+    }),
+
     // ---- time-RANGE window: trailing 1-hour per-user mean — the
     // interval-frame capability (RANGE BETWEEN x PRECEDING) that row
     // frames can't express on irregular event times ----
@@ -1190,6 +1352,114 @@ object CoreQueries {
         |      AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey
         |ORDER BY cntrycode""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(rev_c) AS DOUBLE) / 100.0 AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT) AS rev_c
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |)
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  round(CAST(sum(CASE WHEN s_nationkey = 9 THEN vol_c ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(vol_c) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, s_nationkey,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT) AS vol_c
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation nc ON nc.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = nc.n_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |)
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey
+        |)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, CAST(rev_c AS DOUBLE) / 100.0
+        |  AS total_revenue
+        |FROM revenue JOIN supplier ON s_suppkey = supplier_no
+        |WHERE rev_c = (SELECT max(rev_c) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#23'
+        |), per_part AS (
+        |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_q,
+        |    CAST(count(*) AS BIGINT) AS n_q
+        |  FROM li GROUP BY l_partkey
+        |)
+        |SELECT CAST(sum(price_c) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+        |FROM li JOIN per_part USING (l_partkey)
+        |WHERE qty * 5 * n_q < sum_q""".stripMargin,
 
     "q_range_window" ->
       """SELECT event_id, user_id,
