@@ -23,6 +23,9 @@ object GraftSession {
     .withExtensions(new graft.plans.GraftExtensions)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    // timezone-less parquet timestamps read as TimestampType (UTC), not
+    // NTZ — keeps unix_micros/oracle parity independent of writer quirks
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   /** Local-mode session with shuffle parallelism matched to cores (the
     * 200-partition default is wrong for one machine). */

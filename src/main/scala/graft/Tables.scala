@@ -10,8 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * object-store paths — nothing here assumes local files).
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** The testdata parquet stores timezone-less `timestamp[us]` columns
+    * (events.ts, o_orderdate, l_shipdate). Spark 4 infers those as
+    * TIMESTAMP_NTZ by default, which breaks `unix_micros`/window-range
+    * arithmetic and diverges from the DuckDB oracle's TIMESTAMP
+    * semantics. Force the classic inference (TimestampType under the
+    * session's UTC zone) at the one place every table read goes through,
+    * so the engine's semantics don't depend on which builder created the
+    * session. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -163,24 +163,16 @@ object Tokenizer {
       .select(col(idCol), col("word"), col("subwords"))
   }
 
-  /** Text → token-id sequences: segment the corpus with learned rules,
-    * then map subwords to contiguous integer ids from a deterministic
-    * vocab (subwords ranked by corpus frequency desc, then
-    * lexicographically; unknown subwords — impossible when the vocab was
-    * built by this same call chain, possible with a foreign vocab — map
-    * to `unkId`). Returns (idCol, input_ids: array<int>) with one row per
-    * document, subwords in document word order.
-    *
-    * The id vocabulary is subword-count-sized → broadcast; the corpus
-    * pays the [[segmentCorpus]] broadcast join plus one keyed groupBy to
-    * reassemble per-document arrays (the unavoidable shuffle — ids must
-    * gather to their document). */
-  def encode(docs: DataFrame, idCol: String, textCol: String,
-      rules: Seq[(String, String)], eow: String = "</w>",
-      unkId: Int = 0): DataFrame = {
+  /** Per-subword-occurrence positions: (idCol, _widx, _sidx, subword),
+    * one row per subword occurrence, with explicit (word index, subword
+    * index) keys — NOT stream-order ids — so downstream reassembly order
+    * survives any partitioning/AQE re-plan. Segmentation itself runs
+    * once per DISTINCT word ([[segmentCorpus]]'s reduce-to-the-vocab
+    * shape); the corpus pays one broadcast join and two narrow explodes. */
+  private def tokenPositions(docs: DataFrame, idCol: String,
+      textCol: String, rules: Seq[(String, String)],
+      eow: String): DataFrame = {
     val segUdf = udf((w: String) => segment(w, rules, eow))
-    // explicit (word index, subword index) keys — NOT stream-order ids —
-    // so reassembly order survives any partitioning/AQE re-plan
     val words = docs
       .select(col(idCol), posexplode(filter(
         split(lower(trim(col(textCol))), "\\s+"),
@@ -189,13 +181,19 @@ object Tokenizer {
       .withColumnRenamed("col", "word")
     val vocabSeg = words.select("word").distinct()
       .withColumn("subwords", segUdf(col("word")))
-    val segmented = words.join(broadcast(vocabSeg), Seq("word"))
-    val vocabIds = vocabulary(docs, textCol, rules, eow)
-    segmented
+    words.join(broadcast(vocabSeg), Seq("word"))
       .select(col(idCol), col("_widx"), posexplode(col("subwords")))
       .withColumnRenamed("pos", "_sidx")
       .withColumnRenamed("col", "subword")
-      .join(broadcast(vocabIds), Seq("subword"), "left")
+  }
+
+  /** Gather positioned subword ids into per-document arrays: the one
+    * unavoidable keyed shuffle (ids must reach their document). */
+  private def gatherIds(tok: DataFrame, vocab: DataFrame, idCol: String,
+      unkId: Int): DataFrame =
+    tok
+      .join(broadcast(vocab.select("subword", "tok_id")), Seq("subword"),
+        "left")
       .select(col(idCol), col("_widx"), col("_sidx"),
         coalesce(col("tok_id"), lit(unkId)).as("tok_id"))
       .groupBy(idCol)
@@ -203,7 +201,52 @@ object Tokenizer {
         array_sort(collect_list(struct(col("_widx"), col("_sidx"),
           col("tok_id")))),
         x => x.getField("tok_id").cast("int")).as("input_ids"))
+
+  /** Text → token-id sequences: segment the corpus with learned rules,
+    * then map subwords to contiguous integer ids from a deterministic
+    * vocab (subwords ranked by corpus frequency desc, then
+    * lexicographically; unknown subwords — impossible when the vocab was
+    * built by this same call chain, possible with a foreign vocab — map
+    * to `unkId`). Returns (idCol, input_ids: array<int>) with one row per
+    * document, subwords in document word order.
+    *
+    * The corpus is segmented ONCE: the positioned-subword frame is
+    * persisted and serves both the vocab ranking counts and the
+    * per-document gather. The round-8 version instead re-derived the
+    * ranking counts through a second full [[vocabulary]] pass — an
+    * entire extra segment-the-corpus subtree per encode (measured
+    * 5.9 s vs 3.0 s at sf0.1). Persist-once beats segment-twice at any
+    * scale where the tokenized corpus spills to disk cheaper than it
+    * recomputes, which is every scale here: the persisted projection is
+    * 4 narrow columns, while the recompute replays scan + split +
+    * two explodes + the broadcast join. Callers that already hold a
+    * vocab should use [[encodeWith]] (single pass, no persist). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)], eow: String = "</w>",
+      unkId: Int = 0): DataFrame = {
+    val tok = tokenPositions(docs, idCol, textCol, rules, eow)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // identical counts to [[vocabulary]]'s (same segmentation, same
+    // words), so the ranking — and the oracle — cannot drift
+    val subwordCounts = tok
+      .groupBy("subword").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabIds = DataPrep.contiguousIdsBy(subwordCounts,
+        Seq(col("n").desc, col("subword")), "tok_id", startAt = 1L)
+      .select(col("subword"), col("tok_id"))
+    gatherIds(tok, vocabIds, idCol, unkId)
   }
+
+  /** [[encode]] against a caller-supplied (subword, tok_id) vocabulary
+    * — e.g. one [[vocabulary]] result shared between encode and
+    * [[decode]] in a round-trip, or a foreign vocab with unknowns.
+    * Exactly one corpus segmentation pass and one keyed shuffle; no
+    * persist (nothing is read twice). */
+  def encodeWith(docs: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)], vocab: DataFrame,
+      eow: String = "</w>", unkId: Int = 0): DataFrame =
+    gatherIds(tokenPositions(docs, idCol, textCol, rules, eow), vocab,
+      idCol, unkId)
 
   /** The deterministic id vocabulary [[encode]] assigns against:
     * (subword, tok_id) with ids 1..V ranked by corpus frequency desc,
