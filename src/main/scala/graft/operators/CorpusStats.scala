@@ -331,40 +331,63 @@ object CorpusStats {
     val toks = docs.select(col(idCol),
       filter(split(lower(trim(col(textCol))), "\\s+"),
         t => length(t) > 0).as("tk"))
+    // every join key below is pre-hashed to 8 bytes HERE and the word
+    // strings never leave this projection: _kI is level-I's gram
+    // identity (suffix w_{6-I}..w5), _pI its context (that suffix minus
+    // the last word). A word-soup corpus has a near-corpus-sized 5-gram
+    // vocab, so the g5→g2 chain and the corpus-sized scoring join used
+    // to shuffle 2-5 STRING columns as keys; hashed keys carry 8 bytes.
+    // Collision risk n²/2⁶⁴ (the q_ngram_span_dedup discipline) — and
+    // the oracle joins by gram TEXT, so the exact-hash gate also proves
+    // the hashed plan lossless.
+    def h(cs: Seq[String]) = xxhash64(cs.map(col): _*)
     val docGrams = toks.where(size(col("tk")) >= n)
       .select(col(idCol),
         explode(transform(sequence(lit(0), size(col("tk")) - n),
           i => struct(wcols.zipWithIndex.map { case (w, j) =>
             element_at(col("tk"), i + j + 1).as(w) }: _*))).as("p"))
       .select(col(idCol) +: wcols.map(w => col(s"p.$w").as(w)): _*)
+      .select(col(idCol),
+        h(wcols).as("_k5"), h(wcols.dropRight(1)).as("_p5"),
+        h(wcols.drop(1)).as("_k4"), h(wcols.slice(1, 4)).as("_p4"),
+        h(wcols.drop(2)).as("_k3"), h(wcols.slice(2, 4)).as("_p3"),
+        h(wcols.drop(3)).as("_k2"), h(Seq("w4")).as("_p2"),
+        h(Seq("w5")).as("_k1"))
     // c_5 raw counts, then each level's continuation-type table is a
-    // grouped row-count of the level above (drop the leading word)
-    val g5 = docGrams.groupBy(wcols.map(col): _*)
-      .agg(count(lit(1)).as("c5")).persist(lvl)
-    val g4 = g5.groupBy(wcols.drop(1).map(col): _*)
-      .agg(count(lit(1)).as("c4")).persist(lvl)
-    val g3 = g4.groupBy(wcols.drop(2).map(col): _*)
-      .agg(count(lit(1)).as("c3")).persist(lvl)
-    val g2 = g3.groupBy(wcols.drop(3).map(col): _*)
-      .agg(count(lit(1)).as("c2")).persist(lvl)
+    // grouped row-count of the level above (drop the leading word);
+    // each carries the lower levels' key/context hashes through the agg
+    // (max = "any": within a group they are identical absent collisions)
+    def carry(names: String*) = names.map(c => max(c).as(c))
+    val g5 = docGrams.groupBy(col("_k5"))
+      .agg(count(lit(1)).as("c5"),
+        carry("_p5", "_k4", "_p4", "_k3", "_p3", "_k2", "_p2", "_k1"): _*)
+      .persist(lvl)
+    val g4 = g5.groupBy(col("_k4"))
+      .agg(count(lit(1)).as("c4"),
+        carry("_p4", "_k3", "_p3", "_k2", "_p2", "_k1"): _*).persist(lvl)
+    val g3 = g4.groupBy(col("_k3"))
+      .agg(count(lit(1)).as("c3"),
+        carry("_p3", "_k2", "_p2", "_k1"): _*).persist(lvl)
+    val g2 = g3.groupBy(col("_k2"))
+      .agg(count(lit(1)).as("c2"), carry("_p2", "_k1"): _*).persist(lvl)
     // per-level context stats (count-sum + distinct continuations),
     // pre-joined onto their gram tables at VOCAB scale so the
     // corpus-sized doc-gram stream pays 5 scoring joins, not 9 — the
     // merged tables are the same size as the gram tables they extend
-    val ctx5 = g5.groupBy(wcols.dropRight(1).map(col): _*)
+    val ctx5 = g5.groupBy(col("_p5"))
       .agg(sum("c5").as("tot5"), count(lit(1)).as("typ5"))
-    val ctx4 = g4.groupBy(wcols.slice(1, 4).map(col): _*)
+    val ctx4 = g4.groupBy(col("_p4"))
       .agg(sum("c4").as("tot4"), count(lit(1)).as("typ4"))
-    val ctx3 = g3.groupBy(wcols.slice(2, 4).map(col): _*)
+    val ctx3 = g3.groupBy(col("_p3"))
       .agg(sum("c3").as("tot3"), count(lit(1)).as("typ3"))
-    val ctx2 = g2.groupBy(col("w4"))
+    val ctx2 = g2.groupBy(col("_p2"))
       .agg(sum("c2").as("tot2"), count(lit(1)).as("typ2"))
-    val c1 = g2.groupBy(col("w5")).agg(count(lit(1)).as("n1p_w"))
+    val c1 = g2.groupBy(col("_k1")).agg(count(lit(1)).as("n1p_w"))
     val types = g2.agg(count(lit(1)).cast("double").as("_t_all"))
-    val g5e = g5.join(ctx5, wcols.dropRight(1))
-    val g4e = g4.join(ctx4, wcols.slice(1, 4))
-    val g3e = g3.join(ctx3, wcols.slice(2, 4))
-    val g2e = g2.join(ctx2, Seq("w4")).join(c1, Seq("w5"))
+    val g5e = g5.join(ctx5, Seq("_p5"))
+    val g4e = g4.select("_k4", "c4", "_p4").join(ctx4, Seq("_p4"))
+    val g3e = g3.select("_k3", "c3", "_p3").join(ctx3, Seq("_p3"))
+    val g2e = g2.join(ctx2, Seq("_p2")).join(c1, Seq("_k1"))
     val d = lit(discount)
     def dbl(c: String) = col(c).cast("double")
     val p1 = dbl("n1p_w") / col("_t_all")
@@ -378,14 +401,14 @@ object CorpusStats {
       (d * dbl("typ5") / dbl("tot5")) * p4
     // per-gram quantized score, computed entirely at 5-gram-vocab grain
     val score5 = g5e
-      .join(g4e, wcols.drop(1))
-      .join(g3e, wcols.drop(2))
-      .join(g2e, wcols.drop(3))
+      .join(g4e, Seq("_k4"))
+      .join(g3e, Seq("_k3"))
+      .join(g2e, Seq("_k2"))
       .crossJoin(broadcast(types))
-      .select(wcols.map(col) :+
-        floor(log(p5) * 1000000).cast("long").as("cq"): _*)
+      .select(col("_k5"), floor(log(p5) * 1000000).cast("long").as("cq"))
     docGrams
-      .join(score5, wcols)
+      .select(col(idCol), col("_k5"))
+      .join(score5, Seq("_k5"))
       .select(col(idCol), col("cq"))
       .groupBy(idCol)
       .agg(sum("cq").as("sum_q6"), count(lit(1)).as("n_grams"))

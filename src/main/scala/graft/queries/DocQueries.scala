@@ -745,13 +745,13 @@ object DocQueries {
     "q_bpe_roundtrip" -> ((s, d) => {
       val docs = docsPar(s, d)
       val rules = graft.queries.BpeOracle.pinnedRules
-      // one shared vocabulary + encodeWith: the corpus is segmented once
-      // for the vocab and once for the encode (encode(docs) would hide a
-      // third segmentation inside its own ranking pass)
-      val vocab = Tokenizer.vocabulary(docs, "text", rules)
-      Tokenizer.decode(
-          Tokenizer.encodeWith(docs, "doc_id", "text", rules, vocab),
-          "doc_id", "input_ids", vocab)
+      // encodeAndVocab: ONE corpus segmentation serves both the id
+      // assignment and the decode vocabulary (a separate vocabulary()
+      // call would re-segment the whole corpus just to rebuild the
+      // identical id map)
+      val (encoded, vocab) =
+        Tokenizer.encodeAndVocab(docs, "doc_id", "text", rules)
+      Tokenizer.decode(encoded, "doc_id", "input_ids", vocab)
         .orderBy("doc_id")
     }),
 
