@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Dedup, SimilaritySearch, Tokenizer, Winnow}
+import graft.operators.{CorpusStats, Dedup, Graph, SimilaritySearch, Tokenizer, Winnow}
 
 /** The LLM-data-pipeline operator set (dedup, text analysis, similarity
   * search) over the `documents`/`embeddings` tables, oracle-checked where
@@ -211,6 +211,74 @@ object DocQueries {
         .where(col("n_members") > 1)
         .select(col("component").as("canonical_id"), col("n_members"))
         .orderBy("canonical_id")
+    }),
+
+    // ---- per-document TF-IDF keyword extraction (the classic summary /
+    // routing signal): top-3 terms per doc by tf · floor(ln(N/df)·1e6),
+    // ties broken lexicographically. The integer-quantized IDF makes the
+    // ranking engine-exact (ln of an identical ratio of exact integers —
+    // the q_bm25 discipline); the per-doc top-3 runs as a
+    // WindowGroupLimit (bounded per-task state), never a full sort. ----
+    "q_tfidf_keywords" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val stats = graft.operators.Relevance.termStats(
+        docsPar(s, d), "doc_id", "text")
+      val nd = stats.select("doc_id").distinct().agg(count(lit(1)).as("n"))
+      val scored = stats.crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("term"),
+          (col("tf") * floor(log(col("n").cast("double") / col("df")) *
+            1000000).cast("long")).as("score_q6"))
+      scored
+        .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score_q6").desc, col("term"))))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("score_q6"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // ---- embedding cluster cohesion / outlier score (mislabel and
+    // noise detection in SemDeDup-style curation): per-label centroid,
+    // per-vector Euclidean distance to its own label's centroid. All
+    // arithmetic until the final sqrt is EXACT INTEGER: components
+    // quantize to 1e-4 grain, and the per-dim deviation is computed as
+    // xq·n − Σxq (the centroid scaled by n) so no division — and no
+    // order-dependent float sum — ever happens inside an aggregate.
+    // Bound: |x|·10⁴·n_label ≲ 3·10⁹ keeps diff² · dim inside Long —
+    // holds to sf 1000 for unit-norm embeddings (|x| ≤ 1, dim 64). ----
+    "q_embed_cohesion" -> ((s, d) => {
+      val q = embeddings(s, d).select(col("vec_id"), col("label"),
+          posexplode(transform(col("embedding"),
+            x => round(x.cast("double") * 10000).cast("long"))))
+        .withColumnRenamed("pos", "dim")
+        .withColumnRenamed("col", "xq")
+      val cent = q.groupBy("label", "dim")
+        .agg(sum("xq").as("s"), count(lit(1)).as("n"))
+      q.join(broadcast(cent), Seq("label", "dim"))
+        .withColumn("diff", col("xq") * col("n") - col("s"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("diff") * col("diff")).as("dist2_scaled"),
+          max("n").as("n"))
+        .select(col("vec_id"), col("label"), col("dist2_scaled"),
+          round(sqrt(col("dist2_scaled").cast("double")) /
+            (col("n") * 10000), 6).as("dist"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- PageRank centrality over the near-dup graph: the
+    // "pick the authoritative copy" policy one rung above min(id)
+    // canonicalization (and the CommonCrawl-style host-authority
+    // primitive). Edges are the minhash near-dup pairs; the rank is
+    // [[Graph.pageRankNanos]]'s integer nano-probability recurrence, so
+    // the oracle can replay all five iterations exactly — it rebuilds
+    // the edge set from the ALL-PAIRS trigram Jaccard truth (the
+    // q_minhash_pairs pinned property: banded candidates == truth at
+    // the gate) and unrolls the recurrence in SQL. ----
+    "q_pagerank" -> ((s, d) => {
+      val pairs = Dedup.minhashDupPairs(docsWithDups(s, d), "doc_id",
+        "text", threshold = 0.5)
+      Graph.pageRankNanos(pairs.select("id_a", "id_b"), iters = 5)
+        .select(col("node").as("doc_id"), col("deg"), col("pr_nanos"))
+        .orderBy("doc_id")
     }),
 
     // ---- SimHash near-dup pairs, oracle-checked end to end: the portable
@@ -500,6 +568,87 @@ object DocQueries {
         .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_tokens"),
           col("c.first_token"))
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- overlapping passage windows (RAG / long-context chunking):
+    // 64-token windows at stride 32 — every token lands in ≤ 2 chunks,
+    // chunk boundaries never split the stride grid. Same row-local
+    // discipline as q_chunk_docs: the per-chunk struct array is built
+    // INSIDE the row and `toks` dropped before the explode. ----
+    "q_chunk_stride" -> ((s, d) => {
+      val win = 64L
+      val stride = 32L
+      val t = docsPar(s, d).select(
+        col("doc_id"),
+        split(trim(col("text")), "\\s+").as("toks"),
+        TextFunctions.tokenCountWs(col("text")).as("n_tokens"))
+      t.where(col("n_tokens") > 0)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0L),
+              ceil(greatest(col("n_tokens") - win, lit(0L)) /
+                lit(stride.toDouble)).cast("long")),
+            i => struct(
+              i.as("chunk_idx"),
+              (i * stride).as("start_tok"),
+              least(lit(win), col("n_tokens") - i * stride)
+                .as("chunk_tokens"),
+              element_at(col("toks"), (i * stride + 1).cast("int"))
+                .as("first_token")))).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
+          col("c.chunk_tokens"), col("c.first_token"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- per-document token-distribution Shannon entropy (a quality /
+    // repetitiveness signal: low entropy = few distinct tokens dominate).
+    // H = ln m − (Σ c·ln c)/m over the doc's unigram counts; the
+    // Σ c·ln c term is floor-quantized per DISTINCT token (ln of an
+    // identical integer-valued double, floored — the unigramLogProb
+    // discipline) so the per-doc sum is an exact integer on any engine.
+    // Words leave the row as xxhash64 keys (counts only need identity);
+    // the oracle counts by word TEXT, so the gate proves the hashed
+    // grouping lossless. ----
+    "q_token_entropy" -> ((s, d) => {
+      val words = docsPar(s, d).select(col("doc_id"),
+          explode(filter(split(lower(trim(col("text"))), "\\s+"),
+            t => length(t) > 0)).as("w"))
+        .select(col("doc_id"), xxhash64(col("w")).as("_wk"))
+      words.groupBy("doc_id", "_wk").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") *
+            floor(log(col("c").cast("double")) * 1000000).cast("long"))
+            .as("sum_clnc_q6"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("sum_clnc_q6"),
+          round(log(col("n_tokens").cast("double")) -
+            col("sum_clnc_q6").cast("double") /
+              (col("n_tokens") * 1000000), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- tokenizer-vocabulary coverage: per-document OOV rate against
+    // the top-100 corpus words (frequency desc, ties lexicographic) —
+    // the coverage curve every vocab-size decision reads. The corpus
+    // reduces to a vocab-sized count table; top-100 is a TakeOrdered
+    // (never a full sort) and broadcasts back. ----
+    "q_vocab_coverage" -> ((s, d) => {
+      val words = docsPar(s, d).select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0)).as("w"))
+      val top = words.groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(100)
+      words
+        .join(broadcast(top.select(col("w"), lit(1).as("_in"))),
+          Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov") / col("n_tokens"), 6))
+        .orderBy("doc_id")
     }),
 
     // ---- exact duplicated-span detection (the substring-dedup signal of
@@ -1515,6 +1664,169 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         |  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
+    "q_tfidf_keywords" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), nd AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf
+        |), sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * CAST(floor(ln(
+        |      CAST((SELECT n FROM nd) AS DOUBLE) / df.df) * 1000000)
+        |      AS BIGINT) AS BIGINT) AS score_q6
+        |  FROM tf JOIN df USING (term)
+        |)
+        |SELECT doc_id, rk, term, score_q6 FROM (
+        |  SELECT doc_id, term, score_q6,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_q6 DESC, term) AS rk
+        |  FROM sc)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // centroid scaled by n (xq·n − Σxq) keeps every aggregate an exact
+    // integer sum — the only float ops are the final sqrt/division of
+    // identical values
+    "q_embed_cohesion" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)))
+        |      AS xq
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT label, dim, CAST(sum(xq) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY label, dim
+        |)
+        |SELECT q.vec_id, q.label,
+        |  CAST(sum((q.xq * c.n - c.s) * (q.xq * c.n - c.s)) AS BIGINT)
+        |    AS dist2_scaled,
+        |  round(sqrt(CAST(sum((q.xq * c.n - c.s) * (q.xq * c.n - c.s))
+        |    AS DOUBLE)) / (max(c.n) * 10000), 6) AS dist
+        |FROM q JOIN cent c ON q.label = c.label AND q.dim = c.dim
+        |GROUP BY q.vec_id, q.label ORDER BY q.vec_id""".stripMargin,
+
+    // rebuilds the edge set from the all-pairs trigram truth (the
+    // q_minhash_pairs pinned property), then replays pageRankNanos'
+    // integer recurrence with all five iterations unrolled — every op
+    // is integer division/multiplication, so the replay is exact
+    "q_pagerank" -> (docsWithDupsCte +
+      """, toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS t
+        |  FROM docs
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM toks WHERE len(t) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |    (len(a.grams) + len(b.grams)
+        |      - len(list_intersect(a.grams, b.grams))) >= 0.5
+        |), e0 AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), deg AS (
+        |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM e0 GROUP BY src
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+        |), it0 AS (
+        |  SELECT node, deg,
+        |    CAST(1000000000 // (SELECT n_nodes FROM nn) AS BIGINT) AS pr
+        |  FROM deg
+        |)""".stripMargin +
+      (1 to 5).map { k =>
+        s""", it$k AS (
+           |  SELECT d.node, d.deg,
+           |    CAST(150000000 // (SELECT n_nodes FROM nn)
+           |      + (17 * coalesce(m.s, 0)) // 20 AS BIGINT) AS pr
+           |  FROM deg d LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum(p.pr // p.deg) AS BIGINT) AS s
+           |    FROM e0 e JOIN it${k - 1} p ON e.src = p.node
+           |    GROUP BY e.dst) m ON d.node = m.node
+           |)""".stripMargin
+      }.mkString +
+      """
+        |SELECT node AS doc_id, deg, pr AS pr_nanos
+        |FROM it5 ORDER BY doc_id""".stripMargin),
+
+    "q_chunk_stride" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    END AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens, toks,
+        |    unnest(range(0, CAST(ceil(greatest(n_tokens - 64, 0) / 32.0)
+        |      AS BIGINT) + 1)) AS chunk_idx
+        |  FROM t WHERE n_tokens > 0
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  chunk_idx * 32 AS start_tok,
+        |  least(64, n_tokens - chunk_idx * 32) AS chunk_tokens,
+        |  toks[CAST(chunk_idx * 32 + 1 AS BIGINT)] AS first_token
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // counts by word TEXT where the engine counts by xxhash64 key —
+    // the gate proves the hashed grouping lossless (collision
+    // discipline); ln() of identical integer-valued doubles floors
+    // identically on both engines (unigramLogProb discipline)
+    "q_token_entropy" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0)) AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, w, count(*) AS c FROM tk GROUP BY doc_id, w
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+        |    AS BIGINT)) AS BIGINT) AS sum_clnc_q6,
+        |  round(ln(CAST(sum(c) AS DOUBLE))
+        |    - CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+        |        AS BIGINT)) AS DOUBLE)
+        |      / (sum(c) * 1000000), 6) AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0)) AS w
+        |  FROM documents
+        |), top AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS n FROM tk GROUP BY w
+        |    ORDER BY n DESC, w LIMIT 100)
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN top.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(CAST(sum(CASE WHEN top.w IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM tk LEFT JOIN top ON tk.w = top.w
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_doc_stats" ->
       ("""SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual,

@@ -65,6 +65,51 @@ object EdaQueries {
         .orderBy("qty_bin")
     }),
 
+    // ---- percentile winsorization (outlier clamping, the robust twin
+    // of q_clamp_flags' fixed-sentinel cleaning): per-group p05/p95 on
+    // integer cents (exact interpolated percentile — the q_percentiles
+    // parity), bounds rounded back to the cent grid so the clamp and
+    // the sum stay in exact integer arithmetic on both engines ----
+    "q_winsorize" -> ((s, d) => {
+      val e = events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val bounds = e.groupBy("event_type").agg(
+        round(percentile(col("cents"), lit(0.05))).cast("long").as("lo_c"),
+        round(percentile(col("cents"), lit(0.95))).cast("long").as("hi_c"))
+      e.join(broadcast(bounds), Seq("event_type"))
+        .groupBy("event_type", "lo_c", "hi_c")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") < col("lo_c"), 1L).otherwise(0L))
+            .as("n_lo"),
+          sum(when(col("cents") > col("hi_c"), 1L).otherwise(0L))
+            .as("n_hi"),
+          sum(greatest(col("lo_c"), least(col("hi_c"), col("cents"))))
+            .as("sum_winsor_cents"))
+        .select(col("event_type"), col("n"), col("n_lo"), col("n_hi"),
+          col("sum_winsor_cents"), col("lo_c"), col("hi_c"))
+        .orderBy("event_type")
+    }),
+
+    // ---- robust scaling ((x − median) / IQR — sklearn RobustScaler):
+    // per-group median/quartiles on integer cents, broadcast back, one
+    // narrow per-row projection. Identical integer inputs → identical
+    // interpolated quantile doubles → identical scaled doubles on both
+    // engines (the q_percentiles parity, applied per row) ----
+    "q_robust_scale" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val stats = e.groupBy("event_type").agg(
+        percentile(col("cents"), lit(0.25)).as("p25"),
+        percentile(col("cents"), lit(0.5)).as("med"),
+        percentile(col("cents"), lit(0.75)).as("p75"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round(when(col("p75") =!= col("p25"),
+            (col("cents") - col("med")) / (col("p75") - col("p25"))), 6)
+            .as("scaled"))
+        .orderBy("event_id")
+    }),
+
     // ---- pd.qcut-style quantile binning (database_pipeline.py:431-436):
     // equal-count quartiles via ntile over a total order; per-bin stats
     // with engine-exact math (scaled-integer avg, raw min/max) ----
@@ -251,6 +296,45 @@ object EdaQueries {
         |            ELSE '40+' END AS qty_bin,
         |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type,
+        |    CAST(round(quantile_cont(cents, 0.05)) AS BIGINT) AS lo_c,
+        |    CAST(round(quantile_cont(cents, 0.95)) AS BIGINT) AS hi_c
+        |  FROM e GROUP BY event_type
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN e.cents < b.lo_c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo,
+        |  CAST(sum(CASE WHEN e.cents > b.hi_c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi,
+        |  CAST(sum(greatest(b.lo_c, least(b.hi_c, e.cents))) AS BIGINT)
+        |    AS sum_winsor_cents,
+        |  max(b.lo_c) AS lo_c, max(b.hi_c) AS hi_c
+        |FROM e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_robust_scale" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type,
+        |    quantile_cont(cents, 0.25) AS p25,
+        |    quantile_cont(cents, 0.5) AS med,
+        |    quantile_cont(cents, 0.75) AS p75
+        |  FROM e GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type,
+        |  round(CASE WHEN s.p75 <> s.p25
+        |    THEN (e.cents - s.med) / (s.p75 - s.p25) END, 6) AS scaled
+        |FROM e JOIN s USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_quantile_bins" ->
       """WITH b AS (
