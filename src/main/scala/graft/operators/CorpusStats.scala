@@ -163,42 +163,55 @@ object CorpusStats {
     *
     * Plan: ONE corpus-sized bigram agg (map-side combine), persisted —
     * it feeds the context/continuation/type-total aggs AND the scoring
-    * join, all bigram-vocab-sized. `docBigrams` recomputes its narrow
-    * explode per branch (the [[bigramLogProb]] discipline: never pin a
-    * corpus-sized cache). Documents with < 2 tokens get no row. */
+    * join, all bigram-vocab-sized; the score folds at vocab grain and
+    * every join key is a pre-hashed 8-byte xxhash64 (the [[kn5LogProb]]
+    * discipline — the text-keyed oracle proves losslessness).
+    * `docBigrams` recomputes its narrow explode per branch (the
+    * [[bigramLogProb]] discipline: never pin a corpus-sized cache).
+    * Documents with < 2 tokens get no row. */
   def knLogProb(docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks = docs.select(col(idCol),
       filter(split(lower(trim(col(textCol))), "\\s+"),
         t => length(t) > 0).as("tk"))
+    // pre-hashed 8-byte keys (_k2 = bigram, _pa = left word, _kb =
+    // right word) — the kn5LogProb discipline: strings never leave this
+    // projection, and the score folds at bigram-vocab grain so the
+    // corpus-sized stream pays one 8-byte-keyed scoring join
     val docBigrams = toks.where(size(col("tk")) >= 2)
       .select(col(idCol),
         explode(transform(sequence(lit(0), size(col("tk")) - 2),
           i => struct(element_at(col("tk"), i + 1).as("w_a"),
             element_at(col("tk"), i + 2).as("w_b")))).as("p"))
-      .select(col(idCol), col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
-    val bi = docBigrams.groupBy("w_a", "w_b")
-      .agg(count(lit(1)).as("n_ab")).persist(lvl)
+      .select(col(idCol),
+        xxhash64(col("p.w_a"), col("p.w_b")).as("_k2"),
+        xxhash64(col("p.w_a")).as("_pa"),
+        xxhash64(col("p.w_b")).as("_kb"))
+    val bi = docBigrams.groupBy(col("_k2"))
+      .agg(count(lit(1)).as("n_ab"), max("_pa").as("_pa"),
+        max("_kb").as("_kb")).persist(lvl)
     // context stats c(a·) and N1+(a,·); continuation types N1+(·,b);
     // type total N1+(··) — all bigram-vocab-sized, broadcastable
-    val ctx = bi.groupBy("w_a")
+    val ctx = bi.groupBy(col("_pa"))
       .agg(sum("n_ab").as("c_a"), count(lit(1)).as("n1p_a"))
-    val cont = bi.groupBy("w_b").agg(count(lit(1)).as("t_b"))
+    val cont = bi.groupBy(col("_kb")).agg(count(lit(1)).as("t_b"))
     val types = bi.agg(count(lit(1)).as("_t_all"))
     val d = lit(discount)
-    docBigrams
-      .join(bi, Seq("w_a", "w_b"))
-      .join(broadcast(ctx), Seq("w_a"))
-      .join(broadcast(cont), Seq("w_b"))
+    val score2 = bi
+      .join(broadcast(ctx), Seq("_pa"))
+      .join(broadcast(cont), Seq("_kb"))
       .crossJoin(broadcast(types))
-      .select(col(idCol),
+      .select(col("_k2"),
         floor(log(
           greatest(col("n_ab").cast("double") - d, lit(0.0)) /
             col("c_a").cast("double") +
             (d * col("n1p_a").cast("double") / col("c_a").cast("double")) *
               (col("t_b").cast("double") / col("_t_all").cast("double")))
           * 1000000).cast("long").as("cq"))
+    docBigrams
+      .select(col(idCol), col("_k2"))
+      .join(score2, Seq("_k2"))
       .groupBy(idCol)
       .agg(sum("cq").as("sum_q6"), count(lit(1)).as("n_bigrams"))
       .withColumn("avg_logprob",
@@ -232,7 +245,10 @@ object CorpusStats {
     * bigram-vocab keys can exceed broadcast limits at corpus scale; AQE
     * broadcasts when small — unigram-sized ctx1/cont1 and the scalar
     * type total broadcast), so the corpus-sized doc-trigram stream pays
-    * exactly ONE keyed scoring join. `docTrigrams` recomputes its narrow
+    * exactly ONE keyed scoring join — and every join key is a pre-hashed
+    * 8-byte xxhash64, never a 1-3-string tuple (the [[kn5LogProb]]
+    * discipline; collision risk n²/2⁶⁴, and the text-keyed oracle proves
+    * losslessness at the gate). `docTrigrams` recomputes its narrow
     * explode per branch (never pin a corpus-sized cache). Documents with
     * < 3 tokens get no row. */
   def kn3LogProb(docs: DataFrame, idCol: String, textCol: String,
@@ -241,27 +257,39 @@ object CorpusStats {
     val toks = docs.select(col(idCol),
       filter(split(lower(trim(col(textCol))), "\\s+"),
         t => length(t) > 0).as("tk"))
+    // pre-hashed 8-byte join keys, the kn5LogProb discipline: _k3 is
+    // the trigram identity, _p3 = (a,b) its context, _k2 = (b,c) the
+    // continuation key, _p2 = (b), _k1 = (c); word strings never leave
+    // this projection. Collisions n²/2⁶⁴; the oracle joins by TEXT, so
+    // the exact gate also proves the hashed plan lossless.
     val docTrigrams = toks.where(size(col("tk")) >= 3)
       .select(col(idCol),
         explode(transform(sequence(lit(0), size(col("tk")) - 3),
           i => struct(element_at(col("tk"), i + 1).as("w_a"),
             element_at(col("tk"), i + 2).as("w_b"),
             element_at(col("tk"), i + 3).as("w_c")))).as("p"))
-      .select(col(idCol), col("p.w_a").as("w_a"), col("p.w_b").as("w_b"),
-        col("p.w_c").as("w_c"))
-    val tri = docTrigrams.groupBy("w_a", "w_b", "w_c")
-      .agg(count(lit(1)).as("n_abc")).persist(lvl)
+      .select(col(idCol),
+        xxhash64(col("p.w_a"), col("p.w_b"), col("p.w_c")).as("_k3"),
+        xxhash64(col("p.w_a"), col("p.w_b")).as("_p3"),
+        xxhash64(col("p.w_b"), col("p.w_c")).as("_k2"),
+        xxhash64(col("p.w_b")).as("_p2"),
+        xxhash64(col("p.w_c")).as("_k1"))
+    val tri = docTrigrams.groupBy(col("_k3"))
+      .agg(count(lit(1)).as("n_abc"), max("_p3").as("_p3"),
+        max("_k2").as("_k2"), max("_p2").as("_p2"), max("_k1").as("_k1"))
+      .persist(lvl)
     // highest-order context stats c(ab·), N1+(ab·)
-    val ctx2 = tri.groupBy("w_a", "w_b")
+    val ctx2 = tri.groupBy(col("_p3"))
       .agg(sum("n_abc").as("c_ab"), count(lit(1)).as("n1p_ab"))
     // (b,c) continuation types N1+(·bc) — the middle order's "counts";
     // persisted: feeds its own context/continuation/type-total aggs AND
     // the scoring join
-    val cont2 = tri.groupBy("w_b", "w_c")
-      .agg(count(lit(1)).as("n1p_bc")).persist(lvl)
-    val ctx1 = cont2.groupBy("w_b")
+    val cont2 = tri.groupBy(col("_k2"))
+      .agg(count(lit(1)).as("n1p_bc"), max("_p2").as("_p2"),
+        max("_k1").as("_k1")).persist(lvl)
+    val ctx1 = cont2.groupBy(col("_p2"))
       .agg(sum("n1p_bc").as("tot_b"), count(lit(1)).as("typ_b"))
-    val cont1 = cont2.groupBy("w_c").agg(count(lit(1)).as("n1p_c"))
+    val cont1 = cont2.groupBy(col("_k1")).agg(count(lit(1)).as("n1p_c"))
     val types = cont2.agg(count(lit(1)).cast("double").as("_t_all"))
     val d = lit(discount)
     // per-trigram quantized score at trigram-vocab grain: the backoff
@@ -269,12 +297,12 @@ object CorpusStats {
     // doc-trigram stream pays exactly ONE keyed join (the kn5LogProb
     // one-scoring-join discipline)
     val score3 = tri
-      .join(ctx2, Seq("w_a", "w_b"))
-      .join(cont2, Seq("w_b", "w_c"))
-      .join(broadcast(ctx1), Seq("w_b"))
-      .join(broadcast(cont1), Seq("w_c"))
+      .join(ctx2, Seq("_p3"))
+      .join(cont2.select("_k2", "n1p_bc"), Seq("_k2"))
+      .join(broadcast(ctx1), Seq("_p2"))
+      .join(broadcast(cont1), Seq("_k1"))
       .crossJoin(broadcast(types))
-      .select(col("w_a"), col("w_b"), col("w_c"),
+      .select(col("_k3"),
         floor(log(
           greatest(col("n_abc").cast("double") - d, lit(0.0)) /
             col("c_ab").cast("double") +
@@ -286,7 +314,8 @@ object CorpusStats {
                   (col("n1p_c").cast("double") / col("_t_all"))))
           * 1000000).cast("long").as("cq"))
     docTrigrams
-      .join(score3, Seq("w_a", "w_b", "w_c"))
+      .select(col(idCol), col("_k3"))
+      .join(score3, Seq("_k3"))
       .select(col(idCol), col("cq"))
       .groupBy(idCol)
       .agg(sum("cq").as("sum_q6"), count(lit(1)).as("n_trigrams"))
