@@ -55,6 +55,11 @@ object Tables {
     * so the pattern is scale-safe (no blind full-table shuffle).
     */
   def ensureParallelism(df: DataFrame): DataFrame = {
+    // a streaming frame has no inspectable partitioning (.rdd is
+    // illegal before execution) and its micro-batch splits are the
+    // source's concern — pass it through so batch operators that guard
+    // with this (Bloom.build, the doc queries) stay stream-legal
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
