@@ -93,6 +93,56 @@ object DocQueries {
       |  FROM documents WHERE doc_id % 7 = 0
       |)""".stripMargin
 
+  /** All-pairs word-trigram Jaccard >= 0.5 pairs over `docs` — the
+    * truth twin of the minhash pair generator (the q_minhash_pairs
+    * pinned property), shared by the graph-oracle queries. Emits
+    * `pairs`. */
+  private val trigramPairsCte: String =
+    """, toks AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+      |      ' ') AS t
+      |  FROM docs
+      |), g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+      |  FROM toks WHERE len(t) >= 3
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |    (len(a.grams) + len(b.grams)
+      |      - len(list_intersect(a.grams, b.grams))) >= 0.5
+      |)""".stripMargin
+
+  /** [[graft.operators.Graph.pageRankNanos]]'s integer recurrence,
+    * unrolled: deg/nn/it0..it5 over the symmetric edge CTE `edges`
+    * (src, dst). Every op is integer division/multiplication, so the
+    * replay is exact on both engines. */
+  private def pageRankCtes(edges: String): String =
+    s""", deg AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM $edges GROUP BY src
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+       |), it0 AS (
+       |  SELECT node, deg,
+       |    CAST(1000000000 // (SELECT n_nodes FROM nn) AS BIGINT) AS pr
+       |  FROM deg
+       |)""".stripMargin +
+    (1 to 5).map { k =>
+      s""", it$k AS (
+         |  SELECT d.node, d.deg,
+         |    CAST(150000000 // (SELECT n_nodes FROM nn)
+         |      + (17 * coalesce(m.s, 0)) // 20 AS BIGINT) AS pr
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum(p.pr // p.deg) AS BIGINT) AS s
+         |    FROM $edges e JOIN it${k - 1} p ON e.src = p.node
+         |    GROUP BY e.dst) m ON d.node = m.node
+         |)""".stripMargin
+    }.mkString
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis: token counting + quality signals ----
     "q_doc_stats" -> ((s, d) => {
@@ -279,6 +329,39 @@ object DocQueries {
       Graph.pageRankNanos(pairs.select("id_a", "id_b"), iters = 5)
         .select(col("node").as("doc_id"), col("deg"), col("pr_nanos"))
         .orderBy("doc_id")
+    }),
+
+    // ---- canonical-pick composition: connected components over the
+    // near-dup pairs + PageRank centrality, canonical = the
+    // highest-ranked member of each multi-doc cluster (ties → min id) —
+    // the policy upgrade over q_dedup_clusters' min(id). The pair set
+    // is persisted: it feeds BOTH the CC loop and the PR iterations,
+    // and recomputing it means re-running the whole minhash
+    // bands+verify pipeline per consumer. Per-cluster argmax runs as a
+    // WindowGroupLimit (bounded state). ----
+    "q_dedup_canonical" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = docsWithDups(s, d)
+      val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+          threshold = 0.5)
+        .select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val comp = Dedup.connectedComponents(docs.select("doc_id"), pairs,
+        "doc_id")
+      val pr = Graph.pageRankNanos(pairs, iters = 5)
+      // every member of a >1 cluster has an edge, so the inner join
+      // keeps exactly the multi-doc clusters' members
+      comp.join(pr, comp("doc_id") === pr("node"))
+        .select(col("component"), col("doc_id"), col("pr_nanos"))
+        .withColumn("rk", row_number().over(Window.partitionBy("component")
+          .orderBy(col("pr_nanos").desc, col("doc_id"))))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .where(col("rk") === 1 && col("n_members") > 1)
+        .select(col("component"), col("n_members"),
+          col("doc_id").as("canonical_id"),
+          col("pr_nanos").as("canonical_pr_nanos"))
+        .orderBy("component")
     }),
 
     // ---- SimHash near-dup pairs, oracle-checked end to end: the portable
@@ -1718,50 +1801,44 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
     // q_minhash_pairs pinned property), then replays pageRankNanos'
     // integer recurrence with all five iterations unrolled — every op
     // is integer division/multiplication, so the replay is exact
-    "q_pagerank" -> (docsWithDupsCte +
-      """, toks AS (
-        |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-        |      ' ') AS t
-        |  FROM docs
-        |), g AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
-        |  FROM toks WHERE len(t) >= 3
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |    (len(a.grams) + len(b.grams)
-        |      - len(list_intersect(a.grams, b.grams))) >= 0.5
-        |), e0 AS (
+    "q_pagerank" -> (docsWithDupsCte + trigramPairsCte +
+      """, e0 AS (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs
-        |), deg AS (
-        |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
-        |  FROM e0 GROUP BY src
-        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg
-        |), it0 AS (
-        |  SELECT node, deg,
-        |    CAST(1000000000 // (SELECT n_nodes FROM nn) AS BIGINT) AS pr
-        |  FROM deg
         |)""".stripMargin +
-      (1 to 5).map { k =>
-        s""", it$k AS (
-           |  SELECT d.node, d.deg,
-           |    CAST(150000000 // (SELECT n_nodes FROM nn)
-           |      + (17 * coalesce(m.s, 0)) // 20 AS BIGINT) AS pr
-           |  FROM deg d LEFT JOIN (
-           |    SELECT e.dst AS node,
-           |      CAST(sum(p.pr // p.deg) AS BIGINT) AS s
-           |    FROM e0 e JOIN it${k - 1} p ON e.src = p.node
-           |    GROUP BY e.dst) m ON d.node = m.node
-           |)""".stripMargin
-      }.mkString +
+      pageRankCtes("e0") +
       """
         |SELECT node AS doc_id, deg, pr AS pr_nanos
         |FROM it5 ORDER BY doc_id""".stripMargin),
+
+    // components from the same truth pairs (the q_dedup_clusters
+    // recursive CTE) + the unrolled PageRank replay + a per-component
+    // argmax — the full canonical-pick composition in one statement
+    "q_dedup_canonical" -> (docsWithDupsCte
+      .replace("WITH docs AS (", "WITH RECURSIVE docs AS (") +
+      trigramPairsCte +
+      """, sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT s.dst, r.label FROM reach r JOIN sym s ON r.id = s.src
+        |), comp AS (
+        |  SELECT id, min(label) AS component FROM reach GROUP BY id
+        |)""".stripMargin +
+      pageRankCtes("sym") +
+      """, sel AS (
+        |  SELECT c.component, c.id, p.pr,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY p.pr DESC, c.id) AS rk,
+        |    count(*) OVER (PARTITION BY c.component) AS n_members
+        |  FROM comp c JOIN it5 p ON c.id = p.node
+        |)
+        |SELECT component, CAST(n_members AS BIGINT) AS n_members,
+        |  id AS canonical_id, pr AS canonical_pr_nanos
+        |FROM sel WHERE rk = 1 AND n_members > 1
+        |ORDER BY component""".stripMargin),
 
     "q_chunk_stride" ->
       """WITH t AS (
