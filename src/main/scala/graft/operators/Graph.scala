@@ -60,11 +60,16 @@ object Graph {
       .persist(lvl)
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).persist(lvl)
-    val nDf = deg.agg(count(lit(1)).as("n_nodes"))
-    val baseNanos = (dampDen - dampNum) * 1000000000L / dampDen
-    var pr = deg.crossJoin(broadcast(nDf))
-      .select(col("node"), col("deg"),
-        expr("1000000000 div n_nodes").as("pr"))
+    // ONE bounded driver scalar (8 bytes — the IVF-sample discipline):
+    // N is a per-iteration constant, and keeping it in-plan as a 1-row
+    // broadcast cross join forced a blocking broadcast-collect job per
+    // iteration (measured: 6 of them cost more than all the real
+    // shuffles on a small graph)
+    val nNodes = deg.count()
+    require(nNodes > 0, "pageRankNanos: empty edge list")
+    val pr0 = 1000000000L / nNodes
+    val baseNanos = (dampDen - dampNum) * 1000000000L / dampDen / nNodes
+    var pr = deg.select(col("node"), col("deg"), lit(pr0).as("pr"))
     (1 to iters).foreach { _ =>
       val msgs = e
         .join(pr.select(col("node").as("src"),
@@ -74,10 +79,10 @@ object Graph {
       // undirected graph: every node has an in-edge, but keep the
       // left join + coalesce so a directed edge list with sink-only
       // nodes degrades to base rank instead of dropping rows
-      pr = deg.crossJoin(broadcast(nDf))
+      pr = deg
         .join(msgs, Seq("node"), "left")
         .select(col("node"), col("deg"),
-          (expr(s"$baseNanos div n_nodes") +
+          (lit(baseNanos) +
             expr(s"($dampNum * coalesce(s, 0)) div $dampDen")).as("pr"))
     }
     pr.select(col("node"), col("deg"), col("pr").as("pr_nanos"))

@@ -324,9 +324,14 @@ object DocQueries {
     // q_minhash_pairs pinned property: banded candidates == truth at
     // the gate) and unrolls the recurrence in SQL. ----
     "q_pagerank" -> ((s, d) => {
+      // persisted: pageRankNanos' symmetric edge union reads the pair
+      // frame TWICE — unpersisted, the minhash bands+verify pipeline
+      // runs once per direction (measured ~2× pair-gen cost at sf0.1)
       val pairs = Dedup.minhashDupPairs(docsWithDups(s, d), "doc_id",
-        "text", threshold = 0.5)
-      Graph.pageRankNanos(pairs.select("id_a", "id_b"), iters = 5)
+          "text", threshold = 0.5)
+        .select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Graph.pageRankNanos(pairs, iters = 5)
         .select(col("node").as("doc_id"), col("deg"), col("pr_nanos"))
         .orderBy("doc_id")
     }),
