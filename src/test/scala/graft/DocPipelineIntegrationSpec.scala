@@ -98,5 +98,38 @@ class DocPipelineIntegrationSpec extends AnyFunSuite {
     assert(shardStats.getAs[Long]("docs") == stripped.count())
     val maxSingle = withTokens.agg(max("_n")).collect()(0).getLong(0)
     assert(shardStats.getAs[Long]("maxTok") < budget + maxSingle)
+
+    // 6. terminal artifact: token ids → self-identifying binary
+    //    payloads (doc_id as 8 LE bytes + ids as 4-byte LE ints) →
+    //    TFRecord shards → CRC-verified read-back → ids survive
+    //    bit-exact. This is the handoff a trainer actually consumes.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfrec")
+      .toString
+    val payloads = encoded.select(col("doc_id"), col("input_ids"))
+      .as[(Long, Seq[Int])]
+      .map { case (id, ids) =>
+        val bb = java.nio.ByteBuffer.allocate(8 + 4 * ids.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putLong(id)
+        ids.foreach(bb.putInt)
+        bb.array()
+      }.toDF("payload")
+    graft.sources.TfRecord.write(payloads, "payload", s"$dir/recs")
+    val back = graft.sources.TfRecord.read(spark, s"$dir/recs")
+      .select("payload").as[Array[Byte]]
+      .map { bytes =>
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val id = bb.getLong
+        (id, Seq.fill((bytes.length - 8) / 4)(bb.getInt))
+      }.toDF("doc_id", "ids_back")
+    assert(back.count() == encoded.count())
+    val idMismatch = back
+      .join(encoded, Seq("doc_id"), "full_outer")
+      .where(col("input_ids").isNull || col("ids_back").isNull ||
+        col("input_ids") =!= col("ids_back"))
+      .count()
+    assert(idMismatch == 0, "TFRecord round trip altered token ids")
   }
 }
