@@ -48,4 +48,16 @@ object Hashing {
       .map(i => substring(hex, i, 2)): _*)
     conv(le, 16, 10).cast("long")
   }
+
+  /** Driver-side twin of [[md5Long56]] — the same 56 bits from the same
+    * digest, for building DETERMINISTIC constants (e.g. the JL sign
+    * matrix) once on the driver instead of per row in the plan.
+    * HashingSpec pins bit-equality with the Column form. */
+  def md5Long56Local(s: String): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    // first 7 digest bytes little-endian (byte 6 most significant) —
+    // exactly the hex-pair order the Column form concatenates
+    (6 to 0 by -1).foldLeft(0L)((acc, i) => (acc << 8) | (digest(i) & 0xffL))
+  }
 }

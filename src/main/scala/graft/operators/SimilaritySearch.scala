@@ -533,4 +533,53 @@ object SimilaritySearch {
     model.transform(prepped)
       .select(col(idCol), vector_to_array(col("_p")).as("pca"))
   }
+
+  /** Johnson–Lindenstrauss random projection (the ±1 variant of
+    * Achlioptas 2003, "Database-friendly random projections"):
+    * project a fixed-dim embedding column to `k` dims through a
+    * DETERMINISTIC ±1 sign matrix derived from the portable md5 stream.
+    * The training-free alternative to [[pcaReduce]] — at 100 TB there
+    * is no covariance pass, no model: the d·k matrix is computed ONCE
+    * on the driver ([[graft.functions.Hashing.md5Long56Local]], ~1k
+    * hashes) and embedded as a literal, and projection is one narrow
+    * row-local pass. Zero shuffle, zero per-row hashing.
+    *
+    * Engine-exact by construction: components quantize to 1e-6 grain
+    * BEFORE the signed sum, so each output component is an exact
+    * integer Σ ±xqᵢ — the SQL oracle replays the sign bits via
+    * `md5_number_upper % 2` and sums the same integers. Output rows
+    * (idCol, out_dim 0..k−1, comp_q6, value = comp_q6/(10⁶·√k)) —
+    * exploded, because array columns cannot cross the driver gate. */
+  def jlReduce(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, salt: String = "jl|"): DataFrame = {
+    import graft.functions.Hashing
+    require(k > 0, s"k must be positive: $k")
+    // bounded driver scalar (the IVF-sample discipline): the input dim
+    val d = df.select(max(size(col(vecCol))).as("d")).head().getInt(0)
+    require(d > 0, "jlReduce: empty vectors")
+    val signs: Seq[Seq[Long]] = (0 until k).map { j =>
+      (0 until d).map { i =>
+        if (Hashing.md5Long56Local(s"$salt$i|$j") % 2 == 0) 1L else -1L
+      }
+    }
+    val signsLit = typedLit(signs)
+    val scale = 1000000.0 * math.sqrt(k.toDouble)
+    df.select(col(idCol),
+        transform(col(vecCol),
+          v => round(v.cast("double") * 1000000).cast("long")).as("_xq"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), lit(k - 1)),
+        j => aggregate(sequence(lit(0), lit(d - 1)), lit(0L),
+          (acc, i) => acc + element_at(col("_xq"), (i + 1).cast("int")) *
+            element_at(element_at(signsLit, (j + 1).cast("int")),
+              (i + 1).cast("int"))))))
+      .withColumnRenamed("pos", "out_dim")
+      .withColumnRenamed("col", "comp_q6")
+      // NO round(): comp_q6/4e6 lands on a decimal .5 boundary for
+      // every comp ≡ 2 (mod 4) and the two engines' round() disagree
+      // there (Spark rounds the shortest decimal rendering, DuckDB the
+      // raw binary). The bare division of identical integers by an
+      // identical constant is already the same IEEE double on both.
+      .withColumn("value", col("comp_q6") / scale)
+  }
 }

@@ -314,6 +314,18 @@ object DocQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- Johnson–Lindenstrauss ±1 random projection (Achlioptas
+    // 2003): 64-dim embeddings → 16 dims through a deterministic
+    // md5-derived sign matrix — the training-free scale path beside
+    // PCA. Exact integer sums per component (quantize-then-sum); the
+    // oracle replays every sign bit via md5_number_upper % 2. ----
+    "q_jl_reduce" -> ((s, d) => {
+      SimilaritySearch.jlReduce(
+          embeddings(s, d).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 16)
+        .orderBy("vec_id", "out_dim")
+    }),
+
     // ---- PageRank centrality over the near-dup graph: the
     // "pick the authoritative copy" policy one rung above min(id)
     // canonicalization (and the CommonCrawl-style host-authority
@@ -1801,6 +1813,33 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |    AS DOUBLE)) / (max(c.n) * 10000), 6) AS dist
         |FROM q JOIN cent c ON q.label = c.label AND q.dim = c.dim
         |GROUP BY q.vec_id, q.label ORDER BY q.vec_id""".stripMargin,
+
+    // replays every sign bit (md5_number_upper % 2^56 % 2 == the
+    // driver-side md5Long56Local) and sums the same quantized integers
+    "q_jl_reduce" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS i,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+        |      AS xq
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT i.range AS i, j.range AS j,
+        |    CASE WHEN CAST(md5_number_upper(
+        |        'jl|' || CAST(i.range AS VARCHAR) || '|'
+        |          || CAST(j.range AS VARCHAR))
+        |        % 72057594037927936 AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM range(0, 64) i, range(0, 16) j
+        |)
+        |SELECT q.vec_id, CAST(s.j AS INTEGER) AS out_dim,
+        |  CAST(sum(q.xq * s.sgn) AS BIGINT) AS comp_q6,
+        |  CAST(sum(q.xq * s.sgn) AS DOUBLE)
+        |    / (1000000 * sqrt(16)) AS value
+        |FROM q JOIN s ON q.i = s.i
+        |GROUP BY q.vec_id, s.j
+        |ORDER BY vec_id, out_dim""".stripMargin,
 
     // rebuilds the edge set from the all-pairs trigram truth (the
     // q_minhash_pairs pinned property), then replays pageRankNanos'

@@ -147,4 +147,41 @@ class SimilaritySearchSpec extends AnyFunSuite {
         s"sig ${r.getLong(2)} != ${r.getLong(3)}")
     }
   }
+
+  test("md5Long56Local is bit-identical to the Column form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.Hashing
+    val strs = Seq("jl|0|0", "jl|63|15", "a", "", "xyz|13|7",
+      "Grüße ☃") // multi-byte UTF-8 must hash identically too
+    val fromCol = strs.toDF("s")
+      .select(col("s"), Hashing.md5Long56(col("s")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { s =>
+      assert(fromCol(s) == Hashing.md5Long56Local(s), s"mismatch on '$s'")
+    }
+  }
+
+  test("jlReduce: deterministic, and squared norms concentrate (JL)") {
+    import org.apache.spark.sql.functions._
+    val e = emb.select(col("vec_id"), col("embedding")).limit(100)
+    val p1 = SimilaritySearch.jlReduce(e, "vec_id", "embedding", k = 16)
+    val p2 = SimilaritySearch.jlReduce(e, "vec_id", "embedding", k = 16)
+    assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty,
+      "projection is not deterministic")
+    // E[‖proj‖²] = ‖x‖² for the ±1/√k ensemble; check the per-vector
+    // ratio is in a loose concentration band on real embeddings
+    val orig = e.select(col("vec_id"),
+      aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double")).as("n2"))
+    val proj = p1.groupBy("vec_id")
+      .agg(sum(col("value") * col("value")).as("p2"))
+    val ratios = proj.join(orig, "vec_id")
+      .select((col("p2") / col("n2")).as("r"))
+      .where(col("n2") > 0).collect().map(_.getDouble(0))
+    assert(ratios.nonEmpty)
+    val median = ratios.sorted.apply(ratios.length / 2)
+    assert(median > 0.5 && median < 1.5,
+      s"norm ratio median $median outside JL concentration band")
+  }
 }
