@@ -411,6 +411,33 @@ object DocQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- cross-split SEMANTIC leakage: hash-split the vectors, then
+    // keep only near-dup pairs that STRADDLE splits — the
+    // embedding-space decontamination check (q_decontaminate's n-grams
+    // miss paraphrases; this catches them in embedding space). Copies
+    // injected (vec_id+100000, the q_embed_dup_pairs convention) so
+    // positives exist — a copy's id hashes independently of its
+    // source's, so most dup pairs land in different splits. ----
+    "q_split_leakage" -> ((s, d) => {
+      import graft.operators.DataPrep
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val withCopies = e.unionByName(
+        e.where(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val split = DataPrep.hashSplit(withCopies.select("vec_id"),
+        "vec_id", Seq("train" -> "cc", "val" -> "e6"), rest = "test")
+      Dedup.embeddingDupPairs(withCopies, "vec_id", "embedding",
+          threshold = 0.99, bits = 16)
+        .join(split.select(col("vec_id").as("id_a"),
+          col("split").as("split_a")), Seq("id_a"))
+        .join(split.select(col("vec_id").as("id_b"),
+          col("split").as("split_b")), Seq("id_b"))
+        .where(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- URL extraction + registered-domain blocklist (the C4/RefinedWeb
     // domain-filter step): URLs injected deterministically (corpus has
     // none), extracted with the shared RE2∩Java pattern, reduced to the
@@ -2060,6 +2087,31 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_split_leakage" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |), sp AS (
+        |  SELECT vec_id,
+        |    CASE WHEN substr(sha256('split|' || CAST(vec_id AS VARCHAR)), 1, 2)
+        |           < 'cc' THEN 'train'
+        |         WHEN substr(sha256('split|' || CAST(vec_id AS VARCHAR)), 1, 2)
+        |           < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM e
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  sa.split AS split_a, sb.split AS split_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |JOIN sp sa ON sa.vec_id = a.vec_id
+        |JOIN sp sb ON sb.vec_id = b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        |  AND sa.split <> sb.split
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_pack_sequences" ->
