@@ -235,6 +235,31 @@ object DataPrep {
       .drop("_rk")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"): keep
+    * the `n` items per group with the largest u^(1/w), where u is the
+    * item's content-stable md5 uniform — the weighted upgrade of
+    * [[stratifiedSample]] (sample by quality score, token count, dwell
+    * time…). Ranked by ln(u)/w, the same order (ln is monotone and
+    * w > 0) without a cross-engine `pow` in the plan; u = (h+1)/2⁵⁶
+    * over [[graft.functions.Hashing.md5Long56]] lies in (0, 1], so the
+    * key is finite. Weights clamp to ≥ 1 (a zero weight would divide
+    * by zero; clamping keeps the op total). Same id + weight → same
+    * draw on any engine or partitioning; the per-group top-n runs as a
+    * WindowGroupLimit (bounded state), never a full sort. */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+      weight: Column, n: Int, salt: String = "ws|"): DataFrame = {
+    import graft.functions.Hashing
+    val u = (Hashing.md5Long56(
+      concat(lit(salt), col(idCol).cast("string"))) + 1).cast("double") /
+      lit(72057594037927936.0) // 2^56, exact in double
+    val key = log(u) / greatest(weight.cast("long"), lit(1L)).cast("double")
+    val w = Window.partitionBy(groupCol).orderBy(key.desc, col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= n)
+      .drop("_rk")
+  }
+
   /** Deterministic source-mixture sampling — the dataset-mixing primitive
     * (e.g. "30% web, 60% code, 10% wiki" for a training run): keep each
     * document with probability `weights(source)`, decided by a

@@ -587,6 +587,21 @@ object DocQueries {
         .orderBy("source", "split")
     }),
 
+    // ---- Efraimidis–Spirakis weighted sampling without replacement:
+    // per-source top-20 by u^(1/w) with w = n_chars — sample long docs
+    // preferentially, deterministically (the weighted upgrade of
+    // q_stratified_sample). Ranked by ln(u)/w: same order, no pow() in
+    // the plan; the oracle replays the exact md5 uniform and key. ----
+    "q_weighted_sample" -> ((s, d) => {
+      import graft.operators.DataPrep
+      DataPrep.weightedSample(
+          docsPar(s, d).select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "doc_id", "source", col("n_chars"), n = 20)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    }),
+
     // ---- the curation funnel: the full pretraining filter stack (lang →
     // quality → repetition → PII) composed into one per-source accounting
     // query, first-failing-rule attribution — every component is
@@ -2088,6 +2103,23 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ln((CAST(md5_number_upper('ws|' || CAST(doc_id AS VARCHAR))
+        |        % 72057594037927936 AS BIGINT) + 1)
+        |      / 72057594037927936.0)
+        |    / CAST(greatest(n_chars, 1) AS DOUBLE) AS key
+        |  FROM documents
+        |)
+        |SELECT source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY key DESC, doc_id) AS rk
+        |  FROM k)
+        |WHERE rk <= 20
+        |ORDER BY source, doc_id""".stripMargin,
 
     "q_split_leakage" ->
       """WITH e AS (

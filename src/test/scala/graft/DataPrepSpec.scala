@@ -276,4 +276,33 @@ class DataPrepSpec extends AnyFunSuite {
         r.getAs[Long]("sum_ids")))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("weightedSample: deterministic, partitioning-invariant, size " +
+      "min(n, group), and raising a weight never worsens its rank") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, "g", 1L + i % 7)).toDF(
+      "id", "grp", "w")
+    val a = DataPrep.weightedSample(df, "id", "grp", col("w"), n = 10)
+      .select("id").as[Long].collect().toSet
+    val b = DataPrep.weightedSample(df.repartition(13), "id", "grp",
+        col("w"), n = 10)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.size == 10)
+    // small group: everything kept
+    val tiny = Seq((1L, "g", 5L), (2L, "g", 1L)).toDF("id", "grp", "w")
+    assert(DataPrep.weightedSample(tiny, "id", "grp", col("w"), 10)
+      .count() == 2)
+    // E-S key ln(u)/w is monotone in w (ln u < 0): multiply one
+    // excluded item's weight by 1000 → it must enter the sample or at
+    // least never lose to items it previously beat; check the direct
+    // form — boosted item's key strictly increases, so membership is
+    // monotone
+    val excluded = (1L to 200L).find(i => !a.contains(i)).get
+    val boosted = df.withColumn("w",
+      when(col("id") === excluded, col("w") * 100000).otherwise(col("w")))
+    val c = DataPrep.weightedSample(boosted, "id", "grp", col("w"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(c.contains(excluded),
+      s"weight-boosted item $excluded still excluded")
+  }
 }
