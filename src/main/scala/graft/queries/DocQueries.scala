@@ -832,6 +832,49 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- asymmetric gram containment C(a→b) = |g(a)∩g(b)| / |g(a)|:
+    // the subset-duplication signal symmetric Jaccard misses when
+    // |B| ≫ |A| (a short doc quoted wholesale inside a long one scores
+    // C≈1 but Jaccard≈|A|/|B|). Pairs form through the gram-keyed join
+    // (docs sharing ≥ minShared grams) — never all-pairs; only 8-byte
+    // hashes shuffle. Grams with document frequency > maxDf are
+    // excluded from PAIR FORMATION (a boilerplate gram in 10⁶ docs
+    // would mint 10¹² pairs; df-capped grams carry no containment
+    // signal worth that cost — the standard stop-shingle cap) but
+    // still count in |g(a)|, so containment stays a true fraction of
+    // the doc. ----
+    "q_containment" -> ((s, d) => {
+      val n = 8
+      val minShared = 8L
+      val maxDf = 100L
+      val t = docsWithDups(s, d).select(
+        col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+          .as("tk"))
+      val grams = t.where(size(col("tk")) >= n)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(0), size(col("tk")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(n))))
+        ))).as("gh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("grams_a"))
+      val joinable = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= maxDf)
+      val capped = grams.join(joinable.select("gh"), Seq("gh"))
+      capped.select(col("doc_id").as("id_a"), col("gh"))
+        .join(capped.select(col("doc_id").as("id_b"), col("gh")),
+          Seq("gh"))
+        .where(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= minShared)
+        .join(sizes.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+        // bare division of exact integers — identical IEEE on both
+        // engines, no round() (the q_jl_reduce boundary lesson)
+        .select(col("id_a"), col("id_b"), col("shared"), col("grams_a"),
+          (col("shared").cast("double") / col("grams_a")).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- maximal duplicated-substring spans (Lee et al. ExactSubstr,
     // the suffix-array half): per-position 8-token gram hashes →
     // >= 2-occurrence grams → gaps-and-islands merge into maximal spans
@@ -2482,6 +2525,42 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |SELECT doc_id, count(*) AS n_dup_grams
         |FROM g JOIN shared USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // groups by gram TEXT where the engine joins 8-byte hashes — the
+    // gate proves the hashed pair formation lossless
+    "q_containment" -> (docsWithDupsCte +
+      """, toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS t
+        |  FROM docs
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |        || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' '
+        |        || t[i+7]))) AS gram
+        |  FROM toks WHERE len(t) >= 8
+        |), sizes AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS grams_a
+        |  FROM g GROUP BY doc_id
+        |), joinable AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(*) >= 2 AND count(*) <= 100
+        |), capped AS (
+        |  SELECT doc_id, gram FROM g JOIN joinable USING (gram)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM capped a JOIN capped b ON a.gram = b.gram
+        |    AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING count(*) >= 8
+        |)
+        |SELECT p.id_a, p.id_b, p.shared, s.grams_a,
+        |  CAST(p.shared AS DOUBLE) / s.grams_a AS containment
+        |FROM pairs p JOIN sizes s ON s.doc_id = p.id_a
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // positions replay over the gram text (lossless-hash proof, the
     // q_ngram_span_dedup discipline); DuckDB's 1-based list positions
