@@ -125,4 +125,31 @@ class TokenizerSpec extends AnyFunSuite {
     val ids = vocab.collect().map(_.getAs[Long]("tok_id")).sorted
     assert(ids.toSeq == (1L to ids.length))
   }
+
+  test("encodeWith: matches encode under the native vocab; unknown " +
+      "subwords under a foreign vocab map to unkId") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low newest"), (2L, "solo low"))
+      .toDF("doc_id", "text")
+    val rules = Seq(("l", "o"), ("lo", "w"))
+    // native vocab → identical ids to encode()
+    val (encoded, vocab) =
+      Tokenizer.encodeAndVocab(docs, "doc_id", "text", rules)
+    val viaWith = Tokenizer.encodeWith(docs, "doc_id", "text", rules,
+      vocab)
+    assert(viaWith.exceptAll(encoded).isEmpty &&
+      encoded.exceptAll(viaWith).isEmpty)
+    // foreign vocab missing every 'solo'/'newest' subword: those
+    // positions read unkId, known subwords keep their foreign ids
+    val foreign = vocab.where(
+      org.apache.spark.sql.functions.col("subword").startsWith("lo"))
+    val got = Tokenizer.encodeWith(docs, "doc_id", "text", rules,
+        foreign, unkId = 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val knownIds = foreign.collect()
+      .map(r => r.getAs[String]("subword") -> r.getAs[Long]("tok_id"))
+      .toMap.values.map(_.toInt).toSet
+    assert(got(2L).contains(0), "unknown subwords must map to unkId")
+    assert(got(1L).forall(id => id == 0 || knownIds.contains(id)))
+  }
 }
