@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
-import graft.operators.{Bloom, Cms}
+import org.apache.spark.sql.functions.udaf
+import graft.operators.{Bloom, Cms, HeavyHitters}
 
 /** Streaming twins of the frequency/membership sketches — with
   * [[StreamingHll]] this completes the streaming sketch family
@@ -34,4 +35,24 @@ object StreamingSketches {
     * streaming-agg merge, identical to the batch OR. */
   def bloomWordStream(rows: DataFrame, key: Column): DataFrame =
     Bloom.build(rows, key)
+
+  /** Continuously-maintained Misra-Gries frequent-items summary: one
+    * global streaming aggregation whose state is the ≤ `capacity`
+    * summary buffer. Streaming-legal because the Aggregator is
+    * MERGEABLE (the Agarwal et al. construction) — each micro-batch's
+    * partial merges into the running state exactly as batch partitions
+    * merge. Summaries are merge-order-dependent, so a stream snapshot
+    * need not equal the batch summary byte-for-byte; what survives any
+    * order — and what the spec pins — is the MG guarantee: every key
+    * with true frequency > rows/capacity is IN the snapshot, and `rows`
+    * is exact. Verify candidates exactly against durable storage (the
+    * batch [[HeavyHitters.topFrequent]] second phase) when exact counts
+    * are needed. Emits one row (keys, counts, rows) per trigger in
+    * complete mode. */
+  def heavyHittersStream(rows: DataFrame, key: Column,
+      capacity: Int = 64): DataFrame = {
+    val agg = udaf(HeavyHitters.MisraGries(capacity))
+    rows.select(agg(key.cast("string")).as("s"))
+      .select("s.keys", "s.counts", "s.rows")
+  }
 }

@@ -72,4 +72,38 @@ class StreamingSketchesSpec extends AnyFunSuite {
       assert(hits.values.forall(identity))
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries keeps every true-frequent key and the " +
+      "exact row count across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val capacity = 16
+    val input = MemoryStream[String]
+    val q = graft.streaming.StreamingSketches.heavyHittersStream(
+        input.toDF().toDF("k"), col("k"), capacity)
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      // two hot keys spread across batches + a long noise tail
+      val batch1 = Seq.fill(400)("hot-a") ++
+        (0 until 600).map(i => s"noise-${i % 200}")
+      val batch2 = Seq.fill(500)("hot-b") ++ Seq.fill(200)("hot-a") ++
+        (0 until 300).map(i => s"noise-${200 + i % 100}")
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val snap = spark.sql("SELECT keys, rows FROM mg_stream").head()
+      val keys = snap.getSeq[String](0).toSet
+      val rows = snap.getLong(1)
+      val all = batch1 ++ batch2
+      assert(rows == all.length.toLong, "row count must be exact")
+      assert(keys.size <= capacity)
+      // MG guarantee: freq > rows/capacity ⇒ present, in any merge order
+      val trueCounts = all.groupBy(identity).view.mapValues(_.size.toLong)
+      val mustHave = trueCounts.filter(_._2 > rows / capacity).keys.toSet
+      assert(mustHave.nonEmpty && mustHave.subsetOf(keys),
+        s"missing true-frequent keys: ${mustHave.diff(keys)}")
+    } finally q.stop()
+  }
 }
