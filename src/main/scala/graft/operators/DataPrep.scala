@@ -243,8 +243,10 @@ object DataPrep {
     * time…). Ranked by ln(u)/w, the same order (ln is monotone and
     * w > 0) without a cross-engine `pow` in the plan; u = (h+1)/2⁵⁶
     * over [[graft.functions.Hashing.md5Long56]] lies in (0, 1], so the
-    * key is finite. Weights clamp to ≥ 1 (a zero weight would divide
-    * by zero; clamping keeps the op total). Same id + weight → same
+    * key is finite. Weights are used as DOUBLES — fractional quality
+    * scores weight faithfully (a long cast would truncate 0.9 → 0 and
+    * collapse the draw to uniform) — and clamp to ≥ 1e-9 so a
+    * zero/negative weight cannot divide to ±∞; same id + weight → same
     * draw on any engine or partitioning; the per-group top-n runs as a
     * WindowGroupLimit (bounded state), never a full sort. */
   def weightedSample(df: DataFrame, idCol: String, groupCol: String,
@@ -253,7 +255,7 @@ object DataPrep {
     val u = (Hashing.md5Long56(
       concat(lit(salt), col(idCol).cast("string"))) + 1).cast("double") /
       lit(72057594037927936.0) // 2^56, exact in double
-    val key = log(u) / greatest(weight.cast("long"), lit(1L)).cast("double")
+    val key = log(u) / greatest(weight.cast("double"), lit(1e-9))
     val w = Window.partitionBy(groupCol).orderBy(key.desc, col(idCol))
     df.withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= n)

@@ -554,9 +554,16 @@ object SimilaritySearch {
       k: Int = 16, salt: String = "jl|"): DataFrame = {
     import graft.functions.Hashing
     require(k > 0, s"k must be positive: $k")
-    // bounded driver scalar (the IVF-sample discipline): the input dim
-    val d = df.select(max(size(col(vecCol))).as("d")).head().getInt(0)
+    // bounded driver scalar (the IVF-sample discipline): the input dim.
+    // min==max is REQUIRED — a ragged corpus would make element_at read
+    // past the short vectors and silently null entire projections
+    val dims = df.agg(max(size(col(vecCol))).as("dmax"),
+      min(size(col(vecCol))).as("dmin")).head()
+    require(!dims.isNullAt(0), "jlReduce: empty input frame")
+    val d = dims.getInt(0)
     require(d > 0, "jlReduce: empty vectors")
+    require(dims.getInt(1) == d,
+      s"jlReduce requires fixed-dimension vectors (saw ${dims.getInt(1)} and $d)")
     val signs: Seq[Seq[Long]] = (0 until k).map { j =>
       (0 until d).map { i =>
         if (Hashing.md5Long56Local(s"$salt$i|$j") % 2 == 0) 1L else -1L

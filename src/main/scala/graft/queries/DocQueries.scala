@@ -2153,7 +2153,7 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |    ln((CAST(md5_number_upper('ws|' || CAST(doc_id AS VARCHAR))
         |        % 72057594037927936 AS BIGINT) + 1)
         |      / 72057594037927936.0)
-        |    / CAST(greatest(n_chars, 1) AS DOUBLE) AS key
+        |    / greatest(CAST(n_chars AS DOUBLE), 1e-9) AS key
         |  FROM documents
         |)
         |SELECT source, doc_id, n_chars FROM (

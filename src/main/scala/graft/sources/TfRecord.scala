@@ -63,21 +63,45 @@ object TfRecord {
   /** Write `payloadCol` (binary or string — strings are UTF-8 encoded)
     * as `dir/part-NNNNN.tfrecord`, one file per non-empty partition.
     * Order within a partition is the input order; callers needing a
-    * global layout sort/repartition first (the goldParquet contract). */
+    * global layout sort/repartition first (the goldParquet contract).
+    *
+    * Commit discipline: each task attempt writes an attempt-unique
+    * `.inprogress` temp and renames into place only after a clean
+    * close — so a failed/zombie/speculative attempt can never leave a
+    * half-written or interleaved `.tfrecord` (and [[read]] only loads
+    * `*.tfrecord`, so stray temps are invisible). If another attempt
+    * already committed the same partition, this attempt discards its
+    * temp. Rename is atomic on HDFS/local; on S3A it is a copy —
+    * single-writer-per-partition still holds, but prefer a cluster
+    * committer-backed format there if multi-job concurrency matters.
+    * Keep input partitions comfortably under 2 GB (repartition first):
+    * [[read]] loads one shard per task via binaryFile. */
   def write(df: DataFrame, payloadCol: String, dir: String): Unit = {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col(payloadCol).cast("binary").as("p"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val path = new org.apache.hadoop.fs.Path(
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val dest = new org.apache.hadoop.fs.Path(
             dir, f"part-$pid%05d.tfrecord")
-          val fs = path.getFileSystem(hconf.value)
-          val out = fs.create(path, true)
-          try rows.foreach { r =>
-            out.write(frame(r.getAs[Array[Byte]](0)))
-          } finally out.close()
+          val tmp = new org.apache.hadoop.fs.Path(
+            dir, f".part-$pid%05d-attempt${tc.taskAttemptId()}.inprogress")
+          val fs = dest.getFileSystem(hconf.value)
+          val out = fs.create(tmp, true)
+          var ok = false
+          try {
+            rows.foreach { r => out.write(frame(r.getAs[Array[Byte]](0))) }
+            ok = true
+          } finally {
+            out.close()
+            if (ok) {
+              // first committer wins; a losing duplicate attempt
+              // removes its temp and leaves the committed file alone
+              if (!fs.rename(tmp, dest)) fs.delete(tmp, false): Unit
+            } else fs.delete(tmp, false): Unit
+          }
         }
       }
   }
