@@ -41,7 +41,7 @@ object Explain {
           qs(n)(spark, "/root/testdata/sf0.001")
             .write.format("noop").mode("overwrite").save()
           spark.catalog.clearCache()
-        } catch { case _: Throwable => () }
+        } catch { case scala.util.control.NonFatal(_) => () }
         try {
           val runs = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
@@ -52,7 +52,7 @@ object Explain {
           }
           println(f"[time] $n min=${runs.min}%.3f reps=" +
             runs.map(x => f"$x%.3f").mkString(","))
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
           println(s"[time] $n FAILED: ${e.getMessage}")
         }
       }

@@ -257,7 +257,10 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
     * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
-    * jaccard >= threshold.
+    * jaccard >= threshold. The result is EAGERLY materialized (computed
+    * at call time, localCheckpoint-backed) and the internal shingle
+    * cache is released before returning — see the note at the end of
+    * the method body.
     *
     * @param shingleSize character shingle width
     * @param bands × rowsPerBand = signature length; tune for the
@@ -296,12 +299,26 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    cands
+    val verified = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // Materialize the (small — verified near-dup pairs only) result
+    // eagerly and release the shingle cache before returning. Two
+    // reasons, both measured: (a) every downstream consumer of a pair
+    // list is multi-branch (connectedComponents' symmetric union,
+    // pageRank's edge union read it TWICE in one job), and a lazy
+    // result lets both branches race the whole bands+verify pipeline
+    // into an unpopulated cache — ~2× pair-gen cost; (b) the shingle
+    // table is corpus-sized and this was the library's largest
+    // unreleased cache. Callers get a flat-lineage frame and zero
+    // storage-memory residue (the checkpoint blocks are freed by the
+    // ContextCleaner when the frame is dropped).
+    val out = verified.localCheckpoint()
+    sh.unpersist(false)
+    out
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
@@ -557,22 +574,28 @@ object Dedup {
     // compact key table: (doc, idx, hash) — 20 bytes/line. The argmin's
     // output IS the keep-set — (hash, keep_doc, keep_idx) — so no join
     // back to the line table is needed; regroup it by doc directly.
-    // The line array is split ONCE into `_lns` and indexed thereafter —
-    // split(textCol) inside the rebuild lambda would re-split the whole
-    // doc per kept line (the corpus-sized-subtree-per-element HOF trap,
-    // see stripExactSubstrSpans).
-    val withLns =
-      docs.select(col(idCol), split(col(textCol), "\n").as("_lns"))
-    val lines = withLns
+    val lines = docs
       .select(col(idCol).as("_doc"),
-        posexplode(col("_lns")).as(Seq("_idx", "_line")))
+        posexplode(split(col(textCol), "\n")).as(Seq("_idx", "_line")))
       .select(col("_doc"), col("_idx"), xxhash64(col("_line")).as("_h"))
     val keptIdx = lines.groupBy("_h")
       .agg(min_by(struct(col("_doc"), col("_idx")),
         struct(col("_doc"), col("_idx"))).as("_k"))
       .groupBy(col("_k._doc").as(idCol))
       .agg(sort_array(collect_list(col("_k._idx"))).as("_keep"))
-    withLns.join(keptIdx, Seq(idCol), "left")
+    // Rebuild join: the docs side rides the join exchange as the FLAT
+    // text column, not a pre-split string array — an array of n lines
+    // pays per-element offsets/nulls through the shuffle writer and
+    // measured 1.7× on the whole operator at sf0.1. The split happens
+    // ONCE per row post-join: `_lns` is an alias referenced three times
+    // below, so CollapseProject keeps the non-cheap split() in its own
+    // projection instead of inlining it — in particular it can NOT leak
+    // into the rebuild lambda, which would re-split the doc per kept
+    // line (the corpus-sized-subtree-per-element HOF trap, see
+    // stripExactSubstrSpans). LineDedupSpec pins the single-split plan.
+    docs.select(col(idCol), col(textCol))
+      .join(keptIdx, Seq(idCol), "left")
+      .withColumn("_lns", split(col(textCol), "\n"))
       .select(col(idCol),
         size(col("_lns")).cast("long").as("n_lines"),
         coalesce(size(col("_keep")), lit(0)).cast("long")

@@ -64,7 +64,9 @@ object Graph {
     // N is a per-iteration constant, and keeping it in-plan as a 1-row
     // broadcast cross join forced a blocking broadcast-collect job per
     // iteration (measured: 6 of them cost more than all the real
-    // shuffles on a small graph)
+    // shuffles on a small graph). This count also populates the e/deg
+    // caches eagerly in ONE job, so the iteration joins below never
+    // race two plan branches into an unmaterialized cache.
     val nNodes = deg.count()
     require(nNodes > 0, "pageRankNanos: empty edge list")
     val pr0 = 1000000000L / nNodes
@@ -85,6 +87,17 @@ object Graph {
           (lit(baseNanos) +
             expr(s"($dampNum * coalesce(s, 0)) div $dampDen")).as("pr"))
     }
-    pr.select(col("node"), col("deg"), col("pr").as("pr_nanos"))
+    // Cache hygiene (the connectedComponents discipline): materialize
+    // the answer once — eager localCheckpoint, node-count-sized — then
+    // release the edge/degree caches before returning, so repeated
+    // invocations in a long session never accumulate storage memory.
+    // Callers get a flat-lineage frame that no longer references the
+    // input edge frame at all (they may unpersist their own caches
+    // immediately after this returns).
+    val out = pr.select(col("node"), col("deg"), col("pr").as("pr_nanos"))
+      .localCheckpoint()
+    e.unpersist(false)
+    deg.unpersist(false)
+    out
   }
 }

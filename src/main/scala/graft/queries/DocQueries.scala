@@ -336,13 +336,14 @@ object DocQueries {
     // q_minhash_pairs pinned property: banded candidates == truth at
     // the gate) and unrolls the recurrence in SQL. ----
     "q_pagerank" -> ((s, d) => {
-      // persisted: pageRankNanos' symmetric edge union reads the pair
-      // frame TWICE — unpersisted, the minhash bands+verify pipeline
-      // runs once per direction (measured ~2× pair-gen cost at sf0.1)
+      // minhashDupPairs returns an eagerly-materialized (checkpointed)
+      // pair frame, so pageRankNanos' symmetric edge union — which
+      // reads it TWICE in its first job — scans the checkpoint instead
+      // of racing the bands+verify pipeline once per direction (the
+      // lazy-persist version measured ~2× pair-gen cost at sf0.1).
       val pairs = Dedup.minhashDupPairs(docsWithDups(s, d), "doc_id",
           "text", threshold = 0.5)
         .select("id_a", "id_b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Graph.pageRankNanos(pairs, iters = 5)
         .select(col("node").as("doc_id"), col("deg"), col("pr_nanos"))
         .orderBy("doc_id")
@@ -352,17 +353,21 @@ object DocQueries {
     // near-dup pairs + PageRank centrality, canonical = the
     // highest-ranked member of each multi-doc cluster (ties → min id) —
     // the policy upgrade over q_dedup_clusters' min(id). The pair set
-    // is persisted: it feeds BOTH the CC loop and the PR iterations,
-    // and recomputing it means re-running the whole minhash
-    // bands+verify pipeline per consumer. Per-cluster argmax runs as a
-    // WindowGroupLimit (bounded state). ----
+    // is checkpoint-materialized by minhashDupPairs: it feeds BOTH the
+    // CC loop and the PR iterations, and recomputing it would mean
+    // re-running the whole minhash bands+verify pipeline per consumer.
+    // Per-cluster argmax runs as a WindowGroupLimit (bounded state). ----
     "q_dedup_canonical" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = docsWithDups(s, d)
+      // minhashDupPairs is eagerly materialized (checkpointed), so the
+      // expensive bands+verify pipeline runs exactly once even though
+      // BOTH the CC loop and the PR iterations consume the pair frame;
+      // CC and PR each checkpoint their own result, so nothing here
+      // leaves storage-memory residue behind.
       val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
           threshold = 0.5)
         .select("id_a", "id_b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val comp = Dedup.connectedComponents(docs.select("doc_id"), pairs,
         "doc_id")
       val pr = Graph.pageRankNanos(pairs, iters = 5)

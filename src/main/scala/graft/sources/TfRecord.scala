@@ -75,10 +75,31 @@ object TfRecord {
     * single-writer-per-partition still holds, but prefer a cluster
     * committer-backed format there if multi-job concurrency matters.
     * Keep input partitions comfortably under 2 GB (repartition first):
-    * [[read]] loads one shard per task via binaryFile. */
-  def write(df: DataFrame, payloadCol: String, dir: String): Unit = {
+    * [[read]] loads one shard per task via binaryFile.
+    *
+    * Cross-JOB reruns are guarded on the driver, not in the tasks: a
+    * non-empty destination fails fast (or is deleted whole with
+    * `overwrite = true`), because a per-file rename can't distinguish
+    * "sibling attempt committed this shard" from "stale shard survived
+    * a previous run" — and a rerun with fewer partitions would
+    * otherwise leave stale extra shards that [[read]] silently
+    * includes. Inside one job, a rename failure is treated as a
+    * duplicate commit ONLY when the destination actually exists (a
+    * sibling attempt's file); any other rename failure throws. */
+  def write(df: DataFrame, payloadCol: String, dir: String,
+      overwrite: Boolean = false): Unit = {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val driverFs = dirPath.getFileSystem(hconf.value)
+    if (driverFs.exists(dirPath) &&
+        driverFs.listStatus(dirPath).nonEmpty) {
+      if (overwrite) { driverFs.delete(dirPath, true); () }
+      else throw new IllegalStateException(
+        s"TfRecord.write: destination $dir exists and is non-empty — " +
+        "pass overwrite = true to replace it (stale shards from a " +
+        "previous run would otherwise survive into read())")
+    }
     df.select(col(payloadCol).cast("binary").as("p"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.hasNext) {
@@ -89,18 +110,36 @@ object TfRecord {
           val tmp = new org.apache.hadoop.fs.Path(
             dir, f".part-$pid%05d-attempt${tc.taskAttemptId()}.inprogress")
           val fs = dest.getFileSystem(hconf.value)
-          val out = fs.create(tmp, true)
-          var ok = false
-          try {
-            rows.foreach { r => out.write(frame(r.getAs[Array[Byte]](0))) }
-            ok = true
-          } finally {
-            out.close()
-            if (ok) {
-              // first committer wins; a losing duplicate attempt
-              // removes its temp and leaves the committed file alone
-              if (!fs.rename(tmp, dest)) fs.delete(tmp, false): Unit
-            } else fs.delete(tmp, false): Unit
+          if (!fs.exists(dest)) { // else: a sibling attempt already won
+            val out = fs.create(tmp, true)
+            var ok = false
+            try {
+              var i = 0L
+              rows.foreach { r =>
+                require(!r.isNullAt(0),
+                  s"TfRecord.write: null payload at partition $pid " +
+                  s"row $i — TFRecord framing has no null; filter or " +
+                  "fill upstream")
+                out.write(frame(r.getAs[Array[Byte]](0)))
+                i += 1
+              }
+              ok = true
+            } finally {
+              out.close()
+              if (ok) {
+                // first committer wins; a losing duplicate attempt
+                // removes its temp and leaves the committed file alone
+                if (!fs.rename(tmp, dest)) {
+                  fs.delete(tmp, false)
+                  // the driver emptied the dir before this job, so a
+                  // surviving dest can only be a sibling attempt's
+                  // commit; anything else is a real filesystem error
+                  if (!fs.exists(dest)) throw new java.io.IOException(
+                    s"TfRecord.write: rename $tmp -> $dest failed and " +
+                    "no committed shard exists")
+                }
+              } else fs.delete(tmp, false): Unit
+            }
           }
         }
       }

@@ -129,4 +129,24 @@ class CurationSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, 0L, "")))
     assert(r(4L) == ((2L, 1L, "d")))
   }
+
+  test("lineDedup plan: one split per branch, never inside the rebuild " +
+      "lambda (the per-kept-line re-split trap)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
+    val opt = Dedup.lineDedup(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString()
+    // exactly two splits: the hash-key branch's posexplode input and the
+    // ONE post-join rebuild split (CollapseProject must not inline the
+    // non-cheap split into its three consumers)
+    val nSplit = "split\\(".r.findAllIn(opt).length
+    assert(nSplit == 2, s"expected 2 split() sites, got $nSplit in:\n$opt")
+    // and none of them may sit under a lambdafunction — that shape
+    // re-splits the whole document once per kept line
+    opt.linesIterator.filter(_.contains("lambdafunction")).foreach { l =>
+      assert(!l.contains("split("),
+        s"split() leaked into a lambda: $l")
+    }
+  }
 }

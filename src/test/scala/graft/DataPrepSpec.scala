@@ -293,10 +293,9 @@ class DataPrepSpec extends AnyFunSuite {
     assert(DataPrep.weightedSample(tiny, "id", "grp", col("w"), 10)
       .count() == 2)
     // E-S key ln(u)/w is monotone in w (ln u < 0): multiply one
-    // excluded item's weight by 1000 → it must enter the sample or at
-    // least never lose to items it previously beat; check the direct
-    // form — boosted item's key strictly increases, so membership is
-    // monotone
+    // excluded item's weight by 100000 — enough that its key must rise
+    // into the top-10 for this fixture — and assert it now makes the
+    // sample (a membership check; u is id-stable, so only w moves)
     val excluded = (1L to 200L).find(i => !a.contains(i)).get
     val boosted = df.withColumn("w",
       when(col("id") === excluded, col("w") * 100000).otherwise(col("w")))
