@@ -62,7 +62,7 @@ object Bench {
       val s = newSession()
       try {
         throughputAnchors(s, warmDir)
-        s.catalog.clearCache()
+        s.catalog.clearCache(); graft.operators.Caches.clear()
         throughputAnchors(s, sfDir)
       } finally s.stop()
     }
@@ -92,7 +92,7 @@ object Bench {
       }
       // drop frames the warmup's persisting operators cached, so the
       // FIRST timed query starts from the same clean state as the rest
-      spark.catalog.clearCache()
+      spark.catalog.clearCache(); graft.operators.Caches.clear()
     }
     // noop sink: count() lets Spark skip projection work on map-only
     // plans; noop forces every output column to materialize.
@@ -115,7 +115,7 @@ object Bench {
           // term base) register with the CacheManager; without this the
           // blocks accumulate across the ~40 bench queries and later
           // queries pay the eviction/GC pressure (measured 2-4x noise)
-          spark.catalog.clearCache()
+          spark.catalog.clearCache(); graft.operators.Caches.clear()
           if (ok) sec else -1.0
         }
         // median of the SUCCESSFUL runs: one transient failure must not

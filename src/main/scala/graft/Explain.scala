@@ -40,14 +40,14 @@ object Explain {
         try {
           qs(n)(spark, "/root/testdata/sf0.001")
             .write.format("noop").mode("overwrite").save()
-          spark.catalog.clearCache()
+          spark.catalog.clearCache(); graft.operators.Caches.clear()
         } catch { case scala.util.control.NonFatal(_) => () }
         try {
           val runs = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
             qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
             val sec = (System.nanoTime() - t0) / 1e9
-            spark.catalog.clearCache()
+            spark.catalog.clearCache(); graft.operators.Caches.clear()
             sec
           }
           println(f"[time] $n min=${runs.min}%.3f reps=" +

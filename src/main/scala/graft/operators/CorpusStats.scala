@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Caches.Persisted
 
 /** Corpus-profiling statistics for training-data curation: the vocabulary
   * frequency/coverage profile (the Zipf curve a tokenizer budget is sized
@@ -32,11 +33,11 @@ object CorpusStats {
   def vocabStats(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     // The vocab feeds two plan branches (top-k + the coverage total);
     // without the persist each branch re-runs the corpus-sized explode +
-    // agg — an extra full corpus pass at scale. Vocab-sized blocks stay
-    // resident for the session (the minhash shingle-base discipline:
-    // Bench clears the cache per query; a warehouse would materialize).
+    // agg — an extra full corpus pass at scale. Registered with
+    // [[Caches]]: consumers release via Caches.clear() after their
+    // action (Bench/Explain do per query; StorageHygieneSpec gates it).
     val freq = Tokenizer.wordFreq(docs, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val total = freq.agg(sum("freq").as("_total"))
     val top = freq.orderBy(col("freq").desc, col("word")).limit(k)
     val bucket = coalesce(substring(col("word"), 1, 0), lit(""))
@@ -77,7 +78,7 @@ object CorpusStats {
     // unpersisted, each consumer re-runs the corpus-sized agg (see
     // vocabStats note)
     val uni = words.groupBy("word").agg(count(lit(1)).as("n_w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val nTok = uni.agg(sum("n_w").as("_n_tok"))
     words
       .join(broadcast(uni), Seq("word"))
@@ -111,7 +112,6 @@ object CorpusStats {
     * row. */
   def bigramLogProb(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks = docs.select(col(idCol),
       filter(split(lower(trim(col(textCol))), "\\s+"),
         t => length(t) > 0).as("tk"))
@@ -122,7 +122,7 @@ object CorpusStats {
             element_at(col("tk"), i + 2).as("w_b")))).as("p"))
       .select(col(idCol), col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
     val uni = toks.select(explode(col("tk")).as("w_a"))
-      .groupBy("w_a").agg(count(lit(1)).as("n_a")).persist(lvl)
+      .groupBy("w_a").agg(count(lit(1)).as("n_a")).persistTracked
     val vocabSize = uni.agg(count(lit(1)).as("_v"))
     val bi = docBigrams.groupBy("w_a", "w_b")
       .agg(count(lit(1)).as("n_ab"))
@@ -171,7 +171,6 @@ object CorpusStats {
     * Documents with < 2 tokens get no row. */
   def knLogProb(docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks = docs.select(col(idCol),
       filter(split(lower(trim(col(textCol))), "\\s+"),
         t => length(t) > 0).as("tk"))
@@ -190,7 +189,7 @@ object CorpusStats {
         xxhash64(col("p.w_b")).as("_kb"))
     val bi = docBigrams.groupBy(col("_k2"))
       .agg(count(lit(1)).as("n_ab"), max("_pa").as("_pa"),
-        max("_kb").as("_kb")).persist(lvl)
+        max("_kb").as("_kb")).persistTracked
     // context stats c(a·) and N1+(a,·); continuation types N1+(·,b);
     // type total N1+(··) — all bigram-vocab-sized, broadcastable
     val ctx = bi.groupBy(col("_pa"))
@@ -253,7 +252,6 @@ object CorpusStats {
     * < 3 tokens get no row. */
   def kn3LogProb(docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks = docs.select(col(idCol),
       filter(split(lower(trim(col(textCol))), "\\s+"),
         t => length(t) > 0).as("tk"))
@@ -277,7 +275,7 @@ object CorpusStats {
     val tri = docTrigrams.groupBy(col("_k3"))
       .agg(count(lit(1)).as("n_abc"), max("_p3").as("_p3"),
         max("_k2").as("_k2"), max("_p2").as("_p2"), max("_k1").as("_k1"))
-      .persist(lvl)
+      .persistTracked
     // highest-order context stats c(ab·), N1+(ab·)
     val ctx2 = tri.groupBy(col("_p3"))
       .agg(sum("n_abc").as("c_ab"), count(lit(1)).as("n1p_ab"))
@@ -286,7 +284,7 @@ object CorpusStats {
     // the scoring join
     val cont2 = tri.groupBy(col("_k2"))
       .agg(count(lit(1)).as("n1p_bc"), max("_p2").as("_p2"),
-        max("_k1").as("_k1")).persist(lvl)
+        max("_k1").as("_k1")).persistTracked
     val ctx1 = cont2.groupBy(col("_p2"))
       .agg(sum("n1p_bc").as("tot_b"), count(lit(1)).as("typ_b"))
     val cont1 = cont2.groupBy(col("_k1")).agg(count(lit(1)).as("n1p_c"))
@@ -354,7 +352,6 @@ object CorpusStats {
     * Documents with < 5 tokens get no row. */
   def kn5LogProb(docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val n = 5
     val wcols = (1 to n).map(i => s"w$i")
     val toks = docs.select(col(idCol),
@@ -390,15 +387,15 @@ object CorpusStats {
     val g5 = docGrams.groupBy(col("_k5"))
       .agg(count(lit(1)).as("c5"),
         carry("_p5", "_k4", "_p4", "_k3", "_p3", "_k2", "_p2", "_k1"): _*)
-      .persist(lvl)
+      .persistTracked
     val g4 = g5.groupBy(col("_k4"))
       .agg(count(lit(1)).as("c4"),
-        carry("_p4", "_k3", "_p3", "_k2", "_p2", "_k1"): _*).persist(lvl)
+        carry("_p4", "_k3", "_p3", "_k2", "_p2", "_k1"): _*).persistTracked
     val g3 = g4.groupBy(col("_k3"))
       .agg(count(lit(1)).as("c3"),
-        carry("_p3", "_k2", "_p2", "_k1"): _*).persist(lvl)
+        carry("_p3", "_k2", "_p2", "_k1"): _*).persistTracked
     val g2 = g3.groupBy(col("_k2"))
-      .agg(count(lit(1)).as("c2"), carry("_p2", "_k1"): _*).persist(lvl)
+      .agg(count(lit(1)).as("c2"), carry("_p2", "_k1"): _*).persistTracked
     // per-level context stats (count-sum + distinct continuations),
     // pre-joined onto their gram tables at VOCAB scale so the
     // corpus-sized doc-gram stream pays 5 scoring joins, not 9 — the
@@ -479,7 +476,7 @@ object CorpusStats {
     val scored = kn5LogProb(docs, idCol, textCol)
       .select(col(idCol),
         floor(col("avg_logprob") * 1000000).cast("long").as("avg_q6"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val sample = scored
       .orderBy(Hashing.md5Long56(
         concat(lit(salt), col(idCol).cast("string"))), col(idCol))
@@ -519,16 +516,15 @@ object CorpusStats {
         t => length(t) > 0).as("tk"))
     // both aggs feed two consumers (stats + their totals) — persist so
     // the corpus-sized explodes run once (see vocabStats note)
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val uni = toks.select(explode(col("tk")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n_w")).persist(lvl)
+      .groupBy("word").agg(count(lit(1)).as("n_w")).persistTracked
     val nTok = uni.agg(sum("n_w").as("_n_tok"))
     val bi = toks.where(size(col("tk")) >= 2)
       .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
         i => struct(element_at(col("tk"), i + 1).as("w_a"),
           element_at(col("tk"), i + 2).as("w_b")))).as("p"))
       .groupBy(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
-      .agg(count(lit(1)).as("n_ab")).persist(lvl)
+      .agg(count(lit(1)).as("n_ab")).persistTracked
     val nBig = bi.agg(sum("n_ab").as("_n_big"))
     bi.where(col("n_ab") >= minCount)
       .join(broadcast(uni.select(col("word").as("w_a"),
@@ -567,13 +563,12 @@ object CorpusStats {
     * vocab, and scalar totals ride in-plan as 1-row broadcasts. */
   def unigramDivergence(docs: DataFrame, sliceCol: String,
       textCol: String): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val counts = docs
       .select(col(sliceCol).as("slice"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("slice", "word").agg(count(lit(1)).as("n_sw"))
-      .persist(lvl)
+      .persistTracked
     val vocab = counts.groupBy("word").agg(sum("n_sw").as("n_w"))
     val totals = counts.groupBy("slice").agg(sum("n_sw").as("n_s"))
     val scalars = vocab.agg(sum("n_w").as("_n_tok"),

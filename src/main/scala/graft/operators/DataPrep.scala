@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Caches.Persisted
 import graft.functions.TextFunctions
 
 /** Training-data preparation operators (beyond-parity LLM-pipeline set):
@@ -119,13 +120,12 @@ object DataPrep {
         .select(extra :+ explode(concat(col("tk"), bigrams)).as("gram"): _*)
         .select(extra :+ bucketOf(col("gram")).as("bucket"): _*)
     }
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // bucket tables: <= `buckets` rows each — persist (they feed their
     // own total AND the ratio join; bucket-sized, the vocab convention)
     val t = featBuckets(target).groupBy("bucket")
-      .agg(count(lit(1)).as("tc")).persist(lvl)
+      .agg(count(lit(1)).as("tc")).persistTracked
     val r = featBuckets(raw, col(idCol)).drop(idCol).groupBy("bucket")
-      .agg(count(lit(1)).as("rc")).persist(lvl)
+      .agg(count(lit(1)).as("rc")).persistTracked
     val tTot = t.agg(sum("tc").as("_tt"))
     val rTot = r.agg(sum("rc").as("_rt"))
     val b = lit(buckets.toDouble)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Caches.Persisted
 import graft.functions.TextFunctions
 
 /** Document deduplication at corpus scale — exact, bag-of-words,
@@ -68,7 +69,7 @@ object Dedup {
         sequence(lit(0), size(col("tk")) - n),
         i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(n))))
       ))).as("gh"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds shared-agg + join-back
+      .persistTracked // feeds shared-agg + join-back
     val shared = grams.groupBy("gh")
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
@@ -139,7 +140,7 @@ object Dedup {
       .select(col(idCol), col("p"),
         xxhash64(concat_ws(" ",
           slice(col("tk"), col("p") + 1, lit(minLen)))).as("gh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val dupPos =
       if (keepOne) {
         // per-chain argmin rides the count agg: the least (id, pos)
@@ -262,14 +263,36 @@ object Dedup {
     * cache is released before returning — see the note at the end of
     * the method body.
     *
+    * Hot-band flood guard: a band key shared by k documents mints
+    * k·(k−1)/2 candidate pairs — a 10⁴-copy boilerplate template would
+    * mint 5·10⁷ pairs from ONE key and melt the verification join (the
+    * q_containment df-cap scenario, at the band grain). Band keys with
+    * document frequency > `maxBandDf` therefore switch from all-pairs
+    * to STAR pairing: every member is paired with the key's minimum id
+    * only — k−1 candidates instead of k²/2. A star (not a sorted
+    * adjacency CHAIN) on purpose: downstream
+    * [[connectedComponents]] is min-label propagation, O(diameter)
+    * rounds — a 10⁴-member chain needs 10⁴ rounds while the star's
+    * diameter is 2, so the cluster closes in the usual handful.
+    * Recall trade, documented: within a hot key the PAIR list is no
+    * longer complete (only hub–member pairs survive), but a hot key is
+    * near-always a mutual near-dup cluster, so the star keeps it
+    * CONNECTED and CC / canonical-pick recover the full cluster
+    * transitively; pairs are still exact-Jaccard verified, so no false
+    * positive can ride the star. Cold keys (df ≤ `maxBandDf`, the
+    * overwhelming majority) are unaffected.
+    *
     * @param shingleSize character shingle width
     * @param bands × rowsPerBand = signature length; tune for the
     *              threshold via the usual (1/b)^(1/r) rule
+    * @param maxBandDf band-key document frequency above which candidate
+    *                  generation degrades to adjacency chaining
     */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8,
       shingler: Column => Column = TextFunctions.wordShingles(_, 3),
-      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 4,
+      maxBandDf: Long = 100): DataFrame = {
     // Shingle sets are big (hundreds of strings per doc) — keep them OUT
     // of the banding shuffle. Band keys travel as (id, band, bh) triples
     // only; shingles are re-joined just for the (few) candidate pairs.
@@ -292,11 +315,27 @@ object Dedup {
         explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bh"))
 
-    val cands = bandsDf.select(col("id").as("id_a"), col("band"), col("bh"))
-      .join(bandsDf.select(col("id").as("id_b"), col("band"), col("bh")),
+    // ONE shuffle keyed on (band, bh) computes the per-key df and the
+    // star hub (min id); the cold-side all-pairs self-join then reuses
+    // the same key (exchange reuse), so the guard costs no extra
+    // corpus-sized shuffle.
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bh")
+    val keyed = bandsDf
+      .withColumn("_df", count(lit(1)).over(wKey))
+      .withColumn("_hub", min(col("id")).over(wKey))
+    val cold = keyed.where(col("_df") <= maxBandDf)
+    val coldPairs = cold.select(col("id").as("id_a"), col("band"), col("bh"))
+      .join(cold.select(col("id").as("id_b"), col("band"), col("bh")),
         Seq("band", "bh"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+    // hot keys: hub–member star — k−1 pairs, never k²/2, diameter 2 for
+    // the CC that follows; hub = min id, so id_a < id_b by construction
+    val hotPairs = keyed
+      .where(col("_df") > maxBandDf && col("id") =!= col("_hub"))
+      .select(col("_hub").as("id_a"), col("id").as("id_b"))
+    val cands = coldPairs.unionByName(hotPairs)
       .dropDuplicates("id_a", "id_b")
 
     val verified = cands

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Caches.Persisted
 
 /** Corpus relevance scoring for training-data curation: TF-IDF term
   * statistics and Okapi BM25 ranking (Robertson & Walker 1994; the scoring
@@ -100,7 +101,7 @@ object Relevance {
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("dl"),
         filter(col("toks"), t => t.isInCollection(queryTerms)).as("qtoks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val tf = base.select(col("doc_id"), col("dl"),
         explode(col("qtoks")).as("term"))
       .groupBy("doc_id", "dl", "term")

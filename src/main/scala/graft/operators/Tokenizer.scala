@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Caches.Persisted
 
 /** Distributed tokenizer-training primitives: the byte-pair-encoding
   * pipeline of Sennrich et al. 2016 ("Neural Machine Translation of Rare
@@ -238,12 +239,12 @@ object Tokenizer {
       rules: Seq[(String, String)], eow: String = "</w>",
       unkId: Int = 0): (DataFrame, DataFrame) = {
     val tok = tokenPositions(docs, idCol, textCol, rules, eow)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     // identical counts to [[vocabulary]]'s (same segmentation, same
     // words), so the ranking — and the oracle — cannot drift
     val subwordCounts = tok
       .groupBy("subword").agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val vocabIds = DataPrep.contiguousIdsBy(subwordCounts,
         Seq(col("n").desc, col("subword")), "tok_id", startAt = 1L)
       .select(col("subword"), col("tok_id"))
@@ -283,7 +284,7 @@ object Tokenizer {
     val subwordCounts = words.join(broadcast(vocabSeg), Seq("word"))
       .select(explode(col("subwords")).as("subword"))
       .groupBy("subword").agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     DataPrep.contiguousIdsBy(subwordCounts,
         Seq(col("n").desc, col("subword")), "tok_id", startAt = 1L)
       .select(col("subword"), col("tok_id"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Caches.Persisted
 
 /** Unigram-language-model tokenizer (Kudo 2018, "Subword Regularization:
   * Improving Neural Network Translation Models with Multiple Subword
@@ -76,7 +77,7 @@ object UnigramLm {
             least(lit(maxPieceLen), length(col("word")) - i + 1)),
           l => col("word").substr(i, l))))).as("piece"))
       .groupBy("piece").agg(sum("freq").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val chars = subs.where(length(col("piece")) === 1)
       .select(col("piece"), col("w"), lit(true).as("is_char"))
     val multi = subs.where(length(col("piece")) >= 2)
@@ -130,7 +131,7 @@ object UnigramLm {
       pruneFrac: Double = 0.25): Model = {
     val spark = docs.sparkSession
     val words = markedWordFreq(docs, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     try {
       val seed = seedVocab(docs, textCol, maxPieceLen, multiSeeds)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

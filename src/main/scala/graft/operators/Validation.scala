@@ -16,15 +16,19 @@ object Validation {
       predictedCol: String = "ml_event_label",
       actualCol: String = "actual_event_label"): DataFrame = {
     val joined = labeled.join(truth, Seq("device_id", "timestamp"))
-    // the grand total comes from a window over the (tiny) aggregated
-    // matrix — one pass over the joined set, no driver count() + rescan
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
-    joined
+    // the grand total rides in-plan as a 1-row broadcast crossJoin onto
+    // the (tiny, |labels|²-row) aggregated matrix — the scalar-total
+    // pattern everywhere else in the library; the former
+    // Window.partitionBy(lit(1)) planned as an unpartitioned WindowExec
+    // (GlobalWindowGateSpec offender) for the same one pass
+    val m = joined
       .groupBy(predictedCol, actualCol)
       .agg(count(lit(1)).as("n"))
+    val tot = m.agg(sum(col("n")).as("_tot"))
+    m.crossJoin(broadcast(tot))
       .withColumn("share",
-        round(col("n") / sum(col("n")).over(w).cast("double"), 6))
+        round(col("n") / col("_tot").cast("double"), 6))
+      .drop("_tot")
       .withColumn("agree", col(predictedCol) === col(actualCol))
       .orderBy(predictedCol, actualCol)
   }

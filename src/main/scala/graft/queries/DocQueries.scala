@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Caches.Persisted
 import graft.Tables._
 import graft.functions.TextFunctions
 import graft.operators.{CorpusStats, Dedup, Graph, SimilaritySearch, Tokenizer, Winnow}
@@ -818,15 +819,14 @@ object DocQueries {
       // compact (doc_id, hash) pairs — 16 bytes/gram — so the text is
       // tokenized once, matching the minhash shingle-base discipline.
       // (At warehouse scale this would be a materialized intermediate.
-      // Like the minhash base, the blocks stay resident for the session
-      // — Bench clears the cache per query; in Verify the ~1 MB residue
-      // at the gate SF is harmless.)
+      // Registered with Caches — Bench sweeps the registry per query;
+      // in Verify the ~1 MB residue at the gate SF is harmless.)
       val grams = t.where(size(col("tk")) >= n)
         .select(col("doc_id"), explode(array_distinct(transform(
           sequence(lit(0), size(col("tk")) - n),
           i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(n))))
         ))).as("gh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked
       // grams are per-doc distinct, so count(*) per hash == distinct docs
       val shared = grams.groupBy("gh")
         .agg(count(lit(1)).as("n_docs"))
@@ -861,7 +861,7 @@ object DocQueries {
           sequence(lit(0), size(col("tk")) - n),
           i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(n))))
         ))).as("gh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("grams_a"))
       val joinable = grams.groupBy("gh").agg(count(lit(1)).as("df"))
         .where(col("df") >= 2 && col("df") <= maxDf)
@@ -1177,7 +1177,7 @@ object DocQueries {
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("k"))
         .where(length(col("k")) > 0)
         .groupBy("k").agg(count(lit(1)).as("exact_n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked
       val regs = Cms.registersWeighted(counts, col("k"), col("exact_n"))
       val probe = counts.where(col("exact_n") >= 50)
       Cms.estimates(regs, probe.select("k"), "k")

@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-up validation (VERDICT r9 next-2): synthesize a
+  * ~`COPIES`× documents corpus from sf0.1 by duplicate+perturb, run the
+  * slowest extra queries at both scales, and report the per-query
+  * time ratio. A design that "would survive 100 TB" must scale ≲
+  * linearly here (ratio ≤ ~1.5× the copy factor on a fixed 32-core
+  * box); anything super-linear is a real scale bug.
+  *
+  * Perturbation: ~30% of each copy's words get a copy-specific suffix,
+  * so copies of the same document are NOT near-duplicates of each other
+  * (word-shingle Jaccard ≈ (0.7)³ ≈ 0.34 < threshold) — the near-dup
+  * graph grows ~linearly with the corpus instead of quadratically by
+  * construction, vocabulary grows sub-linearly (real-corpus shape), and
+  * the planted docsWithDups exact/near copies still fire per copy.
+  *
+  * Run: sbt "Test/runMain graft.tools.ScaleBench [copies] [reps]"
+  * Writes markdown rows to stdout; paste into SCALING.md.
+  */
+object ScaleBench {
+  private val BaseDir = "/root/testdata/sf0.1"
+  private val ScaledRoot = "/tmp/graft_scale"
+
+  private val SlowQueries = Seq(
+    "q_pagerank", "q_dedup_canonical", "q_dedup_clusters",
+    "q_minhash_pairs", "q_kn5_logprob", "q_ccnet_bands",
+    "q_bpe_pairs", "q_bpe_encode", "q_bpe_roundtrip",
+    "q_containment", "q_exact_substr", "q_train_examples")
+
+  def synthesize(spark: SparkSession, copies: Int): String = {
+    val dir = s"$ScaledRoot/x$copies"
+    val marker = new java.io.File(s"$dir/documents.parquet/_SUCCESS")
+    if (marker.exists()) return dir
+    val base = spark.read.parquet(s"$BaseDir/documents.parquet")
+    val scaled = base
+      .crossJoin(spark.range(copies).select(col("id").cast("int").as("_k")))
+      .select(
+        (col("doc_id") + col("_k").cast("long") * 1000000L).as("doc_id"),
+        when(col("_k") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            w => when(pmod(xxhash64(w, col("_k")), lit(10)) < 3,
+              concat(w, lit("v"), col("_k").cast("string")))
+              .otherwise(w)), " ")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    scaled.repartition(32).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def time(q: (SparkSession, String) => DataFrame,
+      spark: SparkSession, dir: String, reps: Int): Double = {
+    val runs = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      q(spark, dir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      graft.operators.Caches.clear()
+      sec
+    }
+    runs.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-scalebench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val scaledDir = synthesize(spark, copies)
+    val qs = graft.SparkEntry.queries
+    println(s"| query | sf0.1 (s) | ${copies}x (s) | ratio | verdict |")
+    println("|---|---|---|---|---|")
+    SlowQueries.filter(qs.contains).foreach { name =>
+      try {
+        val base = time(qs(name), spark, BaseDir, reps)
+        val scaled = time(qs(name), spark, scaledDir, reps)
+        val ratio = scaled / base
+        val verdict =
+          if (ratio <= copies * 1.5) "linear-ok" else "SUPERLINEAR"
+        println(f"| $name | $base%.2f | $scaled%.2f | ${ratio}%.1fx | $verdict |")
+      } catch {
+        case e: Throwable =>
+          println(s"| $name | ERR | ERR | - | ${e.getMessage.take(60)} |")
+      }
+    }
+    spark.stop()
+  }
+}
