@@ -166,6 +166,75 @@ object DataPrep {
             x => x.getField("text"))).as("packed"))
   }
 
+  /** Token-budget-capped priority sampling — the "fill a 10 B-token
+    * budget from the pool" curation terminal: per `groupCol`, keep the
+    * highest-priority documents (priority = content-stable salted md5
+    * draw, the [[stratifiedSample]] uniform) until the INCLUSIVE running
+    * token sum reaches `budgetTokens`; a document that would straddle
+    * the boundary is dropped (its first excluded token is over budget).
+    * Unlike [[stratifiedSample]]'s doc-count cap this caps what training
+    * actually spends — tokens — so long docs consume proportionally
+    * more budget. Same id → same draw on any engine/partitioning, so
+    * refills are incremental and the oracle replays the exact cut.
+    *
+    * Plan/scale shape: one Exchange(group) + sort for the running-sum
+    * window (the [[shardByTokenBudget]] discipline — sequential only
+    * within a group, groups fill in parallel); exact integer cumsum.
+    *
+    * Returns (idCol, groupCol, n_tokens, cum_tokens) for the kept docs.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, groupCol: String,
+      tokens: Column, budgetTokens: Long,
+      salt: String = "tb|"): DataFrame = {
+    import graft.functions.Hashing
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0: $budgetTokens")
+    val draw = Hashing.md5Long56(
+      concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(groupCol).orderBy(draw, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(groupCol), tokens.cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budgetTokens)
+  }
+
+  /** Packing-efficiency profile per group for a context length `ctxLen`
+    * — the budget-sizing companion of [[graft.operators.CorpusStats
+    * .tokenHistogram]]: how many examples (and how much padding) the
+    * group costs under (a) pad-to-context (one doc per example, padded;
+    * long docs split first) vs (b) cross-boundary packing
+    * ([[trainExamples]] semantics). All-integer arithmetic —
+    * `padded_examples` = Σ ceil(n_i/L), `packed_examples` = ceil(Σn_i/L)
+    * — so the oracle replays exactly; the efficiency ratios are single
+    * divisions of exact integers (identical IEEE cross-engine).
+    *
+    * One narrow token-count pass → two-phase agg on group keys; nothing
+    * after the agg is corpus-sized. Docs with zero tokens are excluded
+    * (they cost no example either way). */
+  def packEfficiency(docs: DataFrame, groupCol: String, tokens: Column,
+      ctxLen: Long): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive: $ctxLen")
+    val l = lit(ctxLen)
+    // `div` (integer division), never float `/` + floor: the quotient
+    // stays exact at any Long magnitude and replays identically in the
+    // oracle's `//` (the q_epoch_plan DIV discipline)
+    docs.select(col(groupCol), tokens.cast("long").as("_n"))
+      .where(col("_n") > 0)
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_n").as("total_tokens"),
+        sum(expr(s"(_n + ${ctxLen - 1}) div $ctxLen"))
+          .as("padded_examples"))
+      .withColumn("packed_examples",
+        expr(s"(total_tokens + ${ctxLen - 1}) div $ctxLen"))
+      .withColumn("pad_waste_tokens",
+        col("padded_examples") * l - col("total_tokens"))
+      .withColumn("padded_efficiency",
+        col("total_tokens").cast("double") / (col("padded_examples") * l))
+      .withColumn("packed_efficiency",
+        col("total_tokens").cast("double") / (col("packed_examples") * l))
+  }
+
   /** Contiguous global sequence ids 0..n-1 in `orderCol` order — the
     * sample-index assignment a training run needs, done the way that
     * scales: range-repartition + partition-local sort, then RDD

