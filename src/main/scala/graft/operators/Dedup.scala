@@ -308,35 +308,72 @@ object Dedup {
       .where(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // persisted: the band table has FOUR consumers (flood-guard probe +
+    // both self-join sides, and the hot star join when the guard fires);
+    // the probe action populates the cache, so the signature UDF runs
+    // exactly ONCE per document — the r9 shape ran it once per join
+    // side. (bands+1)·n rows of 20 bytes — far below the shingle cache.
     val bandsDf = sh
       .select(col("id"),
         minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
       .select(col("id"),
         explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // ONE shuffle keyed on (band, bh) computes the per-key df and the
-    // star hub (min id); the cold-side all-pairs self-join then reuses
-    // the same key (exchange reuse), so the guard costs no extra
-    // corpus-sized shuffle.
-    val wKey = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "bh")
-    val keyed = bandsDf
-      .withColumn("_df", count(lit(1)).over(wKey))
-      .withColumn("_hub", min(col("id")).over(wKey))
-    val cold = keyed.where(col("_df") <= maxBandDf)
-    val coldPairs = cold.select(col("id").as("id_a"), col("band"), col("bh"))
-      .join(cold.select(col("id").as("id_b"), col("band"), col("bh")),
-        Seq("band", "bh"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    // hot keys: hub–member star — k−1 pairs, never k²/2, diameter 2 for
-    // the CC that follows; hub = min id, so id_a < id_b by construction
-    val hotPairs = keyed
-      .where(col("_df") > maxBandDf && col("id") =!= col("_hub"))
-      .select(col("_hub").as("id_a"), col("id").as("id_b"))
-    val cands = coldPairs.unionByName(hotPairs)
-      .dropDuplicates("id_a", "id_b")
+    // Flood-guard PROBE: one map-side-combined agg over the band keys
+    // finds every key with df > maxBandDf. The operator is already
+    // eager (the result is localCheckpoint'ed below), so a driver-side
+    // probe action fits its contract; its cost is one banding pass over
+    // the cached shingles — far below the self-join it guards at any
+    // scale. Three probe outcomes:
+    //  - no hot keys (the overwhelmingly common corpus): run EXACTLY
+    //    the unguarded self-join — the guard costs only the probe;
+    //  - few hot keys: ship them as a broadcast local relation — the
+    //    anti/star joins are broadcast-hash, no extra shuffle;
+    //  - degenerate corpora (> 100k hot keys — boilerplate-dominated):
+    //    same plan with the key-stats frame kept distributed (keyed
+    //    joins, AQE decides).
+    val hotLimit = 100000
+    val hotStats = bandsDf.groupBy("band", "bh")
+      .agg(count(lit(1)).as("_df"), min(col("id")).as("_hub"))
+      .where(col("_df") > maxBandDf)
+      .select("band", "bh", "_hub")
+    val hotLocal = hotStats.limit(hotLimit + 1).collect()
+    val cands =
+      if (hotLocal.isEmpty) {
+        // the r9 plan, verbatim: two-sided self-join on the band key
+        bandsDf.select(col("id").as("id_a"), col("band"), col("bh"))
+          .join(bandsDf.select(col("id").as("id_b"), col("band"),
+            col("bh")), Seq("band", "bh"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .dropDuplicates("id_a", "id_b")
+      } else {
+        val spark = docs.sparkSession
+        val hotDf =
+          if (hotLocal.length <= hotLimit)
+            broadcast(spark.createDataFrame(
+              java.util.Arrays.asList(hotLocal: _*),
+              hotStats.schema))
+          else hotStats // degenerate: stay distributed, keyed joins
+        val cold = bandsDf.join(hotDf.select("band", "bh"),
+          Seq("band", "bh"), "left_anti")
+        val coldPairs = cold
+          .select(col("id").as("id_a"), col("band"), col("bh"))
+          .join(cold.select(col("id").as("id_b"), col("band"), col("bh")),
+            Seq("band", "bh"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        // hot keys: hub–member star — k−1 pairs, never k²/2, and
+        // diameter 2 for the CC that follows; hub = min id, so
+        // id_a < id_b by construction
+        val hotPairs = bandsDf.join(hotDf, Seq("band", "bh"))
+          .where(col("id") =!= col("_hub"))
+          .select(col("_hub").as("id_a"), col("id").as("id_b"))
+        coldPairs.unionByName(hotPairs)
+          .dropDuplicates("id_a", "id_b")
+      }
 
     val verified = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -357,6 +394,7 @@ object Dedup {
     // ContextCleaner when the frame is dropped).
     val out = verified.localCheckpoint()
     sh.unpersist(false)
+    bandsDf.unpersist(false)
     out
   }
 
