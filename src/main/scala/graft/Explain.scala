@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * minhash pipeline; `-time <sfDir> [query...]` times each query
   * (bench-identical noop sink, min of 3 after a small-SF warm pass) at
   * local[32] — the profiling twin of Bench's extras block.
+  *
+  * Caveat for the EAGER queries (q_minhash_pairs and the CC/PageRank
+  * compositions): building the frame materializes the pipeline
+  * (localCheckpoint), so plan mode pays the full run at the requested
+  * SF and prints only the post-materialization checkpoint scan. Use
+  * `-minhash` for the pipeline's internal stage shapes, and run plan
+  * mode for those queries at sf0.001.
   */
 object Explain {
   def main(args: Array[String]): Unit = {

@@ -286,7 +286,7 @@ object Dedup {
     * @param bands × rowsPerBand = signature length; tune for the
     *              threshold via the usual (1/b)^(1/r) rule
     * @param maxBandDf band-key document frequency above which candidate
-    *                  generation degrades to adjacency chaining
+    *                  generation degrades to hub–member star pairing
     */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8,
@@ -306,7 +306,7 @@ object Dedup {
       col(idCol).as("id"),
       shingler(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
 
     // persisted: the band table has FOUR consumers (flood-guard probe +
     // both self-join sides, and the hot star join when the guard fires);
@@ -319,83 +319,88 @@ object Dedup {
       .select(col("id"),
         explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
 
-    // Flood-guard PROBE: one map-side-combined agg over the band keys
-    // finds every key with df > maxBandDf. The operator is already
-    // eager (the result is localCheckpoint'ed below), so a driver-side
-    // probe action fits its contract; its cost is one banding pass over
-    // the cached shingles — far below the self-join it guards at any
-    // scale. Three probe outcomes:
-    //  - no hot keys (the overwhelmingly common corpus): run EXACTLY
-    //    the unguarded self-join — the guard costs only the probe;
-    //  - few hot keys: ship them as a broadcast local relation — the
-    //    anti/star joins are broadcast-hash, no extra shuffle;
-    //  - degenerate corpora (> 100k hot keys — boilerplate-dominated):
-    //    same plan with the key-stats frame kept distributed (keyed
-    //    joins, AQE decides).
-    val hotLimit = 100000
-    val hotStats = bandsDf.groupBy("band", "bh")
-      .agg(count(lit(1)).as("_df"), min(col("id")).as("_hub"))
-      .where(col("_df") > maxBandDf)
-      .select("band", "bh", "_hub")
-    val hotLocal = hotStats.limit(hotLimit + 1).collect()
-    val cands =
-      if (hotLocal.isEmpty) {
-        // the r9 plan, verbatim: two-sided self-join on the band key
-        bandsDf.select(col("id").as("id_a"), col("band"), col("bh"))
-          .join(bandsDf.select(col("id").as("id_b"), col("band"),
-            col("bh")), Seq("band", "bh"))
-          .where(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
-          .dropDuplicates("id_a", "id_b")
-      } else {
-        val spark = docs.sparkSession
-        val hotDf =
-          if (hotLocal.length <= hotLimit)
-            broadcast(spark.createDataFrame(
-              java.util.Arrays.asList(hotLocal: _*),
-              hotStats.schema))
-          else hotStats // degenerate: stay distributed, keyed joins
-        val cold = bandsDf.join(hotDf.select("band", "bh"),
-          Seq("band", "bh"), "left_anti")
-        val coldPairs = cold
-          .select(col("id").as("id_a"), col("band"), col("bh"))
-          .join(cold.select(col("id").as("id_b"), col("band"), col("bh")),
-            Seq("band", "bh"))
-          .where(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
-        // hot keys: hub–member star — k−1 pairs, never k²/2, and
-        // diameter 2 for the CC that follows; hub = min id, so
-        // id_a < id_b by construction
-        val hotPairs = bandsDf.join(hotDf, Seq("band", "bh"))
-          .where(col("id") =!= col("_hub"))
-          .select(col("_hub").as("id_a"), col("id").as("id_b"))
-        coldPairs.unionByName(hotPairs)
-          .dropDuplicates("id_a", "id_b")
-      }
+    // try/finally: the operator runs ACTIONS (probe collect +
+    // checkpoint), so a mid-flight failure must still release the
+    // corpus-sized shingle and band caches (review finding r10)
+    try {
+      // Flood-guard PROBE: one map-side-combined agg over the band keys
+      // finds every key with df > maxBandDf. The operator is already
+      // eager (the result is localCheckpoint'ed below), so a driver-side
+      // probe action fits its contract; its cost is one banding pass over
+      // the cached shingles — far below the self-join it guards at any
+      // scale. Three probe outcomes:
+      //  - no hot keys (the overwhelmingly common corpus): run EXACTLY
+      //    the unguarded self-join — the guard costs only the probe;
+      //  - few hot keys: ship them as a broadcast local relation — the
+      //    anti/star joins are broadcast-hash, no extra shuffle;
+      //  - degenerate corpora (> 100k hot keys — boilerplate-dominated):
+      //    same plan with the key-stats frame kept distributed (keyed
+      //    joins, AQE decides).
+      val hotLimit = 100000
+      val hotStats = bandsDf.groupBy("band", "bh")
+        .agg(count(lit(1)).as("_df"), min(col("id")).as("_hub"))
+        .where(col("_df") > maxBandDf)
+        .select("band", "bh", "_hub")
+      val hotLocal = hotStats.limit(hotLimit + 1).collect()
+      val cands =
+        if (hotLocal.isEmpty) {
+          // the r9 plan, verbatim: two-sided self-join on the band key
+          bandsDf.select(col("id").as("id_a"), col("band"), col("bh"))
+            .join(bandsDf.select(col("id").as("id_b"), col("band"),
+              col("bh")), Seq("band", "bh"))
+            .where(col("id_a") < col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates("id_a", "id_b")
+        } else {
+          val spark = docs.sparkSession
+          val hotDf =
+            if (hotLocal.length <= hotLimit)
+              broadcast(spark.createDataFrame(
+                java.util.Arrays.asList(hotLocal: _*),
+                hotStats.schema))
+            else hotStats // degenerate: stay distributed, keyed joins
+          val cold = bandsDf.join(hotDf.select("band", "bh"),
+            Seq("band", "bh"), "left_anti")
+          val coldPairs = cold
+            .select(col("id").as("id_a"), col("band"), col("bh"))
+            .join(cold.select(col("id").as("id_b"), col("band"), col("bh")),
+              Seq("band", "bh"))
+            .where(col("id_a") < col("id_b"))
+            .select("id_a", "id_b")
+          // hot keys: hub–member star — k−1 pairs, never k²/2, and
+          // diameter 2 for the CC that follows; hub = min id, so
+          // id_a < id_b by construction
+          val hotPairs = bandsDf.join(hotDf, Seq("band", "bh"))
+            .where(col("id") =!= col("_hub"))
+            .select(col("_hub").as("id_a"), col("id").as("id_b"))
+          coldPairs.unionByName(hotPairs)
+            .dropDuplicates("id_a", "id_b")
+        }
 
-    val verified = cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-    // Materialize the (small — verified near-dup pairs only) result
-    // eagerly and release the shingle cache before returning. Two
-    // reasons, both measured: (a) every downstream consumer of a pair
-    // list is multi-branch (connectedComponents' symmetric union,
-    // pageRank's edge union read it TWICE in one job), and a lazy
-    // result lets both branches race the whole bands+verify pipeline
-    // into an unpopulated cache — ~2× pair-gen cost; (b) the shingle
-    // table is corpus-sized and this was the library's largest
-    // unreleased cache. Callers get a flat-lineage frame and zero
-    // storage-memory residue (the checkpoint blocks are freed by the
-    // ContextCleaner when the frame is dropped).
-    val out = verified.localCheckpoint()
-    sh.unpersist(false)
-    bandsDf.unpersist(false)
-    out
+      val verified = cands
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+      // Materialize the (small — verified near-dup pairs only) result
+      // eagerly and release the shingle cache before returning. Two
+      // reasons, both measured: (a) every downstream consumer of a pair
+      // list is multi-branch (connectedComponents' symmetric union,
+      // pageRank's edge union read it TWICE in one job), and a lazy
+      // result lets both branches race the whole bands+verify pipeline
+      // into an unpopulated cache — ~2× pair-gen cost; (b) the shingle
+      // table is corpus-sized and this was the library's largest
+      // unreleased cache. Callers get a flat-lineage frame and zero
+      // storage-memory residue (the checkpoint blocks are freed by the
+      // ContextCleaner when the frame is dropped).
+      verified.localCheckpoint()
+    } finally {
+      sh.unpersist(false)
+      bandsDf.unpersist(false)
+    }
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */

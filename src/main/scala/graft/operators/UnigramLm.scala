@@ -201,7 +201,10 @@ object UnigramLm {
       }
       i3 += 1
     }
+    // drop zero-quantized entries: a (piece, 0) row adds nothing to the
+    // aggregation and would otherwise shadow the M-step's coverage floor
     acc.toSeq.map { case (p, e) => (p, math.floor(e * 1e9).toLong) }
+      .filter(_._2 > 0L)
   }
 
   /** Train a unigram-LM vocabulary of ≤ `vocabSize` pieces (all single
@@ -274,12 +277,15 @@ object UnigramLm {
         counts = c
         val total = math.max(1.0, c.values.sum)
         // unused pieces keep a floor score only if single chars
-        // (coverage); unused multi-char pieces drop out here
+        // (coverage); unused multi-char pieces drop out here. A
+        // quantized-to-zero SOFT expectation counts as unused — mapping
+        // it through log(0/total) = −Inf would permanently disable the
+        // piece (and for a single char break the coverage invariant)
         pieces = pieces.flatMap { case (p, _) =>
           c.get(p) match {
-            case Some(n) => Some(p -> math.log(n / total))
-            case None if p.length == 1 => Some(p -> math.log(0.5 / total))
-            case None => None
+            case Some(n) if n > 0 => Some(p -> math.log(n / total))
+            case _ if p.length == 1 => Some(p -> math.log(0.5 / total))
+            case _ => None
           }
         }
       }

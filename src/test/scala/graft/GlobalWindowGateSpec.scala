@@ -43,12 +43,17 @@ class GlobalWindowGateSpec extends AnyFunSuite {
     // collect(); the logical Window nodes carry the same partitionSpec
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
-        val plan = q(spark, SparkTestSession.sf).queryExecution.optimizedPlan
+        val df = q(spark, SparkTestSession.sf)
+        val plan = df.queryExecution.optimizedPlan
         val hits = plan.collect {
           case w: Window if w.partitionSpec.isEmpty => "Window"
           case w: WindowGroupLimit if w.partitionSpec.isEmpty =>
             "WindowGroupLimit"
         }
+        // eager queries materialize while BUILDING the frame — free
+        // their checkpoint blocks so the shared session carries nothing
+        // into later suites (registry caches swept after the loop)
+        graft.operators.Caches.releaseResult(df)
         if (hits.nonEmpty) Some(name -> hits) else None
     }
     graft.operators.Caches.clear() // eager queries register caches

@@ -142,17 +142,22 @@ class UnigramLmSpec extends AnyFunSuite {
   test("soft-EM spreads mass over ambiguous pieces where hard-EM picks one") {
     import spark.implicits._
     // 'abab' is ambiguous between [ab][ab] and [a][ba][b]-style cuts;
-    // soft counts must give BOTH 'ab' and the competing pieces nonzero
-    // mass in round 1, where hard counts are winner-take-all per word
+    // soft expectations give COMPETING pieces fractional mass where
+    // hard counts are winner-take-all per word
     val docs = Seq((1L, "abab abab abab")).toDF("doc_id", "text")
-    val soft = UnigramLm.train(docs, "text", vocabSize = 20,
+    val soft = UnigramLm.train(docs, "text", vocabSize = 30,
       emIters = 1, emMode = "soft")
-    val softCounts = soft.pieces.map(p => p._1 -> p._2).toMap
-    // fractional mass: at least one multi-char piece has a count that is
-    // NOT an integer multiple of the word frequency (3) — impossible
-    // under hard-EM, where each word contributes its full freq per piece
-    val multi = soft.pieces.filter(_._1.length > 1)
-    assert(multi.nonEmpty)
-    assert(softCounts.nonEmpty)
+    val hard = UnigramLm.train(docs, "text", vocabSize = 30,
+      emIters = 1, emMode = "hard")
+    // the two E-steps must actually train different statistics — if a
+    // regression collapsed soft onto Viterbi counts this fails
+    assert(soft.pieces != hard.pieces,
+      "soft-EM produced identical model to hard-EM on an ambiguous corpus")
+    // fractional mass: under hard-EM every count is an integer multiple
+    // of the word frequency (3) — each word contributes freq per chosen
+    // piece occurrence; soft expectations split lattice mass, so some
+    // piece's rounded count escapes the multiple-of-3 grid
+    assert(soft.pieces.exists(_._2 % 3 != 0),
+      s"no fractional soft count in ${soft.pieces}")
   }
 }

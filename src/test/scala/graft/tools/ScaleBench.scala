@@ -24,11 +24,13 @@ object ScaleBench {
   private val BaseDir = "/root/testdata/sf0.1"
   private val ScaledRoot = "/tmp/graft_scale"
 
-  private val SlowQueries = Seq(
-    "q_pagerank", "q_dedup_canonical", "q_dedup_clusters",
-    "q_minhash_pairs", "q_kn5_logprob", "q_ccnet_bands",
-    "q_bpe_pairs", "q_bpe_encode", "q_bpe_roundtrip",
-    "q_containment", "q_exact_substr", "q_train_examples")
+  private val SlowQueries = sys.env.get("SCALEBENCH_QUERIES")
+    .map(_.split(",").toSeq)
+    .getOrElse(Seq(
+      "q_pagerank", "q_dedup_canonical", "q_dedup_clusters",
+      "q_minhash_pairs", "q_kn5_logprob", "q_ccnet_bands",
+      "q_bpe_pairs", "q_bpe_encode", "q_bpe_roundtrip",
+      "q_containment", "q_exact_substr", "q_train_examples"))
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"
@@ -88,7 +90,7 @@ object ScaleBench {
         println(f"| $name | $base%.2f | $scaled%.2f | ${ratio}%.1fx | $verdict |")
       } catch {
         case e: Throwable =>
-          println(s"| $name | ERR | ERR | - | ${e.getMessage.take(60)} |")
+          println(s"| $name | ERR | ERR | - | ${e.toString.take(60)} |")
       }
     }
     spark.stop()
