@@ -66,6 +66,38 @@ object SimilaritySearch {
       .select("query_id", "id", "cosine", "rank")
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/Contriever
+    * data-prep step): per anchor, the `k` most-similar corpus vectors
+    * whose LABEL differs from the anchor's — similar enough to be hard,
+    * labeled differently so they are negatives. Exactly the
+    * [[bruteForceTopK]] plan (corpus scan × broadcast anchors →
+    * per-anchor WindowGroupLimit) plus the label-mismatch predicate in
+    * the scoring join; at corpus scale the candidate generation swaps to
+    * the IVF/LSH buckets the ANN family already provides — the ranking
+    * stage is identical. Returns (query_id, id, neg_label, cosine,
+    * rank). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("id"),
+      col(labelCol).as("neg_label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(labelCol).as("_qlabel"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q))
+      .where(col("id") =!= col("query_id") &&
+        col("neg_label") =!= col("_qlabel"))
+      .withColumn("cosine", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "neg_label", "cosine", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * hash-derived value in [-1, 1). Shared by corpus and queries without
     * shipping any state. */

@@ -967,6 +967,20 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- hard-negative mining (DPR/Contriever data prep): per anchor,
+    // the top-k most-similar vectors with a DIFFERENT label — the
+    // q_ann_cosine plan plus the label-mismatch predicate; the oracle
+    // replays the filtered ranking exactly ----
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val anchors = emb.where(col("vec_id") < 5)
+      SimilaritySearch.hardNegatives(emb, anchors,
+          "vec_id", "embedding", "label", k = 10)
+        .select(col("query_id"), col("id"), col("neg_label"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- IVF ANN (k-means coarse quantizer scale path). The quantizer
     // is deterministic, so the oracle ([[IvfOracle]]) replays the whole
     // assign/probe/rank pipeline in SQL against pinned centroids ----
@@ -2715,6 +2729,26 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |  FROM scored
         |)
         |SELECT query_id, id, rank, round(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the q_ann_cosine replay plus the label-mismatch predicate
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, label AS qlabel,
+        |    CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS id, e.label AS neg_label,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cosine
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id != q.query_id AND e.label != q.qlabel
+        |), ranked AS (
+        |  SELECT query_id, id, neg_label, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, id, neg_label, rank, round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_bpe_encode" -> graft.queries.BpeOracle.sql,

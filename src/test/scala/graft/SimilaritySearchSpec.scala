@@ -184,4 +184,27 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(median > 0.5 && median < 1.5,
       s"norm ratio median $median outside JL concentration band")
   }
+  test("hardNegatives: top-k similar vectors never share the anchor label") {
+    import spark.implicits._
+    // three labels; vectors cluster by label direction with cross-label
+    // neighbors planted close to the anchor
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0), // same label, most similar — excluded
+      (2L, Array(0.8f, 0.2f, 0.0f), 1), // different label → rank 1
+      (3L, Array(0.7f, 0.3f, 0.0f), 2), // different label → rank 2
+      (4L, Array(0.0f, 1.0f, 0.0f), 1),
+      (5L, Array(0.0f, 0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = vecs.where($"vec_id" === 0L)
+    val res = SimilaritySearch.hardNegatives(vecs, anchors,
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank").collect()
+    assert(res.map(_.getAs[Long]("id")).toSeq == Seq(2L, 3L, 4L))
+    assert(res.forall(_.getAs[Int]("neg_label") != 0))
+    assert(res.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    // cosines non-increasing
+    val cos = res.map(_.getAs[Double]("cosine"))
+    assert(cos.sliding(2).forall(p => p(0) >= p(1)))
+  }
 }
