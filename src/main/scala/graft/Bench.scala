@@ -159,7 +159,8 @@ object Bench {
       "q_vocab_coverage", "q_winsorize", "q_robust_scale",
       "q_tfidf_keywords", "q_embed_cohesion", "q_dedup_canonical",
       "q_jl_reduce", "q_split_leakage", "q_weighted_sample",
-      "q_containment",
+      "q_containment", "q_token_budget", "q_pack_efficiency",
+      "q_hard_negatives",
       "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
       "q_tpch_q8", "q_tpch_q10", "q_tpch_q12", "q_tpch_q13",
       "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
