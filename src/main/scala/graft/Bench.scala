@@ -161,10 +161,11 @@ object Bench {
       "q_jl_reduce", "q_split_leakage", "q_weighted_sample",
       "q_containment", "q_token_budget", "q_pack_efficiency",
       "q_hard_negatives",
-      "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
-      "q_tpch_q8", "q_tpch_q10", "q_tpch_q12", "q_tpch_q13",
-      "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
-      "q_tpch_q19", "q_tpch_q21", "q_tpch_q22")
+      "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
+      "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",
+      "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+      "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19",
+      "q_tpch_q20", "q_tpch_q21", "q_tpch_q22")
     warm(extraNames)
     val extraResults = timed(extraNames)
     val extraJson = toJson(extraResults)

@@ -590,6 +590,153 @@ object CoreQueries {
         .orderBy("cntrycode")
     }),
 
+    // ---- TPC-H Q2 (minimum-cost supplier, adapted: the schema subset
+    // has no partsupp, so the supplier "offer" table is synthesized from
+    // shipping history — per (part, supplier) the MIN quantized unit
+    // price ever shipped; floor(ep·100/qty) is the same IEEE value in
+    // both engines). Keeps Q2's correlated-min structure: the per-part
+    // regional minimum is a groupBy + broadcast join-back (the A9
+    // discipline — no second window shuffle), dims broadcast ----
+    "q_tpch_q2" -> ((s, d) => {
+      val offers = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * 100 / col("l_quantity"))
+            .cast("long").as("cost_c"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min("cost_c").as("cost_c"))
+      val eurNations = nation(s, d)
+        .join(broadcast(region(s, d).where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = supplier(s, d)
+        .join(broadcast(eurNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val pts = part(s, d)
+        .where(col("p_size") === 10 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      val regional = offers
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+      val minCost = regional.groupBy(col("p_partkey").as("_mpk"))
+        .agg(min("cost_c").as("_min_c"))
+      regional.join(broadcast(minCost),
+          col("p_partkey") === col("_mpk") &&
+            col("cost_c") === col("_min_c"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          (col("cost_c").cast("double") / 100.0).as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(20)
+    }),
+
+    // ---- TPC-H Q9 (product-type profit, adapted: no partsupp →
+    // profit is revenue over the 'red' part family; the 5-table star
+    // keeps Q9's join-ordering exercise): one fact scan through four
+    // broadcasts + one keyed orders join, per-(nation, year) agg ----
+    "q_tpch_q9" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long").as("rev_c"))
+        .join(broadcast(part(s, d)
+          .where(col("p_name").like("%red%")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, d)
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg((sum("rev_c").cast("double") / 100.0).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // ---- TPC-H Q11 (important inventory, adapted: no partsupp →
+    // per-part "stock value" is the revenue shipped by NATION_7's
+    // suppliers). Keeps Q11's scalar-subquery HAVING: the global total
+    // rides a 1-row broadcast crossJoin and the threshold compare is
+    // exact-integer (value·1000 > total ⇔ value > 0.1 % of total) ----
+    "q_tpch_q11" -> ((s, d) => {
+      val natSupp = supplier(s, d)
+        .join(broadcast(nation(s, d).where(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long").as("rev_c"))
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum("rev_c").as("value_c"))
+      val tot = vals.agg(sum("value_c").as("_tot_c"))
+      vals.crossJoin(broadcast(tot))
+        .where(col("value_c") * 1000 > col("_tot_c"))
+        .select(col("l_partkey").as("p_partkey"),
+          (col("value_c").cast("double") / 100.0).as("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    }),
+
+    // ---- TPC-H Q16 (supplier counts by part attributes, adapted: the
+    // (part, supplier) relation comes from shipping history and the
+    // "complaints" exclusion is the negative-balance suppliers).
+    // Keeps Q16's shape: NOT-IN as a broadcast anti-join, multi-NOT
+    // part predicates at the scan, count(DISTINCT) two-phase agg ----
+    "q_tpch_q16" -> ((s, d) => {
+      val complaints = supplier(s, d).where(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(part(s, d)
+          .where(col("p_brand") =!= "Brand#9" &&
+            !col("p_type").startsWith("MEDIUM") &&
+            col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(complaints),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // ---- TPC-H Q20 (excess-stock suppliers, adapted: no partsupp
+    // availqty → a supplier "holds excess stock" of a part when it
+    // shipped MORE THAN HALF of the part's 1997 volume). Keeps Q20's
+    // nested-IN structure: dominant (part, supplier) pairs from two
+    // stacked aggs with an exact-integer share compare (qty·2 > total),
+    // then a semi-join onto the nation-filtered supplier dim ----
+    "q_tpch_q20" -> ((s, d) => {
+      val shipped = lineitem(s, d)
+        .where(col("l_shipdate") >= "1997-01-01" &&
+          col("l_shipdate") < "1998-01-01")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("qty").as("qty"))
+      val partTotals = shipped.groupBy("l_partkey")
+        .agg(sum("qty").as("_tot_qty"))
+      val dominant = shipped
+        .join(broadcast(part(s, d).where(col("p_name").like("small%"))
+          .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(partTotals.withColumnRenamed("l_partkey", "_pk"),
+          col("l_partkey") === col("_pk"))
+        .where(col("qty") * 2 > col("_tot_qty"))
+        .select("l_suppkey")
+      supplier(s, d)
+        .join(broadcast(nation(s, d).where(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    }),
+
     // ---- TPC-H Q4 (order-priority checking, adapted: the schema subset
     // has no commit/receipt dates, so "late" is shipped > 30 days after
     // the order date): EXISTS over the fact table → left-semi join with
@@ -1352,6 +1499,94 @@ object CoreQueries {
         |      AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey
         |ORDER BY cntrycode""".stripMargin,
+
+    // offers synthesized from shipping history; per-part min via window
+    "q_tpch_q2" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(min(floor(l_extendedprice * 100 / l_quantity))
+        |      AS BIGINT) AS cost_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |), regional AS (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_c,
+        |    min(cost_c) OVER (PARTITION BY p_partkey) AS min_c
+        |  FROM offers, supplier, nation, region, part
+        |  WHERE l_suppkey = s_suppkey
+        |    AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE'
+        |    AND l_partkey = p_partkey
+        |    AND p_size = 10 AND p_type = 'LARGE'
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  CAST(cost_c AS DOUBLE) / 100.0 AS supply_cost
+        |FROM regional WHERE cost_c = min_c
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 20""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS DOUBLE) / 100.0 AS sum_profit
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND p_name LIKE '%red%'
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey
+        |  AND l_orderkey = o_orderkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH vals AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey
+        |    AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_7'
+        |  GROUP BY l_partkey
+        |), tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS tot_c FROM vals)
+        |SELECT l_partkey AS p_partkey,
+        |  CAST(value_c AS DOUBLE) / 100.0 AS value
+        |FROM vals, tot WHERE value_c * 1000 > tot_c
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), part
+        |WHERE l_partkey = p_partkey
+        |  AND p_brand <> 'Brand#9'
+        |  AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_partkey, l_suppkey
+        |), totals AS (
+        |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS tot_qty
+        |  FROM shipped GROUP BY l_partkey
+        |)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT sh.l_suppkey FROM shipped sh, totals t, part
+        |    WHERE sh.l_partkey = t.l_partkey
+        |      AND sh.l_partkey = p_partkey AND p_name LIKE 'small%'
+        |      AND sh.qty * 2 > t.tot_qty)
+        |ORDER BY s_name""".stripMargin,
 
     "q_tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
