@@ -47,23 +47,34 @@ object SimilaritySearch {
     * @param queries (qidCol, vecCol) — small enough to broadcast
     * @return (query_id, id, cosine, rank) with rank 1..k per query
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, qidCol: String, k: Int): DataFrame = {
-    graft.plans.GraftExtensions.register(corpus.sparkSession)
+  /** Shared ranking tail of the exact-scoring family: cosine over the
+    * corpus × broadcast-queries product filtered by `keep`, then the
+    * per-query top-k as a WindowGroupLimit (cosine desc, id tiebreak).
+    * One body so a ranking/tie-break change cannot silently diverge
+    * between [[bruteForceTopK]] and [[hardNegatives]]. */
+  private def rankTopK(c: DataFrame, q: DataFrame, keep: Column, k: Int,
+      outCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val q = queries.select(col(qidCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
     val scored = c.join(broadcast(q))
-      .where(col("id") =!= col("query_id"))
+      .where(keep)
       .withColumn("cosine", cosine(col("v"), col("qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("id"))
     scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+      .select(outCols.map(col): _*)
+  }
+
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = queries.select(col(qidCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    rankTopK(c, q, col("id") =!= col("query_id"), k,
+      Seq("query_id", "id", "cosine", "rank"))
   }
 
   /** Hard-negative mining for contrastive training (the DPR/Contriever
@@ -71,31 +82,26 @@ object SimilaritySearch {
     * whose LABEL differs from the anchor's — similar enough to be hard,
     * labeled differently so they are negatives. Exactly the
     * [[bruteForceTopK]] plan (corpus scan × broadcast anchors →
-    * per-anchor WindowGroupLimit) plus the label-mismatch predicate in
-    * the scoring join; at corpus scale the candidate generation swaps to
-    * the IVF/LSH buckets the ANN family already provides — the ranking
-    * stage is identical. Returns (query_id, id, neg_label, cosine,
+    * per-anchor WindowGroupLimit) with the label-mismatch predicate as
+    * the keep condition; at corpus scale the candidate generation swaps
+    * to the IVF/LSH buckets the ANN family already provides — the
+    * ranking stage is identical. No id-inequality predicate on purpose:
+    * an in-corpus anchor's own row shares its label and is excluded by
+    * the mismatch test, while an EXTERNAL anchor set may collide with
+    * corpus ids coincidentally — an id check would silently drop those
+    * legitimate negatives. Returns (query_id, id, neg_label, cosine,
     * rank). */
   def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("id"),
       col(labelCol).as("neg_label"),
       col(vecCol).cast("array<double>").as("v"))
     val q = anchors.select(col(idCol).as("query_id"),
       col(labelCol).as("_qlabel"),
       col(vecCol).cast("array<double>").as("qv"))
-    val scored = c.join(broadcast(q))
-      .where(col("id") =!= col("query_id") &&
-        col("neg_label") =!= col("_qlabel"))
-      .withColumn("cosine", cosine(col("v"), col("qv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "id", "neg_label", "cosine", "rank")
+    rankTopK(c, q, col("neg_label") =!= col("_qlabel"), k,
+      Seq("query_id", "id", "neg_label", "cosine", "rank"))
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a

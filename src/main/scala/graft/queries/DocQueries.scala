@@ -2741,7 +2741,7 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |  SELECT q.query_id, e.vec_id AS id, e.label AS neg_label,
         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cosine
         |  FROM embeddings e CROSS JOIN q
-        |  WHERE e.vec_id != q.query_id AND e.label != q.qlabel
+        |  WHERE e.label != q.qlabel
         |), ranked AS (
         |  SELECT query_id, id, neg_label, cosine,
         |    row_number() OVER (PARTITION BY query_id
