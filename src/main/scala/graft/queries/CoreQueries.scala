@@ -659,9 +659,13 @@ object CoreQueries {
 
     // ---- TPC-H Q11 (important inventory, adapted: no partsupp →
     // per-part "stock value" is the revenue shipped by NATION_7's
-    // suppliers). Keeps Q11's scalar-subquery HAVING: the global total
-    // rides a 1-row broadcast crossJoin and the threshold compare is
-    // exact-integer (value·1000 > total ⇔ value > 0.1 % of total) ----
+    // suppliers). Keeps Q11's scalar-subquery HAVING: the global
+    // total+count ride a 1-row broadcast crossJoin and the threshold
+    // compare is exact-integer. The cut is AVERAGE-relative (value·n >
+    // 2·total ⇔ value > 2× the mean part value) rather than TPC-H's
+    // fixed fraction: the spec itself scales its fraction by 1/SF, and
+    // a fixed 0.1 % cut empties at sf0.1 (measured) — the mean-relative
+    // form selects "important" parts at every SF ----
     "q_tpch_q11" -> ((s, d) => {
       val natSupp = supplier(s, d)
         .join(broadcast(nation(s, d).where(col("n_name") === "NATION_7")),
@@ -674,9 +678,10 @@ object CoreQueries {
         .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(sum("rev_c").as("value_c"))
-      val tot = vals.agg(sum("value_c").as("_tot_c"))
+      val tot = vals.agg(sum("value_c").as("_tot_c"),
+        count(lit(1)).as("_n"))
       vals.crossJoin(broadcast(tot))
-        .where(col("value_c") * 1000 > col("_tot_c"))
+        .where(col("value_c") * col("_n") > col("_tot_c") * 2)
         .select(col("l_partkey").as("p_partkey"),
           (col("value_c").cast("double") / 100.0).as("value"))
         .orderBy(col("value").desc, col("p_partkey"))
@@ -1547,10 +1552,11 @@ object CoreQueries {
         |    AND s_nationkey = n_nationkey
         |    AND n_name = 'NATION_7'
         |  GROUP BY l_partkey
-        |), tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS tot_c FROM vals)
+        |), tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS tot_c,
+        |  CAST(count(*) AS BIGINT) AS n FROM vals)
         |SELECT l_partkey AS p_partkey,
         |  CAST(value_c AS DOUBLE) / 100.0 AS value
-        |FROM vals, tot WHERE value_c * 1000 > tot_c
+        |FROM vals, tot WHERE value_c * n > tot_c * 2
         |ORDER BY value DESC, p_partkey""".stripMargin,
 
     "q_tpch_q16" ->
