@@ -541,6 +541,71 @@ object CorpusStats {
           * 1000000).cast("long").as("pmi_q6"))
   }
 
+  /** Word2vec-style skip-gram (center, context) pair counts with
+    * frequency subsampling (Mikolov et al. 2013 §2.3, "Distributed
+    * representations of words and phrases"): each occurrence of word w
+    * is kept with probability min(1, sqrt(t·N / n_w)); kept tokens are
+    * COMPACTED per document (the reference C implementation deletes
+    * subsampled words from the stream before windowing, stretching the
+    * effective context over dropped words — matched here via a per-doc
+    * rank), then every kept token pairs with its ±`window` kept
+    * neighbors. The output (w_center, w_context, n_pairs) table is the
+    * training-pair distribution embedding trainers consume.
+    *
+    * Determinism: the keep draw is a portable md5 hash of (doc, pos)
+    * against the floor-quantized keep probability — exact-integer
+    * compare, so membership replays bit-for-bit in SQL (sqrt of an
+    * identical IEEE quotient is correctly rounded on both engines — the
+    * [[bigramPmi]] ln discipline).
+    *
+    * Scale shape: one corpus-sized (word) agg builds the vocab; the
+    * vocab (with counts) broadcasts back onto the token stream; the
+    * per-doc rank is a doc-keyed window (bounded by doc length); pair
+    * formation is an EQUI-join on (doc, rank) against 2·window exploded
+    * offset rows per kept token — linear in the corpus, never a per-doc
+    * cartesian; the final count is one keyed agg with map-side combine.
+    * For web-scale vocabularies drop the broadcast hint (minCount
+    * already shrinks the joined side). */
+  def skipGramPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 2, minCount: Long = 5,
+      subsampleT: Double = 1e-3): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select(col(idCol).as("_id"),
+        filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => length(t) > 0).as("tk"))
+      .select(col("_id"), posexplode(col("tk")).as(Seq("pos", "word")))
+    val vocab = pos.groupBy("word").agg(count(lit(1)).as("n_w"))
+      .persistTracked
+    val nTok = vocab.agg(sum("n_w").as("_n_tok"))
+    val kept = pos
+      .join(broadcast(vocab.where(col("n_w") >= minCount)), Seq("word"))
+      .crossJoin(broadcast(nTok))
+      .where(graft.functions.Hashing.md5Long56(
+          concat_ws(":", col("_id").cast("string"),
+            col("pos").cast("string"))) % 1000000 <
+        least(lit(1000000L),
+          floor(sqrt(lit(subsampleT) * col("_n_tok").cast("double") /
+            col("n_w").cast("double")) * 1000000).cast("long")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("_id").orderBy("pos")))
+      .select("_id", "rk", "word")
+      // two consumers (center + context join sides) — persist so the
+      // tokenize/draw/rank pipeline runs once (the bigramPmi note)
+      .persistTracked
+    val offsets = ((-window to window).filter(_ != 0)).map(lit(_))
+    val centers = kept
+      .select(col("_id"), col("word").as("w_center"),
+        explode(array(offsets: _*)).as("off"),
+        col("rk"))
+      .select(col("_id"), col("w_center"), (col("rk") + col("off")).as("rk"))
+    centers
+      .join(kept.select(col("_id"), col("rk"),
+        col("word").as("w_context")), Seq("_id", "rk"))
+      .groupBy("w_center", "w_context")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Per-slice unigram KL divergence and cross-entropy against the REST
     * of the corpus — the distribution-shift profile behind mixture
     * decisions (which sources look alike, which are outliers) and the

@@ -403,6 +403,65 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus MinHash-LSH near-duplicate pairs: every `corpus` row
+    * whose shingle-set Jaccard against some `reference` row is >=
+    * `threshold`, with the exact verified similarity. This is benchmark
+    * DECONTAMINATION at near-dup grain (GPT-3 §C / Llama-style): the
+    * n-gram-overlap check (`DataPrep.contaminationFlags`) catches exact
+    * spans, this catches paraphrased / lightly-edited benchmark copies.
+    *
+    * Scale shape — the asymmetry is the whole design: `reference` (the
+    * benchmark suite) is tiny (10³–10⁶ docs) while `corpus` is the
+    * 100 TB side. Both sides are banded, then candidates come from a
+    * BROADCAST hash join of the corpus band table against the reference
+    * band table — the corpus never shuffles, not for banding and not
+    * for verification (reference shingle sets broadcast too). There is
+    * no self-join and no k²/2 hot-key blowup: a band key matching k
+    * corpus docs emits k·df_ref(key) candidates, linear in the corpus.
+    * Each candidate is exact-Jaccard verified, so banding flukes cannot
+    * flag a clean document.
+    *
+    * Returns (id, ref_id, jaccard), one row per contaminated
+    * (corpus, reference) pair. Lazy (no persist: the corpus side is
+    * consumed once per plan branch; shingling runs once for banding and
+    * once for the verify join of the few candidates — cheaper than
+    * caching a 100 TB shingle table).
+    *
+    * @param threshold   exact-Jaccard cut after verification
+    * @param shingler    shingle unit (default word trigrams — the
+    *                    [[minhashDupPairs]] contract)
+    * @param bands×rowsPerBand  signature geometry; (1/b)^(1/r) rule
+    */
+  def minhashCrossDupPairs(corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      shingler: Column => Column = TextFunctions.wordShingles(_, 3),
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    def shingled(df: DataFrame, out: String): DataFrame = df.select(
+      col(idCol).as(out), shingler(col(textCol)).as(s"_sh_$out"))
+      .where(size(col(s"_sh_$out")) > 0)
+    def banded(sh: DataFrame, out: String): DataFrame = sh
+      .select(col(out),
+        minhashSignature(col(s"_sh_$out"), bands * rowsPerBand).as("sig"))
+      .select(col(out), explode(bandKeys(col("sig"), bands, rowsPerBand))
+        .as("bk"))
+      .select(col(out), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+    val corpusSh = shingled(corpus, "id")
+    val refSh = shingled(reference, "ref_id")
+    // the reference side is computed twice (bands + verify join) — both
+    // passes are over the small side, and both ship as broadcasts
+    val cands = banded(corpusSh, "id")
+      .join(broadcast(banded(refSh, "ref_id")), Seq("band", "bh"))
+      .select("id", "ref_id")
+      .dropDuplicates("id", "ref_id")
+    cands
+      .join(corpusSh, Seq("id"))
+      .join(broadcast(refSh), Seq("ref_id"))
+      .withColumn("jaccard", jaccard(col("_sh_id"), col("_sh_ref_id")))
+      .where(col("jaccard") >= threshold)
+      .select("id", "ref_id", "jaccard")
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -131,4 +131,39 @@ object Relevance {
           .agg(sum("contrib").as("score"), count(lit(1)).as("n_terms_hit"))
     }
   }
+
+  /** Positional phrase search: documents containing the exact
+    * consecutive token sequence `phrase`, with occurrence counts —
+    * the positional-index query the [[invertedIndex]] stats summarize
+    * (Lucene PhraseQuery semantics at slop 0). Overlapping occurrences
+    * each count: "a b a b a" contains "a b a" twice.
+    *
+    * Plan shape: the token explode is filtered to the phrase's terms
+    * BEFORE any shuffle — for a k-word phrase only matching positions
+    * (a vanishing fraction of a 100 TB corpus; Catalyst pushes the isin
+    * into the generate) reach the doc-keyed agg. Per doc, term i's
+    * positions collect SHIFTED by −i, so phrase starts are the k-way
+    * `array_intersect` of the per-term arrays — per-doc state is
+    * bounded by phrase-term occurrences, and no window or self-join
+    * ever forms. */
+  def phraseOccurrences(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val tok = docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .where(col("term").isin(phrase.distinct: _*))
+    val shifted = phrase.zipWithIndex.map { case (w, i) =>
+      // when() without otherwise yields null; collect_list drops nulls
+      sort_array(collect_list(when(col("term") === w, col("pos") - i)))
+        .as(s"_p$i")
+    }
+    val starts = phrase.indices.tail
+      .foldLeft[Column](col("_p0"))((acc, i) =>
+        array_intersect(acc, col(s"_p$i")))
+    tok.groupBy("doc_id")
+      .agg(shifted.head, shifted.tail: _*)
+      .select(col("doc_id"),
+        size(starts).cast("long").as("n_occurrences"))
+      .where(col("n_occurrences") > 0)
+  }
 }

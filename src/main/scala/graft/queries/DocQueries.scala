@@ -941,6 +941,27 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- benchmark decontamination at NEAR-DUP grain: minhash-banded
+    // bipartite candidates (corpus bands × broadcast benchmark bands),
+    // exact-Jaccard verified — catches paraphrased benchmark copies the
+    // gram-overlap check above misses as whole-document similarity.
+    // Fixture: benchmark = doc_id % 50 = 0; train = the rest ∪ perturbed
+    // benchmark copies (+300000, ' graft extra tail'), so known
+    // positives exist. Oracle = bipartite ALL-PAIRS word-trigram Jaccard
+    // truth (the q_minhash_pairs pinned-recall convention). ----
+    "q_decontaminate_neardup" -> ((s, d) => {
+      val docs = docsPar(s, d).select("doc_id", "text")
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val train = docs.where(col("doc_id") % 50 =!= 0)
+        .unionByName(bench.select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" graft extra tail")).as("text")))
+      Dedup.minhashCrossDupPairs(train, bench, "doc_id", "text",
+          threshold = 0.5)
+        .select(col("id").as("doc_id"), col("ref_id"),
+          (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
+        .orderBy("doc_id", "ref_id")
+    }),
+
     // ---- DSIR importance weights (Xie et al. 2023 data selection):
     // hashed unigram+bigram features, add-one-smoothed target/raw
     // bucket distributions, per-doc quantized log importance weight.
@@ -1125,6 +1146,28 @@ object DocQueries {
         .orderBy("term")
     }),
 
+    // ---- positional phrase search over the inverted index's token
+    // stream: two 3-word phrases against a corpus with planted
+    // occurrences (doc_id % 5 = 0 docs get a doubled 'alpha beta gamma'
+    // tail — the overlapping second phrase occurs once, the first
+    // twice, so adjacency and overlap-counting are both exercised) ----
+    "q_phrase_search" -> ((s, d) => {
+      import graft.operators.Relevance
+      val docs = docsPar(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" alpha beta gamma alpha beta gamma")))
+          .otherwise(col("text")).as("text"))
+      val p1 = Relevance.phraseOccurrences(docs, "doc_id", "text",
+          Seq("alpha", "beta", "gamma"))
+        .withColumn("phrase", lit("alpha beta gamma"))
+      val p2 = Relevance.phraseOccurrences(docs, "doc_id", "text",
+          Seq("beta", "gamma", "alpha"))
+        .withColumn("phrase", lit("beta gamma alpha"))
+      p1.unionByName(p2)
+        .select("phrase", "doc_id", "n_occurrences")
+        .orderBy("phrase", "doc_id")
+    }),
+
     // ---- blocked fuzzy self-join (record linkage): md5-hex fixture
     // names (distinct keys are ~30 edits apart; injected deletion /
     // double-substitution variants are 1-2) so the found pairs are
@@ -1227,6 +1270,16 @@ object DocQueries {
     "q_pmi_bigrams" -> ((s, d) => {
       CorpusStats.bigramPmi(docsPar(s, d), "text", minCount = 5)
         .orderBy("w_a", "w_b")
+    }),
+
+    // ---- word2vec skip-gram training pairs (window ±2, min-count 5,
+    // t=1e-3 frequency subsampling): the md5(doc:pos) keep draw, the
+    // per-doc compaction rank, and the ±window pairing all replay
+    // exactly in SQL — membership and counts are row-identical ----
+    "q_skipgram_pairs" -> ((s, d) => {
+      CorpusStats.skipGramPairs(docsPar(s, d), "doc_id", "text",
+          window = 2, minCount = 5, subsampleT = 1e-3)
+        .orderBy("w_center", "w_context")
     }),
 
     // ---- winnowing fingerprints (Schleimer et al., MOSS): per-doc
@@ -2496,6 +2549,36 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |GROUP BY cg.doc_id HAVING count(DISTINCT cg.gram) >= 2
         |ORDER BY doc_id""".stripMargin,
 
+    // bipartite all-pairs trigram-Jaccard truth over the train/benchmark
+    // split — the q_minhash_pairs recall convention, cross-corpus
+    "q_decontaminate_neardup" ->
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+        |), train AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || ' graft extra tail' FROM bench
+        |), tg AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g'), ' ') AS t FROM train) WHERE len(t) >= 3
+        |), bg AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g'), ' ') AS t FROM bench) WHERE len(t) >= 3
+        |)
+        |SELECT t.doc_id, b.doc_id AS ref_id,
+        |  floor(CAST(len(list_intersect(t.grams, b.grams)) AS DOUBLE) /
+        |    (len(t.grams) + len(b.grams) - len(list_intersect(t.grams, b.grams)))
+        |    * 1e6) / 1e6 AS jaccard
+        |FROM tg t JOIN bg b ON true
+        |WHERE CAST(len(list_intersect(t.grams, b.grams)) AS DOUBLE) /
+        |  (len(t.grams) + len(b.grams) - len(list_intersect(t.grams, b.grams)))
+        |  >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+
     // replays the md5Long56 bucket hash, the add-one smoothing, and the
     // once-quantized per-bucket log ratio; per-doc sums are integer
     // sums, so they commute on both engines
@@ -2769,6 +2852,75 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     // same tokenizer twin as bm25Oracle; list-slice == top-k heads
+    // replays the md5(doc:pos) subsampling draw, the per-doc compaction
+    // rank, and the ±2 rank-distance pairing; counts are exact integers
+    "q_skipgram_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS t
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, u.p AS pos, u.w AS word
+        |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(t)),
+        |    i -> struct_pack(p := i, w := t[i + 1]))) AS u FROM tk)
+        |), vocab AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n_w FROM p GROUP BY 1
+        |), nt AS (
+        |  SELECT CAST(sum(n_w) AS BIGINT) AS n_tok FROM vocab
+        |), kept AS (
+        |  SELECT doc_id, word,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rk
+        |  FROM p JOIN vocab USING (word)
+        |  WHERE n_w >= 5
+        |    AND CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(pos AS VARCHAR)) % 72057594037927936 AS BIGINT)
+        |      % 1000000
+        |      < least(1000000, CAST(floor(sqrt(
+        |          0.001 * CAST((SELECT n_tok FROM nt) AS DOUBLE)
+        |            / CAST(n_w AS DOUBLE)) * 1000000) AS BIGINT))
+        |)
+        |SELECT a.word AS w_center, b.word AS w_context,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM kept a JOIN kept b ON a.doc_id = b.doc_id
+        |  AND b.rk BETWEEN a.rk - 2 AND a.rk + 2 AND b.rk <> a.rk
+        |GROUP BY 1, 2
+        |ORDER BY w_center, w_context""".stripMargin,
+
+    // phrase truth via positional self-joins (adjacency chains) — the
+    // simplest possible SQL statement of "consecutive tokens"
+    "q_phrase_search" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' alpha beta gamma alpha beta gamma'
+        |    ELSE text END AS text
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, u.p AS pos, u.w AS term
+        |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(t)),
+        |      i -> struct_pack(p := i, w := t[i + 1]))) AS u
+        |    FROM (SELECT doc_id, string_split(regexp_replace(
+        |      lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t FROM docs))
+        |), hits AS (
+        |  SELECT 'alpha beta gamma' AS phrase, a.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM p a
+        |  JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  WHERE a.term = 'alpha' AND b.term = 'beta' AND c.term = 'gamma'
+        |  GROUP BY a.doc_id
+        |  UNION ALL
+        |  SELECT 'beta gamma alpha' AS phrase, a.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM p a
+        |  JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  WHERE a.term = 'beta' AND b.term = 'gamma' AND c.term = 'alpha'
+        |  GROUP BY a.doc_id
+        |)
+        |SELECT phrase, doc_id, n_occurrences FROM hits
+        |ORDER BY phrase, doc_id""".stripMargin,
+
     "q_inverted_index" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(

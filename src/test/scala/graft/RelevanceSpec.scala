@@ -47,4 +47,39 @@ class RelevanceSpec extends AnyFunSuite {
     raw.foreach { case (id, s) => assert(math.abs(q(id) - s) < 1e-5) }
     assert(raw.toSeq.sortBy(-_._2).map(_._1) == q.toSeq.sortBy(-_._2).map(_._1))
   }
+
+  private def phraseFixture = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b a b a c"),          // "a b a" twice (overlapping), "b a b" once
+      (2L, "x a y b z a"),          // terms present, never consecutive
+      (3L, "a b"),                  // proper prefix only
+      (4L, "c c a b a c")           // "a b a" once
+    ).toDF("doc_id", "text")
+  }
+
+  test("phraseOccurrences: counts consecutive runs, overlapping included") {
+    val r = Relevance.phraseOccurrences(phraseFixture, "doc_id", "text",
+        Seq("a", "b", "a"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_occurrences")).toMap
+    assert(r == Map(1L -> 2L, 4L -> 1L))
+  }
+
+  test("phraseOccurrences: scattered terms and prefixes never match") {
+    val r = Relevance.phraseOccurrences(phraseFixture, "doc_id", "text",
+      Seq("b", "a", "b"))
+    assert(r.collect().map(x => x.getAs[Long]("doc_id") ->
+      x.getAs[Long]("n_occurrences")).toMap == Map(1L -> 1L))
+    assert(Relevance.phraseOccurrences(phraseFixture, "doc_id", "text",
+      Seq("z", "b")).count() == 0)
+  }
+
+  test("phraseOccurrences: single-term phrase degenerates to tf") {
+    val r = Relevance.phraseOccurrences(phraseFixture, "doc_id", "text",
+        Seq("a"))
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[Long]("n_occurrences")).toMap
+    assert(r == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+  }
 }

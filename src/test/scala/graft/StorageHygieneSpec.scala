@@ -76,6 +76,13 @@ class StorageHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("skipGramPairs releases its vocab and kept-token caches") {
+    assertNoResidue("skipGramPairs") {
+      CorpusStats.skipGramPairs(docs, "doc_id", "text",
+        window = 2, minCount = 2, subsampleT = 1e9)
+    }
+  }
+
   test("bigramPmi / unigramDivergence release their count tables") {
     assertNoResidue("bigramPmi") {
       CorpusStats.bigramPmi(docs, "text", minCount = 1)
