@@ -281,6 +281,76 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Common UTF-8-read-as-cp1252 mojibake digraphs/trigraphs → their
+    * intended characters (the high-frequency subset of what ftfy
+    * repairs; entries restricted to fully printable garbled forms so
+    * the same literals replay verbatim in SQL `replace` chains).
+    * Trigraphs (E2 80 xx punctuation) are listed BEFORE digraphs —
+    * their lead bytes (â vs Ã) never overlap, but fixed order keeps the
+    * Spark chain and the SQL oracle byte-identical by construction. */
+  val mojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€œ" -> "“", "â€“" -> "–",
+    "â€”" -> "—", "â€¦" -> "…",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã±" -> "ñ", "Ã¼" -> "ü", "Ã¶" -> "ö", "Ã¤" -> "ä", "Ã§" -> "ç")
+
+  /** Named/numeric HTML entities handled declaratively (the pinned
+    * subset covering the overwhelming majority of web text; arbitrary
+    * `&#NNN;` codes need a kernel and are out of scope — documented).
+    * `&amp;` is LAST on purpose: standard unescape order, so
+    * `&amp;lt;` yields the literal text `&lt;`, not `<`. */
+  val htmlEntityTable: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+    "&#39;" -> "'", "&#34;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  private def replaceChain(c: Column, table: Seq[(String, String)]): Column =
+    table.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to)) }
+
+  /** Strip HTML: script/style blocks (content and all), then every
+    * remaining tag, each replaced by a space so token boundaries
+    * survive (`a<br>b` → `a b`, never `ab`). RE2-safe patterns — the
+    * same regexes run in DuckDB oracles. */
+  def stripHtml(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "(?s)<(script|style)[^>]*>.*?</(script|style)>", " "),
+      "<[^>]*>", " ")
+
+  /** Unescape the pinned HTML entity subset ([[htmlEntityTable]]). */
+  def unescapeHtmlEntities(text: Column): Column =
+    replaceChain(text, htmlEntityTable)
+
+  /** Repair the pinned mojibake digraphs ([[mojibakeTable]]). */
+  def fixMojibake(text: Column): Column =
+    replaceChain(text, mojibakeTable)
+
+  /** Web-text cleanup for scraped corpora: strip HTML (script/style
+    * contents dropped, tags → spaces), unescape the pinned entity set,
+    * repair common UTF-8-as-cp1252 mojibake, collapse whitespace, trim.
+    * Entirely codegen'd builtins (regexp_replace + replace chains) —
+    * a narrow per-row projection with zero shuffle, and every step
+    * replays verbatim in SQL (the q_web_clean oracle is GENERATED from
+    * the same tables). */
+  def webClean(text: Column): Column =
+    trim(regexp_replace(
+      fixMojibake(unescapeHtmlEntities(stripHtml(text))), "\\s+", " "))
+
+  /** DuckDB twin of [[webClean]] as a SQL expression over `inner` —
+    * generated from the SAME tables and regexes, so the oracle cannot
+    * drift from the implementation. */
+  def webCleanSql(inner: String): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val stripped =
+      s"regexp_replace(regexp_replace($inner, " +
+        s"'(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'), " +
+        s"'<[^>]*>', ' ', 'g')"
+    val chained = (htmlEntityTable ++ mojibakeTable)
+      .foldLeft(stripped) { case (acc, (from, to)) =>
+        s"replace($acc, ${q(from)}, ${q(to)})" }
+    s"trim(regexp_replace($chained, '\\s+', ' ', 'g'))"
+  }
+
   /** Unicode normalization (NFC/NFKC/NFD/NFKD) via the native codegen'd
     * [[graft.plans.UnicodeNormalizeExpression]] — zero-copy on ASCII and
     * already-normal inputs. The session must carry GraftExtensions;

@@ -84,6 +84,15 @@ object DocQueries {
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $source)
        |)""".stripMargin
 
+  /** Dirty web snippet prefixed to the q_web_clean fixture docs: a
+    * tagged block with entities (incl. the `&amp;lt;` double-escape
+    * order case), five mojibake forms, and a script block that must
+    * vanish wholesale. The SAME literal rides into the generated
+    * oracle SQL. */
+  private val webDirtyPrefix: String =
+    "<div class=\"post\">CafÃ© &amp; crÃ¨me â€” itâ€™s &lt;fine&gt; " +
+      "&amp;lt;kept&amp;gt;</div><script>var x = 1 &lt; 2;</script> "
+
   private val docsWithDupsCte: String =
     """WITH docs AS (
       |  SELECT doc_id, text, source FROM documents
@@ -938,6 +947,22 @@ object DocQueries {
       DataPrep.contaminationFlags(
           docs.where(col("doc_id") % 97 =!= 0), benchmark,
           "doc_id", "text", n = 3, minOverlap = 2)
+        .orderBy("doc_id")
+    }),
+
+    // ---- web-text cleanup (scraped-corpus ingestion): HTML strip +
+    // pinned entity unescape + UTF-8-as-cp1252 mojibake repair +
+    // whitespace collapse, all codegen'd builtins, zero shuffle. The
+    // fixture prefixes every 9th doc with a dirty snippet covering
+    // script-block removal, tag→space, entity order (&amp; last), and
+    // five mojibake forms; the oracle SQL is GENERATED from the same
+    // replacement tables (TextFunctions.webCleanSql) so it cannot
+    // drift ----
+    "q_web_clean" -> ((s, d) => {
+      docsPar(s, d).where(col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          TextFunctions.webClean(
+            concat(lit(webDirtyPrefix), col("text"))).as("clean"))
         .orderBy("doc_id")
     }),
 
@@ -2548,6 +2573,16 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |FROM cg JOIN bg USING (gram)
         |GROUP BY cg.doc_id HAVING count(DISTINCT cg.gram) >= 2
         |ORDER BY doc_id""".stripMargin,
+
+    // GENERATED from the same replacement tables as the implementation
+    // (TextFunctions.webCleanSql) — regexes, entity order, and mojibake
+    // digraphs are byte-identical by construction
+    "q_web_clean" -> {
+      val raw = "'" + webDirtyPrefix.replace("'", "''") + "' || text"
+      s"""SELECT doc_id, ${TextFunctions.webCleanSql(raw)} AS clean
+         |FROM documents WHERE doc_id % 9 = 0
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // bipartite all-pairs trigram-Jaccard truth over the train/benchmark
     // split — the q_minhash_pairs recall convention, cross-corpus
