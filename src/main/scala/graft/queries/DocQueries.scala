@@ -966,6 +966,30 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- content-defined chunking (Rabin-style rolling-hash
+    // boundaries) + chunk-grain dedup rollup: per doc, chunk count,
+    // chunk-length sum (structurally = doc length — the oracle enforces
+    // it) and how many chunks are shared with another doc. Runs on
+    // docsWithDups so the exact/near copies produce known-positive
+    // shared chunks; the oracle replays the polynomial boundary hash
+    // from the SAME premultiplied power table (Cdc.powerTable) ----
+    "q_cdc_chunks" -> ((s, d) => {
+      graft.operators.Cdc.chunkStats(docsWithDups(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- trained language ID: Cavnar–Trenkle character-trigram rank
+    // profiles from the doc_id%5=0 labeled split, out-of-place distance
+    // scoring against broadcast profiles — the classifier rung above
+    // q_lang_quality's stopword heuristic. Integer distances with a
+    // total-order rank (count DESC, trigram ASC), so the oracle replays
+    // the whole classifier exactly ----
+    "q_lid_rank" -> ((s, d) => {
+      graft.operators.LangId.rankProfileLid(docsPar(s, d), "doc_id",
+          "text", "lang", col("doc_id") % 5 === 0, topN = 20)
+        .orderBy("doc_id")
+    }),
+
     // ---- benchmark decontamination at NEAR-DUP grain: minhash-banded
     // bipartite candidates (corpus bands × broadcast benchmark bands),
     // exact-Jaccard verified — catches paraphrased benchmark copies the
@@ -1911,6 +1935,94 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // replays the CDC boundary hash from the same premultiplied power
+    // table (Cdc.powerTable — emitted as a literal below), rebuilds the
+    // chunks, and recomputes the shared-chunk rollup from md5 chunk
+    // hashes; chunk_len_sum = length(text) is the structural self-check
+    "q_cdc_chunks" -> {
+      val pw = graft.operators.Cdc.powerTable.mkString("[", ", ", "]")
+      docsWithDupsCte + s""",
+        |c AS (
+        |  SELECT doc_id, text AS t, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      p -> ord(text[p:p])) AS cs
+        |  FROM docs WHERE length(text) > 0
+        |), b AS (
+        |  SELECT doc_id, t, n,
+        |    list_filter(range(16, n + 1), i ->
+        |      list_sum(list_transform(range(0, 16), j ->
+        |        cs[i - 15 + j] * ($pw)[j + 1])) % 64 = 0) AS bnd
+        |  FROM c
+        |), e AS (
+        |  SELECT doc_id, t, n,
+        |    CASE WHEN len(bnd) > 0 AND bnd[-1] = n THEN bnd
+        |         ELSE list_append(bnd, n) END AS ends
+        |  FROM b
+        |), st AS (
+        |  SELECT doc_id, t,
+        |    list_prepend(1, list_transform(ends[1:len(ends) - 1],
+        |      x -> x + 1)) AS starts,
+        |    ends
+        |  FROM e
+        |), ch AS (
+        |  SELECT doc_id, t, unnest(starts) AS s, unnest(ends) AS en
+        |  FROM st
+        |), h AS (
+        |  SELECT doc_id, en - s + 1 AS ln, md5(t[s:en]) AS hsh FROM ch
+        |), nd AS (
+        |  SELECT hsh, count(DISTINCT doc_id) AS ndocs FROM h GROUP BY 1
+        |)
+        |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(ln) AS BIGINT) AS chunk_len_sum,
+        |  CAST(sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared_chunks
+        |FROM h JOIN nd USING (hsh)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // replays the Cavnar–Trenkle classifier end to end: per-doc and
+    // per-lang (train split doc_id%5=0) top-20 trigram rank profiles,
+    // out-of-place distance with miss penalty 20, argmin by
+    // (dist, lang)
+    "q_lid_rank" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+        |  WHERE length(lower(trim(text))) >= 3
+        |), tr AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, length(t) - 1),
+        |      p -> t[p:p+2])) AS tri
+        |  FROM nrm
+        |), dc AS (
+        |  SELECT doc_id, tri, count(*) AS c FROM tr GROUP BY 1, 2
+        |), dp AS (
+        |  SELECT doc_id, tri, r_doc FROM (
+        |    SELECT doc_id, tri, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY c DESC, tri) AS r_doc FROM dc)
+        |  WHERE r_doc <= 20
+        |), lc AS (
+        |  SELECT lang, tri, count(*) AS c FROM tr
+        |  WHERE doc_id % 5 = 0 GROUP BY 1, 2
+        |), lp AS (
+        |  SELECT lang, tri, r_lang FROM (
+        |    SELECT lang, tri, row_number() OVER (PARTITION BY lang
+        |      ORDER BY c DESC, tri) AS r_lang FROM lc)
+        |  WHERE r_lang <= 20
+        |), langs AS (
+        |  SELECT DISTINCT lang FROM lp
+        |), sc AS (
+        |  SELECT dp.doc_id, langs.lang AS cand,
+        |    CAST(sum(coalesce(abs(dp.r_doc - lp.r_lang), 20)) AS BIGINT)
+        |      AS dist
+        |  FROM dp CROSS JOIN langs
+        |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.tri = dp.tri
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, cand AS pred_lang, dist FROM (
+        |  SELECT doc_id, cand, dist, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY dist, cand) AS rk FROM sc)
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
     "q_mixture" ->
       """SELECT doc_id, source FROM documents
         |WHERE CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 1000000

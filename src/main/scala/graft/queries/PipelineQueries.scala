@@ -461,6 +461,27 @@ object PipelineQueries {
     // ---- J1 spatial broadcast join: ray-casting point-in-polygon against
     // the reference's real Pit 1/2/3 polygons; oracle = independent
     // half-plane containment math for the convex CCW polygons ----
+    // ---- Z-order (Morton) layout clustering: quantize lon/lat to
+    // 16-bit grids, interleave bits into a 32-bit curve position, and
+    // report per-fixed-width-bucket row counts + per-bucket min/max of
+    // BOTH coordinates — the file-skipping metadata a clustered write
+    // hands the scan planner (each bucket's bbox shrinks ~N^(1/2),
+    // where a lon-sorted layout leaves lat unbounded per file). Pure
+    // integer bit arithmetic after one documented quantization; the
+    // oracle expression is GENERATED from the same bit positions
+    // (Layout.mortonZSql) so plan and oracle cannot drift ----
+    "q_zorder_layout" -> ((s, d) => {
+      import graft.operators.Layout
+      val pts = events(s, d).select(
+        ((col("value") / 100) * 0.0095 - 97.8410).as("lon"),
+        ((col("user_id") % 150) / 150.0 * 0.0075 + 33.2695).as("lat"))
+      Layout.zorderStats(pts, col("lon"), col("lat"),
+          lonLo = -97.8410, lonHi = -97.7935,
+          latLo = 33.2695, latHi = 33.2770,
+          bits = 16, bucketShift = 22)
+        .orderBy("bucket")
+    }),
+
     "q_spatial_zone" -> ((s, d) => {
       val pts = events(s, d).select(
         col("event_id"),
@@ -626,6 +647,32 @@ object PipelineQueries {
         |ORDER BY b.event_id""".stripMargin,
 
     "q_spatial_zone" -> spatialOracle,
+
+    // quantize + Morton interleave + bucket stats; the quantize and
+    // interleave expressions are generated by the same Layout helpers
+    // the Spark plan folds, from the same constants
+    "q_zorder_layout" -> {
+      import graft.operators.Layout
+      val xq = Layout.quantizeSql("lon", -97.8410, -97.7935, 16)
+      val yq = Layout.quantizeSql("lat", 33.2695, 33.2770, 16)
+      val z = Layout.mortonZSql("xq", "yq", 16)
+      s"""WITH pts AS (
+         |  SELECT
+         |    (value / 100) * 0.0095 - 97.8410 AS lon,
+         |    (user_id % 150) / 150.0 * 0.0075 + 33.2695 AS lat
+         |  FROM events
+         |), q AS (
+         |  SELECT lon, lat, $xq AS xq, $yq AS yq FROM pts
+         |), z AS (
+         |  SELECT lon, lat, ($z) >> 22 AS bucket FROM q
+         |)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(floor(min(lon) * 1000000.0) AS BIGINT) AS min_lon_micro,
+         |  CAST(floor(max(lon) * 1000000.0) AS BIGINT) AS max_lon_micro,
+         |  CAST(floor(min(lat) * 1000000.0) AS BIGINT) AS min_lat_micro,
+         |  CAST(floor(max(lat) * 1000000.0) AS BIGINT) AS max_lat_micro
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     "q_ground_truth" ->
       """WITH base AS (
