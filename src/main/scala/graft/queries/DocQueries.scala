@@ -990,6 +990,19 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- WordPiece tokenization (the BERT tokenizer; third member of
+    // the tokenizer trio beside BPE and Unigram-LM): greedy longest-
+    // match-first against a frequency-ranked vocab of word-initial +
+    // ##-continuation pieces, BERT's whole-word [UNK] rules. The greedy
+    // kernel runs per DISTINCT word (the BPE-encode pattern); the
+    // oracle replays training rank-for-rank and the greedy march as an
+    // unrolled CTE chain ----
+    "q_wordpiece" -> ((s, d) => {
+      graft.operators.WordPiece.encodeStats(docsPar(s, d), "doc_id",
+          "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- benchmark decontamination at NEAR-DUP grain: minhash-banded
     // bipartite candidates (corpus bands × broadcast benchmark bands),
     // exact-Jaccard verified — catches paraphrased benchmark copies the
@@ -1934,7 +1947,99 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
       |  FROM c GROUP BY doc_id
       |)""".stripMargin
 
+  /** WordPiece oracle: replays vocabulary training rank-for-rank and
+    * the greedy longest-match march as an UNROLLED CTE chain — one
+    * (match, advance) step per possible piece boundary; each step
+    * consumes ≥ 1 char and words longer than MaxCharsPerWord are [UNK]
+    * by rule, so MaxCharsPerWord steps cover every word (the pagerank
+    * unrolled-iteration precedent). */
+  private def wordpieceOracle: String = {
+    val wp = graft.operators.WordPiece
+    val steps = (1 to wp.MaxCharsPerWord).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT s.word, max(vp.rawlen) AS ml,
+         |    max_by(vp.piece, vp.rawlen) AS pc
+         |  FROM s${k - 1} s JOIN vp
+         |    ON vp.is_cont = (s.pos > 1)
+         |   AND substr(s.word, s.pos, vp.rawlen) = vp.raw
+         |  WHERE s.pos <= s.n AND NOT s.unk
+         |  GROUP BY s.word
+         |), s$k AS MATERIALIZED (
+         |  SELECT s.word, s.n,
+         |    CASE WHEN s.pos > s.n OR s.unk OR m.ml IS NULL THEN s.pos
+         |         ELSE s.pos + m.ml END AS pos,
+         |    CASE WHEN s.pos > s.n OR s.unk OR m.ml IS NULL THEN s.acc
+         |         ELSE s.acc || ' ' || m.pc END AS acc,
+         |    CASE WHEN s.pos > s.n OR s.unk OR m.ml IS NULL THEN s.np
+         |         ELSE s.np + 1 END AS np,
+         |    s.unk OR (s.pos <= s.n AND m.ml IS NULL) AS unk
+         |  FROM s${k - 1} s LEFT JOIN m$k m USING (word)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH wt AS (
+       |  SELECT doc_id, lower(trim(text)) AS t FROM documents
+       |), ws AS (
+       |  SELECT doc_id, list_filter(string_split_regex(t, '\\s+'),
+       |    x -> length(x) > 0) AS l FROM wt
+       |), tok AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+       |    i -> {'wp': i, 'w': l[i]})) AS u FROM ws
+       |), tw AS MATERIALIZED (
+       |  SELECT doc_id, u.wp AS wp, u.w AS word FROM tok
+       |), wc AS (
+       |  SELECT word, count(*) AS c FROM tw GROUP BY 1
+       |), pcs AS (
+       |  SELECT unnest(list_distinct(flatten(
+       |    list_transform(range(1, length(word) + 1), p ->
+       |      list_transform(
+       |        range(1, least(${wp.MaxPieceLen},
+       |          length(word) - p + 1) + 1),
+       |        l -> CASE WHEN p = 1 THEN word[p:p+l-1]
+       |             ELSE '##' || word[p:p+l-1] END))))) AS piece,
+       |    c
+       |  FROM wc
+       |), pwt AS (
+       |  SELECT piece, sum(c) AS weight FROM pcs GROUP BY 1
+       |), vocab AS (
+       |  SELECT piece FROM pwt
+       |  WHERE length(regexp_replace(piece, '^##', '')) = 1
+       |  UNION ALL
+       |  SELECT piece FROM (
+       |    SELECT piece,
+       |      row_number() OVER (ORDER BY weight DESC, piece) AS rk
+       |    FROM pwt WHERE length(regexp_replace(piece, '^##', '')) > 1)
+       |  WHERE rk <= 300
+       |), vp AS MATERIALIZED (
+       |  SELECT piece, regexp_replace(piece, '^##', '') AS raw,
+       |    length(regexp_replace(piece, '^##', '')) AS rawlen,
+       |    (piece LIKE '##%') AS is_cont
+       |  FROM vocab
+       |), dw AS (
+       |  SELECT DISTINCT word FROM tw
+       |), s0 AS MATERIALIZED (
+       |  SELECT word, length(word) AS n, 1 AS pos, '' AS acc, 0 AS np,
+       |    length(word) > ${wp.MaxCharsPerWord} AS unk
+       |  FROM dw
+       |), $steps, enc AS (
+       |  SELECT word,
+       |    CASE WHEN unk THEN '[UNK]' ELSE trim(acc) END AS ps,
+       |    CASE WHEN unk THEN 1 ELSE np END AS np,
+       |    CASE WHEN unk THEN 1 ELSE 0 END AS u
+       |  FROM s${wp.MaxCharsPerWord}
+       |)
+       |SELECT tw.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(e.np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(e.u) AS BIGINT) AS n_unk_words,
+       |  string_agg(e.ps, ' ' ORDER BY tw.wp) AS pieces_text
+       |FROM tw JOIN enc e USING (word)
+       |GROUP BY tw.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_wordpiece" -> wordpieceOracle,
+
     // replays the CDC boundary hash from the same premultiplied power
     // table (Cdc.powerTable — emitted as a literal below), rebuilds the
     // chunks, and recomputes the shared-chunk rollup from md5 chunk
