@@ -64,27 +64,50 @@ object Cdc {
     val w = Window
     val mask = (1L << MaskBits) - 1 + 1 // 2^maskBits
     val pw = array(powerTable.map(lit): _*)
+    // Boundary detection is a TRUE rolling update folded by ONE
+    // `aggregate` over positions w+1..n: hₚ = ((hₚ₋₁ + 255·M −
+    // c_out·(B^(w−1) mod M))·B + c_in) mod M — two char reads per
+    // position instead of re-summing the w-term window (the direct
+    // recompute measured 4.5 s at sf0.1; this shape ~8× less char
+    // work and no per-position sequence alloc). The +255·M keeps the
+    // pre-mod value non-negative (c_out·pw₀ < 255·M), and ≡ 0 (mod M)
+    // so the residue is unchanged. The ORACLE keeps the direct
+    // Σ c·(B^k mod M) formula: both reduce to the same value mod M,
+    // and the boundary predicate is mod 2^maskBits | M — CdcSpec's
+    // partition-invariance plus the oracle gate pin the equivalence.
+    // No precomputed code-point array column on purpose: an array
+    // alias read from inside a lambda is fair game for CollapseProject
+    // inlining, which would rebuild the n-element array once per
+    // element ACCESS (the corpus-sized-subtree-per-element HOF trap,
+    // see Dedup.lineDedup) — measured minutes-vs-seconds at sf0.01.
+    val pwTop = powerTable.head // B^(w-1) mod M
+    def chr(p: Column): Column =
+      ascii(col("_t").substr(p, lit(1))).cast("long")
+    // seed: the direct w-term hash of the first window [1..w]
+    val h0 = (0 until w).map(j => chr(lit(j + 1)) * lit(powerTable(j)))
+      .reduce(_ + _)
+    val seedBnd = when(h0 % lit(mask) === 0, array(lit(w)))
+      .otherwise(array().cast("array<int>"))
+    val rolled = aggregate(
+      sequence(lit(w + 1), col("_n")),
+      struct((h0 % lit(Mod)).as("h"), seedBnd.as("b")),
+      (st, i) => {
+        val h2 = ((st.getField("h") + lit(255L * Mod) -
+          chr(i - lit(w)) * lit(pwTop)) * lit(Base) + chr(i)) % lit(Mod)
+        struct(h2.as("h"),
+          when(h2 % lit(mask) === 0,
+            concat(st.getField("b"), array(i)))
+            .otherwise(st.getField("b")).as("b"))
+      },
+      st => st.getField("b"))
     val withBnd = docs
       .select(col(idCol), col(textCol).as("_t"))
       .withColumn("_n", length(col("_t")))
       .where(col("_n") > 0)
-      // the window hash reads its w chars straight off the text column
-      // with substr — NOT via a precomputed code-point array column: an
-      // array alias referenced from inside a nested lambda is fair game
-      // for CollapseProject inlining, which would rebuild the whole
-      // n-element array once per element ACCESS (the corpus-sized-
-      // subtree-per-element HOF trap, see Dedup.lineDedup) — measured
-      // minutes-vs-seconds at sf0.01. Direct substr is w ops per
-      // position with no per-row allocation and no plan-shape hazard.
-      .withColumn("_bnd", when(col("_n") >= w,
-        filter(sequence(lit(w), col("_n")), i =>
-          aggregate(sequence(lit(0), lit(w - 1)), lit(0L),
-            (acc, j) => acc +
-              ascii(col("_t").substr(i - lit(w - 1) + j, lit(1)))
-                .cast("long") *
-              element_at(pw, j + 1))
-            % lit(mask) === 0))
-        .otherwise(array().cast("array<int>")))
+      .withColumn("_bnd",
+        when(col("_n") > w, rolled)
+          .when(col("_n") === w, seedBnd) // sequence(w+1, w) would run DESC
+          .otherwise(array().cast("array<int>")))
       .withColumn("_ends",
         when(size(col("_bnd")) > 0 &&
             element_at(col("_bnd"), -1) === col("_n"), col("_bnd"))
