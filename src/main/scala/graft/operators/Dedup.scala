@@ -746,6 +746,39 @@ object Dedup {
           .as("cleaned_text"))
   }
 
+  /** N-gram novelty per document — the incremental-crawl curation
+    * metric: what fraction of a doc's (distinct) word n-grams appear
+    * for the FIRST time in this doc, taking document id as ingestion
+    * order. A re-crawled boilerplate page scores ~0; genuinely new
+    * content scores high — the cheap corpus-level complement to
+    * pairwise near-dup detection (no pairs are ever formed).
+    *
+    * Scale shape: grams leave the scan as 7-byte portable md5 hashes
+    * ([[graft.functions.Hashing.md5Long56]] — SQL-replayable), so both
+    * keyed shuffles (per-gram min-doc agg, join-back) carry ≤ 16-byte
+    * rows; gram text never rides an Exchange (the lineDedup
+    * discipline). Returns (idCol, n_grams, n_novel, novelty_ppm) with
+    * novelty_ppm an exact integer division; docs with fewer than n
+    * words have no grams and are absent. */
+  def gramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      shingler: Column => Column = TextFunctions.wordShingles(_, 3))
+      : DataFrame = {
+    val grams = docs.select(col(idCol).as("_doc"),
+        explode(shingler(col(textCol))).as("_g"))
+      .select(col("_doc"),
+        graft.functions.Hashing.md5Long56(col("_g")).as("_h"))
+      // shingles are distinct per doc already; dedup again at the HASH
+      // grain so a (vanishing) md5 collision counts once on both sides
+      .dropDuplicates("_doc", "_h")
+    val first = grams.groupBy("_h").agg(min("_doc").as("_first"))
+    grams.join(first, Seq("_h"))
+      .groupBy(col("_doc").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("_doc") === col("_first"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
+  }
+
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, bits: Int = 16): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)

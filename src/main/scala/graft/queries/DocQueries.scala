@@ -1003,6 +1003,16 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- n-gram novelty (incremental-crawl curation): fraction of a
+    // doc's distinct word trigrams first seen in THIS doc, doc_id as
+    // ingestion order — runs on docsWithDups so the exact/near copies
+    // are known ~zero-novelty positives. Grams shuffle as portable
+    // md5 56-bit hashes; exact integer ppm ratio ----
+    "q_gram_novelty" -> ((s, d) => {
+      Dedup.gramNovelty(docsWithDups(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- benchmark decontamination at NEAR-DUP grain: minhash-banded
     // bipartite candidates (corpus bands × broadcast benchmark bands),
     // exact-Jaccard verified — catches paraphrased benchmark copies the
@@ -2039,6 +2049,35 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
 
   val oracle: Map[String, String] = Map(
     "q_wordpiece" -> wordpieceOracle,
+
+    // replays the novelty computation at the same md5-56 hash grain
+    // (collision-exact), with min(doc_id) as the first-seen rule
+    "q_gram_novelty" -> (docsWithDupsCte +
+      """, toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS t
+        |  FROM docs
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+        |  FROM toks WHERE len(t) >= 3
+        |), hd AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(md5_number_upper(gram) % 72057594037927936 AS BIGINT)
+        |      AS hsh
+        |  FROM g
+        |), f AS (
+        |  SELECT hsh, min(doc_id) AS first_doc FROM hd GROUP BY 1
+        |)
+        |SELECT hd.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN hd.doc_id = f.first_doc THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN hd.doc_id = f.first_doc THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+        |FROM hd JOIN f USING (hsh)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin),
 
     // replays the CDC boundary hash from the same premultiplied power
     // table (Cdc.powerTable — emitted as a literal below), rebuilds the
