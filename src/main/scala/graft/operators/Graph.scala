@@ -100,4 +100,49 @@ object Graph {
     deg.unpersist(false)
     out
   }
+
+  /** Triangle counts + local clustering coefficient per node over an
+    * undirected edge list `(id_a, id_b)` — the dedup-QA metric one
+    * rung past degree: a near-dup CLUSTER from a shared template is a
+    * near-clique (clustering → 1), while chained drift (A≈B≈C but
+    * A≉C) shows low clustering — the two need different canonical-pick
+    * policies. Exact integer output: (node, deg, n_tri,
+    * clustering_ppm = 2·T·10⁶ div deg·(deg−1), 0 when deg < 2).
+    *
+    * Plan: canonicalize to u < v once, then ONE wedge join
+    * (ab.v = bc.u) closed by ONE edge join — each triangle a < b < c
+    * is found exactly once at its minimum vertex; per-node counts come
+    * off a 3-way explode. All joins are keyed on node ids (8 bytes).
+    * Wedge fan-out at a hub is deg²; the id-canonical orientation used
+    * here is the oracle-replayable variant of the degree-ordered
+    * orientation a 100 TB deployment would use to cap that fan-out
+    * (order by (deg, id) instead of id — same plan shape, one extra
+    * broadcast of the degree table), and the upstream minhash
+    * hot-band star guard already bounds clique sizes on the dedup
+    * graphs this feeds on. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(
+        least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.v") === col("bc.u"))
+      .join(e.as("ac"),
+        col("ab.u") === col("ac.u") && col("bc.v") === col("ac.v"))
+      .select(col("ab.u").as("a"), col("ab.v").as("b"),
+        col("bc.v").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("_t"))
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("_t"), lit(0L)).as("n_tri"))
+      .withColumn("clustering_ppm",
+        when(col("deg") >= 2,
+          expr("n_tri * 2 * 1000000 div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+  }
 }

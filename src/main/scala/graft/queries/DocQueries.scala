@@ -359,6 +359,23 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- triangle counts + local clustering coefficient over the
+    // near-dup graph: near-clique clusters (shared template,
+    // clustering → 1) vs chained drift (low clustering) — the dedup-QA
+    // signal that tells the two apart before choosing a canonical-pick
+    // policy. Exact integers; the oracle rebuilds the edge set from
+    // the all-pairs trigram truth and replays the same a<b<c wedge
+    // closure ----
+    "q_triangles" -> ((s, d) => {
+      val pairs = Dedup.minhashDupPairs(docsWithDups(s, d), "doc_id",
+          "text", threshold = 0.5)
+        .select("id_a", "id_b")
+      Graph.triangleStats(pairs)
+        .select(col("node").as("doc_id"), col("deg"), col("n_tri"),
+          col("clustering_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // ---- canonical-pick composition: connected components over the
     // near-dup pairs + PageRank centrality, canonical = the
     // highest-ranked member of each multi-doc cluster (ties → min id) —
@@ -2309,6 +2326,37 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
     // q_minhash_pairs pinned property), then replays pageRankNanos'
     // integer recurrence with all five iterations unrolled — every op
     // is integer division/multiplication, so the replay is exact
+    // same truth-pair edges as q_pagerank; a<b<c wedge closure,
+    // per-node counts off the 3-way union, integer ppm clustering
+    "q_triangles" -> (docsWithDupsCte + trigramPairsCte +
+      """, ce AS (
+        |  SELECT DISTINCT least(id_a, id_b) AS u,
+        |    greatest(id_a, id_b) AS v
+        |  FROM pairs WHERE id_a <> id_b
+        |), tri AS (
+        |  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |  FROM ce ab
+        |  JOIN ce bc ON ab.v = bc.u
+        |  JOIN ce ac ON ab.u = ac.u AND bc.v = ac.v
+        |), tn AS (
+        |  SELECT node, count(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1
+        |), dg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM ce UNION ALL SELECT v FROM ce)
+        |  GROUP BY 1
+        |)
+        |SELECT dg.node AS doc_id, CAST(dg.deg AS BIGINT) AS deg,
+        |  CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(CASE WHEN dg.deg >= 2 THEN
+        |    coalesce(tn.n_tri, 0) * 2 * 1000000 // (dg.deg * (dg.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS clustering_ppm
+        |FROM dg LEFT JOIN tn USING (node)
+        |ORDER BY doc_id""".stripMargin),
+
     "q_pagerank" -> (docsWithDupsCte + trigramPairsCte +
       """, e0 AS (
         |  SELECT id_a AS src, id_b AS dst FROM pairs

@@ -59,4 +59,32 @@ class GraphSpec extends AnyFunSuite {
       assert(r.values.forall(v => v >= 0L && v <= 1000000000L))
     }
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    import spark.implicits._
+    Graph.triangleStats(edges.toDF("id_a", "id_b"))
+      .select("node", "deg", "n_tri", "clustering_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("triangleStats: clique is clustering 1e6, path is 0") {
+    // K4: every node deg 3, 3 triangles each, clustering exactly 1
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val rk4 = tri(k4)
+    assert(rk4.size == 4)
+    assert(rk4.values.forall(_ == ((3L, 3L, 1000000L))))
+    // path a-b-c: no triangles anywhere
+    val rp = tri(Seq((1L, 2L), (2L, 3L)))
+    assert(rp(2L) == ((2L, 0L, 0L)) && rp(1L) == ((1L, 0L, 0L)))
+  }
+
+  test("triangleStats: pendant on a triangle; unordered/dup edges canonicalize") {
+    // triangle 1-2-3 plus pendant 3-4; edges given reversed + duplicated
+    val e = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (4L, 3L))
+    val r = tri(e)
+    assert(r(3L) == ((3L, 1L, 333333L))) // 2*1*1e6 div (3*2)
+    assert(r(1L) == ((2L, 1L, 1000000L)))
+    assert(r(4L) == ((1L, 0L, 0L)))      // deg < 2 -> defined as 0
+  }
 }
