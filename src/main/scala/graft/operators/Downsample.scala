@@ -56,6 +56,58 @@ object Downsample {
     * `sequence`+`explode`, grid⋈actuals join, forward-fill window) runs
     * at post-bucketing density. No driver collection; carried values are
     * copied bits. */
+  /** Exponentially-weighted moving average per group, in EXACT integer
+    * arithmetic — the streaming-friendly smoothing twin of the
+    * Savitzky-Golay kernel (one value of state per series vs a
+    * 21-point window), and the recursive-operator pattern: eₜ =
+    * (num·xₜ + (den−num)·eₜ₋₁) div den on quantized milli-units, e₁ =
+    * x₁. A float EWMA accumulates rounding in evaluation order; the
+    * integer recurrence is bit-reproducible on any engine, so the
+    * DuckDB oracle can replay it row-for-row with a recursive CTE
+    * marching each group in rank lockstep.
+    *
+    * Plan shape: recursive state cannot ride a window function, so
+    * each group's rows are gathered once (sort_array ∘ collect_list,
+    * ONE keyed shuffle), folded by a single `aggregate` HOF, and
+    * re-exploded. Per-task state is one group's row array — bounded by
+    * the (device, day) grain exactly like the PELT kernel's
+    * device-day buckets; a deployment smoothing unbounded series keys
+    * the group by (series, day) and chains e₀ across days.
+    *
+    * Integer division: `(s − s % den) / den` keeps the whole fold in
+    * codegen-friendly long arithmetic ((long − long) / long is exact
+    * for these magnitudes); inputs are non-negative so truncation ≡
+    * floor ≡ DuckDB's `//`. */
+  def ewmaQuantized(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], idCol: String, xMilli: Column,
+      num: Long = 2L, den: Long = 10L): DataFrame = {
+    require(num > 0 && num < den, s"alpha must satisfy 0 < $num/$den < 1")
+    val outT = "array<struct<id:bigint,x_m:bigint,ewma_m:bigint>>"
+    val fold = aggregate(
+      col("_items"),
+      struct(lit(0L).as("e"), lit(null).cast(outT).as("out")),
+      (st, it) => {
+        val x = it.getField("x_m")
+        val prev = st.getField("e")
+        val s = lit(num) * x + lit(den - num) * prev
+        val e2 = when(st.getField("out").isNull, x)
+          .otherwise(((s - s % lit(den)) / lit(den)).cast("long"))
+        struct(e2.as("e"),
+          concat(coalesce(st.getField("out"), array().cast(outT)),
+            array(struct(it.getField("id").as("id"), x.as("x_m"),
+              e2.as("ewma_m")))).as("out"))
+      },
+      st => st.getField("out"))
+    df.select(groupCols.map(col) ++ Seq(
+        struct(orderCols.map(col) :+ col(idCol).as("id") :+
+          xMilli.as("x_m"): _*).as("_it")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("_it"))).as("_items"))
+      .select(groupCols.map(col) :+ explode(fold).as("_r"): _*)
+      .select(groupCols.map(col) ++ Seq(col("_r.id").as(idCol),
+        col("_r.x_m").as("x_m"), col("_r.ewma_m").as("ewma_m")): _*)
+  }
+
   def gapFill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, stepUs: Long,
       tieBreak: Seq[String] = Nil,

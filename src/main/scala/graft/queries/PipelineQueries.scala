@@ -461,6 +461,26 @@ object PipelineQueries {
     // ---- J1 spatial broadcast join: ray-casting point-in-polygon against
     // the reference's real Pit 1/2/3 polygons; oracle = independent
     // half-plane containment math for the convex CCW polygons ----
+    // ---- exact-integer EWMA smoothing per (device, day): the
+    // recursive-state operator a window function cannot express —
+    // gathered once per group (the PELT bounded-state grain), folded
+    // by ONE aggregate HOF, re-exploded. e₁ = x₁, eₜ = (2xₜ+8eₜ₋₁)
+    // div 10 on milli-quantized values; the oracle marches the same
+    // recurrence with a recursive CTE in rank lockstep ----
+    "q_ewma" -> ((s, d) => {
+      import graft.operators.Downsample
+      val base = events(s, d).select(
+        col("event_id"),
+        (col("user_id") % 20).as("dev"),
+        to_date(col("ts")).as("d"),
+        col("ts"),
+        floor(col("value") * 1000).cast("long").as("x_m"))
+      Downsample.ewmaQuantized(base, Seq("dev", "d"),
+          Seq("ts", "event_id"), "event_id", col("x_m"))
+        .select(col("event_id"), col("dev"), col("x_m"), col("ewma_m"))
+        .orderBy("event_id")
+    }),
+
     // ---- Z-order (Morton) layout clustering: quantize lon/lat to
     // 16-bit grids, interleave bits into a 32-bit curve position, and
     // report per-fixed-width-bucket row counts + per-bucket min/max of
@@ -647,6 +667,26 @@ object PipelineQueries {
         |ORDER BY b.event_id""".stripMargin,
 
     "q_spatial_zone" -> spatialOracle,
+
+    // the same integer recurrence, marched by a recursive CTE joining
+    // each group's rank-(n+1) row onto its rank-n state
+    "q_ewma" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT event_id, user_id % 20 AS dev, CAST(ts AS DATE) AS d,
+        |    CAST(floor(value * 1000) AS BIGINT) AS x_m,
+        |    row_number() OVER (PARTITION BY user_id % 20, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), r AS (
+        |  SELECT dev, d, rn, event_id, x_m, x_m AS e FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.dev, b.d, b.rn, b.event_id, b.x_m,
+        |    (2 * b.x_m + 8 * r.e) // 10
+        |  FROM r JOIN base b ON b.dev = r.dev AND b.d = r.d
+        |    AND b.rn = r.rn + 1
+        |)
+        |SELECT event_id, dev, x_m, e AS ewma_m FROM r
+        |ORDER BY event_id""".stripMargin,
 
     // quantize + Morton interleave + bucket stats; the quantize and
     // interleave expressions are generated by the same Layout helpers

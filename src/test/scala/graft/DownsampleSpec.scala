@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import graft.operators.Downsample
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Tumbling-bucket semantics against the polars `group_by_dynamic(every=5s,
@@ -62,4 +63,28 @@ class DownsampleSpec extends AnyFunSuite {
       ("a", t0us + 3000000, 9.0, false),
       ("b", t0us + 1000000, 5.0, false))) // extent is per-key
   }
+
+  test("ewmaQuantized: exact integer recurrence, per-group isolation") {
+    import spark.implicits._
+    import graft.operators.Downsample
+    // e1 = 10; e2 = (2*20+8*10) div 10 = 12; e3 = (2*30+8*12) div 10 = 15
+    val df = Seq(
+      ("g1", 1L, 1L, 10L), ("g1", 2L, 2L, 20L), ("g1", 3L, 3L, 30L),
+      ("g2", 1L, 4L, 100L), ("g2", 2L, 5L, 0L)
+    ).toDF("grp", "ord", "id", "x")
+    val out = Downsample.ewmaQuantized(df, Seq("grp"), Seq("ord"), "id",
+        col("x"))
+      .orderBy("id")
+      .select("id", "x_m", "ewma_m").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 10L, 10L), (2L, 20L, 12L), (3L, 30L, 15L),
+      (4L, 100L, 100L), (5L, 0L, 80L))) // g2: (2*0+8*100) div 10 = 80
+    // partition invariance: the gather-sort-fold is order-independent
+    val b = Downsample.ewmaQuantized(df.repartition(7), Seq("grp"),
+        Seq("ord"), "id", col("x"))
+      .orderBy("id").select("id", "x_m", "ewma_m")
+      .as[(Long, Long, Long)].collect()
+    assert(b.toSeq == out.toSeq)
+  }
+
 }
