@@ -21,6 +21,54 @@ object EdaQueries {
         .orderBy("day")
     }),
 
+    // ---- ordered-funnel analysis (beyond ref — the product-analytics
+    // staple): per (user, day), view → first click AFTER the first
+    // view → first purchase AFTER that click; per-day conversion
+    // counts. The min-chain runs as three conditional aggregations
+    // with join-backs on the (user, day) grain — each stage's frame is
+    // user×day-sized (AQE broadcasts it), and ORDER lives in the
+    // ts predicates, not in any window ----
+    "q_funnel" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("ts"))
+      val g1 = e.groupBy("user_id", "day")
+        .agg(min(when(col("event_type") === "view", col("ts")))
+          .as("t_view"))
+      val g2 = e.join(g1, Seq("user_id", "day"))
+        .where(col("event_type") === "click" && col("ts") > col("t_view"))
+        .groupBy("user_id", "day").agg(min("ts").as("t_click"))
+      val g3 = e.join(g2, Seq("user_id", "day"))
+        .where(col("event_type") === "purchase" &&
+          col("ts") > col("t_click"))
+        .groupBy("user_id", "day").agg(min("ts").as("t_purchase"))
+      g1.join(g2, Seq("user_id", "day"), "left")
+        .join(g3, Seq("user_id", "day"), "left")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_user_days"),
+          count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_view_click"),
+          count(col("t_purchase")).as("n_view_click_purchase"))
+        .orderBy("day")
+    }),
+
+    // ---- weekly retention cohorts (beyond ref): cohort = a user's
+    // first active week, cell (cohort_week, week_offset) = distinct
+    // users still active k weeks later. Two keyed aggs + one join on
+    // the (user, week) distinct frame — no window, no self-join ----
+    "q_retention" -> ((s, d) => {
+      val wk = events(s, d).select(col("user_id"),
+          floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7.0)
+            .cast("long").as("week"))
+        .distinct()
+      val cohort = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+      wk.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // ---- A8: describe()-style profile per group (run_advanced_eda
     // .py:83-96) with exact interpolated median ----
     "q_describe" -> ((s, d) => {
@@ -269,6 +317,52 @@ object EdaQueries {
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
         |  count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same min-chain: each stage's "after the previous step" is a
+    // ts predicate against the joined prior-stage time
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+        |    AS day, event_type, ts
+        |  FROM events
+        |), g1 AS (
+        |  SELECT user_id, day,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM e GROUP BY 1, 2
+        |), g2 AS (
+        |  SELECT e.user_id, e.day, min(e.ts) AS t_click
+        |  FROM e JOIN g1 USING (user_id, day)
+        |  WHERE e.event_type = 'click' AND e.ts > g1.t_view
+        |  GROUP BY 1, 2
+        |), g3 AS (
+        |  SELECT e.user_id, e.day, min(e.ts) AS t_purchase
+        |  FROM e JOIN g2 USING (user_id, day)
+        |  WHERE e.event_type = 'purchase' AND e.ts > g2.t_click
+        |  GROUP BY 1, 2
+        |)
+        |SELECT g1.day, CAST(count(*) AS BIGINT) AS n_user_days,
+        |  CAST(count(g1.t_view) AS BIGINT) AS n_view,
+        |  CAST(count(g2.t_click) AS BIGINT) AS n_view_click,
+        |  CAST(count(g3.t_purchase) AS BIGINT) AS n_view_click_purchase
+        |FROM g1
+        |LEFT JOIN g2 USING (user_id, day)
+        |LEFT JOIN g3 USING (user_id, day)
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |      AS week
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1
+        |)
+        |SELECT cohort.cohort_week, wk.week - cohort.cohort_week
+        |  AS week_offset,
+        |  CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
+        |FROM wk JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q_describe" ->
       """SELECT event_type,
