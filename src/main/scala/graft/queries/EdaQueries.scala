@@ -69,6 +69,27 @@ object EdaQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // ---- event-sequence Markov transitions (beyond ref): per-user
+    // lag over (ts, event_id) order → (prev, cur) counts → row-
+    // normalized transition probabilities as exact integer ppm. ONE
+    // user-keyed window shuffle; the matrix is |types|² rows ----
+    "q_markov" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val tr = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("prev", lag(col("cur"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("prev").agg(sum("n").as("row_n"))
+      tr.join(tot, Seq("prev"))
+        .select(col("prev"), col("cur"), col("n").cast("long").as("n"),
+          expr("n * 1000000 div row_n").as("p_ppm"))
+        .orderBy("prev", "cur")
+    }),
+
     // ---- A8: describe()-style profile per group (run_advanced_eda
     // .py:83-96) with exact interpolated median ----
     "q_describe" -> ((s, d) => {
@@ -363,6 +384,23 @@ object EdaQueries {
         |  CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
         |FROM wk JOIN cohort USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_markov" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS cur,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), tr AS (
+        |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT prev, CAST(sum(n) AS BIGINT) AS row_n FROM tr GROUP BY 1
+        |)
+        |SELECT tr.prev, tr.cur, tr.n,
+        |  CAST(tr.n * 1000000 // tot.row_n AS BIGINT) AS p_ppm
+        |FROM tr JOIN tot USING (prev)
+        |ORDER BY prev, cur""".stripMargin,
 
     "q_describe" ->
       """SELECT event_type,
