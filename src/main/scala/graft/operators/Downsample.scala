@@ -76,8 +76,11 @@ object Downsample {
     *
     * Integer division: `(s − s % den) / den` keeps the whole fold in
     * codegen-friendly long arithmetic ((long − long) / long is exact
-    * for these magnitudes); inputs are non-negative so truncation ≡
-    * floor ≡ DuckDB's `//`. */
+    * for these magnitudes). Both sides TRUNCATE toward zero — Spark's
+    * `%` carries the dividend's sign, and DuckDB's `//` is verified
+    * truncating as well (−15 // 10 = −1, not −2) — so the recurrence
+    * agrees for negative inputs too (DownsampleSpec pins a negative
+    * series). */
   def ewmaQuantized(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], idCol: String, xMilli: Column,
       num: Long = 2L, den: Long = 10L): DataFrame = {

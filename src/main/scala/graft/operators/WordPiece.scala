@@ -63,11 +63,22 @@ object WordPiece {
     * length 1, either form) are always kept — they make every training
     * word encodable; multi-char pieces rank by total occurrence weight
     * (Σ word-count over words containing the piece) DESC, piece ASC,
-    * top `vocabMulti`. */
+    * top `vocabMulti`.
+    *
+    * Lookup semantics note (BERT-faithful, WordPieceSpec pins it): the
+    * vocabulary is a FLAT string set, exactly like the reference
+    * tokenizer's — so for a word that literally starts with "##", a
+    * continuation-form entry can match word-initially (the candidate
+    * string is identical). The oracle joins on exact piece equality
+    * for the same reason; an is_cont flag would deviate from both. */
   def trainVocab(docs: DataFrame, textCol: String,
-      vocabMulti: Int = 300): DataFrame = {
-    val w = words(docs.select(col(textCol)), textCol /* unused id */,
-      textCol).select("word")
+      vocabMulti: Int = 300): DataFrame =
+    vocabFromWords(
+      words(docs.select(col(textCol)), textCol /* unused id */, textCol)
+        .select("word"),
+      vocabMulti)
+
+  private def vocabFromWords(w: DataFrame, vocabMulti: Int): DataFrame = {
     val wc = w.groupBy("word").agg(count(lit(1)).as("c"))
     val pieceWeights = wc
       .select(explode(piecesOf(col("word"))).as("piece"), col("c"))
@@ -111,15 +122,20 @@ object WordPiece {
     * pieces_text) with pieces in word order, space-joined. */
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
       vocabMulti: Int = 300): DataFrame = {
-    val spark = docs.sparkSession
+    import graft.operators.Caches.Persisted
+    // ONE corpus tokenization pass: the persisted token frame feeds
+    // BOTH the vocab-training action and the encode join — without the
+    // persist, trainVocab's collect re-runs the regex-split explode
+    // over every document (review finding r10; the q_skipgram_pairs
+    // kept-CACHED discipline)
+    val tokens = words(docs, idCol, textCol).persistTracked
     // bounded driver collect: ≤ distinct-chars·2 + vocabMulti pieces
-    val vocab = trainVocab(docs, textCol, vocabMulti)
+    val vocab = vocabFromWords(tokens.select("word"), vocabMulti)
       .collect().map(_.getString(0)).toSet
     val segUdf = udf((w: String) => {
       val ps = segment(w, vocab)
       (ps.length, if (ps == Seq(Unk)) 1 else 0, ps.mkString(" "))
     })
-    val tokens = words(docs, idCol, textCol)
     val enc = tokens.select("word").distinct()
       .withColumn("_e", segUdf(col("word")))
       .select(col("word"), col("_e._1").as("_np"),

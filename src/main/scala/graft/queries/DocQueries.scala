@@ -1984,11 +1984,18 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
     val wp = graft.operators.WordPiece
     val steps = (1 to wp.MaxCharsPerWord).map { k =>
       s"""m$k AS MATERIALIZED (
-         |  SELECT s.word, max(vp.rawlen) AS ml,
-         |    max_by(vp.piece, vp.rawlen) AS pc
+         |  SELECT s.word,
+         |    max(CASE WHEN s.pos = 1 THEN length(vp.piece)
+         |        ELSE length(vp.piece) - 2 END) AS ml,
+         |    max_by(vp.piece,
+         |      CASE WHEN s.pos = 1 THEN length(vp.piece)
+         |        ELSE length(vp.piece) - 2 END) AS pc
          |  FROM s${k - 1} s JOIN vp
-         |    ON vp.is_cont = (s.pos > 1)
-         |   AND substr(s.word, s.pos, vp.rawlen) = vp.raw
+         |    ON (s.pos = 1 AND
+         |        substr(s.word, s.pos, length(vp.piece)) = vp.piece)
+         |    OR (s.pos > 1 AND length(vp.piece) >= 3 AND
+         |        vp.piece LIKE '##%' AND vp.piece =
+         |        '##' || substr(s.word, s.pos, length(vp.piece) - 2))
          |  WHERE s.pos <= s.n AND NOT s.unk
          |  GROUP BY s.word
          |), s$k AS MATERIALIZED (
@@ -2037,10 +2044,7 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
        |    FROM pwt WHERE length(regexp_replace(piece, '^##', '')) > 1)
        |  WHERE rk <= 300
        |), vp AS MATERIALIZED (
-       |  SELECT piece, regexp_replace(piece, '^##', '') AS raw,
-       |    length(regexp_replace(piece, '^##', '')) AS rawlen,
-       |    (piece LIKE '##%') AS is_cont
-       |  FROM vocab
+       |  SELECT piece FROM vocab
        |), dw AS (
        |  SELECT DISTINCT word FROM tw
        |), s0 AS MATERIALIZED (
@@ -2322,10 +2326,6 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |GROUP BY q.vec_id, s.j
         |ORDER BY vec_id, out_dim""".stripMargin,
 
-    // rebuilds the edge set from the all-pairs trigram truth (the
-    // q_minhash_pairs pinned property), then replays pageRankNanos'
-    // integer recurrence with all five iterations unrolled — every op
-    // is integer division/multiplication, so the replay is exact
     // same truth-pair edges as q_pagerank; a<b<c wedge closure,
     // per-node counts off the 3-way union, integer ppm clustering
     "q_triangles" -> (docsWithDupsCte + trigramPairsCte +
@@ -2357,6 +2357,10 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |FROM dg LEFT JOIN tn USING (node)
         |ORDER BY doc_id""".stripMargin),
 
+    // rebuilds the edge set from the all-pairs trigram truth (the
+    // q_minhash_pairs pinned property), then replays pageRankNanos'
+    // integer recurrence with all five iterations unrolled — every op
+    // is integer division/multiplication, so the replay is exact
     "q_pagerank" -> (docsWithDupsCte + trigramPairsCte +
       """, e0 AS (
         |  SELECT id_a AS src, id_b AS dst FROM pairs

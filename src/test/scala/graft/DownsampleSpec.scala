@@ -85,6 +85,16 @@ class DownsampleSpec extends AnyFunSuite {
       .orderBy("id").select("id", "x_m", "ewma_m")
       .as[(Long, Long, Long)].collect()
     assert(b.toSeq == out.toSeq)
+    // negative inputs: both engines truncate toward zero (verified:
+    // DuckDB -15 // 10 = -1), so the recurrence stays engine-exact
+    // below zero; e2 = (2*(-20) + 8*(-10)) div 10 = -120 div 10 = -12,
+    // e3 = (2*5 + 8*(-12)) div 10 = -86 div 10 = -8 (truncation!)
+    val neg = Seq(("g", 1L, 1L, -10L), ("g", 2L, 2L, -20L),
+      ("g", 3L, 3L, 5L)).toDF("grp", "ord", "id", "x")
+    val rn = Downsample.ewmaQuantized(neg, Seq("grp"), Seq("ord"), "id",
+        col("x"))
+      .orderBy("id").select("id", "ewma_m").as[(Long, Long)].collect()
+    assert(rn.toSeq == Seq((1L, -10L), (2L, -12L), (3L, -8L)))
   }
 
 }

@@ -25,6 +25,17 @@ class WordPieceSpec extends AnyFunSuite {
       Seq("u", "##f", "##a"))
   }
 
+  test("flat-set lookup: continuation-form piece matches '##'-initial word") {
+    // BERT-faithful conflation (see trainVocab scaladoc): the vocab is
+    // a flat string set, so a word that literally starts with "##" can
+    // match a continuation-form entry word-initially — the oracle's
+    // exact-piece-equality join mirrors this
+    val vocab = Set("##x", "#", "##号")
+    assert(WordPiece.segment("##x", vocab) == Seq("##x"))
+    // and without the conflated entry it falls back to single chars
+    assert(WordPiece.segment("##", Set("#", "###")) == Seq("#", "###"))
+  }
+
   test("both UNK rules: unmatched position, and over-length word") {
     val vocab = Set("a", "##a", "b", "##b")
     assert(WordPiece.segment("ab", vocab + "##z") == Seq("a", "##b"))
