@@ -90,6 +90,37 @@ object EdaQueries {
         .orderBy("prev", "cur")
     }),
 
+    // ---- two-sample Kolmogorov–Smirnov drift statistic per event
+    // type (beyond ref — the data-drift monitor a production pipeline
+    // runs between snapshots): sample A = days 1–15, B = days 16–30;
+    // D = max_x |F_A(x) − F_B(x)| computed EXACTLY by integer
+    // cross-multiplication (|c_A·n_B − c_B·n_A|) over milli-quantized
+    // values — no floats anywhere, so the oracle replays it bit-for-
+    // bit. One (type, x) agg + one type-keyed cumulative window ----
+    "q_ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(col("event_type"),
+        floor(col("value") * 1000).cast("long").as("x"),
+        when(to_date(col("ts")) <= lit("2024-01-15"), 1L).otherwise(0L)
+          .as("is_a"))
+      val pts = e.groupBy("event_type", "x")
+        .agg(sum("is_a").as("ca_pt"),
+          sum(lit(1L) - col("is_a")).as("cb_pt"))
+      val w = Window.partitionBy("event_type").orderBy("x")
+      val tot = pts.groupBy("event_type")
+        .agg(sum("ca_pt").as("n_a"), sum("cb_pt").as("n_b"))
+      pts.join(tot, Seq("event_type"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          (abs(sum(col("ca_pt")).over(w) * col("n_b") -
+            sum(col("cb_pt")).over(w) * col("n_a"))).as("d_num"))
+        .groupBy("event_type")
+        .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+          max("d_num").as("d_num_max"))
+        .withColumn("ks_ppm",
+          expr("d_num_max * 1000000 div (n_a * n_b)"))
+        .orderBy("event_type")
+    }),
+
     // ---- A8: describe()-style profile per group (run_advanced_eda
     // .py:83-96) with exact interpolated median ----
     "q_describe" -> ((s, d) => {
@@ -384,6 +415,36 @@ object EdaQueries {
         |  CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
         |FROM wk JOIN cohort USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 1000) AS BIGINT) AS x,
+        |    CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END AS is_a
+        |  FROM events
+        |), pts AS (
+        |  SELECT event_type, x,
+        |    CAST(sum(is_a) AS BIGINT) AS ca_pt,
+        |    CAST(sum(1 - is_a) AS BIGINT) AS cb_pt
+        |  FROM e GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, CAST(sum(ca_pt) AS BIGINT) AS n_a,
+        |    CAST(sum(cb_pt) AS BIGINT) AS n_b
+        |  FROM pts GROUP BY 1
+        |), c AS (
+        |  SELECT pts.event_type, tot.n_a, tot.n_b,
+        |    abs(CAST(sum(pts.ca_pt) OVER (PARTITION BY pts.event_type
+        |        ORDER BY pts.x) AS BIGINT) * tot.n_b -
+        |      CAST(sum(pts.cb_pt) OVER (PARTITION BY pts.event_type
+        |        ORDER BY pts.x) AS BIGINT) * tot.n_a) AS d_num
+        |  FROM pts JOIN tot USING (event_type)
+        |)
+        |SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+        |  CAST(max(d_num) AS BIGINT) AS d_num_max,
+        |  CAST(max(d_num) * 1000000 // (max(n_a) * max(n_b)) AS BIGINT)
+        |    AS ks_ppm
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_markov" ->
       """WITH s AS (
