@@ -65,6 +65,28 @@ object Layout {
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", ") | (", ")")
 
+  /** N-dimensional Morton interleave: bit i of dimension d lands at
+    * bit i·n + d (round-robin). Total bits·n must fit a long sign-safe
+    * (≤ 62). The 2-D [[mortonZ]] is the n = 2 special case with the
+    * same bit layout. */
+  def mortonZN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty && bits * dims.size <= 62,
+      s"${dims.size} dims × $bits bits exceeds a sign-safe long")
+    (for {
+      i <- 0 until bits
+      (c, d) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)),
+      i * dims.size + d))
+      .reduce(_ bitwiseOR _)
+  }
+
+  def mortonZNSql(dims: Seq[String], bits: Int): String =
+    (for {
+      i <- 0 until bits
+      (c, d) <- dims.zipWithIndex
+    } yield s"((($c >> $i) & 1) << ${i * dims.size + d})")
+      .mkString("(", ") | (", ")")
+
   /** Cluster a frame for writing: range-partition on the z-value into
     * `numFiles` output tasks and sort within each, so every output
     * file covers a contiguous z-range (⇒ tight per-file min/max on

@@ -502,6 +502,47 @@ object PipelineQueries {
         .orderBy("bucket")
     }),
 
+    // ---- layout-choice evidence for q_zorder_layout: for 4 literal
+    // bounding-box queries, count the 1024-bucket file-skipping units
+    // a scan must touch under (a) Z-order bucketing vs (b) a lon-only
+    // sort with the same bucket budget — the quantified reason to
+    // cluster on the curve (boxes thin in BOTH dims touch ~25 z
+    // buckets vs ~100+ lon buckets). Bucket bboxes and box bounds
+    // compare as floor-micro integers; box bounds are Scala-computed
+    // longs embedded in BOTH plans ----
+    "q_zorder_pruning" -> ((s, d) => {
+      import graft.operators.Layout
+      val (lonLo, lonHi) = (-97.8410, -97.7935)
+      val (latLo, latHi) = (33.2695, 33.2770)
+      val pts = events(s, d).select(
+        ((col("value") / 100) * 0.0095 - 97.8410).as("lon"),
+        ((col("user_id") % 150) / 150.0 * 0.0075 + 33.2695).as("lat"))
+      val xq = Layout.quantize(col("lon"), lonLo, lonHi, 16)
+      val yq = Layout.quantize(col("lat"), latLo, latHi, 16)
+      val withB = pts.select(col("lon"), col("lat"),
+        shiftright(Layout.mortonZ(xq, yq, 16), 22).as("bz"),
+        shiftright(Layout.quantize(col("lon"), lonLo, lonHi, 16), 6)
+          .as("bl"))
+      def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(c * lit(1000000.0)).cast("long")
+      def stats(bucket: String) = withB.groupBy(bucket)
+        .agg(micro(min(col("lon"))).as("mnx"),
+          micro(max(col("lon"))).as("mxx"),
+          micro(min(col("lat"))).as("mny"),
+          micro(max(col("lat"))).as("mxy"))
+      import s.implicits._
+      val boxes = PipelineQueries.pruningBoxes.toDF(
+        "box_id", "blox", "bhix", "bloy", "bhiy")
+      def touched(st: DataFrame, out: String) = st
+        .crossJoin(broadcast(boxes))
+        .where(col("mnx") <= col("bhix") && col("mxx") >= col("blox") &&
+          col("mny") <= col("bhiy") && col("mxy") >= col("bloy"))
+        .groupBy("box_id").agg(count(lit(1)).as(out))
+      touched(stats("bz"), "z_buckets")
+        .join(touched(stats("bl"), "lon_buckets"), Seq("box_id"))
+        .orderBy("box_id")
+    }),
+
     "q_spatial_zone" -> ((s, d) => {
       val pts = events(s, d).select(
         col("event_id"),
@@ -515,6 +556,21 @@ object PipelineQueries {
         .select(col("event_id"), col("lon"), col("lat"), col("location_type"))
         .orderBy("event_id")
     }))
+
+  /** The 4 literal box queries for q_zorder_pruning, as floor-micro
+    * longs — ONE Scala computation embedded in both the Spark plan and
+    * the oracle VALUES, so the bounds cannot drift. */
+  private[queries] val pruningBoxes: Seq[(Long, Long, Long, Long, Long)] = {
+    val (lonLo, lonHi) = (-97.8410, -97.7935)
+    val (latLo, latHi) = (33.2695, 33.2770)
+    val (sx, sy) = (lonHi - lonLo, latHi - latLo)
+    def m(v: Double): Long = math.floor(v * 1000000.0).toLong
+    (0 until 4).map { b =>
+      val xl = lonLo + sx * (0.1 + 0.2 * b)
+      val yl = latLo + sy * (0.1 + 0.2 * b)
+      (b.toLong, m(xl), m(xl + 0.1 * sx), m(yl), m(yl + 0.15 * sy))
+    }
+  }
 
   private def pitCondition(verts: Seq[(Double, Double)]): String =
     verts.indices.map { i =>
@@ -687,6 +743,59 @@ object PipelineQueries {
         |)
         |SELECT event_id, dev, x_m, e AS ewma_m FROM r
         |ORDER BY event_id""".stripMargin,
+
+    // same bucket stats as q_zorder_layout under both layouts, crossed
+    // with the shared literal box table (identical micro longs)
+    "q_zorder_pruning" -> {
+      import graft.operators.Layout
+      val xq = Layout.quantizeSql("lon", -97.8410, -97.7935, 16)
+      val yq = Layout.quantizeSql("lat", 33.2695, 33.2770, 16)
+      val z = Layout.mortonZSql("xq", "yq", 16)
+      val boxRows = pruningBoxes.map { case (b, xl, xh, yl, yh) =>
+        s"($b, $xl, $xh, $yl, $yh)"
+      }.mkString(", ")
+      s"""WITH pts AS (
+         |  SELECT
+         |    (value / 100) * 0.0095 - 97.8410 AS lon,
+         |    (user_id % 150) / 150.0 * 0.0075 + 33.2695 AS lat
+         |  FROM events
+         |), q AS (
+         |  SELECT lon, lat, $xq AS xq, $yq AS yq FROM pts
+         |), wb AS (
+         |  SELECT lon, lat, ($z) >> 22 AS bz, xq >> 6 AS bl FROM q
+         |), boxes(box_id, blox, bhix, bloy, bhiy) AS (
+         |  VALUES $boxRows
+         |), zs AS (
+         |  SELECT bz,
+         |    CAST(floor(min(lon) * 1000000.0) AS BIGINT) AS mnx,
+         |    CAST(floor(max(lon) * 1000000.0) AS BIGINT) AS mxx,
+         |    CAST(floor(min(lat) * 1000000.0) AS BIGINT) AS mny,
+         |    CAST(floor(max(lat) * 1000000.0) AS BIGINT) AS mxy
+         |  FROM wb GROUP BY 1
+         |), ls AS (
+         |  SELECT bl,
+         |    CAST(floor(min(lon) * 1000000.0) AS BIGINT) AS mnx,
+         |    CAST(floor(max(lon) * 1000000.0) AS BIGINT) AS mxx,
+         |    CAST(floor(min(lat) * 1000000.0) AS BIGINT) AS mny,
+         |    CAST(floor(max(lat) * 1000000.0) AS BIGINT) AS mxy
+         |  FROM wb GROUP BY 1
+         |), zt AS (
+         |  SELECT box_id, CAST(count(*) AS BIGINT) AS z_buckets
+         |  FROM zs CROSS JOIN boxes
+         |  WHERE mnx <= bhix AND mxx >= blox AND mny <= bhiy
+         |    AND mxy >= bloy
+         |  GROUP BY 1
+         |), lt AS (
+         |  SELECT box_id, CAST(count(*) AS BIGINT) AS lon_buckets
+         |  FROM ls CROSS JOIN boxes
+         |  WHERE mnx <= bhix AND mxx >= blox AND mny <= bhiy
+         |    AND mxy >= bloy
+         |  GROUP BY 1
+         |)
+         |SELECT box_id, z_buckets, lon_buckets
+         |FROM zt JOIN lt USING (box_id)
+         |ORDER BY box_id""".stripMargin
+    },
 
     // quantize + Morton interleave + bucket stats; the quantize and
     // interleave expressions are generated by the same Layout helpers

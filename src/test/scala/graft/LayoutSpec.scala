@@ -33,6 +33,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(sqlZ == 7L)
   }
 
+  test("mortonZN generalizes: n=2 equals mortonZ; 3-dim round-robin") {
+    val df = Seq((5L, 9L, 3L)).toDF("x", "y", "w")
+    val z2 = df.select(Layout.mortonZN(Seq(col("x"), col("y")), 4).as("a"),
+      Layout.mortonZ(col("x"), col("y"), 4).as("b")).head()
+    assert(z2.getLong(0) == z2.getLong(1))
+    // 3 dims, 2 bits: x=0b01, y=0b11, w=0b10 ->
+    // bit layout (i*3+d): x0@0=1, y0@1=1, w0@2=0, x1@3=0, y1@4=1, w1@5=1
+    val z3 = Seq((1L, 3L, 2L)).toDF("x", "y", "w")
+      .select(Layout.mortonZN(Seq(col("x"), col("y"), col("w")), 2).as("z"))
+      .head().getLong(0)
+    assert(z3 == 0x33L, s"got $z3")
+    val sqlZ3 = spark.sql(
+      s"SELECT ${Layout.mortonZNSql(Seq("1", "3", "2"), 2)} AS z")
+      .head().getAs[Number]("z").longValue()
+    assert(sqlZ3 == z3)
+  }
+
   test("quantize clamps to [0, 2^bits) and is monotone") {
     val df = Seq(-1.0, 0.0, 0.5, 0.999, 1.0, 2.0).toDF("v")
       .select(Layout.quantize(col("v"), 0.0, 1.0, 8).as("q"))
