@@ -121,6 +121,34 @@ object EdaQueries {
         .orderBy("event_type")
     }),
 
+    // ---- population stability index (the banking/industry drift
+    // score beside q_ks_drift's KS): 10 fixed-width value buckets,
+    // Laplace-smoothed, PSI = Σ (p_A − p_B)·ln(p_A/p_B). Per-bucket
+    // terms are floor-quantized to nanos THEN summed (the kn-logprob
+    // quantize-then-sum discipline: integer sums commute, float sums
+    // don't), and the ln argument is ONE ratio of integer products so
+    // both engines evaluate the identical expression tree ----
+    "q_psi_drift" -> ((s, d) => {
+      val e = events(s, d).select(col("event_type"),
+        least(lit(9L), floor(col("value") / 50).cast("long")).as("bk"),
+        when(to_date(col("ts")) <= lit("2024-01-15"), 1L).otherwise(0L)
+          .as("is_a"))
+      val g = e.groupBy("event_type", "bk")
+        .agg(sum("is_a").as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+      val tot = g.groupBy("event_type")
+        .agg(sum("ca").as("na"), sum("cb").as("nb"))
+      g.join(tot, Seq("event_type"))
+        .select(col("event_type"),
+          floor((((col("ca") + 1).cast("double") / (col("na") + 10) -
+            (col("cb") + 1).cast("double") / (col("nb") + 10)) *
+            log(((col("ca") + 1).cast("double") * (col("nb") + 10)) /
+              ((col("cb") + 1).cast("double") * (col("na") + 10)))) *
+            lit(1000000000.0)).cast("long").as("term_nano"))
+        .groupBy("event_type")
+        .agg(sum("term_nano").cast("long").as("psi_nano"))
+        .orderBy("event_type")
+    }),
+
     // ---- A8: describe()-style profile per group (run_advanced_eda
     // .py:83-96) with exact interpolated median ----
     "q_describe" -> ((s, d) => {
@@ -415,6 +443,34 @@ object EdaQueries {
         |  CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
         |FROM wk JOIN cohort USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    least(9, CAST(floor(value / 50) AS BIGINT)) AS bk,
+        |    CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END AS is_a
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, bk, CAST(sum(is_a) AS BIGINT) AS ca,
+        |    CAST(sum(1 - is_a) AS BIGINT) AS cb
+        |  FROM e GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM g GROUP BY 1
+        |), t AS (
+        |  SELECT g.event_type,
+        |    CAST(floor((
+        |      (CAST(g.ca + 1 AS DOUBLE) / (tot.na + 10) -
+        |       CAST(g.cb + 1 AS DOUBLE) / (tot.nb + 10)) *
+        |      ln((CAST(g.ca + 1 AS DOUBLE) * (tot.nb + 10)) /
+        |         (CAST(g.cb + 1 AS DOUBLE) * (tot.na + 10)))
+        |    ) * 1000000000.0) AS BIGINT) AS term_nano
+        |  FROM g JOIN tot USING (event_type)
+        |)
+        |SELECT event_type, CAST(sum(term_nano) AS BIGINT) AS psi_nano
+        |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_ks_drift" ->
       """WITH e AS (
