@@ -389,8 +389,12 @@ object TextFunctions {
   /** Kernel: distinct word n-grams, first-occurrence order. */
   def wordShingleKernel(text: String, n: Int): Seq[String] = {
     if (text == null) return Seq.empty
+    // filter the empty token a whitespace-only/empty doc leaves behind
+    // (split of "" is Array("")): at n = 1 it minted a ghost ""
+    // shingle (KernelProperties caught it); for normalized non-empty
+    // text the filter is a no-op, so no oracle parity changes
     val toks = sqlTrim(text).toLowerCase.replaceAll("\\s+", " ")
-      .split(' ')
+      .split(' ').filter(_.nonEmpty)
     if (toks.length < n) return Seq.empty
     val out = new scala.collection.mutable.LinkedHashSet[String]
     var i = 0

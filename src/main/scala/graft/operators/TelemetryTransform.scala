@@ -199,4 +199,34 @@ object TelemetryTransform {
       .where(col("_rn") === 1)
       .drop("_src", "_rn")
   }
+
+  /** Apply a CDC changelog to a base table — the op-log rung of the
+    * table-maintenance family ([[upsert]]: latest-wins without
+    * deletes; [[merge]]: matched/unmatched actions; [[scd2]]: history
+    * kept; this: replay an ordered INSERT/UPDATE/DELETE log,
+    * last-writer-wins per key, deletes tombstone). Exactly what
+    * applying a Debezium/binlog extract to a snapshot needs.
+    *
+    * `log` columns: keyCol, seqCol (total order per key — ties are the
+    * caller's bug), opCol ∈ {'U','D'} (inserts are upserts), plus the
+    * payload columns of `base`. Returns base ∖ touched-keys ∪ latest
+    * non-delete log rows.
+    *
+    * Scale shape: one key-partitioned WindowGroupLimit picks each
+    * key's latest op (top-1 per key — bounded window state), one
+    * LeftAnti keyed on the log's distinct keys removes superseded base
+    * rows; both shuffles carry key-grain rows. */
+  def applyChangelog(base: DataFrame, log: DataFrame, keyCol: String,
+      seqCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = log
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(keyCol).orderBy(col(seqCol).desc)))
+      .where(col("_rn") === 1)
+    val survivors = base.join(log.select(keyCol).distinct(),
+      Seq(keyCol), "left_anti")
+    survivors.unionByName(
+      latest.where(col(opCol) =!= "D")
+        .drop("_rn", seqCol, opCol))
+  }
 }

@@ -246,6 +246,25 @@ object PipelineQueries {
         .select(col("raw_event_hash_id"), col("value"), col("src"))
     }),
 
+    // ---- CDC changelog apply (beyond ref — the Debezium/binlog
+    // replay rung of the maintenance family): base snapshot = each
+    // user's earliest event value; log = every 4th event as a
+    // U/D op ordered by event_id; last-writer-wins, deletes
+    // tombstone. The oracle replays the same top-1-per-key pick ----
+    "q_changelog_apply" -> ((s, d) => {
+      import graft.operators.TelemetryTransform
+      val e = events(s, d)
+      val base = e.groupBy(col("user_id").as("k"))
+        .agg(min_by(floor(col("value") * 1000).cast("long"),
+          col("event_id")).as("v"))
+      val log = e.where(col("event_id") % 4 === 0)
+        .select(col("user_id").as("k"), col("event_id").as("seq"),
+          when(col("event_id") % 20 === 0, "D").otherwise("U").as("op"),
+          floor(col("value") * 1000).cast("long").as("v"))
+      TelemetryTransform.applyChangelog(base, log, "k", "seq", "op")
+        .orderBy("k")
+    }),
+
     // ---- J2 interval join + precedence labeling (STEP 2.1): label each
     // event by membership in per-truck [start, end] intervals, load_event
     // winning over dump_event on overlap; oracle = the reference's ordered
@@ -743,6 +762,29 @@ object PipelineQueries {
         |)
         |SELECT event_id, dev, x_m, e AS ewma_m FROM r
         |ORDER BY event_id""".stripMargin,
+
+    "q_changelog_apply" ->
+      """WITH base AS (
+        |  SELECT user_id AS k,
+        |    min_by(CAST(floor(value * 1000) AS BIGINT), event_id) AS v
+        |  FROM events GROUP BY 1
+        |), log AS (
+        |  SELECT user_id AS k, event_id AS seq,
+        |    CASE WHEN event_id % 20 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id % 4 = 0
+        |), latest AS (
+        |  SELECT k, op, v FROM (
+        |    SELECT k, op, v, row_number() OVER (PARTITION BY k
+        |      ORDER BY seq DESC) AS rn
+        |    FROM log)
+        |  WHERE rn = 1
+        |)
+        |SELECT k, v FROM base
+        |WHERE k NOT IN (SELECT k FROM log)
+        |UNION ALL
+        |SELECT k, v FROM latest WHERE op <> 'D'
+        |ORDER BY k""".stripMargin,
 
     // same bucket stats as q_zorder_layout under both layouts, crossed
     // with the shared literal box table (identical micro longs)
