@@ -389,12 +389,15 @@ object TextFunctions {
   /** Kernel: distinct word n-grams, first-occurrence order. */
   def wordShingleKernel(text: String, n: Int): Seq[String] = {
     if (text == null) return Seq.empty
-    // filter the empty token a whitespace-only/empty doc leaves behind
-    // (split of "" is Array("")): at n = 1 it minted a ghost ""
-    // shingle (KernelProperties caught it); for normalized non-empty
-    // text the filter is a no-op, so no oracle parity changes
     val toks = sqlTrim(text).toLowerCase.replaceAll("\\s+", " ")
-      .split(' ').filter(_.nonEmpty)
+      .split(' ')
+    // whitespace-only/empty doc: split of "" is Array("") and n = 1
+    // minted a ghost "" shingle (KernelProperties caught it). Guard
+    // EXACTLY this case — a blanket empty-token filter would diverge
+    // from the oracle twins, which replay string_split verbatim
+    // (leading '\t' survives SQL trim, so both sides legitimately
+    // keep that interior empty token and stay in parity)
+    if (toks.length == 1 && toks(0).isEmpty) return Seq.empty
     if (toks.length < n) return Seq.empty
     val out = new scala.collection.mutable.LinkedHashSet[String]
     var i = 0

@@ -70,8 +70,9 @@ object Layout {
     * (≤ 62). The 2-D [[mortonZ]] is the n = 2 special case with the
     * same bit layout. */
   def mortonZN(dims: Seq[Column], bits: Int): Column = {
-    require(dims.nonEmpty && bits * dims.size <= 62,
-      s"${dims.size} dims × $bits bits exceeds a sign-safe long")
+    require(dims.nonEmpty && bits > 0 && bits * dims.size <= 62,
+      s"need ≥1 dim and 0 < bits with bits·dims ≤ 62 " +
+        s"(got ${dims.size} dims × $bits bits)")
     (for {
       i <- 0 until bits
       (c, d) <- dims.zipWithIndex
@@ -80,12 +81,16 @@ object Layout {
       .reduce(_ bitwiseOR _)
   }
 
-  def mortonZNSql(dims: Seq[String], bits: Int): String =
+  def mortonZNSql(dims: Seq[String], bits: Int): String = {
+    require(dims.nonEmpty && bits > 0 && bits * dims.size <= 62,
+      s"need ≥1 dim and 0 < bits with bits·dims ≤ 62 " +
+        s"(got ${dims.size} dims × $bits bits)")
     (for {
       i <- 0 until bits
       (c, d) <- dims.zipWithIndex
     } yield s"((($c >> $i) & 1) << ${i * dims.size + d})")
       .mkString("(", ") | (", ")")
+  }
 
   /** Cluster a frame for writing: range-partition on the z-value into
     * `numFiles` output tasks and sort within each, so every output

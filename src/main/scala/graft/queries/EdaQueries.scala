@@ -109,15 +109,25 @@ object EdaQueries {
       val w = Window.partitionBy("event_type").orderBy("x")
       val tot = pts.groupBy("event_type")
         .agg(sum("ca_pt").as("n_a"), sum("cb_pt").as("n_b"))
+      // ks_ppm is the max of PER-SIDE-quantized CDF gaps
+      // (|cumA·10⁶ div n_a − cumB·10⁶ div n_b|): overflow-safe to
+      // ~9·10¹² rows per sample, where d_num_max·10⁶ would wrap a
+      // long already at n_a·n_b > 9·10¹² (review finding r10);
+      // d_num_max itself stays the exact cross-multiplied statistic
+      // (bound n_a·n_b < 2⁶³, documented)
       pts.join(tot, Seq("event_type"))
         .select(col("event_type"), col("n_a"), col("n_b"),
           (abs(sum(col("ca_pt")).over(w) * col("n_b") -
-            sum(col("cb_pt")).over(w) * col("n_a"))).as("d_num"))
+            sum(col("cb_pt")).over(w) * col("n_a"))).as("d_num"),
+          abs(expr("1000000 * sum(ca_pt) over " +
+              "(partition by event_type order by x) div n_a") -
+            expr("1000000 * sum(cb_pt) over " +
+              "(partition by event_type order by x) div n_b"))
+            .as("gap_ppm"))
         .groupBy("event_type")
         .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
-          max("d_num").as("d_num_max"))
-        .withColumn("ks_ppm",
-          expr("d_num_max * 1000000 div (n_a * n_b)"))
+          max("d_num").as("d_num_max"),
+          max("gap_ppm").cast("long").as("ks_ppm"))
         .orderBy("event_type")
     }),
 
@@ -137,7 +147,17 @@ object EdaQueries {
         .agg(sum("is_a").as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
       val tot = g.groupBy("event_type")
         .agg(sum("ca").as("na"), sum("cb").as("nb"))
-      g.join(tot, Seq("event_type"))
+      // full 10-bucket grid per type: a globally-empty bucket must
+      // still contribute its smoothed baseline term, or PSI deviates
+      // from its own definition and jumps discontinuously across SFs
+      // the moment one event lands in the bucket (review finding r10)
+      val grid = tot.select(col("event_type"), col("na"), col("nb"),
+          explode(sequence(lit(0L), lit(9L))).as("bk"))
+        .join(g, Seq("event_type", "bk"), "left")
+        .select(col("event_type"), col("na"), col("nb"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      grid
         .select(col("event_type"),
           floor((((col("ca") + 1).cast("double") / (col("na") + 10) -
             (col("cb") + 1).cast("double") / (col("nb") + 10)) *
@@ -459,15 +479,22 @@ object EdaQueries {
         |  SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
         |    CAST(sum(cb) AS BIGINT) AS nb
         |  FROM g GROUP BY 1
+        |), grid AS (
+        |  SELECT tot.event_type, tot.na, tot.nb, r.bk,
+        |    CAST(coalesce(g.ca, 0) AS BIGINT) AS ca,
+        |    CAST(coalesce(g.cb, 0) AS BIGINT) AS cb
+        |  FROM tot
+        |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bk) r
+        |  LEFT JOIN g ON g.event_type = tot.event_type AND g.bk = r.bk
         |), t AS (
-        |  SELECT g.event_type,
+        |  SELECT event_type,
         |    CAST(floor((
-        |      (CAST(g.ca + 1 AS DOUBLE) / (tot.na + 10) -
-        |       CAST(g.cb + 1 AS DOUBLE) / (tot.nb + 10)) *
-        |      ln((CAST(g.ca + 1 AS DOUBLE) * (tot.nb + 10)) /
-        |         (CAST(g.cb + 1 AS DOUBLE) * (tot.na + 10)))
+        |      (CAST(ca + 1 AS DOUBLE) / (na + 10) -
+        |       CAST(cb + 1 AS DOUBLE) / (nb + 10)) *
+        |      ln((CAST(ca + 1 AS DOUBLE) * (nb + 10)) /
+        |         (CAST(cb + 1 AS DOUBLE) * (na + 10)))
         |    ) * 1000000000.0) AS BIGINT) AS term_nano
-        |  FROM g JOIN tot USING (event_type)
+        |  FROM grid
         |)
         |SELECT event_type, CAST(sum(term_nano) AS BIGINT) AS psi_nano
         |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin,
@@ -493,13 +520,18 @@ object EdaQueries {
         |    abs(CAST(sum(pts.ca_pt) OVER (PARTITION BY pts.event_type
         |        ORDER BY pts.x) AS BIGINT) * tot.n_b -
         |      CAST(sum(pts.cb_pt) OVER (PARTITION BY pts.event_type
-        |        ORDER BY pts.x) AS BIGINT) * tot.n_a) AS d_num
+        |        ORDER BY pts.x) AS BIGINT) * tot.n_a) AS d_num,
+        |    abs(1000000 * CAST(sum(pts.ca_pt) OVER (
+        |        PARTITION BY pts.event_type ORDER BY pts.x) AS BIGINT)
+        |        // tot.n_a -
+        |      1000000 * CAST(sum(pts.cb_pt) OVER (
+        |        PARTITION BY pts.event_type ORDER BY pts.x) AS BIGINT)
+        |        // tot.n_b) AS gap_ppm
         |  FROM pts JOIN tot USING (event_type)
         |)
         |SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
         |  CAST(max(d_num) AS BIGINT) AS d_num_max,
-        |  CAST(max(d_num) * 1000000 // (max(n_a) * max(n_b)) AS BIGINT)
-        |    AS ks_ppm
+        |  CAST(max(gap_ppm) AS BIGINT) AS ks_ppm
         |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_markov" ->

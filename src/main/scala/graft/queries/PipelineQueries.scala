@@ -515,8 +515,7 @@ object PipelineQueries {
         ((col("value") / 100) * 0.0095 - 97.8410).as("lon"),
         ((col("user_id") % 150) / 150.0 * 0.0075 + 33.2695).as("lat"))
       Layout.zorderStats(pts, col("lon"), col("lat"),
-          lonLo = -97.8410, lonHi = -97.7935,
-          latLo = 33.2695, latHi = 33.2770,
+          lonLo = zLonLo, lonHi = zLonHi, latLo = zLatLo, latHi = zLatHi,
           bits = 16, bucketShift = 22)
         .orderBy("bucket")
     }),
@@ -531,8 +530,8 @@ object PipelineQueries {
     // longs embedded in BOTH plans ----
     "q_zorder_pruning" -> ((s, d) => {
       import graft.operators.Layout
-      val (lonLo, lonHi) = (-97.8410, -97.7935)
-      val (latLo, latHi) = (33.2695, 33.2770)
+      val (lonLo, lonHi) = (zLonLo, zLonHi)
+      val (latLo, latHi) = (zLatLo, zLatHi)
       val pts = events(s, d).select(
         ((col("value") / 100) * 0.0095 - 97.8410).as("lon"),
         ((col("user_id") % 150) / 150.0 * 0.0075 + 33.2695).as("lat"))
@@ -552,13 +551,20 @@ object PipelineQueries {
       import s.implicits._
       val boxes = PipelineQueries.pruningBoxes.toDF(
         "box_id", "blox", "bhix", "bloy", "bhiy")
+      // boxes LEFT-join the touched counts: a box touching ZERO
+      // buckets in one layout (the strongest pruning evidence) must
+      // report (box, 0), not vanish (review finding r10 — box 3 did)
       def touched(st: DataFrame, out: String) = st
         .crossJoin(broadcast(boxes))
         .where(col("mnx") <= col("bhix") && col("mxx") >= col("blox") &&
           col("mny") <= col("bhiy") && col("mxy") >= col("bloy"))
         .groupBy("box_id").agg(count(lit(1)).as(out))
-      touched(stats("bz"), "z_buckets")
-        .join(touched(stats("bl"), "lon_buckets"), Seq("box_id"))
+      boxes.select("box_id")
+        .join(touched(stats("bz"), "z_buckets"), Seq("box_id"), "left")
+        .join(touched(stats("bl"), "lon_buckets"), Seq("box_id"), "left")
+        .select(col("box_id"),
+          coalesce(col("z_buckets"), lit(0L)).as("z_buckets"),
+          coalesce(col("lon_buckets"), lit(0L)).as("lon_buckets"))
         .orderBy("box_id")
     }),
 
@@ -576,17 +582,25 @@ object PipelineQueries {
         .orderBy("event_id")
     }))
 
+  /** The z-order quantization bounds — ONE definition feeding the
+    * q_zorder_layout/q_zorder_pruning Spark plans, the oracle
+    * expression generators, and [[pruningBoxes]]; editing any copy in
+    * place would silently desynchronize bucket bboxes from box bounds
+    * (review finding r10). */
+  private[queries] val zLonLo = -97.8410
+  private[queries] val zLonHi = -97.7935
+  private[queries] val zLatLo = 33.2695
+  private[queries] val zLatHi = 33.2770
+
   /** The 4 literal box queries for q_zorder_pruning, as floor-micro
     * longs — ONE Scala computation embedded in both the Spark plan and
     * the oracle VALUES, so the bounds cannot drift. */
   private[queries] val pruningBoxes: Seq[(Long, Long, Long, Long, Long)] = {
-    val (lonLo, lonHi) = (-97.8410, -97.7935)
-    val (latLo, latHi) = (33.2695, 33.2770)
-    val (sx, sy) = (lonHi - lonLo, latHi - latLo)
+    val (sx, sy) = (zLonHi - zLonLo, zLatHi - zLatLo)
     def m(v: Double): Long = math.floor(v * 1000000.0).toLong
     (0 until 4).map { b =>
-      val xl = lonLo + sx * (0.1 + 0.2 * b)
-      val yl = latLo + sy * (0.1 + 0.2 * b)
+      val xl = zLonLo + sx * (0.1 + 0.2 * b)
+      val yl = zLatLo + sy * (0.1 + 0.2 * b)
       (b.toLong, m(xl), m(xl + 0.1 * sx), m(yl), m(yl + 0.15 * sy))
     }
   }
@@ -790,8 +804,8 @@ object PipelineQueries {
     // with the shared literal box table (identical micro longs)
     "q_zorder_pruning" -> {
       import graft.operators.Layout
-      val xq = Layout.quantizeSql("lon", -97.8410, -97.7935, 16)
-      val yq = Layout.quantizeSql("lat", 33.2695, 33.2770, 16)
+      val xq = Layout.quantizeSql("lon", zLonLo, zLonHi, 16)
+      val yq = Layout.quantizeSql("lat", zLatLo, zLatHi, 16)
       val z = Layout.mortonZSql("xq", "yq", 16)
       val boxRows = pruningBoxes.map { case (b, xl, xh, yl, yh) =>
         s"($b, $xl, $xh, $yl, $yh)"
@@ -834,8 +848,12 @@ object PipelineQueries {
          |    AND mxy >= bloy
          |  GROUP BY 1
          |)
-         |SELECT box_id, z_buckets, lon_buckets
-         |FROM zt JOIN lt USING (box_id)
+         |SELECT boxes.box_id,
+         |  CAST(coalesce(zt.z_buckets, 0) AS BIGINT) AS z_buckets,
+         |  CAST(coalesce(lt.lon_buckets, 0) AS BIGINT) AS lon_buckets
+         |FROM boxes
+         |LEFT JOIN zt USING (box_id)
+         |LEFT JOIN lt USING (box_id)
          |ORDER BY box_id""".stripMargin
     },
 
@@ -844,8 +862,8 @@ object PipelineQueries {
     // the Spark plan folds, from the same constants
     "q_zorder_layout" -> {
       import graft.operators.Layout
-      val xq = Layout.quantizeSql("lon", -97.8410, -97.7935, 16)
-      val yq = Layout.quantizeSql("lat", 33.2695, 33.2770, 16)
+      val xq = Layout.quantizeSql("lon", zLonLo, zLonHi, 16)
+      val yq = Layout.quantizeSql("lat", zLatLo, zLatHi, 16)
       val z = Layout.mortonZSql("xq", "yq", 16)
       s"""WITH pts AS (
          |  SELECT
