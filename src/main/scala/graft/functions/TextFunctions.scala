@@ -389,14 +389,17 @@ object TextFunctions {
   /** Kernel: distinct word n-grams, first-occurrence order. */
   def wordShingleKernel(text: String, n: Int): Seq[String] = {
     if (text == null) return Seq.empty
+    // split with limit -1: Java's default split DROPS trailing empty
+    // tokens while DuckDB's string_split keeps them — a doc ending in
+    // '\t'/'\n' (which survives SQL trim) must tokenize identically on
+    // both sides or the oracle twins mint an extra trailing gram
+    // (review finding r10; the leading-empty side was already kept by
+    // both). A blanket empty-token filter would equally diverge.
     val toks = sqlTrim(text).toLowerCase.replaceAll("\\s+", " ")
-      .split(' ')
+      .split(" ", -1)
     // whitespace-only/empty doc: split of "" is Array("") and n = 1
-    // minted a ghost "" shingle (KernelProperties caught it). Guard
-    // EXACTLY this case — a blanket empty-token filter would diverge
-    // from the oracle twins, which replay string_split verbatim
-    // (leading '\t' survives SQL trim, so both sides legitimately
-    // keep that interior empty token and stay in parity)
+    // minted a ghost "" shingle (KernelProperties caught it); no
+    // oracle shingles at n = 1, so the guard is Spark-API-only
     if (toks.length == 1 && toks(0).isEmpty) return Seq.empty
     if (toks.length < n) return Seq.empty
     val out = new scala.collection.mutable.LinkedHashSet[String]

@@ -140,7 +140,8 @@ object EdaQueries {
     // both engines evaluate the identical expression tree ----
     "q_psi_drift" -> ((s, d) => {
       val e = events(s, d).select(col("event_type"),
-        least(lit(9L), floor(col("value") / 50).cast("long")).as("bk"),
+        least(lit(9L), greatest(lit(0L),
+          floor(col("value") / 50).cast("long"))).as("bk"),
         when(to_date(col("ts")) <= lit("2024-01-15"), 1L).otherwise(0L)
           .as("is_a"))
       val g = e.groupBy("event_type", "bk")
@@ -467,7 +468,7 @@ object EdaQueries {
     "q_psi_drift" ->
       """WITH e AS (
         |  SELECT event_type,
-        |    least(9, CAST(floor(value / 50) AS BIGINT)) AS bk,
+        |    least(9, greatest(0, CAST(floor(value / 50) AS BIGINT))) AS bk,
         |    CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
         |      THEN 1 ELSE 0 END AS is_a
         |  FROM events

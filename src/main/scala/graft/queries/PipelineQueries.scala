@@ -582,11 +582,16 @@ object PipelineQueries {
         .orderBy("event_id")
     }))
 
-  /** The z-order quantization bounds — ONE definition feeding the
-    * q_zorder_layout/q_zorder_pruning Spark plans, the oracle
-    * expression generators, and [[pruningBoxes]]; editing any copy in
-    * place would silently desynchronize bucket bboxes from box bounds
-    * (review finding r10). */
+  /** The z-order QUANTIZATION bounds — one definition feeding the
+    * q_zorder_layout/q_zorder_pruning quantize/box expressions on both
+    * the Spark and oracle sides, so bucket bboxes and box bounds
+    * cannot desynchronize. Scope note: the events→lon/lat POINT
+    * derivation ((value/100)·0.0095 − 97.8410 etc.) is a separate
+    * convention written as matching literals in each query body and
+    * oracle CTE (shared with q_spatial_zone, which does not quantize);
+    * widening THESE bounds is safe — points simply clamp differently —
+    * but changing the derivation means editing its literal pairs
+    * together, as everywhere else in this file's synthesis CTEs. */
   private[queries] val zLonLo = -97.8410
   private[queries] val zLonHi = -97.7935
   private[queries] val zLatLo = 33.2695

@@ -57,15 +57,22 @@ object KernelProperties extends Properties("graft.kernels") {
     n <- Gen.chooseNum(0, 12)
     ws <- Gen.listOfN(n, word)
     sep <- Gen.oneOf(" ", "  ", " \t ", "\n")
-  } yield ws.mkString(sep)
+    lead <- Gen.oneOf("", "\t", "\n ")  // leading/trailing non-space
+    trail <- Gen.oneOf("", "\n", " \t") // whitespace survives SQL trim
+  } yield lead + ws.mkString(sep) + trail
 
   property("word shingles: distinct, exactly n tokens, bounded count") =
     forAll(text, Gen.chooseNum(1, 4)) { (t, n) =>
       val sh = TextFunctions.wordShingleKernel(t, n)
-      val tokens = t.trim.toLowerCase.replaceAll("\\s+", " ")
-        .split(' ').filter(_.nonEmpty)
+      // reference tokenization mirrors the kernel's contract exactly:
+      // SQL-style trim (spaces only), collapse, split KEEPING empty
+      // edge tokens (string_split parity), whitespace-only -> none
+      val norm = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+        .reverse.toLowerCase.replaceAll("\\s+", " ")
+      val tokens =
+        if (norm.isEmpty) Array.empty[String] else norm.split(" ", -1)
       sh.distinct == sh &&
-        sh.forall(_.split(' ').length == n) &&
+        sh.forall(s => s.split(" ", -1).length == n) &&
         sh.length <= math.max(0, tokens.length - n + 1)
     }
 

@@ -19,7 +19,7 @@ object EventsScaleBench {
   private val ScaledRoot = "/tmp/graft_scale_events"
 
   private val Queries = sys.env.get("EVENTS_SCALEBENCH_QUERIES")
-    .map(_.split(",").toSeq)
+    .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     .getOrElse(Seq(
       "q_ewma", "q_funnel", "q_retention", "q_markov",
       "q_ks_drift", "q_psi_drift", "q_changelog_apply",
@@ -30,12 +30,17 @@ object EventsScaleBench {
     val marker = new java.io.File(s"$dir/events.parquet/_SUCCESS")
     if (marker.exists()) return dir
     val base = graft.Tables.events(spark, BaseDir)
+    // ts rides as epoch-nanos LONG like the driver-generated base
+    // parquet, so the scaled run pays the same per-row
+    // long->timestamp conversion in Tables.events as the 1x run —
+    // a native-timestamp copy would measure a cheaper read path and
+    // bias the ratio downward (review finding r10)
     val scaled = base
       .crossJoin(spark.range(copies).select(col("id").cast("int").as("_k")))
       .select(
         (col("event_id") + col("_k").cast("long") * 10000000000L)
           .as("event_id"),
-        col("ts"),
+        (unix_micros(col("ts")) * 1000L).as("ts"),
         (col("user_id") + col("_k").cast("long") * 1000000L)
           .as("user_id"),
         col("event_type"), col("value"), col("props"))
@@ -63,7 +68,6 @@ object EventsScaleBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
