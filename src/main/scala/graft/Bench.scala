@@ -40,6 +40,7 @@ object Bench {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
+      GraftSession.quietKnownWarnings()
       s
     }
 

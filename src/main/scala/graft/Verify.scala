@@ -21,6 +21,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietKnownWarnings()
     new java.io.File(outDir).mkdirs()
     // Queries are independent; run a few concurrently so the driver's
     // per-round verify doesn't serialize 40+ small Spark jobs (Spark's

@@ -69,9 +69,14 @@ object Cdc {
     // c_out·(B^(w−1) mod M))·B + c_in) mod M — two char reads per
     // position instead of re-summing the w-term window (the direct
     // recompute measured 4.5 s at sf0.1; this shape ~8× less char
-    // work and no per-position sequence alloc). The +255·M keeps the
-    // pre-mod value non-negative (c_out·pw₀ < 255·M), and ≡ 0 (mod M)
-    // so the residue is unchanged. The ORACLE keeps the direct
+    // work and no per-position sequence alloc). The +255·M is ≡ 0
+    // (mod M) so the residue is unchanged; it keeps the pre-mod value
+    // non-negative only for Latin-1 (ascii() returns full code
+    // points, so a char above U+00FF can drive the intermediate
+    // negative) — correctness does NOT depend on sign: Spark's % is
+    // sign-carrying and congruence mod M (hence mod 2^maskBits | M)
+    // survives it, which is what the boundary predicate tests. Do not
+    // "fix" a negative intermediate here. The ORACLE keeps the direct
     // Σ c·(B^k mod M) formula: both reduce to the same value mod M,
     // and the boundary predicate is mod 2^maskBits | M — CdcSpec's
     // partition-invariance plus the oracle gate pin the equivalence.

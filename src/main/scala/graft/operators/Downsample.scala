@@ -33,29 +33,6 @@ object Downsample {
       .drop("_w")
   }
 
-  /** Gap filling — the inverse of downsampling: regularize an irregular
-    * per-key series onto a fixed `stepUs` grid spanning each key's own
-    * [min, max] extent, carrying the last non-null value forward into
-    * empty buckets (`is_filled` marks synthesized values — including the
-    * LOCF substitution for a present-but-NULL observation, the standard
-    * last-observation-carried-forward semantic).
-    *
-    * Contract: rows with a NULL key are dropped (a regularized series
-    * needs an identity; the null-rejecting grid join would silently
-    * blank their values otherwise). Dedupe keeps the latest row per
-    * (key, bucket); `tieBreak` columns refine ties on the timestamp, and
-    * the value itself is the final tiebreak, so output values are
-    * deterministic under any partitioning. `maxBucketsPerKey` fails fast
-    * (with the offending key) instead of letting one corrupt outlier
-    * timestamp explode a key's grid into a single giant task.
-    *
-    * Plan: the dedupe's rank-1 filter is recognized by Spark's
-    * WindowGroupLimit rule, which prunes to per-partition bucket winners
-    * BEFORE the keyed exchange — so even the dedupe shuffle carries
-    * ~bucket-density rows, and every later stage (extent agg, grid
-    * `sequence`+`explode`, grid⋈actuals join, forward-fill window) runs
-    * at post-bucketing density. No driver collection; carried values are
-    * copied bits. */
   /** Exponentially-weighted moving average per group, in EXACT integer
     * arithmetic — the streaming-friendly smoothing twin of the
     * Savitzky-Golay kernel (one value of state per series vs a
@@ -111,6 +88,29 @@ object Downsample {
         col("_r.x_m").as("x_m"), col("_r.ewma_m").as("ewma_m")): _*)
   }
 
+  /** Gap filling — the inverse of downsampling: regularize an irregular
+    * per-key series onto a fixed `stepUs` grid spanning each key's own
+    * [min, max] extent, carrying the last non-null value forward into
+    * empty buckets (`is_filled` marks synthesized values — including the
+    * LOCF substitution for a present-but-NULL observation, the standard
+    * last-observation-carried-forward semantic).
+    *
+    * Contract: rows with a NULL key are dropped (a regularized series
+    * needs an identity; the null-rejecting grid join would silently
+    * blank their values otherwise). Dedupe keeps the latest row per
+    * (key, bucket); `tieBreak` columns refine ties on the timestamp, and
+    * the value itself is the final tiebreak, so output values are
+    * deterministic under any partitioning. `maxBucketsPerKey` fails fast
+    * (with the offending key) instead of letting one corrupt outlier
+    * timestamp explode a key's grid into a single giant task.
+    *
+    * Plan: the dedupe's rank-1 filter is recognized by Spark's
+    * WindowGroupLimit rule, which prunes to per-partition bucket winners
+    * BEFORE the keyed exchange — so even the dedupe shuffle carries
+    * ~bucket-density rows, and every later stage (extent agg, grid
+    * `sequence`+`explode`, grid⋈actuals join, forward-fill window) runs
+    * at post-bucketing density. No driver collection; carried values are
+    * copied bits. */
   def gapFill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, stepUs: Long,
       tieBreak: Seq[String] = Nil,

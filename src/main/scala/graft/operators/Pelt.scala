@@ -40,16 +40,91 @@ object Pelt {
       jump: Int = 1): Array[Int] = detectImpl(signal, penalty, minSize, jump,
     prune = true)
 
-  /** Exact optimal-partitioning DP: PELT with pruning disabled — every
-    * computed candidate stays admissible, so the result is the true
-    * minimizer of sum(costs) + penalty·segments over the evaluation grid.
-    * O(n²) in evaluated points; insurance for oracles that check the exact
-    * DP rather than ruptures' (slightly suboptimal under min_size)
-    * pruning. PeltSpec pins: exact total cost <= pruned total cost, and
-    * equality on well-separated steps. */
+  /** Exact optimal-partitioning DP: the true minimizer of
+    * sum(costs) + penalty·segments over the SAME evaluation grid and tie
+    * rules as [[detect]] (candidates = 0 and grid multiples; earliest
+    * admissible start wins ties). O(E²) in evaluated points, implemented
+    * as a tight primitive-array scan (no pruning bookkeeping, no boxing)
+    * so a full 17,280-bucket device day evaluates in well under a second.
+    * PeltSpec pins: exact total cost <= pruned total cost, equality on
+    * well-separated steps, and brute-force-optimum attainment. */
   def detectExact(signal: Array[Double], penalty: Double, minSize: Int,
-      jump: Int = 1): Array[Int] = detectImpl(signal, penalty, minSize, jump,
-    prune = false)
+      jump: Int = 1): Array[Int] = {
+    val n = signal.length
+    if (n < 2 * minSize) return if (n == 0) Array.empty else Array(n)
+    val s1 = new Array[Double](n + 1)
+    val s2 = new Array[Double](n + 1)
+    var i = 0
+    while (i < n) {
+      s1(i + 1) = s1(i) + signal(i)
+      s2(i + 1) = s2(i) + signal(i) * signal(i)
+      i += 1
+    }
+    // evaluation grid identical to detectImpl's: multiples of jump that
+    // are >= minSize, then always n
+    val evalsBuf = ArrayBuffer.empty[Int]
+    var t0 = ((minSize + jump - 1) / jump) * jump
+    while (t0 < n) { evalsBuf += t0; t0 += jump }
+    evalsBuf += n
+    val evals = evalsBuf.toArray
+    val bigF = new Array[Double](n + 1)
+    val prev = new Array[Int](n + 1)
+    var ti = 0
+    while (ti < evals.length) {
+      val t = evals(ti)
+      // s = 0 first (the earliest admissible start — strict-< scan over
+      // ascending candidates reproduces detectImpl's earliest-tie rule)
+      val m0 = t
+      val ds0 = s1(t)
+      var bestS = 0
+      var bestV = s2(t) - ds0 * ds0 / m0 + penalty
+      var j = 0
+      while (j < ti && evals(j) <= t - minSize) {
+        val s = evals(j)
+        val m = t - s
+        val ds = s1(t) - s1(s)
+        val v = bigF(s) + (s2(t) - s2(s) - ds * ds / m) + penalty
+        if (v < bestV) { bestV = v; bestS = s }
+        j += 1
+      }
+      bigF(t) = bestV
+      prev(t) = bestS
+      ti += 1
+    }
+    val out = ArrayBuffer.empty[Int]
+    var cur = n
+    while (cur > 0) {
+      out += cur
+      cur = prev(cur)
+    }
+    out.reverseIterator.toArray
+  }
+
+  /** Evaluation-grid size for a given input — the cost driver of the
+    * exact DP (O(evals²)). */
+  def evalCount(n: Int, minSize: Int, jump: Int): Int = {
+    if (n < 2 * minSize) return 1
+    val first = ((minSize + jump - 1) / jump) * jump
+    math.max(0, (n - 1 - first) / jump + 1) + 1
+  }
+
+  /** Exact-DP is the default below this grid size: 20,000 evaluation
+    * points is ~0.3 s of primitive-array DP (measured in PeltSpec), and
+    * every post-5 s-downsample device day is inside it (≤ 17,280 buckets)
+    * — so in the reference pipeline the exact optimum always applies and
+    * the ruptures-parity pruning is the large-n fallback only. */
+  val ExactSafeEvals: Int = 20000
+
+  /** Default detection entry: the exact DP when the evaluation grid is
+    * within [[ExactSafeEvals]] (always true post-downsample), ruptures-
+    * parity pruned PELT beyond. Retires the one documented deviation:
+    * ruptures' prune rule loses Killick's optimality guarantee under
+    * min_size; below the bound we simply don't prune. */
+  def detectAuto(signal: Array[Double], penalty: Double, minSize: Int,
+      jump: Int = 1): Array[Int] =
+    if (evalCount(signal.length, minSize, jump) <= ExactSafeEvals)
+      detectExact(signal, penalty, minSize, jump)
+    else detect(signal, penalty, minSize, jump)
 
   private def detectImpl(signal: Array[Double], penalty: Double, minSize: Int,
       jump: Int, prune: Boolean): Array[Int] = {
@@ -138,10 +213,12 @@ object Pelt {
   }
 
   /** The orchestrator's convention: drop the trailing n ("end of data is
-    * not a change", `05_cpd_orchestrator_polars.py:286-288`). */
+    * not a change", `05_cpd_orchestrator_polars.py:286-288`). Routes
+    * through [[detectAuto]] — exact optimum at the pipeline's grain,
+    * pruned parity beyond the safe bound. */
   def detectInterior(signal: Array[Double], penalty: Double, minSize: Int,
       jump: Int = 1): Array[Int] = {
-    val bkps = detect(signal, penalty, minSize, jump)
+    val bkps = detectAuto(signal, penalty, minSize, jump)
     if (bkps.nonEmpty && bkps.last == signal.length) bkps.dropRight(1)
     else bkps
   }

@@ -210,7 +210,9 @@ object TelemetryTransform {
     * `log` columns: keyCol, seqCol (total order per key — ties are the
     * caller's bug), opCol ∈ {'U','D'} (inserts are upserts), plus the
     * payload columns of `base`. Returns base ∖ touched-keys ∪ latest
-    * non-delete log rows.
+    * non-delete log rows. Ops outside {'U','D'} (including NULL) fail
+    * fast; base payload columns must not collide with seqCol/opCol
+    * (the union would silently misalign).
     *
     * Scale shape: one key-partitioned WindowGroupLimit picks each
     * key's latest op (top-1 per key — bounded window state), one
@@ -219,11 +221,22 @@ object TelemetryTransform {
   def applyChangelog(base: DataFrame, log: DataFrame, keyCol: String,
       seqCol: String, opCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val latest = log
+    require(!base.columns.contains(seqCol) && !base.columns.contains(opCol),
+      s"applyChangelog: base columns must not collide with " +
+        s"seqCol '$seqCol' / opCol '$opCol' — the final drop-then-union " +
+        s"would silently drop the payload column")
+    // fail fast in-plan on an op outside the contract (a NULL op would
+    // otherwise filter out as a silent delete): per-log-row when(), so
+    // the check codegens and costs nothing on the base side
+    val checked = log.withColumn(opCol,
+      when(col(opCol).isin("U", "D"), col(opCol)).otherwise(raise_error(
+        concat(lit("applyChangelog: op must be 'U' or 'D', got "),
+          coalesce(col(opCol), lit("NULL"))))))
+    val latest = checked
       .withColumn("_rn", row_number().over(
         Window.partitionBy(keyCol).orderBy(col(seqCol).desc)))
       .where(col("_rn") === 1)
-    val survivors = base.join(log.select(keyCol).distinct(),
+    val survivors = base.join(checked.select(keyCol).distinct(),
       Seq(keyCol), "left_anti")
     survivors.unionByName(
       latest.where(col(opCol) =!= "D")

@@ -55,7 +55,10 @@ object EdaQueries {
     // ---- weekly retention cohorts (beyond ref): cohort = a user's
     // first active week, cell (cohort_week, week_offset) = distinct
     // users still active k weeks later. Two keyed aggs + one join on
-    // the (user, week) distinct frame — no window, no self-join ----
+    // the (user, week) distinct frame — no window, no self-join.
+    // Week bucketing is FLOOR division on both engines (the oracle
+    // floors explicitly — DuckDB's `//` truncates toward zero, which
+    // would diverge for pre-anchor timestamps) ----
     "q_retention" -> ((s, d) => {
       val wk = events(s, d).select(col("user_id"),
           floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7.0)
@@ -453,8 +456,9 @@ object EdaQueries {
     "q_retention" ->
       """WITH wk AS (
         |  SELECT DISTINCT user_id,
-        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
-        |      AS week
+        |    CAST(floor(
+        |      date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0)
+        |      AS BIGINT) AS week
         |  FROM events
         |), cohort AS (
         |  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1

@@ -265,6 +265,27 @@ object PipelineQueries {
         .orderBy("k")
     }),
 
+    // ---- salted skew join (SURVEY §7.4 — the 96-partition device-date
+    // skew): 80% of fact rows land on ONE planted hot key, the kind of
+    // key distribution that serializes a plain shuffle join into one
+    // straggler reducer. Skew.saltedJoin spreads the hot key over 8
+    // salt sub-keys (dim replicated 8×); the oracle is the PLAIN
+    // join + agg — salting must be invisible in the result ----
+    "q_skew_join" -> ((s, d) => {
+      import graft.operators.Skew
+      val e = events(s, d).select(
+        when(col("event_id") % 10 < 8, lit(0L))
+          .otherwise(col("user_id") % 50).as("k"),
+        floor(col("value") * 1000).cast("long").as("v_m"))
+      val dim = events(s, d).select((col("user_id") % 50).as("k"))
+        .distinct()
+        .withColumn("grp", concat(lit("g"), (col("k") % 5).cast("string")))
+      Skew.saltedJoin(e, dim, Seq("k"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v_m").as("sum_v_m"))
+        .orderBy("grp")
+    }),
+
     // ---- J2 interval join + precedence labeling (STEP 2.1): label each
     // event by membership in per-truck [start, end] intervals, load_event
     // winning over dump_event on overlap; oracle = the reference's ordered
@@ -804,6 +825,21 @@ object PipelineQueries {
         |UNION ALL
         |SELECT k, v FROM latest WHERE op <> 'D'
         |ORDER BY k""".stripMargin,
+
+    "q_skew_join" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN event_id % 10 < 8 THEN 0
+        |           ELSE user_id % 50 END AS k,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_m
+        |  FROM events
+        |), dim AS (
+        |  SELECT k, 'g' || CAST(k % 5 AS VARCHAR) AS grp
+        |  FROM (SELECT DISTINCT user_id % 50 AS k FROM events)
+        |)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v_m) AS BIGINT) AS sum_v_m
+        |FROM e JOIN dim USING (k)
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
 
     // same bucket stats as q_zorder_layout under both layouts, crossed
     // with the shared literal box table (identical micro longs)

@@ -128,6 +128,70 @@ class PeltSpec extends AnyFunSuite {
     }
   }
 
+  test("pruned-vs-exact divergence quantified: minority, exact never worse") {
+    // Retires the r10 documented deviation by measurement: across 300
+    // randomized step+noise fixtures, how often does ruptures-parity
+    // pruning (detect) return a different segmentation than the exact DP
+    // (detectExact), and by how much cost? Measured on this seed: the
+    // gap is NOT penalty-bounded — under a min_size constraint a pruned
+    // start can become the only admissible predecessor later, so the
+    // loss is bounded by segment-cost magnitudes, not the penalty (max
+    // observed ≈ 318 penalty units at pen=0.05 on a low-noise many-step
+    // fixture; ~21% of fixtures diverge on this seed). That IS
+    // ruptures' behavior, faithfully reproduced — and
+    // the quantified reason detectInterior now routes through
+    // detectAuto = exact DP at the pipeline's grain. Asserted
+    // invariants: exact is never worse, and divergence is a minority.
+    val rnd = new scala.util.Random(2024)
+    var diverged = 0
+    var maxGap = 0.0
+    val trials = 300
+    for (trial <- 1 to trials) {
+      val n = 40 + rnd.nextInt(260)
+      val segs = 1 + rnd.nextInt(5)
+      val noise = Seq(0.1, 0.5, 2.0)(trial % 3)
+      val y = Array.tabulate(n) { i =>
+        val level = (i * segs / n) * (1.0 + 4.0 * rnd.nextDouble())
+        level + rnd.nextGaussian() * noise
+      }
+      val pen = Seq(0.05, 0.5, 1.0, 5.0, 20.0)(trial % 5)
+      val minSize = Seq(5, 10, 15)(trial % 3)
+      val pruned = Pelt.detect(y, pen, minSize)
+      val exact = Pelt.detectExact(y, pen, minSize)
+      def total(bkps: Array[Int]): Double = {
+        val s1 = y.scanLeft(0.0)(_ + _)
+        val s2 = y.scanLeft(0.0)((a, v) => a + v * v)
+        (0 +: bkps.toSeq).zip(bkps.toSeq).map { case (a, b) =>
+          val m = b - a; val ds = s1(b) - s1(a)
+          s2(b) - s2(a) - ds * ds / m + pen
+        }.sum
+      }
+      val gap = total(pruned) - total(exact)
+      assert(gap >= -1e-9 * (1.0 + total(exact).abs),
+        s"trial $trial: exact DP worse than pruned?! gap=$gap")
+      if (!pruned.sameElements(exact)) {
+        diverged += 1; maxGap = maxGap.max(gap / pen)
+      }
+    }
+    info(f"divergence: $diverged/$trials fixtures " +
+      f"(${100.0 * diverged / trials}%.1f%%), max cost gap $maxGap%.1f penalty units")
+    assert(diverged < trials / 4,
+      s"pruning diverged from the exact DP on $diverged/$trials fixtures")
+  }
+
+  test("exact DP on a full device-day grid (17280 evals) is sub-second") {
+    val rnd = new scala.util.Random(3)
+    // smooth low-change signal: the worst case for exact DP (nothing to
+    // shortcut) AND the case where pruning used to degrade to O(n²) too
+    val sig = Array.tabulate(17280)(i => 100.0 + rnd.nextGaussian() * 0.1)
+    val t0 = System.nanoTime()
+    val bk = Pelt.detectExact(sig, 0.05, 10)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(bk.last == 17280)
+    assert(sec < 2.5, s"exact DP took $sec s on a 17280-eval grid")
+    assert(Pelt.evalCount(17280, 10, 1) <= Pelt.ExactSafeEvals)
+  }
+
   test("full device-day signal (17280 buckets) stays fast on realistic data") {
     val rnd = new scala.util.Random(1)
     val sig = Array.tabulate(17280)(i =>

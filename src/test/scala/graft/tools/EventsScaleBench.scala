@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * stays fixed — the fleet-grows shape, which is how an events corpus
   * actually scales) and re-time the family at both scales.
   *
+  * Caveat (r10 advice): cloned ids are `user_id + k·10⁶`, which
+  * preserves `user_id % m` for m | 10⁶ — so MODULO-DERIVED keys
+  * (q_ewma's dev = user_id % 20 gather groups, q_zorder's lat
+  * derivation % 150) DENSIFY under this cloning (per-group rows grow
+  * ~`copies`×) rather than widen. For those queries this harness
+  * measures the deeper-series shape, i.e. an upper bound on per-task
+  * state; the user-keyed queries (funnel/retention/Markov/KS/PSI)
+  * get the intended fleet-grows shape. Timings remain fair either way.
+  *
   * Run: sbt "Test/runMain graft.tools.EventsScaleBench [copies] [reps]"
   */
 object EventsScaleBench {
