@@ -80,6 +80,25 @@ object Bench {
         f"""{"rows":$rows,"transform_sec":$tSec%.3f,"transform_rows_per_s":${rows / tSec}%.0f,"features_cpd_sec":$cSec%.3f,"features_cpd_rows_per_s":${rows / cSec}%.0f,"ingest_rows":$nCsv,"ingest_sec":$iSec%.3f,"ingest_rows_per_s":${nCsv / iSec}%.0f,"transform_reps":${reps(anchorRuns.map(_.transformSec))},"features_cpd_reps":${reps(anchorRuns.map(_.cpdSec))},"ingest_reps":${reps(anchorRuns.map(_.ingestSec))}}"""
       }
 
+    // sf1 anchor (r10 verdict #3): BASELINE.md's measured reference
+    // artifacts are for 8.8 M telemetry rows, but the 5-rep anchors above
+    // replicate to 3.2 M. One additional single-rep anchor pass at
+    // rep=100 (10 M rows from the sf0.1 base — reference scale) in its
+    // own fresh context records rows/s directly comparable to the
+    // baseline's own row counts. Single rep: the 10 M-row pass is long
+    // enough to amortize noise, and five reps would triple bench time.
+    val sf1 = {
+      val s = newSession()
+      try {
+        throughputAnchors(s, warmDir)
+        s.catalog.clearCache(); graft.operators.Caches.clear()
+        throughputAnchors(s, sfDir, rep = 100)
+      } finally s.stop()
+    }
+    val sf1Json = sf1.map { a =>
+      f"""{"rows":${a.rows},"transform_sec":${a.transformSec}%.3f,"transform_rows_per_s":${a.rows / a.transformSec}%.0f,"features_cpd_sec":${a.cpdSec}%.3f,"features_cpd_rows_per_s":${a.rows / a.cpdSec}%.0f,"ingest_rows":${a.ingestRows},"ingest_sec":${a.ingestSec}%.3f,"ingest_rows_per_s":${a.ingestRows / a.ingestSec}%.0f}"""
+    }.getOrElse("{}")
+
     val spark = newSession()
     val qs = SparkEntry.queries
     // Per-query warmup at the smallest SF: identical plan shapes generate
@@ -182,7 +201,7 @@ object Bench {
     // driver commits it with the round snapshot; the judge reads it from
     // the tree), and stdout gets a compact line — headline queries +
     // anchors + the slowest breadth queries — sized well under the window.
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"extra":$extraJson}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"sf1_anchor":$sf1Json,"extra":$extraJson}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         fullJson.getBytes("UTF-8"))
@@ -193,7 +212,7 @@ object Bench {
     val extraGood = extraResults.filter(_._2 >= 0)
     val extraTotal = extraGood.map(_._2).sum
     val slowest = extraGood.sortBy(-_._2).take(8)
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"extra_total":$extraTotal%.3f,"extra_n":${extraGood.size},"extra_slowest":${toJson(slowest)},"detail":"BENCH_DETAIL.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"sf1_anchor":$sf1Json,"extra_total":$extraTotal%.3f,"extra_n":${extraGood.size},"extra_slowest":${toJson(slowest)},"detail":"BENCH_DETAIL.json"}"""
     println(compact)
     spark.stop()
   }
@@ -203,11 +222,10 @@ object Bench {
       cpdSec: Double, ingestRows: Long, ingestSec: Double)
 
   private def throughputAnchors(spark: SparkSession,
-      sfDir: String): Option[AnchorTimes] = {
+      sfDir: String, rep: Int = 32): Option[AnchorTimes] = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Cpd, FeatureEngineering, TelemetryTransform}
     try {
-      val rep = 32
       // repartition BEFORE the explode: the sf0.1 events file is one scan
       // split, so without this the 32x-replicated 3.2M-row anchor inputs
       // are generated — and every downstream narrow op (sha256, parse,

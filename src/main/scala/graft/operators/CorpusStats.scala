@@ -67,6 +67,12 @@ object CorpusStats {
     * floored), so their sum commutes and the emitted mean is the same
     * bits on every engine — the q_bm25 discipline.
     *
+    * Overflow bound (KernelProperties, shared by the whole quantized
+    * logprob family incl. KN): |cq| ≤ 43.8·10^6 for any representable
+    * probability (ln 2^−63 ≈ −43.7), and every sum_q6 is PER-DOCUMENT —
+    * wrap needs a single document of ~2.1·10^11 tokens, and Spark 4's
+    * default ANSI mode would error rather than wrap silently even then.
+    *
     * Plan: corpus-sized unigram agg (map-side combine) → vocab broadcast
     * back onto the exploded corpus → per-doc agg. */
   def unigramLogProb(docs: DataFrame, idCol: String,

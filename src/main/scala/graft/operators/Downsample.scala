@@ -57,7 +57,12 @@ object Downsample {
     * `%` carries the dividend's sign, and DuckDB's `//` is verified
     * truncating as well (−15 // 10 = −1, not −2) — so the recurrence
     * agrees for negative inputs too (DownsampleSpec pins a negative
-    * series). */
+    * series).
+    *
+    * Overflow bound (KernelProperties): the fold never amplifies —
+    * |eₜ| ≤ max|x| by induction — so the intermediate num·x+(den−num)·e
+    * is wrap-free whenever |x_milli| ≤ Long.Max/den (9.2·10^17 at
+    * den=10; any physical milli-quantized signal is ~12 orders inside). */
   def ewmaQuantized(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], idCol: String, xMilli: Column,
       num: Long = 2L, den: Long = 10L): DataFrame = {

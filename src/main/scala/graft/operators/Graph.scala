@@ -69,6 +69,14 @@ object Graph {
     // race two plan branches into an unmaterialized cache.
     val nNodes = deg.count()
     require(nNodes > 0, "pageRankNanos: empty edge list")
+    // resolution bound, not overflow: past 10⁹ nodes the integer seed
+    // 10⁹/N floors to 0 and every rank collapses to the base term —
+    // the nano scale is too coarse. (Sums never wrap: total mass stays
+    // ≤ 10⁹ nanos by construction.) A larger graph needs a pico-scaled
+    // variant (10¹² seed), which still has 6 × headroom to Long.Max.
+    require(nNodes <= 1000000000L,
+      s"pageRankNanos: $nNodes nodes exceeds the 10^9 nano-resolution " +
+        "bound; use a coarser partition or a pico-scaled rank")
     val pr0 = 1000000000L / nNodes
     val baseNanos = (dampDen - dampNum) * 1000000000L / dampDen / nNodes
     var pr = deg.select(col("node"), col("deg"), lit(pr0).as("pr"))

@@ -26,7 +26,17 @@ object Skew {
     val replicated = small
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
       .withColumn("_salt", col("_salt").cast("int"))
-    salted.join(replicated, keys :+ "_salt").drop("_salt")
+    // Force the salted SHUFFLE with the replicated side as hash build:
+    // this operator exists precisely when `small` is too big to
+    // broadcast but far smaller than `big` — without the hint,
+    // Catalyst's static size estimate at a small SF happily broadcasts
+    // the BIG salted side (BuildLeft), which inverts the design and
+    // hides the exchange the salt exists to spread. The hint pins the
+    // scale-truthful plan: Exchange(keys, _salt) on `big` — every hot
+    // key spread over saltFactor reducers — and a per-partition hash
+    // build of the replicated small side.
+    salted.join(replicated.hint("shuffle_hash"), keys :+ "_salt")
+      .drop("_salt")
   }
 
   /** Two-phase (salted) aggregation for hot grouping keys with algebraic

@@ -21,6 +21,41 @@ import graft.operators.Caches.Persisted
   */
 object Tokenizer {
 
+  /** Distinct-word count above which a segmented-vocab table stops
+    * being broadcast back onto the corpus and joins keyed instead. A
+    * web-scale corpus holds 10⁷–10⁸ distinct "words" (typo/URL/number
+    * tails) — at ~100 bytes a row the forced broadcast that was here
+    * before r11 would ship a multi-GB table to every executor and OOM
+    * the driver building it. 5 M rows ≈ a few hundred MB serialized,
+    * the upper edge of a sane broadcast. Overridable per session via
+    * `graft.tokenizer.maxBroadcastWords` (specs use it to force the
+    * keyed path at test scale). */
+  val MaxBroadcastWordsDefault: Long = 5000000L
+
+  private def maxBroadcastWords(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.tokenizer.maxBroadcastWords")
+      .map(_.toLong).getOrElse(MaxBroadcastWordsDefault)
+
+  /** Join a per-distinct-word table (`word` + derived columns) back
+    * onto corpus-grain `words` rows: broadcast below
+    * [[MaxBroadcastWordsDefault]] distinct words (zero corpus-side
+    * exchange — the common case), keyed join above it (the corpus
+    * shuffles once on `word`; AQE handles the skewed hot words). The
+    * table is persisted (Caches-tracked) so the sizing count() pays the
+    * per-distinct-word segmentation kernel exactly once. */
+  private[operators] def joinByWord(words: DataFrame,
+      segTable: DataFrame): DataFrame = {
+    val seg = segTable.persistTracked
+    // past the threshold, hint MERGE explicitly: Catalyst's static size
+    // estimate for a cached-but-unmaterialized distinct can undershoot
+    // the autoBroadcast threshold and re-introduce the forced broadcast
+    // this fallback exists to prevent
+    val right =
+      if (seg.count() <= maxBroadcastWords(words)) broadcast(seg)
+      else seg.hint("merge")
+    words.join(right, Seq("word"))
+  }
+
   /** Weighted word vocabulary: (word, freq), lower-cased, whitespace
     * tokenization. The one corpus-sized aggregation of the pipeline. */
   def wordFreq(docs: DataFrame, textCol: String): DataFrame =
@@ -160,7 +195,7 @@ object Tokenizer {
       .where(length(col("word")) > 0)
     val vocabSeg = words.select("word").distinct()
       .withColumn("subwords", segUdf(col("word")))
-    words.join(broadcast(vocabSeg), Seq("word"))
+    joinByWord(words, vocabSeg)
       .select(col(idCol), col("word"), col("subwords"))
   }
 
@@ -182,7 +217,7 @@ object Tokenizer {
       .withColumnRenamed("col", "word")
     val vocabSeg = words.select("word").distinct()
       .withColumn("subwords", segUdf(col("word")))
-    words.join(broadcast(vocabSeg), Seq("word"))
+    joinByWord(words, vocabSeg)
       .select(col(idCol), col("_widx"), posexplode(col("subwords")))
       .withColumnRenamed("pos", "_sidx")
       .withColumnRenamed("col", "subword")
@@ -281,7 +316,7 @@ object Tokenizer {
         t => length(t) > 0)).as("word"))
     val vocabSeg = words.select("word").distinct()
       .withColumn("subwords", segUdf(col("word")))
-    val subwordCounts = words.join(broadcast(vocabSeg), Seq("word"))
+    val subwordCounts = joinByWord(words, vocabSeg)
       .select(explode(col("subwords")).as("subword"))
       .groupBy("subword").agg(count(lit(1)).as("n"))
       .persistTracked

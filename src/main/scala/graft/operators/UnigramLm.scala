@@ -350,7 +350,9 @@ object UnigramLm {
         concat(lit(Marker), col("col")).as("word"))
     val vocabSeg = words.select("word").distinct()
       .withColumn("pieces", segU(col("word")))
-    words.join(broadcast(vocabSeg), Seq("word"))
+    // broadcast-to-keyed fallback past ~5M distinct words (Tokenizer's
+    // shared threshold) — same join-back shape as segmentCorpus
+    Tokenizer.joinByWord(words, vocabSeg)
       .select(col(idCol), col("_widx"), posexplode(col("pieces")))
       .withColumnRenamed("pos", "_sidx")
       .withColumnRenamed("col", "subword")

@@ -140,7 +140,9 @@ object WordPiece {
       .withColumn("_e", segUdf(col("word")))
       .select(col("word"), col("_e._1").as("_np"),
         col("_e._2").as("_unk"), col("_e._3").as("_ps"))
-    tokens.join(broadcast(enc), Seq("word"))
+    // broadcast-to-keyed fallback past ~5M distinct words (Tokenizer's
+    // shared threshold) — same join-back shape as segmentCorpus
+    Tokenizer.joinByWord(tokens, enc)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),
         sum("_np").cast("long").as("n_pieces"),

@@ -265,7 +265,13 @@ object DocQueries {
       val docs = docsWithDups(s, d)
       val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
         threshold = 0.5)
-      Dedup.connectedComponents(docs.select("doc_id"), pairs, "doc_id")
+      val comp = Dedup.connectedComponents(docs.select("doc_id"), pairs,
+        "doc_id")
+      // comp is eagerly checkpointed with flat lineage: the pair
+      // frame's checkpoint blocks are orphaned now — release them
+      // deterministically (SoakSpec's session contract)
+      graft.operators.Caches.releaseResult(pairs)
+      comp
         .groupBy("component")
         .agg(count(lit(1)).as("n_members"))
         .where(col("n_members") > 1)
@@ -354,7 +360,11 @@ object DocQueries {
       val pairs = Dedup.minhashDupPairs(docsWithDups(s, d), "doc_id",
           "text", threshold = 0.5)
         .select("id_a", "id_b")
-      Graph.pageRankNanos(pairs, iters = 5)
+      val pr = Graph.pageRankNanos(pairs, iters = 5)
+      // pr is eagerly checkpointed flat — free the orphaned pair
+      // checkpoint now rather than at ContextCleaner GC time
+      graft.operators.Caches.releaseResult(pairs)
+      pr
         .select(col("node").as("doc_id"), col("deg"), col("pr_nanos"))
         .orderBy("doc_id")
     }),
@@ -398,6 +408,11 @@ object DocQueries {
       val comp = Dedup.connectedComponents(docs.select("doc_id"), pairs,
         "doc_id")
       val pr = Graph.pageRankNanos(pairs, iters = 5)
+      // comp and pr are BOTH eagerly checkpointed with flat lineage, so
+      // the pair frame's checkpoint blocks are no longer referenced by
+      // anything downstream — release them NOW instead of waiting for
+      // the ContextCleaner (SoakSpec caught exactly this residue)
+      graft.operators.Caches.releaseResult(pairs)
       // every member of a >1 cluster has an edge, so the inner join
       // keeps exactly the multi-doc clusters' members
       comp.join(pr, comp("doc_id") === pr("node"))

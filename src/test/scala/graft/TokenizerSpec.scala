@@ -126,6 +126,44 @@ class TokenizerSpec extends AnyFunSuite {
     assert(ids.toSeq == (1L to ids.length))
   }
 
+  test("segmentCorpus/encode degrade from broadcast to keyed join past " +
+      "the distinct-word threshold, with identical results") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lowest low"), (2L, "newest lowest"))
+      .toDF("doc_id", "text")
+    val rules = Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"))
+    // AdaptiveSparkPlanExec hides its input plan from TreeNode traversal,
+    // so inspect the rendered plan text instead
+    def broadcastJoins(df: org.apache.spark.sql.DataFrame): Int =
+      "BroadcastHashJoin".r
+        .findAllIn(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("simple")))
+        .length
+    val viaBroadcast = Tokenizer.segmentCorpus(docs, "doc_id", "text", rules)
+    val encBroadcast = Tokenizer.encode(docs, "doc_id", "text", rules)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(broadcastJoins(viaBroadcast) >= 1,
+      "small vocab must take the broadcast path")
+    val gotB = viaBroadcast.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2))).toSet
+    spark.conf.set("graft.tokenizer.maxBroadcastWords", "0")
+    try {
+      val viaKeyed = Tokenizer.segmentCorpus(docs, "doc_id", "text", rules)
+      assert(broadcastJoins(viaKeyed) == 0,
+        "past the threshold the word join-back must not broadcast")
+      val gotK = viaKeyed.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2))).toSet
+      assert(gotK == gotB, "keyed fallback changed segmentation results")
+      val encKeyed = Tokenizer.encode(docs, "doc_id", "text", rules)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      assert(encKeyed == encBroadcast, "keyed fallback changed encode ids")
+    } finally {
+      spark.conf.unset("graft.tokenizer.maxBroadcastWords")
+      graft.operators.Caches.clear()
+    }
+  }
+
   test("encodeWith: matches encode under the native vocab; unknown " +
       "subwords under a foreign vocab map to unkId") {
     import spark.implicits._
