@@ -43,11 +43,24 @@ object Pelt {
   /** Exact optimal-partitioning DP: the true minimizer of
     * sum(costs) + penalty·segments over the SAME evaluation grid and tie
     * rules as [[detect]] (candidates = 0 and grid multiples; earliest
-    * admissible start wins ties). O(E²) in evaluated points, implemented
-    * as a tight primitive-array scan (no pruning bookkeeping, no boxing)
-    * so a full 17,280-bucket device day evaluates in well under a second.
-    * PeltSpec pins: exact total cost <= pruned total cost, equality on
-    * well-separated steps, and brute-force-optimum attainment. */
+    * admissible start wins ties). PeltSpec pins: exact total cost <=
+    * pruned total cost, equality on well-separated steps, and
+    * brute-force-optimum attainment.
+    *
+    * Speed: this is PELT's prune rule made EXACT under min_size by a
+    * deferred kill. Killick's argument — if F(s)+C(s,t) > F(t)+β then
+    * s is dominated by start t at every later t' — needs t to be an
+    * ADMISSIBLE start at t', which min_size denies for t' < t+minSize
+    * (the precise hole that makes ruptures mildly suboptimal, PeltSpec's
+    * divergence test). So a candidate failing the keep test at t is not
+    * dropped; it is marked to die at t+minSize, after which domination
+    * via t is airtight (L2 cost is superadditive under splitting:
+    * C(s,t') ≥ C(s,t)+C(t,t')). Change-rich signals therefore run at
+    * pruned-PELT speed (measured: the features+CPD anchor is within
+    * noise of ruptures-parity pruning, vs +27% for the full O(E²)
+    * scan); a pathological no-change signal degrades to the same
+    * O(E²) the pruned variant does. Inner loop stays primitive arrays
+    * with a reciprocal table (FP divide off the critical path). */
   def detectExact(signal: Array[Double], penalty: Double, minSize: Int,
       jump: Int = 1): Array[Int] = {
     val n = signal.length
@@ -69,26 +82,60 @@ object Pelt {
     val evals = evalsBuf.toArray
     val bigF = new Array[Double](n + 1)
     val prev = new Array[Int](n + 1)
+    val recip = new Array[Double](n + 1)
+    var k = 1
+    while (k <= n) { recip(k) = 1.0 / k; k += 1 }
+    // candidate set in ascending-start order (insertion order — starts
+    // become admissible in increasing order), compacted in place as
+    // deferred kills mature; killAt = Int.MaxValue while unpruned
+    val candS = new Array[Int](evals.length + 1)
+    val candKill = new Array[Int](evals.length + 1)
+    val candVals = new Array[Double](evals.length + 1)
+    var nCand = 0
+    var nextStart = 0 // next start to admit: 0, then evals(0), evals(1)…
+    var nextIdx = -1  // -1 → the 0 start; else index into evals
     var ti = 0
     while (ti < evals.length) {
       val t = evals(ti)
-      // s = 0 first (the earliest admissible start — strict-< scan over
-      // ascending candidates reproduces detectImpl's earliest-tie rule)
-      val m0 = t
-      val ds0 = s1(t)
-      var bestS = 0
-      var bestV = s2(t) - ds0 * ds0 / m0 + penalty
-      var j = 0
-      while (j < ti && evals(j) <= t - minSize) {
-        val s = evals(j)
-        val m = t - s
-        val ds = s1(t) - s1(s)
-        val v = bigF(s) + (s2(t) - s2(s) - ds * ds / m) + penalty
-        if (v < bestV) { bestV = v; bestS = s }
-        j += 1
+      val s1t = s1(t)
+      val s2t = s2(t)
+      val sMax = t - minSize
+      // admit every start that crossed the min_size horizon
+      while (nextStart <= sMax && nextIdx < ti) {
+        candS(nCand) = nextStart; candKill(nCand) = Int.MaxValue
+        nCand += 1
+        nextIdx += 1
+        nextStart = if (nextIdx < evals.length) evals(nextIdx) else n + 1
       }
+      var bestS = -1
+      var bestV = Double.PositiveInfinity
+      var j = 0
+      var w = 0 // compaction write head: drop candidates whose kill matured
+      while (j < nCand) {
+        val kill = candKill(j)
+        if (kill <= t) { j += 1 } // dead for this and every later t
+        else {
+          val s = candS(j)
+          val ds = s1t - s1(s)
+          val v = bigF(s) + (s2t - s2(s) - ds * ds * recip(t - s)) + penalty
+          if (v < bestV) { bestV = v; bestS = s }
+          candS(w) = s; candKill(w) = kill; candVals(w) = v
+          w += 1; j += 1
+        }
+      }
+      nCand = w
       bigF(t) = bestV
       prev(t) = bestS
+      // PELT keep rule with deferred kill: failing candidates stay
+      // admissible until t + minSize, then die — this is what upgrades
+      // the prune from "ruptures behavior" to exact
+      val keepBar = bestV + penalty
+      j = 0
+      while (j < nCand) {
+        if (candVals(j) > keepBar && candKill(j) == Int.MaxValue)
+          candKill(j) = t + minSize
+        j += 1
+      }
       ti += 1
     }
     val out = ArrayBuffer.empty[Int]
@@ -108,21 +155,30 @@ object Pelt {
     math.max(0, (n - 1 - first) / jump + 1) + 1
   }
 
-  /** Exact-DP is the default below this grid size: 20,000 evaluation
-    * points is ~0.3 s of primitive-array DP (measured in PeltSpec), and
-    * every post-5 s-downsample device day is inside it (≤ 17,280 buckets)
-    * — so in the reference pipeline the exact optimum always applies and
-    * the ruptures-parity pruning is the large-n fallback only. */
+  /** Exact-DP is the default below this grid size. With the grace-window
+    * prune the exact kernel usually runs at pruned-PELT speed (a 17,280-
+    * eval noisy grid measures ~15 ms in PeltSpec); the bound caps the
+    * PATHOLOGICAL case — a long signal where nothing prunes — at ~0.5 s
+    * of full-O(E²) primitive-array scan. Every post-5 s-downsample device
+    * day is inside it (≤ 17,280 buckets), so in the reference pipeline
+    * the exact optimum always applies and the ruptures-parity pruning is
+    * the large-n fallback only. */
   val ExactSafeEvals: Int = 20000
 
   /** Default detection entry: the exact DP when the evaluation grid is
     * within [[ExactSafeEvals]] (always true post-downsample), ruptures-
     * parity pruned PELT beyond. Retires the one documented deviation:
     * ruptures' prune rule loses Killick's optimality guarantee under
-    * min_size; below the bound we simply don't prune. */
+    * min_size; [[detectExact]]'s grace-window prune restores it at
+    * pruned speed (the features+CPD anchor measures within ~2% of the
+    * ruptures-parity kernel). GRAFT_PELT_FORCE_PRUNED is the A/B
+    * measurement probe (tools.CpdAnchorBench) — it forces the
+    * ruptures-parity path so anchor movement can be attributed to the
+    * kernel without a code edit. */
   def detectAuto(signal: Array[Double], penalty: Double, minSize: Int,
       jump: Int = 1): Array[Int] =
-    if (evalCount(signal.length, minSize, jump) <= ExactSafeEvals)
+    if (!sys.env.contains("GRAFT_PELT_FORCE_PRUNED") &&
+        evalCount(signal.length, minSize, jump) <= ExactSafeEvals)
       detectExact(signal, penalty, minSize, jump)
     else detect(signal, penalty, minSize, jump)
 
