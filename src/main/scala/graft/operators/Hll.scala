@@ -44,13 +44,55 @@ object Hll {
     * min bitlen(suffix) over the bucket's rows — the scaled form of the
     * classic max-ρ register (ρ = 45 − bitlen, so min bitlen ⇔ max ρ). */
   def registers(df: DataFrame, key: Column): DataFrame =
-    df.select(Hashing.md5Long56(key.cast("string")).as("_h"))
-      .select(expr(s"_h DIV $RemMod").as("bucket"),
-        expr(s"_h % $RemMod").as("_rem"))
-      .select(col("bucket"),
+    registersBy(df, Nil, key)
+
+  /** Keyed registers: one 4096-register sketch per group — the
+    * per-domain / per-source cardinality report a 100 TB corpus needs
+    * (distinct tokens per source, distinct users per event type) at a
+    * bounded |groups|·4096-row state instead of a count(DISTINCT) whose
+    * shuffle carries every distinct key. Same two-phase agg shape as
+    * the global sketch: map-side combine reduces every task to
+    * ≤ |groups|·4096 rows before the exchange. */
+  def registersBy(df: DataFrame, groupCols: Seq[String],
+      key: Column): DataFrame =
+    df.select(groupCols.map(col) :+
+        Hashing.md5Long56(key.cast("string")).as("_h"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        expr(s"_h DIV $RemMod").as("bucket"),
+        expr(s"_h % $RemMod").as("_rem")): _*)
+      .select(groupCols.map(col) ++ Seq(col("bucket"),
         when(col("_rem") === 0, 0L)
-          .otherwise(length(bin(col("_rem"))).cast("long")).as("_len"))
-      .groupBy("bucket").agg(min("_len").as("min_len"))
+          .otherwise(length(bin(col("_rem"))).cast("long"))
+          .as("_len")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(min("_len").as("min_len"))
+
+  /** One estimate row per group from keyed registers — the group-level
+    * twin of [[estimateFromRegisters]] (identical estimator expression,
+    * grouped). Also the shard-merge surface: union keyed register
+    * frames, re-aggregate `min(min_len)` per (group, bucket), estimate. */
+  def estimateByGroups(df: DataFrame, groupCols: Seq[String],
+      key: Column): DataFrame = {
+    require(groupCols.nonEmpty, "use estimate() for the global sketch")
+    val regs = registersBy(df, groupCols, key)
+    val s = sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(min_len AS INT))"))
+      .cast("long")
+    regs
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_present"), s.as("_s_present"))
+      .select(groupCols.map(col) ++ Seq(col("n_present"),
+        (col("_s_present") + (lit(M.toLong) - col("n_present"))
+          * lit(1L << 45)).as("s_scaled")): _*)
+      .withColumn("_raw",
+        lit(AlphaScaled) / col("s_scaled").cast("double"))
+      .withColumn("_zeros", lit(M.toLong) - col("n_present"))
+      .select(groupCols.map(col) ++ Seq(col("n_present"), col("s_scaled"),
+        floor(col("_raw")).cast("long").as("est_raw_q"),
+        floor(when(col("_raw") <= lit(2.5 * M) && col("_zeros") > 0,
+            lit(M.toDouble) *
+              log(lit(M.toDouble) / col("_zeros").cast("double")))
+          .otherwise(col("_raw"))).cast("long").as("est_q")): _*)
+  }
 
   /** One-row estimate frame: (n_present, s_scaled, est_raw_q, est_q) —
     * the exact integer register summary plus the floor-quantized raw and

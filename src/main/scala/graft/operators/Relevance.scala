@@ -166,4 +166,45 @@ object Relevance {
         size(starts).cast("long").as("n_occurrences"))
       .where(col("n_occurrences") > 0)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard way a hybrid retrieval stack combines a lexical ranking
+    * with a semantic (ANN) one without score calibration:
+    * fused(q, d) = Σ_lists 1/(k + rank_list(q, d)), k = 60 in the paper.
+    * Contributions are carried as exact integers
+    * (`10⁹ div (k + rank)` — ranks are small, so the quantization is
+    * ~1 ppb and, being deterministic, replays bit-for-bit in SQL),
+    * which makes the fused ordering engine-exact — the q_bm25 quantized
+    * discipline applied to rank fusion.
+    *
+    * Inputs: each ranking is (queryCol, idCol, rankCol) rows — top-k
+    * lists from [[bm25]], `SimilaritySearch.bruteForceTopK`, an
+    * LSH/IVF/PQ ranking, or any other retriever. Output: per query the
+    * `topK` fused candidates with (rrf_score_ppb, n_lists, fused_rank);
+    * ties break on ascending id (total order, engine-portable).
+    *
+    * Scale shape: a union of k-bounded rank lists (each query
+    * contributes ≤ Σ list-k rows — candidate-sized, never corpus-
+    * sized), one keyed agg, and a per-query top-k whose rank-1..topK
+    * filter Spark recognizes as WindowGroupLimit — bounded window
+    * state, no global sort. */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, idCol: String,
+      rankCol: String, k: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(k >= 1 && topK >= 1, s"k/topK must be positive: $k/$topK")
+    import org.apache.spark.sql.expressions.Window
+    val unioned = rankings
+      .map(_.select(col(queryCol), col(idCol), col(rankCol)))
+      .reduce(_ unionByName _)
+    unioned
+      .select(col(queryCol), col(idCol),
+        expr(s"CAST(1000000000 DIV ($k + $rankCol) AS BIGINT)").as("_c"))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(sum("_c").as("rrf_score_ppb"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(queryCol)
+          .orderBy(col("rrf_score_ppb").desc, col(idCol))))
+      .where(col("fused_rank") <= topK)
+  }
 }

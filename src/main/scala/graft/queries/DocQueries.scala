@@ -1317,6 +1317,54 @@ object DocQueries {
         .orderBy("scope")
     }),
 
+    // ---- GROUP-WISE HyperLogLog (beyond ref — the per-domain
+    // cardinality report a corpus dashboard runs): one 4096-register
+    // sketch per source, distinct words per group, state bounded at
+    // |groups|·4096 instead of a count(DISTINCT) shuffling every
+    // distinct key. Identical estimator expression to q_hll_distinct,
+    // grouped — the oracle replays registers and both estimator
+    // branches per group ----
+    "q_hll_groups" -> ((s, d) => {
+      import graft.operators.Hll
+      val words = docsPar(s, d).select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("k"))
+      Hll.estimateByGroups(words, Seq("source"), col("k"))
+        .orderBy("source")
+    }),
+
+    // ---- reciprocal-rank fusion (Cormack et al. 2009 — the hybrid
+    // retrieval staple): fuse a LEXICAL ranking (distinct-word overlap
+    // with the query document, the BM25-family signal reduced to its
+    // set core) with a SEMANTIC one (brute-force cosine top-10, the
+    // q_ann_cosine ranking) via integer 10⁹ div (60 + rank)
+    // contributions. The fused ordering is engine-exact; ties break on
+    // ascending id ----
+    "q_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Relevance, SimilaritySearch}
+      val words = docsPar(s, d).select(col("doc_id"),
+          explode(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+            .as("w"))
+        .where(length(col("w")) > 0)
+      val qwords = words.where(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("w"))
+      val lex = words.join(broadcast(qwords), Seq("w"))
+        .where(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("_j"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("_j").desc, col("doc_id"))))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val emb = embeddings(s, d)
+      val sem = SimilaritySearch.bruteForceTopK(emb,
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
+          k = 10)
+        .select(col("query_id"), col("id"), col("rank"))
+      Relevance.rrfFuse(Seq(lex, sem), "query_id", "id", "rank")
+        .orderBy("query_id", "fused_rank")
+    }),
+
     // ---- per-source unigram KL divergence + cross-entropy vs the rest
     // of the corpus (distribution-shift profile for mixture decisions,
     // the information-theoretic sibling of DSIR): add-one smoothing
@@ -3361,6 +3409,93 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |    ELSE 4.2566823519294213e20 / CAST(s_scaled AS DOUBLE)
         |  END) AS BIGINT) AS est_q
         |FROM agg ORDER BY scope""".stripMargin,
+
+    "q_hll_groups" ->
+      """WITH keys AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS k
+        |  FROM documents
+        |), h AS (
+        |  SELECT source,
+        |    CAST(md5_number_upper(k) % 72057594037927936 AS BIGINT) AS h
+        |  FROM keys
+        |), regs AS (
+        |  SELECT source, h // 17592186044416 AS bucket,
+        |    min(CASE WHEN h % 17592186044416 = 0 THEN 0
+        |      ELSE length(bin(h % 17592186044416)) END) AS min_len
+        |  FROM h GROUP BY source, bucket
+        |), agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_present,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(min_len AS INT))
+        |        AS BIGINT)
+        |      + (4096 - CAST(count(*) AS BIGINT)) * 35184372088832
+        |      AS s_scaled
+        |  FROM regs GROUP BY source
+        |)
+        |SELECT source, n_present, s_scaled,
+        |  CAST(floor(4.2566823519294213e20 / CAST(s_scaled AS DOUBLE))
+        |    AS BIGINT) AS est_raw_q,
+        |  CAST(floor(CASE
+        |    WHEN 4.2566823519294213e20 / CAST(s_scaled AS DOUBLE)
+        |        <= 10240.0 AND n_present < 4096
+        |      THEN 4096.0 * ln(4096.0 /
+        |        CAST(4096 - n_present AS DOUBLE))
+        |    ELSE 4.2566823519294213e20 / CAST(s_scaled AS DOUBLE)
+        |  END) AS BIGINT) AS est_q
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "q_rrf_fusion" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(list_distinct(
+        |      string_split_regex(lower(trim(text)), '\s+'))) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0
+        |), qw AS (
+        |  SELECT doc_id AS query_id, w FROM words WHERE doc_id < 5
+        |), lex0 AS (
+        |  SELECT qw.query_id, words.doc_id AS id,
+        |    CAST(count(*) AS BIGINT) AS j
+        |  FROM words JOIN qw USING (w)
+        |  WHERE words.doc_id != qw.query_id
+        |  GROUP BY 1, 2
+        |), lexk AS (
+        |  SELECT query_id, id, rank FROM (
+        |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY j DESC, id) AS rank
+        |    FROM lex0)
+        |  WHERE rank <= 10
+        |), q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |      AS cosine
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id != q.query_id
+        |), semk AS (
+        |  SELECT query_id, id, rank FROM (
+        |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, id) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 10
+        |), uni AS (
+        |  SELECT query_id, id, 1000000000 // (60 + rank) AS c FROM lexk
+        |  UNION ALL
+        |  SELECT query_id, id, 1000000000 // (60 + rank) AS c FROM semk
+        |), fused AS (
+        |  SELECT query_id, id, CAST(sum(c) AS BIGINT) AS rrf_score_ppb,
+        |    CAST(count(*) AS BIGINT) AS n_lists
+        |  FROM uni GROUP BY 1, 2
+        |)
+        |SELECT query_id, id, rrf_score_ppb, n_lists, fused_rank FROM (
+        |  SELECT query_id, id, rrf_score_ppb, n_lists,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_score_ppb DESC, id) AS fused_rank
+        |  FROM fused)
+        |WHERE fused_rank <= 10
+        |ORDER BY query_id, fused_rank""".stripMargin,
 
     // op-for-op replay of unigramDivergence: same smoothing quotients,
     // same ln trees, same 1e9 floor-quantized contributions

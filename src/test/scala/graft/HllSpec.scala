@@ -53,4 +53,35 @@ class HllSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_present") == 40)
     assert(r.getAs[Long]("est_q") == 40)
   }
+
+  test("keyed sketches: per-group estimate equals the global sketch of " +
+      "each group; merge surface preserved") {
+    import spark.implicits._
+    val df = ((0 until 8000).map(i => ("big", s"k$i")) ++
+      (0 until 50).map(i => ("small", s"s$i")) ++
+      (0 until 50).map(i => ("small", s"s$i"))) // dups: distinct only
+      .toDF("g", "k")
+    val grouped = Hll.estimateByGroups(df, Seq("g"), col("k"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("s_scaled"), r.getAs[Long]("est_q"))).toMap
+    Seq("big", "small").foreach { g =>
+      val solo = Hll.estimate(df.where(col("g") === g), col("k")).head()
+      assert(grouped(g) ==
+        (solo.getAs[Long]("s_scaled"), solo.getAs[Long]("est_q")),
+        s"group $g diverges from its own global sketch")
+    }
+    // the small group must take the linear-counting branch and be exact
+    assert(grouped("small")._2 == 50L)
+    // keyed shard merge: registersBy frames union + re-min == whole
+    val a = df.where(col("k") < "k4")
+    val b = df.where(!(col("k") < "k4"))
+    val whole = Hll.registersBy(df, Seq("g"), col("k"))
+      .orderBy("g", "bucket").collect().toSeq
+    val merged = Hll.registersBy(a, Seq("g"), col("k"))
+      .unionByName(Hll.registersBy(b, Seq("g"), col("k")))
+      .groupBy("g", "bucket").agg(min("min_len").as("min_len"))
+      .orderBy("g", "bucket").collect().toSeq
+    assert(whole.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      merged.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+  }
 }

@@ -82,4 +82,26 @@ class RelevanceSpec extends AnyFunSuite {
         x.getAs[Long]("n_occurrences")).toMap
     assert(r == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
   }
+
+  test("rrfFuse: hand-computed fusion, tie order, and list coverage") {
+    import spark.implicits._
+    // query 1: lexical ranks a=1 b=2; semantic ranks b=1 c=2.
+    // k=60 -> contributions: a: 10^9 div 61 = 16393442
+    //   b: 10^9 div 62 + 10^9 div 61 = 16129032 + 16393442 = 32522474
+    //   c: 10^9 div 62 = 16129032
+    val lex = Seq((1L, "a", 1), (1L, "b", 2)).toDF("qid", "id", "rank")
+    val sem = Seq((1L, "b", 1), (1L, "c", 2)).toDF("qid", "id", "rank")
+    val got = Relevance.rrfFuse(Seq(lex, sem), "qid", "id", "rank")
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getAs[String]("id"),
+        r.getAs[Long]("rrf_score_ppb"), r.getAs[Long]("n_lists"),
+        r.getAs[Int]("fused_rank"))).toSeq
+    assert(got == Seq(("b", 32522474L, 2L, 1), ("a", 16393442L, 1L, 2),
+      ("c", 16129032L, 1L, 3)))
+    // equal scores tie on ascending id: two singleton lists, same rank
+    val l2 = Seq((7L, "z", 3), (7L, "y", 3)).toDF("qid", "id", "rank")
+    val t = Relevance.rrfFuse(Seq(l2), "qid", "id", "rank", topK = 2)
+      .orderBy("fused_rank").collect().map(_.getAs[String]("id")).toSeq
+    assert(t == Seq("y", "z"))
+  }
 }
