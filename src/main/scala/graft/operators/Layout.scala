@@ -92,6 +92,104 @@ object Layout {
       .mkString("(", ") | (", ")")
   }
 
+  /** Hilbert curve position of two quantized coordinates — the
+    * locality upgrade over the Morton interleave: CONSECUTIVE curve
+    * positions are always GRID NEIGHBORS (unit Manhattan steps, no
+    * diagonal jumps back across the space), so a contiguous range of
+    * positions covers a tighter bounding box and box queries touch
+    * fewer file-skipping buckets at the same bucket budget
+    * (quantified against Morton in q_hilbert_pruning; HilbertSpec pins
+    * the adjacency property itself — Morton provably lacks it).
+    *
+    * Implementation: the classic xy2d reflect/swap recurrence folded
+    * by ONE `aggregate` HOF over bit levels with a 3-long struct
+    * state. It must NOT be a static per-bit expression fold: each step
+    * reads x and y twice, so the tree would grow ~4× per bit — and
+    * projecting intermediates doesn't help because CollapseProject
+    * re-inlines them (the Cdc.chunks lesson). As a lambda the step is
+    * a fixed-size body evaluated `bits` times per row. Result is in
+    * [0, 4^bits), same range as [[mortonZ]]. */
+  def hilbertD(xq: Column, yq: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 20)
+    aggregate(
+      // the bit-level sizes s = 2^(bits-1) … 1, high to low, as a
+      // literal array (shiftleft needs a literal shift amount)
+      array((0 until bits).reverse.map(l => lit(1L << l)): _*),
+      struct(xq.cast("long").as("x"), yq.cast("long").as("y"),
+        lit(0L).as("d")),
+      (st, s) => {
+        val x = st.getField("x")
+        val y = st.getField("y")
+        val rx = when(x.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+        val ry = when(y.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+        val d2 = st.getField("d") + s * s * (rx * lit(3L)).bitwiseXOR(ry)
+        // reflect (rx==1: mirror both) then swap — only when ry == 0
+        val nx = when(ry === 0,
+          when(rx === 1, s - lit(1L) - y).otherwise(y)).otherwise(x)
+        val ny = when(ry === 0,
+          when(rx === 1, s - lit(1L) - x).otherwise(x)).otherwise(y)
+        struct(nx.as("x"), ny.as("y"), d2.as("d"))
+      },
+      st => st.getField("d"))
+  }
+
+  /** The same conversion as a generated DuckDB CTE chain (oracle
+    * twin — one CTE per bit level applying the identical
+    * reflect/swap/accumulate step, so plan and oracle cannot drift).
+    * `inner` must be a SELECT projecting `x`, `y` (the quantized
+    * coordinates) plus the `carry` columns; the chain ends in CTE
+    * `h$bits` exposing carry ++ (x, y, d). */
+  def hilbertSqlChain(inner: String, bits: Int,
+      carry: Seq[String]): String = {
+    require(bits > 0 && bits <= 20)
+    val colsC = if (carry.isEmpty) "" else carry.mkString(", ") + ", "
+    val first =
+      s"h0 AS (SELECT ${colsC}x, y, CAST(0 AS BIGINT) AS d FROM ($inner))"
+    val steps = (0 until bits).map { k =>
+      val s = 1L << (bits - 1 - k)
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+      s"h${k + 1} AS (SELECT $colsC" +
+        s"CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 " +
+        s"THEN ${s - 1} - y ELSE y END) ELSE x END AS x, " +
+        s"CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 " +
+        s"THEN ${s - 1} - x ELSE x END) ELSE y END AS y, " +
+        s"d + CAST(${s * s} AS BIGINT) * xor(3 * $rx, $ry) AS d FROM h$k)"
+    }
+    (first +: steps).mkString(",\n")
+  }
+
+  /** [[zorderStats]] on the Hilbert position, with buckets as
+    * fixed-length contiguous RUNS of curve positions (`d div runLen`)
+    * rather than power-of-two prefixes. The distinction is the whole
+    * point: at a power-of-4-aligned budget (any `d >> 2k`) BOTH curves
+    * recursively visit quadrants, so the buckets are the SAME quadtree
+    * blocks with permuted labels and the layouts are
+    * indistinguishable (measured: identical bbox stats and box-touch
+    * counts at `>> 22`). Real file splits are contiguous runs that do
+    * NOT align with quadtree blocks (`repartitionByRange` splits at
+    * sampled quantiles), and there Hilbert's neighbor-only walk keeps
+    * each run's bbox tight where Morton's prefix-boundary jumps
+    * stretch it (measured on the gate data at a 1000-run budget:
+    * mean bucket half-perimeter 963 vs 1376 microdeg, p90 2.2×
+    * tighter). */
+  def hilbertStats(df: DataFrame, lon: Column, lat: Column,
+      lonLo: Double, lonHi: Double, latLo: Double, latHi: Double,
+      bits: Int = 16, runLen: Long = (1L << 32) / 1000 + 1): DataFrame = {
+    val h = hilbertD(quantize(lon, lonLo, lonHi, bits),
+      quantize(lat, latLo, latHi, bits), bits)
+    def micro(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
+    df.select(lon.as("_lon"), lat.as("_lat"), h.as("_h"))
+      .select(col("_lon"), col("_lat"),
+        expr(s"_h DIV $runLen").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        micro(min("_lon")).as("min_lon_micro"),
+        micro(max("_lon")).as("max_lon_micro"),
+        micro(min("_lat")).as("min_lat_micro"),
+        micro(max("_lat")).as("max_lat_micro"))
+  }
+
   /** Cluster a frame for writing: range-partition on the z-value into
     * `numFiles` output tasks and sort within each, so every output
     * file covers a contiguous z-range (⇒ tight per-file min/max on
