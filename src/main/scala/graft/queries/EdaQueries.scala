@@ -93,6 +93,21 @@ object EdaQueries {
         .orderBy("prev", "cur")
     }),
 
+    // ---- mergeable histogram quantiles (beyond ref — the 100 TB
+    // sibling of q_percentiles' exact interpolation): per event type,
+    // nearest-rank p50/p90/p99 off a milli-quantized histogram whose
+    // state is the grid size, not the row count, and whose frames
+    // merge across shards by addition. Integer-exact end to end; the
+    // oracle replays histogram → cumulative window → ceil-rank pick ----
+    "q_hist_quantiles" -> ((s, d) => {
+      import graft.operators.Quantiles
+      Quantiles.histogramQuantiles(events(s, d), Seq("event_type"),
+          col("value"), scale = 1000L,
+          quantiles = Seq(("p50_milli", 1L, 2L), ("p90_milli", 9L, 10L),
+            ("p99_milli", 99L, 100L)))
+        .orderBy("event_type")
+    }),
+
     // ---- two-sample Kolmogorov–Smirnov drift statistic per event
     // type (beyond ref — the data-drift monitor a production pipeline
     // runs between snapshots): sample A = days 1–15, B = days 16–30;
@@ -468,6 +483,26 @@ object EdaQueries {
         |  CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
         |FROM wk JOIN cohort USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_hist_quantiles" ->
+      """WITH hist AS (
+        |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, bucket,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS total
+        |  FROM hist
+        |)
+        |SELECT event_type,
+        |  CAST(min(CASE WHEN cum >= (total * 1 + 1) // 2
+        |    THEN bucket END) AS BIGINT) AS p50_milli,
+        |  CAST(min(CASE WHEN cum >= (total * 9 + 9) // 10
+        |    THEN bucket END) AS BIGINT) AS p90_milli,
+        |  CAST(min(CASE WHEN cum >= (total * 99 + 99) // 100
+        |    THEN bucket END) AS BIGINT) AS p99_milli
+        |FROM cum GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_psi_drift" ->
       """WITH e AS (

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Quantiles
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QuantilesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+
+  test("hand fixture: nearest-rank picks on a known histogram") {
+    import spark.implicits._
+    // group a: values 1..10 (milli buckets 1000..10000) → p50 = value 5,
+    // p90 = value 9, p99 = value 10 (nearest-rank: ceil(q·N))
+    val df = (1 to 10).map(v => ("a", v.toDouble)).toDF("g", "v")
+    val got = Quantiles.histogramQuantiles(df, Seq("g"), col("v"),
+      scale = 1000L, quantiles = qs).collect().head
+    assert((got.getAs[Long]("p50"), got.getAs[Long]("p90"),
+      got.getAs[Long]("p99")) == (5000L, 9000L, 10000L))
+  }
+
+  test("within one grid step of the exact nearest-rank value") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vals = Seq.fill(5000)(rnd.nextDouble() * 500.0)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val got = Quantiles.histogramQuantiles(df, Seq("g"), col("v"),
+      scale = 1000L, quantiles = qs).collect().head
+    val sorted = vals.sorted
+    def exact(num: Long, den: Long): Double =
+      sorted(((sorted.size * num + den - 1) / den - 1).toInt)
+    Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)).foreach {
+      case (c, n, d) =>
+        val est = got.getAs[Long](c) / 1000.0
+        assert(math.abs(est - exact(n, d)) <= 0.001 + 1e-9,
+          s"$c: est $est vs exact ${exact(n, d)}")
+    }
+  }
+
+  test("shard histograms merge by addition to the whole's quantiles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val all = Seq.fill(4000)(("g" + rnd.nextInt(3), rnd.nextDouble() * 100))
+    val (s1, s2) = all.splitAt(1500)
+    val whole = Quantiles.histogramQuantiles(all.toDF("g", "v"), Seq("g"),
+        col("v"), 1000L, qs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val merged = Quantiles.quantilesFromHistogram(
+        Quantiles.histogram(s1.toDF("g", "v"), Seq("g"), col("v"), 1000L)
+          .unionByName(Quantiles.histogram(s2.toDF("g", "v"), Seq("g"),
+            col("v"), 1000L))
+          .groupBy("g", "bucket").agg(sum("n").as("n")),
+        Seq("g"), qs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(whole == merged)
+  }
+
+  test("negative values bucket by floor (toward -inf), keeping order") {
+    import spark.implicits._
+    val df = Seq(("g", -2.5), ("g", -1.0), ("g", 0.5), ("g", 3.0))
+      .toDF("g", "v")
+    val got = Quantiles.histogramQuantiles(df, Seq("g"), col("v"), 1000L,
+      Seq(("p25", 1L, 4L), ("p100", 1L, 1L))).collect().head
+    assert(got.getAs[Long]("p25") == -2500L)
+    assert(got.getAs[Long]("p100") == 3000L)
+  }
+}
