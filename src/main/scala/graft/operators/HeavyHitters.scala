@@ -97,6 +97,49 @@ object HeavyHitters {
   def sketchCandidates(df: DataFrame, keyCol: String,
       capacity: Int): Seq[String] = sketch(df, keyCol, capacity)._1
 
+  /** Exact PER-GROUP frequent items — the keyed twin of
+    * [[topFrequent]] (the q_hll_groups story applied to frequent
+    * items): one Misra-Gries summary per group via `groupBy(group)
+    * .agg(udaf)`, candidates exploded and broadcast back for the exact
+    * verify, thresholds in pure integers (support = num/den, threshold
+    * = ceil(rows·num/den) per group). Unlike the global version this
+    * is fully LAZY and distributed — no driver-side candidate collect;
+    * the per-group row totals ride inside the sketch buffers.
+    *
+    * Bound: the broadcast candidate frame is ≤ |groups|·capacity rows —
+    * pick a bounded-cardinality groupCol (source/domain/type, not a
+    * document id). The MG guarantee holds per group (any key with
+    * group-frequency > rows/capacity is a candidate), so with
+    * capacity > den/num the exact verify makes the output EXACT — the
+    * oracle is the plain per-group frequency threshold, proving sketch
+    * completeness the same way the simhash oracle proves its blocking. */
+  def topFrequentByGroup(df: DataFrame, groupCol: String, keyCol: String,
+      supportNum: Long, supportDen: Long, capacity: Int = 0): DataFrame = {
+    import graft.operators.Caches.Persisted
+    require(supportNum > 0 && supportNum < supportDen,
+      s"support must be a fraction in (0,1): $supportNum/$supportDen")
+    val cap = if (capacity > 0) capacity
+      else (2 * supportDen / supportNum + 1).toInt
+    require(cap > supportDen.toDouble / supportNum,
+      s"capacity $cap cannot guarantee support $supportNum/$supportDen")
+    val agg = udaf(MisraGries(cap))
+    // persisted: the tiny (|groups|-row) sketch frame feeds BOTH the
+    // candidate explode and the row-total join — unpersisted, each
+    // branch re-runs the corpus-sized sketch aggregation
+    val sk = df.groupBy(col(groupCol)).agg(agg(col(keyCol)).as("_s"))
+      .persistTracked
+    val cands = sk.select(col(groupCol), explode(col("_s.keys")).as(keyCol))
+    val rows = sk.select(col(groupCol), col("_s.rows").as("_rows"))
+    df.join(broadcast(cands), Seq(groupCol, keyCol), "left_semi")
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(rows), Seq(groupCol))
+      .where(col("n") >=
+        expr(s"(_rows * $supportNum + ${supportDen - 1}) div $supportDen"))
+      .select(col(groupCol), col(keyCol), col("n"))
+      .orderBy(col(groupCol), col("n").desc, col(keyCol))
+  }
+
   /** Exact frequent items with support ≥ `support` (fraction of rows),
     * via sketch → exact-verify. Output: (key, n), count-descending. */
   def topFrequent(df: DataFrame, keyCol: String, support: Double,

@@ -46,11 +46,14 @@ object Quantiles {
       require(num > 0 && num <= den, s"quantile $c: need 0 < $num <= $den")
     }
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy("bucket")
-    val tot = hist.groupBy(keyCols.map(col): _*)
-      .agg(sum("n").as("_total"))
+    // per-key total as a partition window, NOT an agg + self-join: the
+    // frame is grid-cardinality-bounded anyway, the plan loses a join,
+    // and a histogram read back from a view/memory sink would trip
+    // Spark's conflicting-reference check in the self-join form
     val cum = hist
       .withColumn("_cum", sum("n").over(w))
-      .join(tot, keyCols)
+      .withColumn("_total",
+        sum("n").over(Window.partitionBy(keyCols.map(col): _*)))
     val aggs = quantiles.map { case (label, num, den) =>
       min(when(col("_cum") >=
         expr(s"(_total * $num + ${den - 1}) div $den"), col("bucket")))

@@ -219,6 +219,24 @@ object CoreQueries {
       HeavyHitters.topFrequent(keyed, "k", support = 0.02, capacity = 64)
     }),
 
+    // ---- PER-GROUP frequent items (keyed Misra-Gries — the
+    // q_hll_groups story for frequent keys): one sketch per event
+    // type via groupBy + udaf, candidates broadcast back for the
+    // exact verify, integer ceil-rank thresholds. The oracle is the
+    // plain per-group frequency threshold — proving per-group sketch
+    // completeness ----
+    "q_hh_groups" -> ((s, d) => {
+      import graft.operators.HeavyHitters
+      val keyed = graft.Tables.ensureParallelism(events(s, d)).select(
+        col("event_type").as("g"),
+        when(col("user_id") % 3 === 0,
+          concat(lit("hot-"), (col("user_id") % 7).cast("string")))
+          .otherwise(concat(lit("cold-"), col("user_id").cast("string")))
+          .as("k"))
+      HeavyHitters.topFrequentByGroup(keyed, "g", "k",
+        supportNum = 2L, supportDen = 100L, capacity = 64)
+    }),
+
     // ---- as-of join (nearest prior state per truck — the kdb/DuckDB
     // ASOF LEFT JOIN, an operator Spark lacks natively): union +
     // carry-forward window, one shuffle, big-big safe ----
@@ -1234,6 +1252,23 @@ object CoreQueries {
         |HAVING count(*) >= CAST(ceil(0.02 * (SELECT count(*) FROM keyed))
         |  AS BIGINT)
         |ORDER BY n DESC, k""".stripMargin,
+
+    "q_hh_groups" ->
+      """WITH keyed AS (
+        |  SELECT event_type AS g,
+        |    CASE WHEN user_id % 3 = 0
+        |      THEN 'hot-' || CAST(user_id % 7 AS VARCHAR)
+        |      ELSE 'cold-' || CAST(user_id AS VARCHAR) END AS k
+        |  FROM events
+        |), cnt AS (
+        |  SELECT g, k, CAST(count(*) AS BIGINT) AS n
+        |  FROM keyed GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS nr FROM keyed GROUP BY 1
+        |)
+        |SELECT g, k, n FROM cnt JOIN tot USING (g)
+        |WHERE n >= (nr * 2 + 99) // 100
+        |ORDER BY g, n DESC, k""".stripMargin,
 
     "q_asof" ->
       """WITH ev AS (

@@ -77,4 +77,38 @@ class FormatsAndSketchesSpec extends AnyFunSuite {
       .filter(_._2 >= math.ceil(0.05 * rows.size)).keys.toSet
     assert(exact.map(_.getString(0)).toSet == truth)
   }
+
+  test("keyed Misra-Gries: per-group output equals each group's plain " +
+      "frequency threshold; lazy, no driver collect") {
+    import spark.implicits._
+    import graft.operators.HeavyHitters
+    val rnd = new scala.util.Random(13)
+    // two groups with DIFFERENT heavy keys and tail sizes: per-group
+    // sketches must not cross-contaminate
+    val rows = (0 until 12000).map { _ =>
+      val g = if (rnd.nextBoolean()) "g1" else "g2"
+      val k =
+        if (g == "g1")
+          (if (rnd.nextDouble() < 0.25) s"h1-${rnd.nextInt(2)}"
+           else s"t1-${rnd.nextInt(300)}")
+        else
+          (if (rnd.nextDouble() < 0.2) s"h2-${rnd.nextInt(3)}"
+           else s"t2-${rnd.nextInt(100)}")
+      (g, k)
+    }
+    val df = rows.toDF("g", "k").repartition(8)
+    val got = HeavyHitters.topFrequentByGroup(df, "g", "k",
+        supportNum = 4L, supportDen = 100L, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n"))).toSet
+    val truth = rows.groupBy(_._1).flatMap { case (g, grows) =>
+      val n = grows.size.toLong
+      val thr = (n * 4 + 99) / 100
+      grows.groupBy(_._2).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thr)
+        .map { case (k, c) => (g, k, c) }
+    }.toSet
+    assert(got == truth)
+    graft.operators.Caches.clear()
+  }
 }

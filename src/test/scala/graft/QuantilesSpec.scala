@@ -67,4 +67,39 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got.getAs[Long]("p25") == -2500L)
     assert(got.getAs[Long]("p100") == 3000L)
   }
+
+  test("histogram is a streaming-aggregable statistic: complete-mode " +
+      "snapshot equals the batch histogram and its quantiles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(21)
+    val rows = Seq.fill(2000)(("g" + rnd.nextInt(2), rnd.nextDouble() * 50))
+    val input = MemoryStream[(String, Double)]
+    val q = Quantiles.histogram(input.toDS().toDF("g", "v"), Seq("g"),
+        col("v"), 1000L)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = rows.splitAt(900)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val snap = spark.table("hist_stream")
+      .select(col("g"), col("bucket"), col("n").cast("long"))
+      .as[(String, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val batch = Quantiles.histogram(rows.toDF("g", "v"), Seq("g"),
+        col("v"), 1000L)
+      .as[(String, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(snap == batch)
+    val fromSnap = Quantiles.quantilesFromHistogram(
+        spark.table("hist_stream"), Seq("g"), qs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val fromBatch = Quantiles.histogramQuantiles(rows.toDF("g", "v"),
+        Seq("g"), col("v"), 1000L, qs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fromSnap == fromBatch)
+  }
 }
