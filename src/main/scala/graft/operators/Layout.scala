@@ -175,13 +175,17 @@ object Layout {
     * tighter). */
   def hilbertStats(df: DataFrame, lon: Column, lat: Column,
       lonLo: Double, lonHi: Double, latLo: Double, latHi: Double,
-      bits: Int = 16, runLen: Long = (1L << 32) / 1000 + 1): DataFrame = {
+      bits: Int = 16, runLen: Long = 0L): DataFrame = {
+    // runLen = 0 → ~1000 runs over THIS bits' position space (a fixed
+    // default tied to 4^16 would silently collapse smaller grids into
+    // one bucket — r11 review finding)
+    val rl = if (runLen > 0) runLen else (1L << (2 * bits)) / 1000 + 1
     val h = hilbertD(quantize(lon, lonLo, lonHi, bits),
       quantize(lat, latLo, latHi, bits), bits)
     def micro(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
     df.select(lon.as("_lon"), lat.as("_lat"), h.as("_h"))
       .select(col("_lon"), col("_lat"),
-        expr(s"_h DIV $runLen").as("bucket"))
+        expr(s"_h DIV $rl").as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         micro(min("_lon")).as("min_lon_micro"),

@@ -37,8 +37,8 @@ object Pelt {
     *         (empty input → empty result)
     */
   def detect(signal: Array[Double], penalty: Double, minSize: Int,
-      jump: Int = 1): Array[Int] = detectImpl(signal, penalty, minSize, jump,
-    prune = true)
+      jump: Int = 1): Array[Int] =
+    detectImpl(signal, penalty, minSize, jump)
 
   /** Exact optimal-partitioning DP: the true minimizer of
     * sum(costs) + penalty·segments over the SAME evaluation grid and tie
@@ -183,7 +183,7 @@ object Pelt {
     else detect(signal, penalty, minSize, jump)
 
   private def detectImpl(signal: Array[Double], penalty: Double, minSize: Int,
-      jump: Int, prune: Boolean): Array[Int] = {
+      jump: Int): Array[Int] = {
     val n = signal.length
     if (n < 2 * minSize) return if (n == 0) Array.empty else Array(n)
 
@@ -241,20 +241,20 @@ object Pelt {
         computed(bkp) = true
         // PELT prune: keep s when F(s) + cost(s, bkp) <= F(bkp)
         // (totals cached from the min scan — computing cost() again here
-        // doubled the whole detection on low-change signals)
-        if (prune) {
-          val keptA = ArrayBuffer.empty[Int]
-          val keptV = ArrayBuffer.empty[Double]
-          j = 0
-          while (j < admissible.length) {
-            if (vals(j) <= bestV + penalty) {
-              keptA += admissible(j); keptV += vals(j)
-            }
-            j += 1
+        // doubled the whole detection on low-change signals). The
+        // exact twin (detectExact) applies this same rule with a
+        // deferred kill instead of immediate removal.
+        val keptA = ArrayBuffer.empty[Int]
+        val keptV = ArrayBuffer.empty[Double]
+        j = 0
+        while (j < admissible.length) {
+          if (vals(j) <= bestV + penalty) {
+            keptA += admissible(j); keptV += vals(j)
           }
-          admissible = keptA
-          vals = keptV
+          j += 1
         }
+        admissible = keptA
+        vals = keptV
       }
     }
 

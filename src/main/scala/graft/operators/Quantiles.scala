@@ -29,10 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** Per-(keys, bucket) counts: the sufficient statistic. */
+  /** Per-(keys, bucket) counts: the sufficient statistic. NULL values
+    * are dropped, matching `percentile`'s semantics — counted, a NULL
+    * bucket would also sort NULLS FIRST in Spark's cumulative window
+    * but NULLS LAST in DuckDB's, silently shifting every rank (r11
+    * review finding). */
   def histogram(df: DataFrame, keyCols: Seq[String], value: Column,
       scale: Long = 1000L): DataFrame =
-    df.select(keyCols.map(col) :+
+    df.where(value.isNotNull)
+      .select(keyCols.map(col) :+
         floor(value * scale).cast("long").as("bucket"): _*)
       .groupBy((keyCols :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("n"))

@@ -81,16 +81,23 @@ object StreamingAnalytics {
   case class WeekEvt(user: Long, week: Long, id: Long)
   /** Two longs: cohort (first week, fixed once) + last week emitted.
     * In event-time order weeks arrive non-decreasing, so "week >
-    * lastWeek" detects every NEW distinct week without a set. */
+    * lastWeek" detects every NEW distinct week without a set. Unset is
+    * Long.MinValue, NOT a negative sentinel — week numbers are floor
+    * division from an anchor date and are legitimately negative for
+    * pre-anchor events (the q_retention oracle-parity case), so a
+    * `< 0` check would re-seed the cohort on every event (r11 review
+    * finding). */
   case class RetentionState(cohortWeek: Long, lastWeek: Long)
   case class RetentionRow(user: Long, cohortWeek: Long, weekOffset: Long)
 
   def retentionUpdate(user: Long, evts: Iterator[WeekEvt],
       state: GroupState[RetentionState]): Iterator[RetentionRow] = {
-    var st = state.getOption.getOrElse(RetentionState(-1L, Long.MinValue))
+    var st = state.getOption.getOrElse(
+      RetentionState(Long.MinValue, Long.MinValue))
     val out = scala.collection.mutable.ListBuffer.empty[RetentionRow]
     evts.toSeq.sortBy(e => (e.week, e.id)).foreach { e =>
-      if (st.cohortWeek < 0) st = RetentionState(e.week, Long.MinValue)
+      if (st.cohortWeek == Long.MinValue)
+        st = RetentionState(e.week, Long.MinValue)
       if (e.week > st.lastWeek) {
         out += RetentionRow(user, st.cohortWeek, e.week - st.cohortWeek)
         st = st.copy(lastWeek = e.week)

@@ -9,11 +9,15 @@ class QuantilesSpec extends AnyFunSuite {
 
   private val qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
 
-  test("hand fixture: nearest-rank picks on a known histogram") {
+  test("hand fixture: nearest-rank picks on a known histogram; " +
+      "NULL values are dropped like percentile()'s") {
     import spark.implicits._
     // group a: values 1..10 (milli buckets 1000..10000) → p50 = value 5,
-    // p90 = value 9, p99 = value 10 (nearest-rank: ceil(q·N))
-    val df = (1 to 10).map(v => ("a", v.toDouble)).toDF("g", "v")
+    // p90 = value 9, p99 = value 10 (nearest-rank: ceil(q·N)); the two
+    // NULLs must not shift any rank (r11 review: a NULL bucket sorts
+    // NULLS FIRST in Spark's window but NULLS LAST in DuckDB's)
+    val df = ((1 to 10).map(v => ("a", Some(v.toDouble))) ++
+      Seq(("a", None), ("a", None))).toDF("g", "v")
     val got = Quantiles.histogramQuantiles(df, Seq("g"), col("v"),
       scale = 1000L, quantiles = qs).collect().head
     assert((got.getAs[Long]("p50"), got.getAs[Long]("p90"),

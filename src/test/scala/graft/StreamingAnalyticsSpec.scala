@@ -41,11 +41,18 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       (u * 100 + k, ts, u, etype, (u * 7 + k).toDouble % 500, s"p$u")
     }
     // same-ts view+click pair: click at exactly t_view must not qualify
+    // + PRE-ANCHOR events (negative retention weeks — the cohort-seed
+    // sentinel regression the r11 review caught: a `< 0` unset check
+    // re-seeded the cohort on every event)
     val edge = Seq(
       (9001L, base + 1000000L, 77L, "view", 1.0, "e"),
       (9002L, base + 1000000L, 77L, "click", 2.0, "e"),
       (9003L, base + 2000000L, 77L, "click", 3.0, "e"),
-      (9004L, base + 3000000L, 77L, "purchase", 4.0, "e"))
+      (9004L, base + 3000000L, 77L, "purchase", 4.0, "e"),
+      (9005L, base - 16L * day, 88L, "view", 5.0, "e"), // week -3
+      (9006L, base - 9L * day, 88L, "click", 6.0, "e"), // week -2
+      (9007L, base + 8L * day, 88L, "view", 7.0, "e"), // week +1
+      (9008L, base - 2L * day, 89L, "view", 8.0, "e")) // week -1 only
     val dir = java.nio.file.Files
       .createTempDirectory("graft-stream-analytics").toString
     (rows ++ edge).toDF("event_id", "ts", "user_id", "event_type",
@@ -140,6 +147,8 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val batch = SparkEntry.queries("q_retention")(spark, fixtureDir)
       .as[(Long, Long, Long)].collect().toSeq
     assert(streamed == batch)
+    // the pre-anchor users produced NEGATIVE cohorts and they match
+    assert(batch.exists(_._1 < 0), "fixture lost its pre-anchor cohorts")
   }
 
   test("markov stream transitions reproduce q_markov exactly") {

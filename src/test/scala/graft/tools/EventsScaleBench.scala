@@ -12,14 +12,17 @@ import org.apache.spark.sql.functions._
   * stays fixed — the fleet-grows shape, which is how an events corpus
   * actually scales) and re-time the family at both scales.
   *
-  * Caveat (r10 advice): cloned ids are `user_id + k·10⁶`, which
-  * preserves `user_id % m` for m | 10⁶ — so MODULO-DERIVED keys
-  * (q_ewma's dev = user_id % 20 gather groups, q_zorder's lat
-  * derivation % 150) DENSIFY under this cloning (per-group rows grow
-  * ~`copies`×) rather than widen. For those queries this harness
-  * measures the deeper-series shape, i.e. an upper bound on per-task
-  * state; the user-keyed queries (funnel/retention/Markov/KS/PSI)
-  * get the intended fleet-grows shape. Timings remain fair either way.
+  * Caveat (r10 advice): cloned ids are `user_id + k·10⁶`, so
+  * MODULO-DERIVED keys don't widen the way user-keyed ones do. For
+  * m | 10⁶ (q_ewma's dev = user_id % 20) the residue is PRESERVED and
+  * per-group rows densify ~`copies`×; for m ∤ 10⁶ (the lat
+  * derivation's % 150: 10⁶ mod 150 = 100, orbit {0, 100, 50}) each
+  * base residue spreads over gcd-determined shifts, so per-group rows
+  * grow ~`copies`/3× — still densification, just 3× weaker. Either
+  * way these queries measure the deeper-series shape (an upper bound
+  * on per-task state only for the m | 10⁶ keys); the user-keyed
+  * queries (funnel/retention/Markov/KS/PSI) get the intended
+  * fleet-grows shape. Timings remain fair in all cases.
   *
   * Run: sbt "Test/runMain graft.tools.EventsScaleBench [copies] [reps]"
   */
@@ -32,7 +35,10 @@ object EventsScaleBench {
     .getOrElse(Seq(
       "q_ewma", "q_funnel", "q_retention", "q_markov",
       "q_ks_drift", "q_psi_drift", "q_changelog_apply",
-      "q_zorder_layout", "q_zorder_pruning"))
+      "q_zorder_layout", "q_zorder_pruning",
+      // r11 additions on the events table
+      "q_skew_join", "q_hist_quantiles", "q_hh_groups",
+      "q_hilbert_layout", "q_hilbert_pruning", "q_sessionize"))
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"

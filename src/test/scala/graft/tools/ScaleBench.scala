@@ -30,7 +30,11 @@ object ScaleBench {
       "q_pagerank", "q_dedup_canonical", "q_dedup_clusters",
       "q_minhash_pairs", "q_kn5_logprob", "q_ccnet_bands",
       "q_bpe_pairs", "q_bpe_encode", "q_bpe_roundtrip",
-      "q_containment", "q_exact_substr", "q_train_examples"))
+      "q_containment", "q_exact_substr", "q_train_examples",
+      // r11 addition on the documents table (q_rrf_fusion needs the
+      // embeddings table the scaled dir doesn't carry — events/emb
+      // queries go through EventsScaleBench instead)
+      "q_hll_groups"))
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"
