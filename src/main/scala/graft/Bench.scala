@@ -223,22 +223,45 @@ object Bench {
   private case class AnchorTimes(rows: Long, transformSec: Double,
       cpdSec: Double, ingestRows: Long, ingestSec: Double)
 
+  /** The anchors' replicated events input — SHARED with
+    * tools.CpdAnchorBench so the kernel-attribution probe can never
+    * drift from what the bench actually measures (r11 review). */
+  private[graft] def anchorEvents(spark: SparkSession, sfDir: String,
+      rep: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.ensureParallelism(Tables.events(spark, sfDir))
+      .withColumn("_r", explode(lit((0 until rep).toArray)))
+      .withColumn("event_id", col("event_id") * rep + col("_r"))
+      .withColumn("user_id", col("user_id") + col("_r") * 1000)
+      .drop("_r")
+  }
+
+  /** The features+CPD anchor's silver frame over [[anchorEvents]]. */
+  private[graft] def anchorSilver(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    ev.select(
+      col("ts").as("timestamp"),
+      concat(lit("truck-"), (col("user_id") % 640).cast("string"))
+        .as("device_id"),
+      concat(lit("truck-"), (col("user_id") % 640).cast("string"),
+        lit("_"), date_format(col("ts"), "yyyy-MM")).as("device_date"),
+      (col("value") / 10).as("current_speed"),
+      floor(col("value") * 1200).cast("double").as("load_weight"),
+      struct(lit(0.0).as("lon"), lit(0.0).as("lat"),
+        (col("value") * 3).as("alt")).as("current_position"))
+  }
+
   private def throughputAnchors(spark: SparkSession,
       sfDir: String, rep: Int = 32): Option[AnchorTimes] = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Cpd, FeatureEngineering, TelemetryTransform}
     try {
-      // repartition BEFORE the explode: the sf0.1 events file is one scan
-      // split, so without this the 32x-replicated 3.2M-row anchor inputs
-      // are generated — and every downstream narrow op (sha256, parse,
-      // enum chains) executed — in a single task. Shuffling the 100k base
-      // rows is ~2 MB; each of the cores then explodes its own slice,
-      // which is exactly how a real multi-split table would behave.
-      val ev = Tables.ensureParallelism(Tables.events(spark, sfDir))
-        .withColumn("_r", explode(lit((0 until rep).toArray)))
-        .withColumn("event_id", col("event_id") * rep + col("_r"))
-        .withColumn("user_id", col("user_id") + col("_r") * 1000)
-        .drop("_r")
+      // repartition BEFORE the explode (inside anchorEvents'
+      // ensureParallelism): the sf0.1 events file is one scan split, so
+      // without this the replicated anchor inputs are generated — and
+      // every downstream narrow op executed — in a single task.
+      val ev = anchorEvents(spark, sfDir, rep)
       val nRows = ev.count()
 
       // STEP 2 silver transform (hash + enums + parse + extras)
@@ -273,16 +296,7 @@ object Bench {
       }
 
       // STEP 4+5: window feature stack + downsample + PELT
-      val silver = ev.select(
-        col("ts").as("timestamp"),
-        concat(lit("truck-"), (col("user_id") % 640).cast("string"))
-          .as("device_id"),
-        concat(lit("truck-"), (col("user_id") % 640).cast("string"),
-          lit("_"), date_format(col("ts"), "yyyy-MM")).as("device_date"),
-        (col("value") / 10).as("current_speed"),
-        floor(col("value") * 1200).cast("double").as("load_weight"),
-        struct(lit(0.0).as("lon"), lit(0.0).as("lat"),
-          (col("value") * 3).as("alt")).as("current_position"))
+      val silver = anchorSilver(ev)
       val t1 = System.nanoTime()
       val feats = FeatureEngineering.withReliablePayload(
         FeatureEngineering.withWindowFeatures(silver))

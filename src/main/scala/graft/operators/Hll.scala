@@ -74,7 +74,27 @@ object Hll {
   def estimateByGroups(df: DataFrame, groupCols: Seq[String],
       key: Column): DataFrame = {
     require(groupCols.nonEmpty, "use estimate() for the global sketch")
-    val regs = registersBy(df, groupCols, key)
+    estimateFromRegistersBy(registersBy(df, groupCols, key), groupCols)
+  }
+
+  /** One-row estimate frame: (n_present, s_scaled, est_raw_q, est_q) —
+    * the exact integer register summary plus the floor-quantized raw and
+    * final (linear-counting-corrected) estimates. */
+  def estimate(df: DataFrame, key: Column): DataFrame =
+    estimateFromRegisters(registers(df, key))
+
+  /** Estimate from ANY register frame — a batch sketch, a merged union
+    * of shard sketches, or a snapshot of
+    * [[graft.streaming.StreamingHll]]'s continuously-maintained state. */
+  def estimateFromRegisters(regs: DataFrame): DataFrame =
+    estimateFromRegistersBy(regs, Nil)
+
+  /** THE estimator — one implementation for the global and grouped
+    * paths (groupCols = Nil ⇒ global), so the bit-exact expression tree
+    * both SQL oracles replay has exactly one source (the
+    * registers/registersBy discipline; r11 review). */
+  def estimateFromRegistersBy(regs: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
     val s = sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(min_len AS INT))"))
       .cast("long")
     regs
@@ -92,33 +112,5 @@ object Hll {
             lit(M.toDouble) *
               log(lit(M.toDouble) / col("_zeros").cast("double")))
           .otherwise(col("_raw"))).cast("long").as("est_q")): _*)
-  }
-
-  /** One-row estimate frame: (n_present, s_scaled, est_raw_q, est_q) —
-    * the exact integer register summary plus the floor-quantized raw and
-    * final (linear-counting-corrected) estimates. */
-  def estimate(df: DataFrame, key: Column): DataFrame =
-    estimateFromRegisters(registers(df, key))
-
-  /** Estimate from ANY register frame — a batch sketch, a merged union
-    * of shard sketches, or a snapshot of
-    * [[graft.streaming.StreamingHll]]'s continuously-maintained state. */
-  def estimateFromRegisters(regs: DataFrame): DataFrame = {
-    val s = sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(min_len AS INT))"))
-      .cast("long")
-    regs
-      .agg(count(lit(1)).as("n_present"), s.as("_s_present"))
-      .select(col("n_present"),
-        (col("_s_present") + (lit(M.toLong) - col("n_present"))
-          * lit(1L << 45)).as("s_scaled"))
-      .withColumn("_raw",
-        lit(AlphaScaled) / col("s_scaled").cast("double"))
-      .withColumn("_zeros", lit(M.toLong) - col("n_present"))
-      .select(col("n_present"), col("s_scaled"),
-        floor(col("_raw")).cast("long").as("est_raw_q"),
-        floor(when(col("_raw") <= lit(2.5 * M) && col("_zeros") > 0,
-            lit(M.toDouble) *
-              log(lit(M.toDouble) / col("_zeros").cast("double")))
-          .otherwise(col("_raw"))).cast("long").as("est_q"))
   }
 }

@@ -174,7 +174,11 @@ object Pelt {
     * ruptures-parity kernel). GRAFT_PELT_FORCE_PRUNED is the A/B
     * measurement probe (tools.CpdAnchorBench) — it forces the
     * ruptures-parity path so anchor movement can be attributed to the
-    * kernel without a code edit. */
+    * kernel without a code edit. LOCAL-MODE ONLY by design: the env is
+    * read in the kernel, which executes on executors, and a cluster's
+    * executor JVMs do not inherit the driver's environment — a
+    * deployment-grade switch would be a propagated spark conf, which
+    * this deliberately is not (it gates a bench probe, not behavior). */
   def detectAuto(signal: Array[Double], penalty: Double, minSize: Int,
       jump: Int = 1): Array[Int] =
     if (!sys.env.contains("GRAFT_PELT_FORCE_PRUNED") &&

@@ -42,7 +42,15 @@ object Tokenizer {
     * exchange — the common case), keyed join above it (the corpus
     * shuffles once on `word`; AQE handles the skewed hot words). The
     * table is persisted (Caches-tracked) so the sizing count() pays the
-    * per-distinct-word segmentation kernel exactly once. */
+    * per-distinct-word segmentation kernel exactly once.
+    *
+    * EAGERNESS NOTE (r11): the sizing count() runs AT PLAN-CONSTRUCTION
+    * TIME, so every operator routing through here (segmentCorpus,
+    * encode, WordPiece.encodeStats, UnigramLm encode) now triggers the
+    * distinct + segmentation jobs when the plan is BUILT, not when it
+    * is executed — the price of choosing the join strategy from the
+    * real vocabulary size rather than a static estimate. Callers that
+    * only want the plan shape should stub the threshold conf. */
   private[operators] def joinByWord(words: DataFrame,
       segTable: DataFrame): DataFrame = {
     val seg = segTable.persistTracked

@@ -551,42 +551,16 @@ object PipelineQueries {
     // longs embedded in BOTH plans ----
     "q_zorder_pruning" -> ((s, d) => {
       import graft.operators.Layout
-      val (lonLo, lonHi) = (zLonLo, zLonHi)
-      val (latLo, latHi) = (zLatLo, zLatHi)
       val pts = events(s, d).select(
         ((col("value") / 100) * 0.0095 - 97.8410).as("lon"),
         ((col("user_id") % 150) / 150.0 * 0.0075 + 33.2695).as("lat"))
-      val xq = Layout.quantize(col("lon"), lonLo, lonHi, 16)
-      val yq = Layout.quantize(col("lat"), latLo, latHi, 16)
+      val xq = Layout.quantize(col("lon"), zLonLo, zLonHi, 16)
+      val yq = Layout.quantize(col("lat"), zLatLo, zLatHi, 16)
       val withB = pts.select(col("lon"), col("lat"),
         shiftright(Layout.mortonZ(xq, yq, 16), 22).as("bz"),
-        shiftright(Layout.quantize(col("lon"), lonLo, lonHi, 16), 6)
-          .as("bl"))
-      def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        floor(c * lit(1000000.0)).cast("long")
-      def stats(bucket: String) = withB.groupBy(bucket)
-        .agg(micro(min(col("lon"))).as("mnx"),
-          micro(max(col("lon"))).as("mxx"),
-          micro(min(col("lat"))).as("mny"),
-          micro(max(col("lat"))).as("mxy"))
-      import s.implicits._
-      val boxes = PipelineQueries.pruningBoxes.toDF(
-        "box_id", "blox", "bhix", "bloy", "bhiy")
-      // boxes LEFT-join the touched counts: a box touching ZERO
-      // buckets in one layout (the strongest pruning evidence) must
-      // report (box, 0), not vanish (review finding r10 — box 3 did)
-      def touched(st: DataFrame, out: String) = st
-        .crossJoin(broadcast(boxes))
-        .where(col("mnx") <= col("bhix") && col("mxx") >= col("blox") &&
-          col("mny") <= col("bhiy") && col("mxy") >= col("bloy"))
-        .groupBy("box_id").agg(count(lit(1)).as(out))
-      boxes.select("box_id")
-        .join(touched(stats("bz"), "z_buckets"), Seq("box_id"), "left")
-        .join(touched(stats("bl"), "lon_buckets"), Seq("box_id"), "left")
-        .select(col("box_id"),
-          coalesce(col("z_buckets"), lit(0L)).as("z_buckets"),
-          coalesce(col("lon_buckets"), lit(0L)).as("lon_buckets"))
-        .orderBy("box_id")
+        shiftright(xq, 6).as("bl"))
+      pruningEvidence(s, withB,
+        Seq("bz" -> "z_buckets", "bl" -> "lon_buckets"))
     }),
 
     // ---- Hilbert-curve layout (beyond ref — the locality upgrade
@@ -629,28 +603,8 @@ object PipelineQueries {
         .select(col("lon"), col("lat"),
           expr(s"_h DIV $hilbertRunLen").as("bh"),
           expr(s"_z DIV $hilbertRunLen").as("bz"))
-      def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        floor(c * lit(1000000.0)).cast("long")
-      def stats(bucket: String) = withB.groupBy(bucket)
-        .agg(micro(min(col("lon"))).as("mnx"),
-          micro(max(col("lon"))).as("mxx"),
-          micro(min(col("lat"))).as("mny"),
-          micro(max(col("lat"))).as("mxy"))
-      import s.implicits._
-      val boxes = PipelineQueries.pruningBoxes.toDF(
-        "box_id", "blox", "bhix", "bloy", "bhiy")
-      def touched(st: DataFrame, out: String) = st
-        .crossJoin(broadcast(boxes))
-        .where(col("mnx") <= col("bhix") && col("mxx") >= col("blox") &&
-          col("mny") <= col("bhiy") && col("mxy") >= col("bloy"))
-        .groupBy("box_id").agg(count(lit(1)).as(out))
-      boxes.select("box_id")
-        .join(touched(stats("bh"), "h_buckets"), Seq("box_id"), "left")
-        .join(touched(stats("bz"), "z_buckets"), Seq("box_id"), "left")
-        .select(col("box_id"),
-          coalesce(col("h_buckets"), lit(0L)).as("h_buckets"),
-          coalesce(col("z_buckets"), lit(0L)).as("z_buckets"))
-        .orderBy("box_id")
+      pruningEvidence(s, withB,
+        Seq("bh" -> "h_buckets", "bz" -> "z_buckets"))
     }),
 
     "q_spatial_zone" -> ((s, d) => {
@@ -681,6 +635,46 @@ object PipelineQueries {
     * — deliberately NOT a power of two (see q_hilbert_layout note);
     * shared literal between both Spark plans and both oracles. */
   private[queries] val hilbertRunLen: Long = (1L << 32) / 1000 + 1
+
+  /** Shared pruning-evidence core (q_zorder_pruning /
+    * q_hilbert_pruning; r11 review — the bbox/touch machinery lived in
+    * two hand-synced copies): per-bucket bboxes for EVERY bucketing
+    * column in ONE corpus scan (grouping sets — the per-row curve
+    * folds run once, not once per layout), then per-box touched counts
+    * with zero-touch boxes kept (the r10 box-3 rule). `withB` carries
+    * lon, lat + the bucket columns; `buckets` = (bucketCol, outName). */
+  private def pruningEvidence(s: SparkSession,
+      withB: org.apache.spark.sql.DataFrame,
+      buckets: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.operators.Caches.Persisted
+    def micro(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0)).cast("long")
+    // bucket-sized frame feeding one consumer branch per layout —
+    // persisted (Caches-tracked) so the corpus scan runs exactly once
+    val st = withB.groupingSets(
+        buckets.map { case (b, _) => Seq(col(b)) },
+        buckets.map(b => col(b._1)): _*)
+      .agg(micro(min(col("lon"))).as("mnx"),
+        micro(max(col("lon"))).as("mxx"),
+        micro(min(col("lat"))).as("mny"),
+        micro(max(col("lat"))).as("mxy"))
+      .persistTracked
+    val boxes = PipelineQueries.pruningBoxes.toDF(
+      "box_id", "blox", "bhix", "bloy", "bhiy")
+    def touched(bcol: String, out: String) = st
+      .where(col(bcol).isNotNull)
+      .crossJoin(broadcast(boxes))
+      .where(col("mnx") <= col("bhix") && col("mxx") >= col("blox") &&
+        col("mny") <= col("bhiy") && col("mxy") >= col("bloy"))
+      .groupBy("box_id").agg(count(lit(1)).as(out))
+    buckets.foldLeft(boxes.select("box_id")) { case (acc, (b, out)) =>
+        acc.join(touched(b, out), Seq("box_id"), "left")
+      }
+      .select(col("box_id") +: buckets.map { case (_, out) =>
+        coalesce(col(out), lit(0L)).as(out) }: _*)
+      .orderBy("box_id")
+  }
 
   private[queries] val zLonLo = -97.8410
   private[queries] val zLonHi = -97.7935

@@ -35,25 +35,32 @@ object StreamingAnalytics {
   case class FunnelEvt(user: Long, day: String, etype: String, ts: Long,
       id: Long)
   /** Three optional micros + nothing else: the whole per-(user, day)
-    * state. Fields are set at most once and only forward in time. */
+    * state. Fields are set at most once and only forward in time.
+    * Unset is Long.MinValue — a `< 0` sentinel would mis-handle
+    * legitimately negative event-time micros (pre-1970 or corrupt
+    * telemetry), the RetentionState lesson applied here too (r11
+    * review). */
   case class FunnelState(tView: Long, tClick: Long, tPurchase: Long) {
-    def defined: Int = Seq(tView, tClick, tPurchase).count(_ >= 0)
+    def defined: Int =
+      Seq(tView, tClick, tPurchase).count(_ != Long.MinValue)
   }
   case class FunnelRow(user: Long, day: String, nDefined: Int,
       tView: Long, tClick: Long, tPurchase: Long)
 
   def funnelUpdate(key: (Long, String), evts: Iterator[FunnelEvt],
       state: GroupState[FunnelState]): Iterator[FunnelRow] = {
+    val unset = Long.MinValue
     val firstSeen = state.getOption.isEmpty
-    var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+    var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
     val before = st
     evts.toSeq.sortBy(e => (e.ts, e.id)).foreach { e =>
       e.etype match {
-        case "view" if st.tView < 0 => st = st.copy(tView = e.ts)
-        case "click" if st.tView >= 0 && e.ts > st.tView && st.tClick < 0 =>
+        case "view" if st.tView == unset => st = st.copy(tView = e.ts)
+        case "click" if st.tView != unset && e.ts > st.tView &&
+            st.tClick == unset =>
           st = st.copy(tClick = e.ts)
-        case "purchase" if st.tClick >= 0 && e.ts > st.tClick &&
-            st.tPurchase < 0 => st = st.copy(tPurchase = e.ts)
+        case "purchase" if st.tClick != unset && e.ts > st.tClick &&
+            st.tPurchase == unset => st = st.copy(tPurchase = e.ts)
         case _ => ()
       }
     }

@@ -111,11 +111,13 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
         org.apache.spark.sql.expressions.Window
           .partitionBy("user", "day").orderBy(col("nDefined").desc)))
       .where(col("rk") === 1)
+    val unset = Long.MinValue
     val streamed = fin.groupBy("day")
       .agg(count(lit(1)).as("n_user_days"),
-        count(when(col("tView") >= 0, 1)).as("n_view"),
-        count(when(col("tClick") >= 0, 1)).as("n_view_click"),
-        count(when(col("tPurchase") >= 0, 1)).as("n_view_click_purchase"))
+        count(when(col("tView") =!= unset, 1)).as("n_view"),
+        count(when(col("tClick") =!= unset, 1)).as("n_view_click"),
+        count(when(col("tPurchase") =!= unset, 1))
+          .as("n_view_click_purchase"))
       .orderBy("day")
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     val batch = SparkEntry.queries("q_funnel")(spark, fixtureDir)

@@ -20,23 +20,10 @@ object CpdAnchorBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.{Cpd, FeatureEngineering}
-    val rep = 32
-    val ev = graft.Tables.ensureParallelism(
-        graft.Tables.events(spark, "/root/testdata/sf0.1"))
-      .withColumn("_r", explode(lit((0 until rep).toArray)))
-      .withColumn("event_id", col("event_id") * rep + col("_r"))
-      .withColumn("user_id", col("user_id") + col("_r") * 1000)
-      .drop("_r")
-    val silver = ev.select(
-      col("ts").as("timestamp"),
-      concat(lit("truck-"), (col("user_id") % 640).cast("string"))
-        .as("device_id"),
-      concat(lit("truck-"), (col("user_id") % 640).cast("string"),
-        lit("_"), date_format(col("ts"), "yyyy-MM")).as("device_date"),
-      (col("value") / 10).as("current_speed"),
-      floor(col("value") * 1200).cast("double").as("load_weight"),
-      struct(lit(0.0).as("lon"), lit(0.0).as("lat"),
-        (col("value") * 3).as("alt")).as("current_position"))
+    // the EXACT frames the bench anchors use — shared builders, so this
+    // probe cannot drift from what Bench measures (r11 review)
+    val silver = graft.Bench.anchorSilver(
+      graft.Bench.anchorEvents(spark, "/root/testdata/sf0.1", rep = 32))
     (1 to reps).foreach { i =>
       val t1 = System.nanoTime()
       val feats = FeatureEngineering.withReliablePayload(
