@@ -87,14 +87,19 @@ object Bench {
     // own fresh context records rows/s directly comparable to the
     // baseline's own row counts. Single rep: the 10 M-row pass is long
     // enough to amortize noise, and five reps would triple bench time.
-    val sf1 = {
-      val s = newSession()
-      try {
-        throughputAnchors(s, warmDir)
-        s.catalog.clearCache(); graft.operators.Caches.clear()
-        throughputAnchors(s, sfDir, rep = 100)
-      } finally s.stop()
-    }
+    // GATED on the default sf0.1 base: with a different SPARK_GRAFT_SF_DIR
+    // the 100× replication would produce a wholly different scale while
+    // still labeled "sf1_anchor" (r11 review) — emit {} instead.
+    val sf1 =
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) None
+      else {
+        val s = newSession()
+        try {
+          throughputAnchors(s, warmDir)
+          s.catalog.clearCache(); graft.operators.Caches.clear()
+          throughputAnchors(s, sfDir, rep = 100)
+        } finally s.stop()
+      }
     val sf1Json = sf1.map { a =>
       f"""{"rows":${a.rows},"transform_sec":${a.transformSec}%.3f,"transform_rows_per_s":${a.rows / a.transformSec}%.0f,"features_cpd_sec":${a.cpdSec}%.3f,"features_cpd_rows_per_s":${a.rows / a.cpdSec}%.0f,"ingest_rows":${a.ingestRows},"ingest_sec":${a.ingestSec}%.3f,"ingest_rows_per_s":${a.ingestRows / a.ingestSec}%.0f}"""
     }.getOrElse("{}")

@@ -148,11 +148,15 @@ object Pelt {
   }
 
   /** Evaluation-grid size for a given input — the cost driver of the
-    * exact DP (O(evals²)). */
+    * exact DP (O(evals²)). Mirrors the grid construction exactly:
+    * multiples of jump in [first, n) plus the final n. The empty-grid
+    * branch is explicit — with a negative numerator, Scala's
+    * toward-zero integer division would over-count by one (r11 review;
+    * PeltSpec pins equality with the enumerated grid). */
   def evalCount(n: Int, minSize: Int, jump: Int): Int = {
     if (n < 2 * minSize) return 1
     val first = ((minSize + jump - 1) / jump) * jump
-    math.max(0, (n - 1 - first) / jump + 1) + 1
+    if (first >= n) 1 else (n - 1 - first) / jump + 2
   }
 
   /** Exact-DP is the default below this grid size. With the grace-window

@@ -488,7 +488,7 @@ object EdaQueries {
       """WITH hist AS (
         |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS bucket,
         |    CAST(count(*) AS BIGINT) AS n
-        |  FROM events GROUP BY 1, 2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         |), cum AS (
         |  SELECT event_type, bucket,
         |    sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,

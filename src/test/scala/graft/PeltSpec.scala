@@ -179,6 +179,23 @@ class PeltSpec extends AnyFunSuite {
       s"pruning diverged from the exact DP on $diverged/$trials fixtures")
   }
 
+  test("evalCount equals the enumerated evaluation grid (sparse jump " +
+      "grids included — the toward-zero division trap)") {
+    for (n <- Seq(0, 5, 10, 17, 64, 100, 17280);
+         minSize <- Seq(2, 5, 10); jump <- Seq(1, 3, 7, 20, 50)) {
+      val expected =
+        if (n < 2 * minSize) 1
+        else {
+          var t = ((minSize + jump - 1) / jump) * jump
+          var c = 0
+          while (t < n) { c += 1; t += jump }
+          c + 1
+        }
+      assert(Pelt.evalCount(n, minSize, jump) == expected,
+        s"n=$n minSize=$minSize jump=$jump")
+    }
+  }
+
   test("exact DP on a full device-day grid (17280 evals) is sub-second") {
     val rnd = new scala.util.Random(3)
     // smooth low-change signal: the worst case for exact DP (nothing to
