@@ -638,32 +638,31 @@ object PipelineQueries {
 
   /** Shared pruning-evidence core (q_zorder_pruning /
     * q_hilbert_pruning; r11 review — the bbox/touch machinery lived in
-    * two hand-synced copies): per-bucket bboxes for EVERY bucketing
-    * column in ONE corpus scan (grouping sets — the per-row curve
-    * folds run once, not once per layout), then per-box touched counts
-    * with zero-touch boxes kept (the r10 box-3 rule). `withB` carries
-    * lon, lat + the bucket columns; `buckets` = (bucketCol, outName). */
+    * two hand-synced copies): per-layout bucket bboxes, then per-box
+    * touched counts with zero-touch boxes kept (the r10 box-3 rule).
+    * `withB` carries lon, lat + the bucket columns; `buckets` =
+    * (bucketCol, outName).
+    *
+    * Deliberately ONE SCAN PER LAYOUT, not grouping sets: a
+    * grouping-sets rewrite was tried and measured ~1.9× SLOWER on the
+    * Hilbert pair — Expand's per-set projections defeat column
+    * pruning, so BOTH curve folds run for every row in both copies,
+    * while separate groupBys each prune down to their own layout's
+    * fold (the expensive expression) only. */
   private def pruningEvidence(s: SparkSession,
       withB: org.apache.spark.sql.DataFrame,
       buckets: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    import graft.operators.Caches.Persisted
     def micro(c: org.apache.spark.sql.Column) =
       floor(c * lit(1000000.0)).cast("long")
-    // bucket-sized frame feeding one consumer branch per layout —
-    // persisted (Caches-tracked) so the corpus scan runs exactly once
-    val st = withB.groupingSets(
-        buckets.map { case (b, _) => Seq(col(b)) },
-        buckets.map(b => col(b._1)): _*)
+    val boxes = PipelineQueries.pruningBoxes.toDF(
+      "box_id", "blox", "bhix", "bloy", "bhiy")
+    def touched(bcol: String, out: String) = withB
+      .groupBy(bcol)
       .agg(micro(min(col("lon"))).as("mnx"),
         micro(max(col("lon"))).as("mxx"),
         micro(min(col("lat"))).as("mny"),
         micro(max(col("lat"))).as("mxy"))
-      .persistTracked
-    val boxes = PipelineQueries.pruningBoxes.toDF(
-      "box_id", "blox", "bhix", "bloy", "bhiy")
-    def touched(bcol: String, out: String) = st
-      .where(col(bcol).isNotNull)
       .crossJoin(broadcast(boxes))
       .where(col("mnx") <= col("bhix") && col("mxx") >= col("blox") &&
         col("mny") <= col("bhiy") && col("mxy") >= col("bloy"))
