@@ -47,19 +47,21 @@ object SimilaritySearch {
     * @param queries (qidCol, vecCol) — small enough to broadcast
     * @return (query_id, id, cosine, rank) with rank 1..k per query
     */
-  /** Shared ranking tail of the exact-scoring family: cosine over the
-    * corpus × broadcast-queries product filtered by `keep`, then the
-    * per-query top-k as a WindowGroupLimit (cosine desc, id tiebreak).
-    * One body so a ranking/tie-break change cannot silently diverge
-    * between [[bruteForceTopK]] and [[hardNegatives]]. */
+  /** Shared ranking tail of the exact-scoring family: `score`(v, qv)
+    * over the corpus × broadcast-queries product filtered by `keep`,
+    * then the per-query top-k as a WindowGroupLimit (score desc, id
+    * tiebreak). One body so a ranking/tie-break change cannot silently
+    * diverge between [[bruteForceTopK]], [[hardNegatives]] and
+    * [[mipsTopK]]. */
   private def rankTopK(c: DataFrame, q: DataFrame, keep: Column, k: Int,
-      outCols: Seq[String]): DataFrame = {
+      outCols: Seq[String], scoreName: String = "cosine",
+      score: (Column, Column) => Column = cosine): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = c.join(broadcast(q))
       .where(keep)
-      .withColumn("cosine", cosine(col("v"), col("qv")))
+      .withColumn(scoreName, score(col("v"), col("qv")))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("id"))
+      .orderBy(col(scoreName).desc, col("id"))
     scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -102,6 +104,132 @@ object SimilaritySearch {
       col(vecCol).cast("array<double>").as("qv"))
     rankTopK(c, q, col("neg_label") =!= col("_qlabel"), k,
       Seq("query_id", "id", "neg_label", "cosine", "rank"))
+  }
+
+  /** Exact maximum-inner-product top-k (MIPS): the ranking a trained
+    * dot-product retriever serves (DPR/ANCE-style models score q·x, NOT
+    * cosine — the document norm carries trained signal, so the two
+    * orderings genuinely differ; MipsSpec demonstrates the divergence).
+    * Same corpus-scan × broadcast-queries → WindowGroupLimit shape as
+    * [[bruteForceTopK]]; the score is the codegen'd native `vec_dot`.
+    * Returns (query_id, id, dot, rank). Scale path: [[mipsAlshTopK]]. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = queries.select(col(qidCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    rankTopK(c, q, col("id") =!= col("query_id"), k,
+      Seq("query_id", "id", "dot", "rank"), "dot",
+      graft.plans.VectorKernels.dotNative)
+  }
+
+  /** Σ floor(x·1e6)² as pure integers — the quantized norm² the portable
+    * ALSH transform keys on (order-independent, so engine-exact). */
+  private[operators] def quantNorm2(v: Column): Column =
+    aggregate(transform(v, x => {
+      val q = floor(x * lit(1e6)).cast("long")
+      q * q
+    }), lit(0L), (s, t) => s + t)
+
+  /** Portable ALSH corpus-side signature: [[lshSignaturePortableKernel]]
+    * over the quantized vector AUGMENTED with one extra dimension
+    * aq = floor(sqrt(max(m2q − Σq², 0))) at hash index n, where m2q is
+    * the corpus max of the quantized norm². All projections stay exact
+    * integers, so a SQL oracle replays the bucket bit-for-bit (the
+    * q_ann_lsh discipline). The QUERY side appends 0, which contributes
+    * nothing to any projection — its bucket equals the plain
+    * [[lshSignaturePortableKernel]] signature (that asymmetry is the
+    * whole trick; MipsSpec pins the identity). */
+  def alshCorpusPortableKernel(v: Seq[Double], bits: Int,
+      m2q: Long): Long = {
+    if (v == null || v.isEmpty) return 0L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = v.length
+    val q = new Array[Long](n + 1)
+    val h = new Array[Long](n + 1)
+    var j = 0
+    var norm2 = 0L
+    while (j < n) {
+      q(j) = math.floor(v(j) * 1e6).toLong
+      norm2 += q(j) * q(j)
+      h(j) = Dedup.hash64Md5(md, j.toString)
+      j += 1
+    }
+    q(n) = math.floor(math.sqrt(math.max(m2q - norm2, 0L).toDouble)).toLong
+    h(n) = Dedup.hash64Md5(md, n.toString)
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var proj = 0L
+      var i = 0
+      while (i <= n) {
+        proj += (if (((h(i) >>> p) & 1L) != 0L) q(i) else -q(i))
+        i += 1
+      }
+      if (proj >= 0L) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  private val alshCorpusUdf = udf(alshCorpusPortableKernel _)
+
+  /** ALSH scale path for MIPS (Shrivastava & Li 2014, "Asymmetric LSH
+    * for sublinear time Maximum Inner Product Search"): no symmetric LSH
+    * family exists for raw inner product (a vector need not be its own
+    * nearest neighbor), but an ASYMMETRIC transform pair reduces MIPS to
+    * cosine search — append sqrt(M² − ‖x‖²) to every corpus vector
+    * (M = max corpus norm; ONE scalar agg broadcast back, zero extra
+    * shuffle) and 0 to every query. Every augmented corpus vector then
+    * has norm exactly M, so per query cos(aug(x), aug(q)) =
+    * (x·q)/(M·‖q‖) is monotone in x·q — the existing random-hyperplane
+    * bucketing answers MIPS unchanged. Candidates re-rank by EXACT
+    * native dot (LSH buys recall, never scores). At 100 TB this is the
+    * same bucket-join shape as [[lshTopK]]: corpus-side narrow map +
+    * one broadcast-bucket join, no all-pairs stage.
+    * `portableBuckets = true` swaps in the integer-Rademacher signature
+    * ([[alshCorpusPortableKernel]]) so the bucket assignment — and hence
+    * the whole approximate result — is SQL-oracle-replayable.
+    * Returns (query_id, id, dot, rank). */
+  def mipsAlshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      bits: Int = 6, portableBuckets: Boolean = false): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val dotN = graft.plans.VectorKernels.dotNative _
+    val c0 = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q0 = queries.select(col(qidCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val (c, q) =
+      if (portableBuckets) {
+        val m2 = c0.agg(max(quantNorm2(col("v"))).as("m2q"))
+        val cb = c0.crossJoin(broadcast(m2))
+          .withColumn("bucket",
+            alshCorpusUdf(col("v"), lit(bits), col("m2q")))
+        (cb, q0.withColumn("bucket", lshSignaturePortable(col("qv"), bits)))
+      } else {
+        val m2 = c0.agg(max(dotN(col("v"), col("v"))).as("m2"))
+        val cb = c0.crossJoin(broadcast(m2))
+          .withColumn("va", concat(col("v"), array(
+            sqrt(greatest(col("m2") - dotN(col("v"), col("v")), lit(0.0))))))
+          .withColumn("bucket", lshSignature(col("va"), bits))
+        val qb = q0
+          .withColumn("qa", concat(col("qv"), array(lit(0.0))))
+          .withColumn("bucket", lshSignature(col("qa"), bits))
+        (cb, qb)
+      }
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("dot", dotN(col("v"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "dot", "rank")
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a

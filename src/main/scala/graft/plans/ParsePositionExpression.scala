@@ -100,6 +100,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.parsePositionDescriptor)
     e.injectFunction(GraftExtensions.pointInPolygonDescriptor)
     e.injectFunction(GraftExtensions.vecCosineDescriptor)
+    e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.lshSignatureDescriptor)
     e.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
   }
@@ -131,6 +132,14 @@ object GraftExtensions {
         "vec_cosine"),
       (exprs: Seq[Expression]) =>
         CosineSimilarityExpression(exprs(0), exprs(1)))
+
+  val vecDotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProductExpression].getName,
+        "vec_dot"),
+      (exprs: Seq[Expression]) =>
+        DotProductExpression(exprs(0), exprs(1)))
 
   val lshSignatureDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
@@ -166,7 +175,7 @@ object GraftExtensions {
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     Seq(parsePositionDescriptor, pointInPolygonDescriptor,
-        vecCosineDescriptor, lshSignatureDescriptor,
+        vecCosineDescriptor, vecDotDescriptor, lshSignatureDescriptor,
         unicodeNormalizeDescriptor).foreach {
       case (id, info, builder) => registry.registerFunction(id, info, builder)
     }

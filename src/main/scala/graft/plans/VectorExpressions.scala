@@ -59,6 +59,47 @@ case class CosineSimilarityExpression(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** `vec_dot(a, b)`: raw inner product — the MIPS ranking score
+  * (dot-product retrievers score q·x, not cosine: document norm carries
+  * trained signal there, so the two orderings genuinely differ). Same
+  * null semantics and accumulation order as the zip_with/aggregate HOF
+  * twin and as DuckDB's sequential `list_inner_product`, which is what
+  * makes the q_mips oracles exact. */
+case class DotProductExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot expects (array<double>, array<double>), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotBoxed(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cls = VectorKernels.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = $cls.dotBoxed($a, $b);
+         |${ev.isNull} = ${ev.value}_r == null;
+         |${ev.value} = ${ev.isNull} ? 0.0 : ${ev.value}_r.doubleValue();
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** `lsh_signature(vec, bits)`: `bits`-bit random-hyperplane signature,
   * hyperplane components derived from the same xxhash64 stream as the HOF
   * form ([[graft.operators.SimilaritySearch.lshSignatureHof]]). */
@@ -117,6 +158,22 @@ object VectorKernels {
     if (norm == 0.0) 0.0 else dot / norm
   }
 
+  /** Inner product of two double arrays, sequential accumulation (the
+    * HOF-twin / DuckDB `list_inner_product` order). Null on length
+    * mismatch or any null element — mirror of the zip_with form. */
+  def dotBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
   /** Hyperplane component (p, j) in [-1, 1): the same
     * `pmod(xxhash64(p, j), 1e6) / 5e5 - 1` stream as the HOF form —
     * xxhash64 seed 42, int inputs hashed in argument order. */
@@ -152,6 +209,9 @@ object VectorKernels {
     * (see [[GraftExtensions]]). */
   def cosineNative(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("vec_cosine", a, b)
+
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("vec_dot", a, b)
 
   def lshSignatureNative(v: Column, bits: Int): Column =
     org.apache.spark.sql.functions.call_function("lsh_signature", v,

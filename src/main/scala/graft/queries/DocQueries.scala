@@ -1092,6 +1092,37 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- exact maximum-inner-product top-k (the ranking a trained
+    // dot-product retriever serves — DPR/ANCE score q·x, not cosine;
+    // document norm carries trained signal, so this ordering genuinely
+    // differs from q_ann_cosine's). Native codegen'd vec_dot; oracle =
+    // DuckDB list_inner_product, bit-identical sequential accumulation ----
+    "q_mips" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      SimilaritySearch.mipsTopK(emb, queries,
+          "vec_id", "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("id"), col("rank"),
+          round(col("dot"), 6).as("dot"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- ALSH MIPS (Shrivastava & Li 2014 scale path): the asymmetric
+    // corpus transform (append sqrt(M²−‖x‖²)) reduces MIPS to the LSH
+    // bucket join q_ann_lsh already proved; portable integer buckets so
+    // the approximate candidate set itself replays in SQL — the
+    // q_ann_lsh discipline applied to inner-product retrieval ----
+    "q_mips_alsh" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      SimilaritySearch.mipsAlshTopK(emb, queries,
+          "vec_id", "embedding", "vec_id", k = 10, bits = 6,
+          portableBuckets = true)
+        .select(col("query_id"), col("id"), col("rank"),
+          round(col("dot"), 6).as("dot"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- hard-negative mining (DPR/Contriever data prep): per anchor,
     // the top-k most-similar vectors with a DIFFERENT label — the
     // q_ann_cosine plan plus the label-mismatch predicate; the oracle
@@ -1901,6 +1932,70 @@ ORDER BY id_a, id_b"""
   FROM scored
 )
 SELECT query_id, id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
+  /** Exact SQL twin of the portable-bucket ALSH MIPS: replays the
+    * asymmetric transform itself — corpus vectors gain one quantized
+    * dimension floor(sqrt(m2q − Σq²)) (m2q = corpus max quantized
+    * norm², ONE scalar agg) before the integer-Rademacher signature;
+    * queries sign the plain un-augmented vector (their appended 0
+    * contributes nothing to any projection). All bucket math is
+    * integer-exact and the re-rank score is the sequentially-accumulated
+    * inner product, so candidate sets and ranks match row for row. */
+  private val mipsAlshOracle: String = {
+    val bits = 6
+    val sigTerms = (0 until bits).map { p =>
+      s"""CASE WHEN list_sum(list_transform(range(1, len(q) + 1),
+         |      i -> CASE WHEN (h[i] >> $p) & 1 = 1 THEN q[i] ELSE -q[i] END)) >= 0
+         |    THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END"""
+        .stripMargin
+    }.mkString(" +\n    ")
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qh AS (
+  SELECT vec_id, v,
+    list_transform(range(1, len(v) + 1),
+      i -> CAST(floor(v[i] * 1e6) AS BIGINT)) AS qb
+  FROM e
+), norms AS (
+  SELECT vec_id, v, qb,
+    CAST(list_sum(list_transform(qb, x -> x * x)) AS BIGINT) AS n2
+  FROM qh
+), m AS (
+  SELECT max(n2) AS m2q FROM norms
+), corp AS (
+  SELECT vec_id, v,
+    list_append(qb, CAST(floor(sqrt(CAST(greatest(m2q - n2, 0) AS DOUBLE)))
+      AS BIGINT)) AS q,
+    list_transform(range(1, len(qb) + 2),
+      i -> md5_number_upper(CAST(i - 1 AS VARCHAR))) AS h
+  FROM norms CROSS JOIN m
+), qry0 AS (
+  SELECT vec_id, v, qb AS q,
+    list_transform(range(1, len(qb) + 1),
+      i -> md5_number_upper(CAST(i - 1 AS VARCHAR))) AS h
+  FROM norms WHERE vec_id < 5
+), csig AS (
+  SELECT vec_id, v,
+    $sigTerms AS bucket
+  FROM corp
+), qsig AS (
+  SELECT vec_id AS query_id, v AS qv,
+    $sigTerms AS bucket
+  FROM qry0
+), scored AS (
+  SELECT qsig.query_id, c.vec_id AS id,
+    list_inner_product(c.v, qsig.qv) AS dot
+  FROM csig c JOIN qsig ON c.bucket = qsig.bucket
+  WHERE c.vec_id != qsig.query_id
+), ranked AS (
+  SELECT query_id, id, dot,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY dot DESC, id) AS rank
+  FROM scored
+)
+SELECT query_id, id, rank, round(dot, 6) AS dot
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
   }
 
@@ -3219,6 +3314,29 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |)
         |SELECT query_id, id, rank, round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // q_ann_cosine's replay with list_inner_product in place of
+    // list_cosine_similarity: both engines accumulate the dot
+    // sequentially over identical doubles, so the ranking is exact
+    "q_mips" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv) AS dot
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id != q.query_id
+        |), ranked AS (
+        |  SELECT query_id, id, dot,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, id, rank, round(dot, 6) AS dot
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_mips_alsh" -> mipsAlshOracle,
 
     // the q_ann_cosine replay plus the label-mismatch predicate
     "q_hard_negatives" ->
