@@ -1123,6 +1123,21 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- margin-based bitext mining (Artetxe & Schwenk 2019, the
+    // LASER/CCMatrix recipe): cross-corpus pairs scored by cosine
+    // RELATIVE to each side's k-NN neighborhood — the ratio margin that
+    // separates translations from hub vectors where raw cosine cannot.
+    // Quantize-then-sum + one integer division make the ranking
+    // engine-exact; the oracle replays the whole pipeline ----
+    "q_bitext_mine" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      graft.operators.Bitext.mine(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.15)
+        .orderBy("src_id")
+    }),
+
     // ---- hard-negative mining (DPR/Contriever data prep): per anchor,
     // the top-k most-similar vectors with a DIFFERENT label — the
     // q_ann_cosine plan plus the label-mismatch predicate; the oracle
@@ -3337,6 +3352,41 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_mips_alsh" -> mipsAlshOracle,
+
+    // full margin-mining replay: quantized cross cosines → per-side
+    // top-k neighborhood sums → cross-multiplied integer margin →
+    // per-source argmax + threshold. cq > 0 keeps every sum positive so
+    // `//` (truncation) == floor == Spark's `div`
+    "q_bitext_mine" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), a AS (SELECT vec_id AS src_id, v AS va FROM e WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS tgt_id, v AS vb FROM e WHERE vec_id % 2 = 1),
+        |sc0 AS (
+        |  SELECT src_id, tgt_id,
+        |    CAST(floor(list_cosine_similarity(va, vb) * 1e6) AS BIGINT) AS cq
+        |  FROM a CROSS JOIN b
+        |), sc AS (SELECT * FROM sc0 WHERE cq > 0),
+        |ra AS (SELECT *, row_number() OVER (PARTITION BY src_id
+        |    ORDER BY cq DESC, tgt_id) AS r FROM sc),
+        |sa AS (SELECT src_id, sum(cq) AS sa, count(*) AS na
+        |  FROM ra WHERE r <= 4 GROUP BY src_id),
+        |rb AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+        |    ORDER BY cq DESC, src_id) AS r FROM sc),
+        |sb AS (SELECT tgt_id, sum(cq) AS sb, count(*) AS nb
+        |  FROM rb WHERE r <= 4 GROUP BY tgt_id),
+        |m AS (
+        |  SELECT sc.src_id, sc.tgt_id, sc.cq,
+        |    (sc.cq * 2 * na * nb * 1000000) // (sa * nb + sb * na) AS mq
+        |  FROM sc JOIN sa USING (src_id) JOIN sb USING (tgt_id)
+        |), f AS (
+        |  SELECT *, row_number() OVER (PARTITION BY src_id
+        |    ORDER BY mq DESC, tgt_id) AS rm FROM m
+        |)
+        |SELECT src_id, tgt_id, CAST(cq AS DOUBLE) / 1e6 AS cosine,
+        |  CAST(mq AS DOUBLE) / 1e6 AS margin
+        |FROM f WHERE rm = 1 AND mq >= 1150000
+        |ORDER BY src_id""".stripMargin,
 
     // the q_ann_cosine replay plus the label-mismatch predicate
     "q_hard_negatives" ->
