@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.Caches.Persisted
 import graft.Tables._
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Dedup, Graph, SimilaritySearch, Tokenizer, Winnow}
+import graft.operators.{CorpusStats, Dedup, Graph, KeywordTag, SimilaritySearch, Tokenizer, Winnow}
 
 /** The LLM-data-pipeline operator set (dedup, text analysis, similarity
   * search) over the `documents`/`embeddings` tables, oracle-checked where
@@ -28,6 +28,16 @@ object DocQueries {
   /** documents scan with the split-starvation guard: every query below
     * runs per-row CPU work (regex token stacks, shingle/minhash kernels,
     * PNG codecs) that a sub-cores partition count would serialize. */
+  /** q_keyword_tags lexicon: nested patterns on purpose (able⊂table,
+    * can⊂scan, win⊂window) — the oracle duplicates these literally in
+    * its VALUES clause (kept independent, not generated; a drift fails
+    * the gate loudly). */
+  private val keywordLexicon: Seq[(String, String)] = Seq(
+    "table" -> "schema", "able" -> "schema",
+    "scan" -> "exec", "can" -> "exec",
+    "window" -> "exec", "win" -> "exec",
+    "stream" -> "exec", "he" -> "pronoun")
+
   private def docsPar(s: SparkSession, d: String): DataFrame =
     graft.Tables.ensureParallelism(documents(s, d))
 
@@ -1121,6 +1131,19 @@ object DocQueries {
         .select(col("query_id"), col("id"), col("rank"),
           round(col("dot"), 6).as("dot"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- Aho–Corasick multi-pattern dictionary tagging: the whole
+    // lexicon (PII terms / topic lexicons / blocklists) matched in ONE
+    // corpus pass — vs |lexicon| regex scans at 100 TB. Substring
+    // matches with overlaps (dict-suffix links), which is exactly what
+    // a positional SQL replay can verify; lexicon deliberately contains
+    // nested patterns (able⊂table, can⊂scan, win⊂window) so the
+    // overlap-reporting grain is what the oracle checks ----
+    "q_keyword_tags" -> ((s, d) => {
+      KeywordTag.tagCounts(docsPar(s, d), "doc_id", "text",
+          keywordLexicon)
+        .orderBy("tag", "term")
     }),
 
     // ---- margin-based bitext mining (Artetxe & Schwenk 2019, the
@@ -3352,6 +3375,26 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_mips_alsh" -> mipsAlshOracle,
+
+    // positional overlapping-substring truth: count every i where
+    // substr(text, i, |term|) = term — exactly the Aho–Corasick
+    // dict-suffix output grain (nested lexicon terms double-count by
+    // design). Lexicon duplicated literally (see keywordLexicon)
+    "q_keyword_tags" ->
+      """WITH lex(term, tag) AS (VALUES
+        |  ('table', 'schema'), ('able', 'schema'),
+        |  ('scan', 'exec'), ('can', 'exec'),
+        |  ('window', 'exec'), ('win', 'exec'),
+        |  ('stream', 'exec'), ('he', 'pronoun')
+        |), hits AS (
+        |  SELECT d.doc_id, lex.term, lex.tag,
+        |    len(list_filter(range(1, length(lower(d.text)) - length(term) + 2),
+        |      i -> substr(lower(d.text), i, length(term)) = term)) AS n
+        |  FROM documents d CROSS JOIN lex
+        |)
+        |SELECT tag, term, CAST(sum(n) AS BIGINT) AS total,
+        |  count(*) FILTER (n > 0) AS docs
+        |FROM hits GROUP BY tag, term ORDER BY tag, term""".stripMargin,
 
     // full margin-mining replay: quantized cross cosines → per-side
     // top-k neighborhood sums → cross-multiplied integer margin →
