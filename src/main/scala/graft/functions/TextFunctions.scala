@@ -274,6 +274,50 @@ object TextFunctions {
     arrays_overlap(domains(text),
       array(blocklist.map(lit): _*))
 
+  /** Query-param names dropped by [[canonicalUrl]]: the common tracking
+    * decorations (plus any `utm_`-prefixed name) that make one page look
+    * like many distinct URLs to a URL-level deduper. */
+  val trackingParams: Seq[String] = Seq(
+    "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "igshid",
+    "ref", "ref_src")
+
+  /** Canonical form of one absolute URL — the C4/CommonCrawl URL-dedup
+    * key: lowercase scheme + host, leading `www.` stripped, default
+    * ports dropped (http:80, https:443), fragment stripped, empty path
+    * normalized to `/`, tracking params removed ([[trackingParams]] +
+    * the `utm_` prefix, name matched case-insensitively) and the
+    * surviving query params SORTED so param order can't fork the key.
+    * Path and param case are preserved (they are semantic). Returns
+    * null for strings without a `scheme://host` shape. All builtins
+    * (regexp_extract / HOF filter / array_sort), so the whole
+    * canonicalization replays in SQL — userinfo@ hosts and relative
+    * URLs are out of contract (null or pass-through host, documented).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[^:/?#]+://([^/?#]+)", 1))
+    val host = regexp_replace(regexp_extract(hostport, "^([^:]*)", 1),
+      "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p => {
+      val name = lower(substring_index(p, "=", 1))
+      p =!= "" && !startswith(name, lit("utm_")) &&
+        !name.isInCollection(trackingParams)
+    })
+    val sortedQ = array_join(array_sort(params), "&")
+    val qPart = when(sortedQ === "", lit(""))
+      .otherwise(concat(lit("?"), sortedQ))
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, qPart))
+  }
+
   /** 64-bit rolling-hash document fingerprint (polynomial rolling hash of
     * the whitespace-normalized text) — cheap exact-dup key that is robust
     * to runs of whitespace, computed without materializing a normalized

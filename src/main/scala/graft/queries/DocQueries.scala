@@ -495,6 +495,31 @@ object DocQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- URL canonicalization (the CommonCrawl URL-dedup key): messy
+    // variants injected deterministically — uppercase scheme/host, www.,
+    // default vs explicit ports, unsorted params, utm_/gclid tracking
+    // decorations, fragments — then canonicalized and grouped; the
+    // group sizes PROVE the variants collapse (docs that differ only in
+    // decoration share one canonical key) ----
+    "q_url_canonical" -> ((s, d) => {
+      val url = concat(
+        lit("HTTPS://WWW.site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com"),
+        when(col("doc_id") % 3 === 0, lit(":443"))
+          .when(col("doc_id") % 3 === 1, lit(":8080"))
+          .otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 0,
+          lit("?utm_source=feed&b=2&a=1&gclid=x"))
+          .otherwise(lit("?a=1&b=2")),
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+      docsPar(s, d).select(col("doc_id"), url.as("url"))
+        .select(TextFunctions.canonicalUrl(col("url")).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("canonical_url")
+    }),
+
     // ---- URL extraction + registered-domain blocklist (the C4/RefinedWeb
     // domain-filter step): URLs injected deterministically (corpus has
     // none), extracted with the shared RE2∩Java pattern, reduced to the
@@ -2733,6 +2758,57 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |  CASE WHEN len(urls) > 0 THEN doms[1] ELSE '' END AS first_domain,
         |  list_has_any(doms, ['ads.example']) AS blocked
         |FROM dom ORDER BY doc_id""".stripMargin,
+
+    // identical variant derivation + a full canonicalization replay:
+    // scheme/host lowering, www. strip, default-port drop, fragment
+    // strip, tracking-param filter, param sort
+    "q_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.com' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ':443'
+        |         WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
+        |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1&gclid=x'
+        |         ELSE '?a=1&b=2' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1))
+        |      AS hostport,
+        |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u
+        |), norm AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(regexp_extract(hostport, '^([^:]*)', 1),
+        |      '^www\.', '') AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        |    list_sort(list_filter(string_split(query, '&'),
+        |      p -> p != ''
+        |        AND NOT starts_with(lower(split_part(p, '=', 1)), 'utm_')
+        |        AND lower(split_part(p, '=', 1)) NOT IN ('gclid', 'fbclid',
+        |          'msclkid', 'mc_cid', 'mc_eid', 'igshid', 'ref',
+        |          'ref_src'))) AS params
+        |  FROM parts
+        |), canon AS (
+        |  SELECT scheme || '://' || host ||
+        |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443') THEN ''
+        |         ELSE ':' || port END ||
+        |    path ||
+        |    CASE WHEN len(params) = 0 THEN ''
+        |         ELSE '?' || array_to_string(params, '&') END
+        |      AS canonical_url
+        |  FROM norm
+        |)
+        |SELECT canonical_url, count(*) AS n
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
     // all-pairs cosine truth → symmetric edges → recursive reach → min
     // label per component (the q_dedup_clusters pattern on embeddings)
