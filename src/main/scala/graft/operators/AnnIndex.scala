@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: build ONCE, probe many times — the serving
+  * shape a 100 TB vector corpus actually needs. [[SimilaritySearch.ivfTopK]]
+  * re-trains its quantizer and re-assigns the whole corpus per call,
+  * which is right for one-shot analytics and wrong for a query service;
+  * this operator materializes the index as two plain parquet tables
+  *
+  *   <path>/centroids    (cell, centroid)            — tiny, nlist rows
+  *   <path>/assignments  (id, v) PARTITIONED BY cell — the corpus
+  *
+  * so a probe reads ONLY its nprobe cells via Hive-style partition
+  * pruning (`PartitionFilters: [cell IN (...)]` — the scan never
+  * touches the other nlist − nprobe directories, which is the entire
+  * point at 100 TB: disk layout IS the index). Plain parquet keeps the
+  * index queryable by any engine — there is no binary sidecar format to
+  * version.
+  *
+  * New batches append via [[append]] WITHOUT retraining: vectors are
+  * assigned to the existing centroids and written into their cell
+  * directories (dynamic partition overwrite is deliberately NOT used —
+  * appends are additive). Centroid drift under sustained appends is a
+  * re-[[build]] decision, same as any IVF system.
+  */
+object AnnIndex {
+
+  /** Train the coarse quantizer (deterministic bounded sample — the
+    * [[SimilaritySearch.ivfTopK]] discipline, same seed ⇒ same cells)
+    * and persist centroids + cell-partitioned assignments. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 16, seed: Long = 42,
+      maxTrain: Int = 50000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // the ONE shared training body ([[SimilaritySearch.trainOnSample]]):
+    // same inputs ⇒ the index and a live ivfTopK train identical cells
+    val centroids = SimilaritySearch.trainOnSample(c, nlist, seed, maxTrain)
+    centroids.zipWithIndex
+      .map { case (ctr, i) => (i, ctr.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    writeAssigned(c, centroids, path, overwrite = true)
+  }
+
+  /** Assign a new batch to the EXISTING centroids and append it into
+    * their cell directories — no retrain, no rewrite of other cells. */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val centroids = readCentroids(batch.sparkSession, path)
+    val b = batch.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    writeAssigned(b, centroids, path, overwrite = false)
+  }
+
+  private def writeAssigned(c: DataFrame, centroids: Array[Array[Double]],
+      path: String, overwrite: Boolean): Unit = {
+    val cellUdf = udf { (v: Seq[Double]) =>
+      nearestCells(centroids, v, 1).head
+    }
+    c.withColumn("cell", cellUdf(col("v")))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("cell")
+      .parquet(s"$path/assignments")
+  }
+
+  private def readCentroids(spark: SparkSession,
+      path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  private def nearestCells(centroids: Array[Array[Double]],
+      v: Seq[Double], n: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (ctr, i) => (i, SimilaritySearch.sqDist(ctr, v.toArray)) }
+      .sortBy(_._2).take(n).map(_._1).toSeq
+
+  /** Probe the persisted index: per query, rank ONLY the rows of its
+    * `nprobe` nearest cells — the cell predicate is a partition filter,
+    * so unprobed cell directories are never read. Returns
+    * (query_id, id, cosine, rank), identical to the live
+    * [[SimilaritySearch.ivfTopK]] under the same quantizer. */
+  def probe(spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, vecCol: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val centroids = readCentroids(spark, path)
+    val q = queries.select(col(qidCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val probeUdf = udf { (qv: Seq[Double]) =>
+      nearestCells(centroids, qv, nprobe)
+    }
+    val probed = q.withColumn("cell", explode(probeUdf(col("qv"))))
+    // static cell list for the partition filter: the probed set is
+    // bounded by |queries|·nprobe ≤ nlist distinct cells — a driver
+    // collect over the (small) query side, never over the corpus
+    val cells = probed.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$path/assignments")
+      .where(col("cell").isin(cells: _*))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine", SimilaritySearch.cosine(col("v"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
+}

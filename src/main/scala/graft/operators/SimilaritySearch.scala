@@ -324,6 +324,24 @@ object SimilaritySearch {
     d
   }
 
+  /** Bounded deterministic training sample (hash-filter then id-ordered
+    * take — stable across partitioning/parallelism) → coarse quantizer.
+    * The ONE training body shared by [[ivfTopK]] and the persisted
+    * [[AnnIndex]], so a live query and a built index can never train
+    * different quantizers from the same inputs. Expects columns
+    * (id, v: array<double>). */
+  private[operators] def trainOnSample(c: DataFrame, nlist: Int,
+      seed: Long, maxTrain: Int): Array[Array[Double]] = {
+    val corpusN = c.count()
+    val every = math.max(1L, corpusN / maxTrain)
+    val sample = c
+      .where(pmod(xxhash64(col("id")), lit(every)) === 0)
+      .orderBy("id")
+      .limit(maxTrain)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    trainCentroids(sample, nlist, iters = 20, seed = seed)
+  }
+
   private[operators] def trainCentroids(points: Array[Array[Double]],
       nlist: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     require(points.nonEmpty, "k-means needs a non-empty training sample")
@@ -382,18 +400,8 @@ object SimilaritySearch {
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
 
-    // bounded deterministic training sample: hash-filter then id-ordered
-    // take — stable across partitioning/parallelism
-    val centroids = trainedCentroids.getOrElse {
-      val corpusN = c.count()
-      val every = math.max(1L, corpusN / maxTrain)
-      val sample = c
-        .where(pmod(xxhash64(col("id")), lit(every)) === 0)
-        .orderBy("id")
-        .limit(maxTrain)
-        .select("v").collect().map(_.getSeq[Double](0).toArray)
-      trainCentroids(sample, nlist, iters = 20, seed = seed)
-    }.zipWithIndex
+    val centroids = trainedCentroids.getOrElse(
+      trainOnSample(c, nlist, seed, maxTrain)).zipWithIndex
 
     // cell assignment == probing with nprobe=1: one ranked-cells kernel
     def nearestCells(v: Seq[Double], n: Int): Seq[Int] =

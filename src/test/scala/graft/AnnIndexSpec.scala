@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{AnnIndex, SimilaritySearch}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted IVF index: probing the built index must equal the live
+  * ivfTopK under the same quantizer, the probe scan must read ONLY the
+  * probed cell partitions (partition pruning — the point of the disk
+  * layout), and appended batches must join their cells without a
+  * retrain. */
+class AnnIndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val emb = graft.Tables.embeddings(spark, sf)
+  private lazy val queries = emb.where(col("vec_id") < 5)
+
+  private def tmp(): String = {
+    val d = java.nio.file.Files.createTempDirectory("annindex").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("index probe equals live ivfTopK under the shared quantizer, " +
+      "and the scan prunes to the probed cells") {
+    val path = tmp()
+    AnnIndex.build(emb, "vec_id", "embedding", path, nlist = 8)
+    val probed = AnnIndex.probe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4)
+    // same quantizer by construction (trainOnSample is the one shared
+    // training body), so results must match row for row
+    val live = SimilaritySearch.ivfTopK(emb, queries,
+      "vec_id", "embedding", "vec_id", k = 10, nlist = 8, nprobe = 4)
+    assert(probed.collect().map(_.toString).sorted.toSeq ==
+      live.collect().map(_.toString).sorted.toSeq)
+    // partition pruning: the assignments scan carries a cell partition
+    // filter — unprobed cell directories are never read
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"no cell partition filter in:\n$plan")
+  }
+
+  test("append assigns a new batch to existing cells without retrain") {
+    import spark.implicits._
+    val path = tmp()
+    AnnIndex.build(emb, "vec_id", "embedding", path, nlist = 8)
+    // plant a near-copy of vector 3 under a fresh id
+    val v3 = emb.where(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    AnnIndex.append(
+      Seq((90001L, v3.map(_ + 1e-4))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    val got = AnnIndex.probe(spark, path,
+        emb.where(col("vec_id") === 3), "vec_id", "embedding",
+        k = 1, nprobe = 1)
+      .collect()
+    // the appended near-copy lands in vector 3's own cell and wins top-1
+    assert(got.length == 1 && got.head.getAs[Long]("id") == 90001L,
+      got.mkString(","))
+  }
+}
