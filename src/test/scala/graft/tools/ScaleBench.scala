@@ -38,6 +38,7 @@ object ScaleBench {
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"
+    synthesizeEmbeddings(spark, copies, dir)
     val marker = new java.io.File(s"$dir/documents.parquet/_SUCCESS")
     if (marker.exists()) return dir
     val base = spark.read.parquet(s"$BaseDir/documents.parquet")
@@ -55,6 +56,48 @@ object ScaleBench {
       .parquet(s"$dir/documents.parquet")
     dir
   }
+
+  /** Embeddings twin of the documents synthesis (r11, for the
+    * MIPS/bitext family): copies offset vec_id by k·10⁶ and perturb
+    * every component with a deterministic hash-derived ±5·10⁻⁴ jitter,
+    * so copies are distinct vectors with the same distribution (no
+    * artificial duplicate cliques) while labels keep their shape. */
+  private def synthesizeEmbeddings(spark: SparkSession, copies: Int,
+      dir: String): Unit = {
+    val marker = new java.io.File(s"$dir/embeddings.parquet/_SUCCESS")
+    if (marker.exists()) return
+    val base = spark.read.parquet(s"$BaseDir/embeddings.parquet")
+    val scaled = base
+      .crossJoin(spark.range(copies).select(col("id").cast("int").as("_k")))
+      .select(
+        (col("vec_id") + col("_k").cast("long") * 1000000L).as("vec_id"),
+        when(col("_k") === 0, col("embedding").cast("array<double>"))
+          .otherwise(zip_with(col("embedding").cast("array<double>"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, j) => x +
+              (pmod(xxhash64(col("vec_id"), col("_k"), j), lit(1000))
+                .cast("double") / 1e6 - 0.0005)))
+          .cast("array<float>").as("embedding"),
+        col("label"))
+    scaled.repartition(32).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** Scale-path twins timed beside the SparkEntry queries: the driver's
+    * q_bitext_mine is the EXACT baseline (A × broadcast B — quadratic by
+    * definition, like any brute-force truth query), so the thing to
+    * scale-test is the banded candidate join, mirroring how q_ann_lsh
+    * (not q_ann_cosine) is the ANN scale evidence. */
+  private val ExtraQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "bitext_banded" -> ((s, d) => {
+        val emb = graft.Tables.embeddings(s, d)
+        graft.operators.Bitext.mine(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.15,
+          bits = Some(6), bands = 4)
+      }))
 
   private def time(q: (SparkSession, String) => DataFrame,
       spark: SparkSession, dir: String, reps: Int): Double = {
@@ -80,7 +123,7 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val scaledDir = synthesize(spark, copies)
-    val qs = graft.SparkEntry.queries
+    val qs = graft.SparkEntry.queries ++ ExtraQueries
     println(s"| query | sf0.1 (s) | ${copies}x (s) | ratio | verdict |")
     println("|---|---|---|---|---|")
     SlowQueries.filter(qs.contains).foreach { name =>
