@@ -290,8 +290,10 @@ object TextFunctions {
     * Path and param case are preserved (they are semantic). Returns
     * null for strings without a `scheme://host` shape. All builtins
     * (regexp_extract / HOF filter / array_sort), so the whole
-    * canonicalization replays in SQL — userinfo@ hosts and relative
-    * URLs are out of contract (null or pass-through host, documented).
+    * canonicalization replays in SQL. Out of contract (→ null, never a
+    * mangled key): IPv6 bracket literals (`[::1]` — the `^([^:]*)` host
+    * split would truncate them) and userinfo@ hosts (the `@` would ride
+    * the host key); relative URLs null out via the missing scheme.
     */
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -314,7 +316,9 @@ object TextFunctions {
     val sortedQ = array_join(array_sort(params), "&")
     val qPart = when(sortedQ === "", lit(""))
       .otherwise(concat(lit("?"), sortedQ))
-    when(scheme === "" || host === "", lit(null).cast("string"))
+    when(scheme === "" || host === "" ||
+        hostport.contains("[") || hostport.contains("@"),
+        lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, portPart, path, qPart))
   }
 

@@ -77,8 +77,11 @@ object Bitext {
     val candidates = bits match {
       case Some(nb) =>
         // one wide signature sliced into `bands` b-bit tables; the band
-        // index rides the join key so bands stay independent
-        val mask = (1L << nb) - 1L
+        // index rides the join key so bands stay independent. nb = 64
+        // needs the explicit all-ones mask: (1L << 64) wraps to 1L
+        // (shift counts are mod 64), which would silently collapse
+        // every bucket to 0 — an all-pairs join on one shuffle key
+        val mask = if (nb == 64) -1L else (1L << nb) - 1L
         def banded(df: DataFrame, vc: String) = df
           .withColumn("sig",
             SimilaritySearch.lshSignaturePortable(col(vc), nb * bands))

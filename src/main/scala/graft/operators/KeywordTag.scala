@@ -26,46 +26,51 @@ import org.apache.spark.sql.functions._
 object KeywordTag {
 
   /** Serializable Aho–Corasick automaton over lowercase patterns.
-    * Array-backed: `next` per-node char→child maps, `fail` links, `out`
-    * pattern-index lists with dict-suffix outputs pre-merged, so the
-    * scan loop never walks fail chains for output. */
+    * Memory is LINEAR in total pattern characters: each node stores only
+    * the patterns ending exactly there (`ownOut`) plus a dict-suffix
+    * link (`dictLink` = nearest proper-suffix node that ends a pattern),
+    * walked at scan time — pre-merging suffix outputs per node would be
+    * quadratic for chained-suffix lexicons ('a','aa','aaa',…). Scan
+    * stays O(text + matches): the dict chain is entered only when it is
+    * non-empty, and every hop reports ≥ 1 match. Construction
+    * scaffolding lives in local buffers, so the serialized instance
+    * (the task-closure payload) carries exactly the final arrays. */
   final class AhoCorasick(val patterns: Array[String]) extends Serializable {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
       "empty pattern set or empty pattern")
-    private val next =
-      scala.collection.mutable.ArrayBuffer(
+    private val (next, fail, ownOut, dictLink):
+        (Array[scala.collection.immutable.Map[Char, Int]], Array[Int],
+          Array[Array[Int]], Array[Int]) = {
+      val nxt = scala.collection.mutable.ArrayBuffer(
         scala.collection.mutable.Map.empty[Char, Int])
-    private val outBuf =
-      scala.collection.mutable.ArrayBuffer(List.empty[Int])
-    // trie
-    patterns.zipWithIndex.foreach { case (p, idx) =>
-      var u = 0
-      p.foreach { c =>
-        u = next(u).getOrElseUpdate(c, {
-          next += scala.collection.mutable.Map.empty[Char, Int]
-          outBuf += Nil
-          next.size - 1
-        })
+      val own = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+      patterns.zipWithIndex.foreach { case (p, idx) =>
+        var u = 0
+        p.foreach { c =>
+          u = nxt(u).getOrElseUpdate(c, {
+            nxt += scala.collection.mutable.Map.empty[Char, Int]
+            own += Nil
+            nxt.size - 1
+          })
+        }
+        own(u) = idx :: own(u)
       }
-      outBuf(u) = idx :: outBuf(u)
-    }
-    private val fail = new Array[Int](next.size)
-    // BFS fail links; out(v) merges out(fail(v)) (dict-suffix links)
-    locally {
+      val fl = new Array[Int](nxt.size)
+      val dl = new Array[Int](nxt.size) // 0 = end of chain (root ends none)
       val queue = scala.collection.mutable.Queue.empty[Int]
-      next(0).values.foreach { v => fail(v) = 0; queue += v }
+      nxt(0).values.foreach { v => fl(v) = 0; dl(v) = 0; queue += v }
       while (queue.nonEmpty) {
         val u = queue.dequeue()
-        next(u).foreach { case (c, v) =>
-          var f = fail(u)
-          while (f != 0 && !next(f).contains(c)) f = fail(f)
-          fail(v) = next(f).get(c).filter(_ != v).getOrElse(0)
-          outBuf(v) = outBuf(v) ::: outBuf(fail(v))
+        nxt(u).foreach { case (c, v) =>
+          var f = fl(u)
+          while (f != 0 && !nxt(f).contains(c)) f = fl(f)
+          fl(v) = nxt(f).get(c).filter(_ != v).getOrElse(0)
+          dl(v) = if (own(fl(v)).nonEmpty) fl(v) else dl(fl(v))
           queue += v
         }
       }
+      (nxt.map(_.toMap).toArray, fl, own.map(_.toArray).toArray, dl)
     }
-    private val out: Array[Array[Int]] = outBuf.map(_.toArray).toArray
 
     /** Occurrence count per pattern (overlaps included), one text pass. */
     def countsIn(text: String): Array[Int] = {
@@ -77,9 +82,13 @@ object KeywordTag {
         val c = text.charAt(i)
         while (state != 0 && !next(state).contains(c)) state = fail(state)
         state = next(state).getOrElse(c, 0)
-        val o = out(state)
-        var j = 0
-        while (j < o.length) { counts(o(j)) += 1; j += 1 }
+        var u = if (ownOut(state).nonEmpty) state else dictLink(state)
+        while (u != 0) {
+          val o = ownOut(u)
+          var j = 0
+          while (j < o.length) { counts(o(j)) += 1; j += 1 }
+          u = dictLink(u)
+        }
         i += 1
       }
       counts
@@ -89,9 +98,11 @@ object KeywordTag {
   /** Per-(tag, term) corpus totals: occurrence count + documents
     * touched. `lexicon` maps term → tag (terms matched lowercase as raw
     * substrings — overlaps and in-word hits count, the AC grain).
-    * Returns (tag, term, total, docs) with only lexicon terms present
-    * (zero-hit terms emit a 0-total row, so the output is always
-    * |lexicon|-sized — bounded regardless of corpus size). */
+    * Returns (tag, term, total, docs): one row per lexicon term on any
+    * non-empty input (zero-hit terms emit a 0-total row because every
+    * document explodes to all |lexicon| counters), so the output is
+    * |lexicon|-bounded regardless of corpus size; an EMPTY input yields
+    * an empty frame, not zero rows per term. */
   def tagCounts(docs: DataFrame, idCol: String, textCol: String,
       lexicon: Seq[(String, String)]): DataFrame = {
     val terms = lexicon.map(_._1.toLowerCase).toArray

@@ -25,9 +25,6 @@ object DocQueries {
   def docsWithDupsPublic(s: SparkSession, d: String): DataFrame =
     docsWithDups(s, d)
 
-  /** documents scan with the split-starvation guard: every query below
-    * runs per-row CPU work (regex token stacks, shingle/minhash kernels,
-    * PNG codecs) that a sub-cores partition count would serialize. */
   /** q_keyword_tags lexicon: nested patterns on purpose (able⊂table,
     * can⊂scan, win⊂window) — the oracle duplicates these literally in
     * its VALUES clause (kept independent, not generated; a drift fails
@@ -38,6 +35,9 @@ object DocQueries {
     "window" -> "exec", "win" -> "exec",
     "stream" -> "exec", "he" -> "pronoun")
 
+  /** documents scan with the split-starvation guard: every query below
+    * runs per-row CPU work (regex token stacks, shingle/minhash kernels,
+    * PNG codecs) that a sub-cores partition count would serialize. */
   private def docsPar(s: SparkSession, d: String): DataFrame =
     graft.Tables.ensureParallelism(documents(s, d))
 

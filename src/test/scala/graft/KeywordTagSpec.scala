@@ -23,6 +23,14 @@ class KeywordTagSpec extends AnyFunSuite {
     assert(ac.countsIn("his hershey").toSeq == Seq(2, 1, 1, 1))
   }
 
+  test("chained-suffix lexicon walks the dict links, linear memory") {
+    // 'a'⊂'aa'⊂'aaa': every position must report every suffix pattern —
+    // the case where per-node pre-merged outputs would go quadratic
+    val ac = new KeywordTag.AhoCorasick(Array("a", "aa", "aaa"))
+    assert(ac.countsIn("aaaa").toSeq == Seq(4, 3, 2))
+    assert(ac.countsIn("ababa").toSeq == Seq(3, 0, 0))
+  }
+
   test("self-overlapping pattern counts every occurrence") {
     val ac = new KeywordTag.AhoCorasick(Array("aa"))
     assert(ac.countsIn("aaaa").toSeq == Seq(3))

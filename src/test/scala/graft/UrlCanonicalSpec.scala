@@ -55,4 +55,11 @@ class UrlCanonicalSpec extends AnyFunSuite {
     assert(canon("not a url", "www.example.com/x", "//example.com/x")
       == Seq(None, None, None))
   }
+
+  test("out-of-contract hosts null out rather than mangle the key") {
+    // IPv6 literals and userinfo@ would otherwise truncate/pollute the
+    // host split — a wrong non-null key silently merges distinct pages
+    assert(canon("http://[::1]:8080/x", "https://user:pw@example.com/x")
+      == Seq(None, None))
+  }
 }

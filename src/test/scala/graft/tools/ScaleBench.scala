@@ -31,10 +31,13 @@ object ScaleBench {
       "q_minhash_pairs", "q_kn5_logprob", "q_ccnet_bands",
       "q_bpe_pairs", "q_bpe_encode", "q_bpe_roundtrip",
       "q_containment", "q_exact_substr", "q_train_examples",
-      // r11 addition on the documents table (q_rrf_fusion needs the
-      // embeddings table the scaled dir doesn't carry — events/emb
-      // queries go through EventsScaleBench instead)
-      "q_hll_groups"))
+      "q_hll_groups",
+      // late-r11 additions; the scaled dir now carries a synthesized
+      // embeddings table too ([[synthesizeEmbeddings]]), so the
+      // MIPS/bitext family sweeps by default (events-keyed queries
+      // still go through EventsScaleBench)
+      "q_keyword_tags", "q_url_canonical", "q_mips", "q_mips_alsh",
+      "bitext_banded"))
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"
