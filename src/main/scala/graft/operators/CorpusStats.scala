@@ -689,4 +689,67 @@ object CorpusStats {
         min("_n").cast("long").as("min_tokens"),
         max("_n").cast("long").as("max_tokens"))
   }
+
+  /** word2vec negative-sampling draws (Mikolov et al. 2013 §2.2):
+    * `negatives` words per document from the unigram^(3/4) distribution
+    * over the top-`vocabSize` vocabulary (the standard practical
+    * truncation — tail words effectively never win the draw anyway).
+    *
+    * Shape at 100 TB: ONE corpus word agg → distributed top-V
+    * (TakeOrderedAndProject) → the cumulative-weight table built on the
+    * DRIVER from the V collected rows (bounded by `vocabSize`, the
+    * IvfTopK-sample discipline) and carried into a narrow per-draw
+    * binary-search kernel — draws never shuffle, there is no vocab join
+    * and no global window.
+    *
+    * Engine-exact: the weight is floor(sqrt(cnt·sqrt(cnt))·10⁶) — two
+    * IEEE-754 CORRECTLY-ROUNDED sqrts and one multiply, identical
+    * doubles on any engine, where pow(cnt, 0.75) is not correctly
+    * rounded and could flip a floor boundary; draws are the portable
+    * md5Long56 of "neg|<doc>:<j>" mod the total weight, so the SQL
+    * oracle replays every pick with a range join on [lo, hi).
+    * Long bound: Σ weights ≤ V·10⁶·maxCnt^0.75 — safe to ~10¹¹
+    * occurrences of the top word at V = 10⁴ (documented, not checked
+    * per row).
+    *
+    * @return (doc_id, j, neg_word), `negatives` rows per document */
+  def negativeSamples(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 10000, negatives: Int = 3): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= 1000000,
+      s"vocabSize=$vocabSize outside [1, 1e6]")
+    val top = Tokenizer.wordFreq(docs, textCol)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(vocabSize)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(top.nonEmpty, "empty corpus vocabulary")
+    val words = top.map(_._1)
+    // lo(i) exclusive-prefix sums of the quantized ^0.75 weights
+    val lo = new Array[Long](words.length + 1)
+    var i = 0
+    while (i < words.length) {
+      val cnt = top(i)._2.toDouble
+      lo(i + 1) = lo(i) + math.floor(math.sqrt(cnt * math.sqrt(cnt)) * 1e6)
+        .toLong
+      i += 1
+    }
+    val total = lo(words.length)
+    val pickUdf = udf { (u: Long) =>
+      // greatest i with lo(i) <= u  (u < total by construction)
+      var a = 0; var b = words.length
+      while (b - a > 1) {
+        val m = (a + b) >>> 1
+        if (lo(m) <= u) a = m else b = m
+      }
+      words(a)
+    }
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(0L), lit(negatives - 1L))).as("j"))
+      .withColumn("u",
+        pmod(graft.functions.Hashing.md5Long56(
+          concat(lit("neg|"), col("doc_id").cast("string"),
+            lit(":"), col("j").cast("string"))), lit(total)))
+      .select(col("doc_id"), col("j"), pickUdf(col("u")).as("neg_word"))
+  }
 }

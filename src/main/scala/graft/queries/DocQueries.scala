@@ -1158,6 +1158,18 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- word2vec negative sampling (Mikolov 2013 §2.2): 3 draws per
+    // doc from the unigram^(3/4) distribution over the top-50 vocab.
+    // Weights via two correctly-rounded sqrts (never pow — not
+    // correctly rounded, a floor boundary could flip cross-engine);
+    // portable md5 draws; the oracle replays every pick with a range
+    // join on the cumulative-weight table ----
+    "q_neg_samples" -> ((s, d) => {
+      CorpusStats.negativeSamples(docsPar(s, d), "doc_id", "text",
+          vocabSize = 50, negatives = 3)
+        .orderBy("doc_id", "j")
+    }),
+
     // ---- Aho–Corasick multi-pattern dictionary tagging: the whole
     // lexicon (PII terms / topic lexicons / blocklists) matched in ONE
     // corpus pass — vs |lexicon| regex scans at 100 TB. Substring
@@ -3451,6 +3463,41 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_mips_alsh" -> mipsAlshOracle,
+
+    // full negative-sampling replay: word counts → top-50 → quantized
+    // ^0.75 weights → cumulative [lo, hi) table → md5 draws → range-join
+    // pick (the binary search's SQL twin)
+    "q_neg_samples" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents
+        |), f AS (
+        |  SELECT word, count(*) AS freq FROM w
+        |  WHERE length(word) > 0 GROUP BY word
+        |), v AS (
+        |  SELECT word, freq,
+        |    row_number() OVER (ORDER BY freq DESC, word) AS rk
+        |  FROM f QUALIFY rk <= 50
+        |), wq AS (
+        |  SELECT word, rk,
+        |    CAST(floor(sqrt(freq * sqrt(freq)) * 1000000) AS BIGINT) AS wq
+        |  FROM v
+        |), cum AS (
+        |  SELECT word, sum(wq) OVER (ORDER BY rk) - wq AS lo,
+        |    sum(wq) OVER (ORDER BY rk) AS hi
+        |  FROM wq
+        |), tot AS (SELECT max(hi) AS t FROM cum),
+        |draws AS (
+        |  SELECT doc_id, j,
+        |    CAST(md5_number_upper('neg|' || CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(j AS VARCHAR)) % 72057594037927936 AS BIGINT) % t AS u
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(range(3)) AS j)
+        |  CROSS JOIN tot
+        |)
+        |SELECT d.doc_id, d.j, c.word AS neg_word
+        |FROM draws d JOIN cum c ON d.u >= c.lo AND d.u < c.hi
+        |ORDER BY d.doc_id, d.j""".stripMargin,
 
     // positional overlapping-substring truth: count every i where
     // substr(text, i, |term|) = term — exactly the Aho–Corasick
