@@ -191,7 +191,8 @@ object Bench {
       "q_ewma", "q_funnel", "q_retention", "q_markov", "q_ks_drift", "q_zorder_pruning", "q_psi_drift", "q_changelog_apply",
       "q_skew_join", "q_hll_groups", "q_rrf_fusion", "q_hilbert_layout",
       "q_hilbert_pruning", "q_hist_quantiles", "q_hh_groups",
-      "q_mips", "q_mips_alsh", "q_bitext_mine", "q_keyword_tags",
+      "q_mips", "q_mips_alsh", "q_bitext_mine", "q_bitext_banded",
+      "q_keyword_tags",
       "q_url_canonical", "q_neg_samples",
       "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
       "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",

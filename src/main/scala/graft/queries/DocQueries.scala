@@ -1198,6 +1198,21 @@ object DocQueries {
         .orderBy("src_id")
     }),
 
+    // ---- the bitext SCALE path as its own gated query: banded
+    // portable-LSH candidates (4 × 6-bit slices of one 24-bit
+    // signature, any-band match) + the identical margin tail; the
+    // oracle recomputes the signature slices in SQL so the approximate
+    // candidate set itself is checked (the q_ann_lsh discipline) ----
+    "q_bitext_banded" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      graft.operators.Bitext.mine(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.15,
+          bits = Some(6), bands = 4)
+        .orderBy("src_id")
+    }),
+
     // ---- hard-negative mining (DPR/Contriever data prep): per anchor,
     // the top-k most-similar vectors with a DIFFERENT label — the
     // q_ann_cosine plan plus the label-mismatch predicate; the oracle
@@ -2073,6 +2088,94 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
 SELECT query_id, id, rank, round(dot, 6) AS dot
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
   }
+
+  /** `bits`-bit integer-Rademacher signature terms over per-row `q`
+    * (quantized vector) and `h` (per-dimension md5) list columns — the
+    * annLshOracle expression, parameterized on width for the banded
+    * bitext replay. */
+  private def sigTermsSql(bits: Int): String = (0 until bits).map { p =>
+    s"""CASE WHEN list_sum(list_transform(range(1, len(q) + 1),
+       |      i -> CASE WHEN (h[i] >> $p) & 1 = 1 THEN q[i] ELSE -q[i] END)) >= 0
+       |    THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END"""
+      .stripMargin
+  }.mkString(" +\n    ")
+
+  /** Candidate CTE body for the banded bitext oracle: one 24-bit
+    * portable signature per side, sliced into 4 × 6-bit band buckets,
+    * pairs = any-band bucket match, deduped on the pair key — the exact
+    * SQL twin of Bitext.mine's `bits = Some(6), bands = 4` path. */
+  private val bitextBandedCandidates: String = {
+    val sig = sigTermsSql(24)
+    s"""SELECT c.src_id, a2.va, c.tgt_id, b2.vb
+  FROM (
+    SELECT DISTINCT ab.src_id, bb.tgt_id
+    FROM (
+      SELECT src_id, j AS band, (sig >> (j * 6)) & 63 AS bucket
+      FROM (
+        SELECT src_id, $sig AS sig
+        FROM (
+          SELECT src_id,
+            list_transform(range(1, len(va) + 1),
+              i -> CAST(floor(va[i] * 1e6) AS BIGINT)) AS q,
+            list_transform(range(1, len(va) + 1),
+              i -> md5_number_upper(CAST(i - 1 AS VARCHAR))) AS h
+          FROM a)
+      ) CROSS JOIN (SELECT unnest(range(4)) AS j)
+    ) ab
+    JOIN (
+      SELECT tgt_id, j AS band, (sig >> (j * 6)) & 63 AS bucket
+      FROM (
+        SELECT tgt_id, $sig AS sig
+        FROM (
+          SELECT tgt_id,
+            list_transform(range(1, len(vb) + 1),
+              i -> CAST(floor(vb[i] * 1e6) AS BIGINT)) AS q,
+            list_transform(range(1, len(vb) + 1),
+              i -> md5_number_upper(CAST(i - 1 AS VARCHAR))) AS h
+          FROM b)
+      ) CROSS JOIN (SELECT unnest(range(4)) AS j)
+    ) bb ON ab.band = bb.band AND ab.bucket = bb.bucket
+  ) c
+  JOIN a a2 USING (src_id)
+  JOIN b b2 USING (tgt_id)"""
+  }
+
+  /** Shared margin tail of the two bitext oracles (the candidate source
+    * CTE is their ONLY difference): quantized cosines on the candidate
+    * set → per-side top-4 sums → cross-multiplied integer margin →
+    * per-source argmax ≥ 1.15. */
+  private def bitextMarginOracle(candidatesSql: String): String =
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), a AS (SELECT vec_id AS src_id, v AS va FROM e WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id AS tgt_id, v AS vb FROM e WHERE vec_id % 2 = 1),
+cand AS (
+  $candidatesSql
+), sc0 AS (
+  SELECT src_id, tgt_id,
+    CAST(floor(list_cosine_similarity(va, vb) * 1e6) AS BIGINT) AS cq
+  FROM cand
+), sc AS (SELECT * FROM sc0 WHERE cq > 0),
+ra AS (SELECT *, row_number() OVER (PARTITION BY src_id
+    ORDER BY cq DESC, tgt_id) AS r FROM sc),
+sa AS (SELECT src_id, sum(cq) AS sa, count(*) AS na
+  FROM ra WHERE r <= 4 GROUP BY src_id),
+rb AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+    ORDER BY cq DESC, src_id) AS r FROM sc),
+sb AS (SELECT tgt_id, sum(cq) AS sb, count(*) AS nb
+  FROM rb WHERE r <= 4 GROUP BY tgt_id),
+m AS (
+  SELECT sc.src_id, sc.tgt_id, sc.cq,
+    (sc.cq * 2 * na * nb * 1000000) // (sa * nb + sb * na) AS mq
+  FROM sc JOIN sa USING (src_id) JOIN sb USING (tgt_id)
+), f AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+    ORDER BY mq DESC, tgt_id) AS rm FROM m
+)
+SELECT src_id, tgt_id, CAST(cq AS DOUBLE) / 1e6 AS cosine,
+  CAST(mq AS DOUBLE) / 1e6 AS margin
+FROM f WHERE rm = 1 AND mq >= 1150000
+ORDER BY src_id"""
 
   /** BM25 twin: identical expression tree (same association order, same
     * constant arithmetic) so every double matches bit for bit; per-term
@@ -3523,36 +3626,15 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
     // top-k neighborhood sums → cross-multiplied integer margin →
     // per-source argmax + threshold. cq > 0 keeps every sum positive so
     // `//` (truncation) == floor == Spark's `div`
-    "q_bitext_mine" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), a AS (SELECT vec_id AS src_id, v AS va FROM e WHERE vec_id % 2 = 0),
-        |b AS (SELECT vec_id AS tgt_id, v AS vb FROM e WHERE vec_id % 2 = 1),
-        |sc0 AS (
-        |  SELECT src_id, tgt_id,
-        |    CAST(floor(list_cosine_similarity(va, vb) * 1e6) AS BIGINT) AS cq
-        |  FROM a CROSS JOIN b
-        |), sc AS (SELECT * FROM sc0 WHERE cq > 0),
-        |ra AS (SELECT *, row_number() OVER (PARTITION BY src_id
-        |    ORDER BY cq DESC, tgt_id) AS r FROM sc),
-        |sa AS (SELECT src_id, sum(cq) AS sa, count(*) AS na
-        |  FROM ra WHERE r <= 4 GROUP BY src_id),
-        |rb AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
-        |    ORDER BY cq DESC, src_id) AS r FROM sc),
-        |sb AS (SELECT tgt_id, sum(cq) AS sb, count(*) AS nb
-        |  FROM rb WHERE r <= 4 GROUP BY tgt_id),
-        |m AS (
-        |  SELECT sc.src_id, sc.tgt_id, sc.cq,
-        |    (sc.cq * 2 * na * nb * 1000000) // (sa * nb + sb * na) AS mq
-        |  FROM sc JOIN sa USING (src_id) JOIN sb USING (tgt_id)
-        |), f AS (
-        |  SELECT *, row_number() OVER (PARTITION BY src_id
-        |    ORDER BY mq DESC, tgt_id) AS rm FROM m
-        |)
-        |SELECT src_id, tgt_id, CAST(cq AS DOUBLE) / 1e6 AS cosine,
-        |  CAST(mq AS DOUBLE) / 1e6 AS margin
-        |FROM f WHERE rm = 1 AND mq >= 1150000
-        |ORDER BY src_id""".stripMargin,
+    "q_bitext_mine" -> bitextMarginOracle(
+      "SELECT src_id, va, tgt_id, vb FROM a CROSS JOIN b"),
+
+    // the SCALE path oracle-checked too (the q_ann_lsh discipline): the
+    // 24-bit integer-Rademacher signature, its 4 × 6-bit band slices,
+    // and the any-band candidate join all replay in SQL before the
+    // identical margin tail — so even the approximate candidate set is
+    // exact, not rows-only
+    "q_bitext_banded" -> bitextMarginOracle(bitextBandedCandidates),
 
     // the q_ann_cosine replay plus the label-mismatch predicate
     "q_hard_negatives" ->

@@ -37,7 +37,7 @@ object ScaleBench {
       // MIPS/bitext family sweeps by default (events-keyed queries
       // still go through EventsScaleBench)
       "q_keyword_tags", "q_url_canonical", "q_mips", "q_mips_alsh",
-      "bitext_banded"))
+      "q_bitext_banded"))
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"
@@ -86,21 +86,10 @@ object ScaleBench {
       .parquet(s"$dir/embeddings.parquet")
   }
 
-  /** Scale-path twins timed beside the SparkEntry queries: the driver's
-    * q_bitext_mine is the EXACT baseline (A × broadcast B — quadratic by
-    * definition, like any brute-force truth query), so the thing to
-    * scale-test is the banded candidate join, mirroring how q_ann_lsh
-    * (not q_ann_cosine) is the ANN scale evidence. */
-  private val ExtraQueries: Map[String, (SparkSession, String) => DataFrame] =
-    Map(
-      "bitext_banded" -> ((s, d) => {
-        val emb = graft.Tables.embeddings(s, d)
-        graft.operators.Bitext.mine(
-          emb.where(col("vec_id") % 2 === 0),
-          emb.where(col("vec_id") % 2 === 1),
-          "vec_id", "embedding", k = 4, minMargin = 1.15,
-          bits = Some(6), bands = 4)
-      }))
+  // NOTE: the bitext scale evidence is q_bitext_banded, not
+  // q_bitext_mine — the driver's exact query is an A × broadcast B
+  // brute-force truth (quadratic by definition), mirroring how
+  // q_ann_lsh rather than q_ann_cosine carries the ANN scale evidence.
 
   private def time(q: (SparkSession, String) => DataFrame,
       spark: SparkSession, dir: String, reps: Int): Double = {
@@ -126,7 +115,7 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val scaledDir = synthesize(spark, copies)
-    val qs = graft.SparkEntry.queries ++ ExtraQueries
+    val qs = graft.SparkEntry.queries
     println(s"| query | sf0.1 (s) | ${copies}x (s) | ratio | verdict |")
     println("|---|---|---|---|---|")
     SlowQueries.filter(qs.contains).foreach { name =>
