@@ -491,6 +491,50 @@ object DataPrep {
         col(idCol).cast("string"))) < col("keep_thresh"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): with
+    * probability `fimRate` per document, split the text at two points
+    * and emit the PSM rendering
+    * `<fim_prefix>P<fim_suffix>S<fim_middle>M` — the augmentation that
+    * teaches a causal LM infilling (the code-model pretraining
+    * staple); other documents pass through unchanged.
+    *
+    * Splits are CHARACTER-grain here (token-grain in a tokenized
+    * pipeline — the plumbing is identical and the transform composes
+    * with [[graft.operators.Tokenizer.encode]] downstream). The apply
+    * draw and both cut points are portable md5 of the document id, so
+    * the transform is deterministic, reproducible across runs and
+    * engines, and the SQL oracle replays every emitted example
+    * bit-for-bit. Pure column expressions — narrow projection, zero
+    * shuffles, codegen end to end.
+    *
+    * Reassembly invariant (spec-pinned): for applied rows,
+    * prefix + middle + suffix == the original text. Null text passes
+    * through null with fim_applied = false.
+    *
+    * @return (idCol, fim_applied, text_out) */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      fimRate: Double = 0.5): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 1, s"fimRate=$fimRate outside [0,1]")
+    val c = col(textCol)
+    val n = length(c).cast("long")
+    def h(salt: String) = graft.functions.Hashing.md5Long56(
+      concat(lit(salt), col(idCol).cast("string")))
+    val applied = c.isNotNull &&
+      pmod(h("fim|"), lit(1000000L)) <
+        lit(math.floor(fimRate * 1e6).toLong)
+    val a = pmod(h("fimA|"), n + 1L)
+    val b = pmod(h("fimB|"), n + 1L)
+    val p1 = least(a, b)
+    val p2 = greatest(a, b)
+    val psm = concat(
+      lit("<fim_prefix>"), c.substr(lit(1L), p1),
+      lit("<fim_suffix>"), c.substr(p2 + 1L, n - p2),
+      lit("<fim_middle>"), c.substr(p1 + 1L, p2 - p1))
+    docs.select(col(idCol), applied.as("fim_applied"),
+      when(applied, psm).otherwise(c).as("text_out"))
+  }
+
   def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty, "mixture needs at least one source weight")

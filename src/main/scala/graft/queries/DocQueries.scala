@@ -1158,6 +1158,18 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- fill-in-the-middle transform (Bavarian 2022, the code-model
+    // infilling augmentation): deterministic md5 apply-draw + cut
+    // points, PSM sentinel rendering, passthrough otherwise — pure
+    // codegen projection whose every emitted example the oracle
+    // replays bit-for-bit ----
+    "q_fim" -> ((s, d) => {
+      import graft.operators.DataPrep
+      DataPrep.fimTransform(docsPar(s, d), "doc_id", "text",
+          fimRate = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ---- word2vec negative sampling (Mikolov 2013 §2.2): 3 draws per
     // doc from the unigram^(3/4) distribution over the top-50 vocab.
     // Weights via two correctly-rounded sqrts (never pow — not
@@ -3566,6 +3578,33 @@ ORDER BY src_id"""
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_mips_alsh" -> mipsAlshOracle,
+
+    // exact PSM replay: same md5 apply-draw, same two cut points, same
+    // substr arithmetic; `||` (not concat()) so null text stays null on
+    // both engines
+    "q_fim" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    CAST(md5_number_upper('fim|' || CAST(doc_id AS VARCHAR))
+        |      % 72057594037927936 AS BIGINT) % 1000000 < 500000 AS hit,
+        |    CAST(md5_number_upper('fimA|' || CAST(doc_id AS VARCHAR))
+        |      % 72057594037927936 AS BIGINT) % (length(text) + 1) AS a,
+        |    CAST(md5_number_upper('fimB|' || CAST(doc_id AS VARCHAR))
+        |      % 72057594037927936 AS BIGINT) % (length(text) + 1) AS b
+        |  FROM documents
+        |), cuts AS (
+        |  SELECT doc_id, text, n,
+        |    text IS NOT NULL AND hit AS fim_applied,
+        |    least(a, b) AS p1, greatest(a, b) AS p2
+        |  FROM d
+        |)
+        |SELECT doc_id, fim_applied,
+        |  CASE WHEN fim_applied THEN
+        |    '<fim_prefix>' || substr(text, 1, p1) ||
+        |    '<fim_suffix>' || substr(text, p2 + 1, n - p2) ||
+        |    '<fim_middle>' || substr(text, p1 + 1, p2 - p1)
+        |  ELSE text END AS text_out
+        |FROM cuts ORDER BY doc_id""".stripMargin,
 
     // full negative-sampling replay: word counts → top-50 → quantized
     // ^0.75 weights → cumulative [lo, hi) table → md5 draws → range-join
