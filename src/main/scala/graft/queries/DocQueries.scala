@@ -1158,6 +1158,17 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- T5/UL2 span corruption (Raffel 2020 §3.1.4): sentinel-masked
+    // spans + span targets, in the deterministic 8-token-block variant
+    // (independent per-block md5 draws — nothing to reject, fully
+    // parallel, relationally replayable; the documented deviation from
+    // the paper's serial rejection sampler) ----
+    "q_span_corrupt" -> ((s, d) => {
+      graft.operators.SpanCorrupt.corrupt(docsPar(s, d), "doc_id", "text",
+          maskPct = 40)
+        .orderBy("doc_id")
+    }),
+
     // ---- fill-in-the-middle transform (Bavarian 2022, the code-model
     // infilling augmentation): deterministic md5 apply-draw + cut
     // points, PSM sentinel rendering, passthrough otherwise — pure
@@ -2150,6 +2161,64 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
   ) c
   JOIN a a2 USING (src_id)
   JOIN b b2 USING (tgt_id)"""
+  }
+
+  /** SQL twin of [[graft.operators.SpanCorrupt.corrupt]]: the per-block
+    * md5 draws and slice arithmetic verbatim, with the fold's sentinel
+    * counter replayed as a window count of prior masked blocks and the
+    * fragment join replayed as an ordered string_agg. */
+  private val spanCorruptOracle: String = {
+    def h56(salt: String) =
+      s"CAST(md5_number_upper('$salt' || CAST(doc_id AS VARCHAR) || ':' " +
+        "|| CAST(b AS VARCHAR)) % 72057594037927936 AS BIGINT)"
+    val off = s"CAST(${h56("spanO|")} % len(block) AS INT)"
+    val len = s"least(CAST(${h56("spanL|")} % 3 AS INT) + 1, " +
+      s"len(block) - $off)"
+    s"""WITH d AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN []
+         ELSE list_filter(string_split_regex(trim(text), '\\s+'),
+           t -> length(t) > 0) END AS toks
+  FROM documents
+), nb AS (
+  SELECT doc_id, toks,
+    greatest(CAST(ceil(len(toks) / 8.0) AS INT), 1) AS nblocks
+  FROM d
+), blocks AS (
+  SELECT doc_id, toks, unnest(range(nblocks)) AS b FROM nb
+), calc AS (
+  SELECT doc_id, b, toks[b*8 + 1 : b*8 + 8] AS block,
+    len(toks[b*8 + 1 : b*8 + 8]) > 0 AND
+      ${h56("span|")} % 100 < 40 AS masked
+  FROM blocks
+), numbered AS (
+  SELECT doc_id, b, block, masked,
+    CAST(coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+      AS k
+  FROM calc
+), frags AS (
+  SELECT doc_id, b, masked,
+    CASE WHEN masked THEN
+      array_to_string(
+        block[1 : $off] ||
+        ['<extra_id_' || CAST(k AS VARCHAR) || '>'] ||
+        block[$off + $len + 1 : len(block)], ' ')
+    ELSE array_to_string(block, ' ') END AS frag,
+    CASE WHEN masked THEN
+      '<extra_id_' || CAST(k AS VARCHAR) || '> ' ||
+      array_to_string(block[$off + 1 : $off + $len], ' ')
+    END AS tgt
+  FROM numbered
+)
+SELECT doc_id,
+  coalesce(string_agg(frag, ' ' ORDER BY b), '') AS input_text,
+  coalesce(string_agg(tgt, ' ' ORDER BY b)
+    FILTER (masked), '') AS target_text,
+  CAST(coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END), 0) AS INT)
+    AS n_spans
+FROM frags GROUP BY doc_id ORDER BY doc_id"""
   }
 
   /** Shared margin tail of the two bitext oracles (the candidate source
@@ -3578,6 +3647,11 @@ ORDER BY src_id"""
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_mips_alsh" -> mipsAlshOracle,
+
+    // relational replay of the block fold: unnest blocks → per-block
+    // draws (CASE-guarded so %0 never evaluates) → sentinel index k =
+    // running count of PRIOR masked blocks → ordered string_agg
+    "q_span_corrupt" -> spanCorruptOracle,
 
     // exact PSM replay: same md5 apply-draw, same two cut points, same
     // substr arithmetic; `||` (not concat()) so null text stays null on
