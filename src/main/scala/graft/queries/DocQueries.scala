@@ -1158,6 +1158,20 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- SFT chat-template rendering + loss-mask spans: the training
+    // string and the assistant-span offsets come from the SAME concat
+    // tree (the drift between render and mask is the bug class this
+    // prevents); 2-exchange conversations derived from token quarters
+    // (no conversation table in the corpus — the operator takes
+    // arbitrary turn columns) ----
+    "q_sft_render" -> ((s, d) => {
+      import graft.operators.SftFormat
+      val turns = SftFormat.quartersFromText(docsPar(s, d), "doc_id", "text")
+      SftFormat.renderTwoTurn(turns, "doc_id",
+          col("u1"), col("a1"), col("u2"), col("a2"))
+        .orderBy("doc_id", "turn")
+    }),
+
     // ---- T5/UL2 span corruption (Raffel 2020 §3.1.4): sentinel-masked
     // spans + span targets, in the deterministic 8-token-block variant
     // (independent per-block md5 draws — nothing to reject, fully
@@ -3647,6 +3661,50 @@ ORDER BY src_id"""
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_mips_alsh" -> mipsAlshOracle,
+
+    // offsets replayed from the same concat tree that builds the render
+    // (CAST lengths to INT: DuckDB length() is BIGINT, Spark's is int)
+    "q_sft_render" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> length(t) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), seg AS (
+        |  SELECT doc_id,
+        |    array_to_string(toks[1 :
+        |      CAST(floor(len(toks)*1/4.0) AS INT)], ' ') AS u1,
+        |    array_to_string(toks[CAST(floor(len(toks)*1/4.0) AS INT) + 1 :
+        |      CAST(floor(len(toks)*2/4.0) AS INT)], ' ') AS a1,
+        |    array_to_string(toks[CAST(floor(len(toks)*2/4.0) AS INT) + 1 :
+        |      CAST(floor(len(toks)*3/4.0) AS INT)], ' ') AS u2,
+        |    array_to_string(toks[CAST(floor(len(toks)*3/4.0) AS INT) + 1 :
+        |      len(toks)], ' ') AS a2
+        |  FROM d
+        |), r AS (
+        |  SELECT doc_id, u1, a1, u2, a2,
+        |    '<|user|> ' || u1 || ' <|assistant|> ' AS p1
+        |  FROM seg
+        |), r2 AS (
+        |  SELECT doc_id, p1, a1, a2,
+        |    p1 || a1 || ' <|user|> ' || u2 || ' <|assistant|> ' AS p2,
+        |    p1 || a1 || ' <|user|> ' || u2 || ' <|assistant|> ' || a2
+        |      AS train_text
+        |  FROM r
+        |)
+        |SELECT doc_id, train_text, turn, start_off, span_len, span_text
+        |FROM (
+        |  SELECT doc_id, train_text, 1 AS turn,
+        |    CAST(length(p1) + 1 AS INT) AS start_off,
+        |    CAST(length(a1) AS INT) AS span_len, a1 AS span_text
+        |  FROM r2
+        |  UNION ALL
+        |  SELECT doc_id, train_text, 2 AS turn,
+        |    CAST(length(p2) + 1 AS INT),
+        |    CAST(length(a2) AS INT), a2
+        |  FROM r2
+        |)
+        |ORDER BY doc_id, turn""".stripMargin,
 
     // relational replay of the block fold: unnest blocks → per-block
     // draws (CASE-guarded so %0 never evaluates) → sentinel index k =
