@@ -717,6 +717,9 @@ object CorpusStats {
       vocabSize: Int = 10000, negatives: Int = 3): DataFrame = {
     require(vocabSize >= 1 && vocabSize <= 1000000,
       s"vocabSize=$vocabSize outside [1, 1e6]")
+    // negatives = 0 would make sequence(0, -1) infer step -1 and emit
+    // TWO draws (j = 0, -1) instead of zero — reject outside [1, ...)
+    require(negatives >= 1, s"negatives=$negatives must be >= 1")
     val top = Tokenizer.wordFreq(docs, textCol)
       .orderBy(col("freq").desc, col("word"))
       .limit(vocabSize)

@@ -2025,13 +2025,7 @@ ORDER BY id_a, id_b"""
     * on equal buckets, rank by the same cosine. All bucket math is
     * integer-exact, so the candidate sets must match row for row. */
   private val annLshOracle: String = {
-    val bits = 6
-    val sigTerms = (0 until bits).map { p =>
-      s"""CASE WHEN list_sum(list_transform(range(1, len(q) + 1),
-         |      i -> CASE WHEN (h[i] >> $p) & 1 = 1 THEN q[i] ELSE -q[i] END)) >= 0
-         |    THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END"""
-        .stripMargin
-    }.mkString(" +\n    ")
+    val sigTerms = sigTermsSql(6)
     s"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), qh AS (
@@ -2071,13 +2065,7 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
     * integer-exact and the re-rank score is the sequentially-accumulated
     * inner product, so candidate sets and ranks match row for row. */
   private val mipsAlshOracle: String = {
-    val bits = 6
-    val sigTerms = (0 until bits).map { p =>
-      s"""CASE WHEN list_sum(list_transform(range(1, len(q) + 1),
-         |      i -> CASE WHEN (h[i] >> $p) & 1 = 1 THEN q[i] ELSE -q[i] END)) >= 0
-         |    THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END"""
-        .stripMargin
-    }.mkString(" +\n    ")
+    val sigTerms = sigTermsSql(6)
     s"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), qh AS (
@@ -2143,34 +2131,28 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
     * SQL twin of Bitext.mine's `bits = Some(6), bands = 4` path. */
   private val bitextBandedCandidates: String = {
     val sig = sigTermsSql(24)
+    // one template for both sides so a banding-arithmetic edit cannot
+    // land on only one of them (a hard-to-localize parity failure)
+    def bandedSide(table: String, idCol: String, vecCol: String) =
+      s"""SELECT $idCol, j AS band, (sig >> (j * 6)) & 63 AS bucket
+      FROM (
+        SELECT $idCol, $sig AS sig
+        FROM (
+          SELECT $idCol,
+            list_transform(range(1, len($vecCol) + 1),
+              i -> CAST(floor($vecCol[i] * 1e6) AS BIGINT)) AS q,
+            list_transform(range(1, len($vecCol) + 1),
+              i -> md5_number_upper(CAST(i - 1 AS VARCHAR))) AS h
+          FROM $table)
+      ) CROSS JOIN (SELECT unnest(range(4)) AS j)"""
     s"""SELECT c.src_id, a2.va, c.tgt_id, b2.vb
   FROM (
     SELECT DISTINCT ab.src_id, bb.tgt_id
     FROM (
-      SELECT src_id, j AS band, (sig >> (j * 6)) & 63 AS bucket
-      FROM (
-        SELECT src_id, $sig AS sig
-        FROM (
-          SELECT src_id,
-            list_transform(range(1, len(va) + 1),
-              i -> CAST(floor(va[i] * 1e6) AS BIGINT)) AS q,
-            list_transform(range(1, len(va) + 1),
-              i -> md5_number_upper(CAST(i - 1 AS VARCHAR))) AS h
-          FROM a)
-      ) CROSS JOIN (SELECT unnest(range(4)) AS j)
+      ${bandedSide("a", "src_id", "va")}
     ) ab
     JOIN (
-      SELECT tgt_id, j AS band, (sig >> (j * 6)) & 63 AS bucket
-      FROM (
-        SELECT tgt_id, $sig AS sig
-        FROM (
-          SELECT tgt_id,
-            list_transform(range(1, len(vb) + 1),
-              i -> CAST(floor(vb[i] * 1e6) AS BIGINT)) AS q,
-            list_transform(range(1, len(vb) + 1),
-              i -> md5_number_upper(CAST(i - 1 AS VARCHAR))) AS h
-          FROM b)
-      ) CROSS JOIN (SELECT unnest(range(4)) AS j)
+      ${bandedSide("b", "tgt_id", "vb")}
     ) bb ON ab.band = bb.band AND ab.bucket = bb.bucket
   ) c
   JOIN a a2 USING (src_id)
@@ -3671,15 +3653,17 @@ ORDER BY src_id"""
         |      t -> length(t) > 0) AS toks
         |  FROM documents WHERE text IS NOT NULL
         |), seg AS (
+        |  -- coalesce: DuckDB array_to_string over an empty slice (docs
+        |  -- with < 4 tokens) yields NULL where Spark concat_ws gives ''
         |  SELECT doc_id,
-        |    array_to_string(toks[1 :
-        |      CAST(floor(len(toks)*1/4.0) AS INT)], ' ') AS u1,
-        |    array_to_string(toks[CAST(floor(len(toks)*1/4.0) AS INT) + 1 :
-        |      CAST(floor(len(toks)*2/4.0) AS INT)], ' ') AS a1,
-        |    array_to_string(toks[CAST(floor(len(toks)*2/4.0) AS INT) + 1 :
-        |      CAST(floor(len(toks)*3/4.0) AS INT)], ' ') AS u2,
-        |    array_to_string(toks[CAST(floor(len(toks)*3/4.0) AS INT) + 1 :
-        |      len(toks)], ' ') AS a2
+        |    coalesce(array_to_string(toks[1 :
+        |      CAST(floor(len(toks)*1/4.0) AS INT)], ' '), '') AS u1,
+        |    coalesce(array_to_string(toks[CAST(floor(len(toks)*1/4.0) AS INT) + 1 :
+        |      CAST(floor(len(toks)*2/4.0) AS INT)], ' '), '') AS a1,
+        |    coalesce(array_to_string(toks[CAST(floor(len(toks)*2/4.0) AS INT) + 1 :
+        |      CAST(floor(len(toks)*3/4.0) AS INT)], ' '), '') AS u2,
+        |    coalesce(array_to_string(toks[CAST(floor(len(toks)*3/4.0) AS INT) + 1 :
+        |      len(toks)], ' '), '') AS a2
         |  FROM d
         |), r AS (
         |  SELECT doc_id, u1, a1, u2, a2,

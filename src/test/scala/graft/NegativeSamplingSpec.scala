@@ -45,10 +45,10 @@ class NegativeSamplingSpec extends AnyFunSuite {
 
   test("deterministic across runs and ^0.75-damped vs raw frequency") {
     import spark.implicits._
-    // one dominant word: raw share 1000/1009; the ^0.75 draw share is
-    // provably lower (≈ 0.95) — damping the head is the point
+    // one dominant word: raw share 1000/1200; the ^0.75 draw share is
+    // provably lower — damping the head is the point
     val docs = (0L until 200L).map { i =>
-      (i, ("big " * 5).trim + (if (i < 9 * 200 / 9) s" rare${i % 9}" else ""))
+      (i, ("big " * 5).trim + s" rare${i % 9}")
     }.toDF("doc_id", "text")
     val a = CorpusStats.negativeSamples(docs, "doc_id", "text",
       vocabSize = 10, negatives = 3).collect()

@@ -30,6 +30,25 @@ class SftFormatSpec extends AnyFunSuite {
       == "see you")
   }
 
+  test("short documents (< 4 tokens) render with empty segments, " +
+      "never nulls, and the loss-mask invariant still holds") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, "x y"), (3L, "a b c"), (4L, "   "))
+      .toDF("doc_id", "text")
+    val turns = SftFormat.quartersFromText(docs, "doc_id", "text")
+    val rows = SftFormat.renderTwoTurn(turns, "doc_id",
+      col("u1"), col("a1"), col("u2"), col("a2")).collect()
+    assert(rows.length == 8, "two turns per doc, none dropped")
+    rows.foreach { r =>
+      val t = r.getAs[String]("train_text")
+      assert(t != null && t.contains("<|assistant|>"))
+      val s = r.getAs[Int]("start_off") - 1
+      val l = r.getAs[Int]("span_len")
+      assert(t.substring(s, s + l) == r.getAs[String]("span_text"),
+        s"offset drift for short doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("loss-mask invariant holds on the corpus-derived quarters, and " +
       "stripping role markers reassembles the normalized text") {
     val docs = graft.Tables.documents(spark, sf).limit(80)
