@@ -535,6 +535,48 @@ object DataPrep {
       when(applied, psm).otherwise(c).as("text_out"))
   }
 
+  /** DPO/RLHF preference-pair construction: within each `keyCol` group
+    * (a prompt id, topic bucket, or dedup cluster), rank candidates by
+    * the exact-integer `scoreCol` (desc, id asc tiebreak) and pair the
+    * i-th best with the i-th worst (ranks i and n+1−i, i ≤ n/2),
+    * dropping equal-score pairs — the deterministic chosen/rejected
+    * frame with the preference margin attached.
+    *
+    * Shape at 100 TB: ONE scan — the two window functions share one
+    * keyed shuffle, each row tags itself with its mirror pair index
+    * least(r, n+1−r), and the exactly-2-row (key, pair_idx) groups
+    * collapse with min_by/max_by partial aggregation (a self-join
+    * formulation would scan and shuffle the ranked frame twice). A
+    * k-row group emits ≤ k/2 pairs, so no per-group blowup. Integer
+    * scores, not floats: cross-engine-stable ordering and an exact
+    * margin.
+    *
+    * @return (pair_key, pair_idx, chosen_id, rejected_id, margin) */
+  def preferencePairs(df: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("pair_key"), col(idCol).as("id"),
+      col(scoreCol).cast("long").as("score"))
+    val wRank = Window.partitionBy("pair_key")
+      .orderBy(col("score").desc, col("id"))
+    val ranked = base
+      .withColumn("r", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("pair_key")))
+    // rank i and its mirror n+1-i share pair_idx = min of the two; the
+    // odd-group middle (2r = n+1) fails the <= n guard and drops out
+    ranked
+      .withColumn("pair_idx", least(col("r"), col("n") - col("r") + 1L))
+      .where(col("pair_idx") * 2 <= col("n"))
+      .groupBy("pair_key", "pair_idx")
+      .agg(min_by(col("id"), col("r")).as("chosen_id"),
+        min_by(col("score"), col("r")).as("chosen_score"),
+        max_by(col("id"), col("r")).as("rejected_id"),
+        max_by(col("score"), col("r")).as("rejected_score"))
+      .where(col("chosen_score") > col("rejected_score"))
+      .select(col("pair_key"), col("pair_idx"), col("chosen_id"),
+        col("rejected_id"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+  }
+
   def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty, "mixture needs at least one source weight")

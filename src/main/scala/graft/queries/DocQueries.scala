@@ -1172,6 +1172,30 @@ object DocQueries {
         .orderBy("doc_id", "turn")
     }),
 
+    // ---- DPO/RLHF preference-pair construction: i-th-best vs i-th-
+    // worst pairing by an exact-integer quality score inside hash-
+    // bucketed prompt groups (lang × md5 bucket), equal-score pairs
+    // dropped. One keyed shuffle for both windows + a fixed-width
+    // (key, pair_idx) join — ≤ k/2 pairs from a k-row group ----
+    "q_dpo_pairs" -> ((s, d) => {
+      import graft.operators.DataPrep
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stopHits = size(filter(toks,
+        t => t.isInCollection(TextFunctions.enStopwords))).cast("long")
+      val scored = docsPar(s, d)
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id"),
+          concat(col("lang"), lit("|"),
+            pmod(graft.functions.Hashing.md5Long56(
+              concat(lit("dpo|"), col("doc_id").cast("string"))), lit(8L))
+              .cast("string")).as("bucket"),
+          (stopHits * 1000L +
+            least(TextFunctions.tokenCountWs(col("text")), lit(999L)))
+            .as("score"))
+      DataPrep.preferencePairs(scored, "bucket", "doc_id", "score")
+        .orderBy("pair_key", "pair_idx")
+    }),
+
     // ---- T5/UL2 span corruption (Raffel 2020 §3.1.4): sentinel-masked
     // spans + span targets, in the deterministic 8-token-block variant
     // (independent per-block md5 draws — nothing to reject, fully
@@ -3643,6 +3667,36 @@ ORDER BY src_id"""
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_mips_alsh" -> mipsAlshOracle,
+
+    // full replay of the pairing: same integer score, same dual-rank
+    // windows, same i-th-best × i-th-worst join and strict-margin filter
+    "q_dpo_pairs" ->
+      ("""WITH scored AS (
+        |  SELECT doc_id,
+        |    lang || '|' || CAST(
+        |      CAST(md5_number_upper('dpo|' || CAST(doc_id AS VARCHAR))
+        |        % 72057594037927936 AS BIGINT) % 8 AS VARCHAR) AS bucket,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN (""" + graft.functions.TextFunctions.enStopwords
+          .map(w => s"'$w'").mkString(",") + """))) AS BIGINT) * 1000 +
+        |    least(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      END, 999) AS score
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        |), ranked AS (
+        |  SELECT bucket AS pair_key, doc_id, score,
+        |    row_number() OVER (PARTITION BY bucket
+        |      ORDER BY score DESC, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY bucket) AS n
+        |  FROM scored
+        |)
+        |SELECT c.pair_key, CAST(c.r AS BIGINT) AS pair_idx,
+        |  c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+        |  CAST(c.score - j.score AS BIGINT) AS margin
+        |FROM ranked c JOIN ranked j
+        |  ON c.pair_key = j.pair_key AND j.r = c.n - c.r + 1
+        |WHERE c.r * 2 <= c.n AND c.score > j.score
+        |ORDER BY c.pair_key, pair_idx""").stripMargin,
 
     // offsets replayed from the same concat tree that builds the render
     // (CAST lengths to INT: DuckDB length() is BIGINT, Spark's is int)
