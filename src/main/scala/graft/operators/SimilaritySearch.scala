@@ -763,4 +763,94 @@ object SimilaritySearch {
       // identical constant is already the same IEEE double on both.
       .withColumn("value", col("comp_q6") / scale)
   }
+
+  /** Maximal-marginal-relevance diversified re-rank (Carbonell &
+    * Goldstein 1998): per query, greedily pick
+    * argmax λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s) over a bounded
+    * candidate pool — the standard retrieval-diversification step
+    * between ANN candidate generation and the consumer.
+    *
+    * Exactness: vectors quantize to floor(x·10³) Longs; rel and all
+    * pairwise sims are integer dots and λ is ppm-scaled, so scores are
+    * exact BIGINTs and the greedy argmax (score desc, id asc) is
+    * engine-stable — the DuckDB twin replays the whole recursion.
+    * Long bound: |score| ≤ 10⁶ · dim · (10³·|x|ₘₐₓ)² — safe to
+    * |x|ₘₐₓ ≈ 95 at dim 64, far beyond any normalized embedding.
+    *
+    * Shape at 100 TB: candidate generation is the [[bruteForceTopK]]
+    * scan shape (corpus × broadcast queries, WindowGroupLimit top-N; at
+    * scale the IVF/LSH bucket pools substitute); the greedy kernel runs
+    * per query over ≤ `candidates` rows — O(k·N) sims of bounded state,
+    * never corpus-sized. One window shuffle, one groupByKey shuffle of
+    * N·queries candidate rows.
+    *
+    * @return (query_id, pick_rank, id, mmr_score) — rank 1..min(k, N) */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int = 8, candidates: Int = 20,
+      lambdaPpm: Long = 700000L): DataFrame = {
+    require(k >= 1 && candidates >= k, s"need candidates >= k >= 1")
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000L,
+      s"lambdaPpm=$lambdaPpm outside [0, 1e6]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def quant(c: Column) = transform(c.cast("array<double>"),
+      x => floor(x * 1000).cast("long"))
+    val c = corpus.select(col(idCol).as("id"), quant(col(vecCol)).as("v"))
+    val q = queries.select(col(qidCol).as("query_id"),
+      quant(col(vecCol)).as("qv"))
+    val idot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, v) => s + v)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("id"))
+    val cand = c.join(broadcast(q))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("rel", idot(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= candidates)
+      .select(col("query_id"), col("id"), col("v"), col("rel"))
+      .as[(Long, Long, Array[Long], Long)]
+    val mu = 1000000L - lambdaPpm
+    cand.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cs = it.toArray
+      val n = cs.length
+      def dotArr(a: Array[Long], b: Array[Long]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      val picked = new Array[Boolean](n)
+      // running max sim of each candidate to the picked set
+      val maxSim = new Array[Long](n)
+      val out = new scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long, Long)](math.min(k, n))
+      var step = 0
+      while (step < math.min(k, n)) {
+        var best = -1; var bestScore = Long.MinValue
+        var i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            val s = if (step == 0) lambdaPpm * cs(i)._4
+              else lambdaPpm * cs(i)._4 - mu * maxSim(i)
+            if (s > bestScore ||
+                (s == bestScore && (best < 0 || cs(i)._2 < cs(best)._2))) {
+              best = i; bestScore = s
+            }
+          }
+          i += 1
+        }
+        picked(best) = true
+        out += ((qid, (step + 1).toLong, cs(best)._2, bestScore))
+        var j = 0
+        while (j < n) {
+          if (!picked(j)) {
+            val d = dotArr(cs(j)._3, cs(best)._3)
+            if (step == 0 || d > maxSim(j)) maxSim(j) = d
+          }
+          j += 1
+        }
+        step += 1
+      }
+      out.iterator
+    }.toDF("query_id", "pick_rank", "id", "mmr_score")
+  }
 }

@@ -1142,6 +1142,20 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- MMR diversified top-k (Carbonell & Goldstein 1998): greedy
+    // λ·rel − (1−λ)·max-sim-to-picked re-rank over each query's top-20
+    // candidate pool; integer-quantized dots + ppm λ make every greedy
+    // step an exact-BIGINT argmax the oracle replays as a recursive
+    // CTE ----
+    "q_mmr" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      SimilaritySearch.mmrTopK(emb, queries,
+          "vec_id", "embedding", "vec_id",
+          k = 8, candidates = 20, lambdaPpm = 700000L)
+        .orderBy("query_id", "pick_rank")
+    }),
+
     // ---- ALSH MIPS (Shrivastava & Li 2014 scale path): the asymmetric
     // corpus transform (append sqrt(M²−‖x‖²)) reduces MIPS to the LSH
     // bucket join q_ann_lsh already proved; portable integer buckets so
@@ -3667,6 +3681,69 @@ ORDER BY src_id"""
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_mips_alsh" -> mipsAlshOracle,
+
+    // full replay of the greedy MMR recursion: top-20 integer-dot
+    // candidates, pairwise sims, then one pick per recursive step —
+    // argmax λppm·rel − (1e6−λppm)·max(sim to chosen), id tiebreak.
+    // Every score is an exact BIGINT so the recursion cannot drift.
+    "q_mmr" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000) AS BIGINT)) AS qq
+        |  FROM embeddings WHERE vec_id < 5
+        |), e AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.query_id, e.id, e.v,
+        |    CAST(list_sum(list_transform(range(1, len(e.v) + 1),
+        |      i -> e.v[i] * q.qq[i])) AS BIGINT) AS rel
+        |  FROM e CROSS JOIN q
+        |  WHERE e.id != q.query_id
+        |), cand AS (
+        |  SELECT query_id, id, v, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, id) AS rn
+        |    FROM scored)
+        |  WHERE rn <= 20
+        |), sims AS (
+        |  SELECT a.query_id, a.id AS ia, b.id AS ib,
+        |    CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+        |      i -> a.v[i] * b.v[i])) AS BIGINT) AS d
+        |  FROM cand a JOIN cand b
+        |    ON a.query_id = b.query_id AND a.id != b.id
+        |), sel AS (
+        |  SELECT query_id, 1 AS step, id, rel AS mmr_num, [id] AS chosen
+        |  FROM (
+        |    SELECT query_id, id, 700000 * rel AS rel,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rel DESC, id) AS rn
+        |    FROM cand)
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT query_id, step + 1, id, score, list_append(chosen, id)
+        |  FROM (
+        |    SELECT s.query_id, s.step, c.id, s.chosen,
+        |      700000 * c.rel - 300000 * (
+        |        SELECT max(p.d) FROM sims p
+        |        WHERE p.query_id = s.query_id AND p.ia = c.id
+        |          AND list_contains(s.chosen, p.ib)) AS score,
+        |      row_number() OVER (PARTITION BY s.query_id ORDER BY
+        |        700000 * c.rel - 300000 * (
+        |          SELECT max(p.d) FROM sims p
+        |          WHERE p.query_id = s.query_id AND p.ia = c.id
+        |            AND list_contains(s.chosen, p.ib)) DESC, c.id) AS rn
+        |    FROM sel s JOIN cand c ON c.query_id = s.query_id
+        |      AND NOT list_contains(s.chosen, c.id)
+        |    WHERE s.step < 8)
+        |  WHERE rn = 1
+        |)
+        |SELECT query_id, CAST(step AS BIGINT) AS pick_rank, id,
+        |  mmr_num AS mmr_score
+        |FROM sel ORDER BY query_id, pick_rank""".stripMargin,
 
     // full replay of the pairing: same integer score, same dual-rank
     // windows, same i-th-best × i-th-worst join and strict-margin filter
