@@ -153,4 +153,92 @@ object Graph {
           expr("n_tri * 2 * 1000000 div (deg * (deg - 1))"))
           .otherwise(lit(0L)))
   }
+
+  /** Bradley–Terry pairwise-preference strengths via Hunter (2004)
+    * minorization–maximization, in exact micro-unit integer arithmetic
+    * (the pageRankNanos discipline): the reward-model data-prep step
+    * that turns pairwise human/model preference outcomes into a global
+    * item ranking.
+    *
+    * Per iteration: denom_i = Σ_j (n_ij·10⁹) div (p_i + p_j), then
+    * p_raw = (wins_i·10⁹) div max(denom_i, 1) clamped to 10¹², then
+    * mean-normalized p = max((p_raw·10⁶) div max(S div N, 1), 1) —
+    * every step a positive-operand floor division, so the fixpoint is
+    * engine-exact and the oracle replays all iterations. Clamp/floor
+    * bounds: p_raw ≤ 10¹² keeps p_raw·10⁶ ≤ 10¹⁸ < Long.Max; the
+    * per-edge term needs n_ij ≤ 9·10⁹ comparisons per pair.
+    *
+    * Shape at 100 TB: matches collapse to one (lo, hi) pair agg; each
+    * iteration is two keyed joins of the symmetric pair table against
+    * the item-strength table + one keyed agg (all co-partitionable by
+    * the join key) and ONE 8-byte driver scalar (the normalization sum
+    * — the CC-loop convergence-count discipline, an action per
+    * iteration, never a row collect). Per-iteration frames are
+    * persisted and released on exit; the result is localCheckpoint-
+    * flattened like pageRankNanos.
+    *
+    * @param matches one row per comparison outcome (winnerCol, loserCol)
+    * @return (item, wins, n_matches, strength_q6) — mean strength ≈ 10⁶ */
+  def bradleyTerryQ6(matches: DataFrame, winnerCol: String,
+      loserCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = matches.select(
+        least(col(winnerCol), col(loserCol)).as("lo"),
+        greatest(col(winnerCol), col(loserCol)).as("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("n"))
+    val sym = pairs
+      .select(col("lo").as("src"), col("hi").as("dst"), col("n"))
+      .unionByName(pairs
+        .select(col("hi").as("src"), col("lo").as("dst"), col("n")))
+      .repartition(col("src"))
+      .persist(lvl)
+    val wins = matches.groupBy(col(winnerCol).as("item"))
+      .agg(count(lit(1)).as("wins"))
+    val items = sym
+      .groupBy(col("src").as("item")).agg(sum("n").as("n_matches"))
+      .join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"),
+        col("n_matches"))
+      .persist(lvl)
+    // ONE bounded driver scalar outside the loop (pageRank discipline);
+    // also materializes the sym/items caches eagerly in one job
+    val nItems = items.count()
+    require(nItems > 0, "bradleyTerryQ6: no comparisons")
+    var p = items.select(col("item"), lit(1000000L).as("p"))
+    var prev: Option[DataFrame] = None
+    (1 to iters).foreach { _ =>
+      val denom = sym
+        .join(p.select(col("item").as("src"), col("p").as("p_src")),
+          Seq("src"))
+        .join(p.select(col("item").as("dst"), col("p").as("p_dst")),
+          Seq("dst"))
+        .select(col("src").as("item"),
+          expr("(n * 1000000000) div (p_src + p_dst)").as("term"))
+        .groupBy("item").agg(sum("term").as("denom"))
+      val raw = items.join(denom, Seq("item"), "left")
+        .select(col("item"),
+          least(expr(
+            "(wins * 1000000000) div greatest(coalesce(denom, 0), 1)"),
+            lit(1000000000000L)).as("praw"))
+        .persist(lvl)
+      // the per-iteration 8-byte normalization scalar; this action also
+      // materializes `raw` so the next iteration's two joins hit cache
+      val s = raw.agg(sum("praw")).head().getLong(0)
+      val mean = math.max(s / nItems, 1L)
+      val next = raw.select(col("item"),
+        greatest(expr(s"(praw * 1000000) div $mean"), lit(1L)).as("p"))
+      prev.foreach(_.unpersist(false))
+      prev = Some(raw)
+      p = next
+    }
+    val out = items.join(p, Seq("item"))
+      .select(col("item"), col("wins"), col("n_matches"),
+        col("p").as("strength_q6"))
+      .localCheckpoint()
+    prev.foreach(_.unpersist(false))
+    sym.unpersist(false)
+    items.unpersist(false)
+    out
+  }
 }

@@ -163,6 +163,37 @@ object DocQueries {
          |)""".stripMargin
     }.mkString
 
+  /** Unrolled Bradley–Terry MM iterations (the pageRankCtes pattern):
+    * expects CTEs `sym(src, dst, n)`, `items(item, wins, n_matches)`
+    * and `nn(n_items)` upstream; emits it0..it`iters` where each
+    * iteration replays the operator's integer arithmetic exactly —
+    * per-edge floor-divided terms, clamped raw strengths, mean
+    * normalization with the same greatest() guards. */
+  private def btCtes(iters: Int): String =
+    """, it0 AS MATERIALIZED (
+      |  SELECT item, CAST(1000000 AS BIGINT) AS p FROM items
+      |)""".stripMargin +
+    (1 to iters).map { k =>
+      s""", raw$k AS MATERIALIZED (
+         |  SELECT i.item,
+         |    least((i.wins * 1000000000) //
+         |      greatest(coalesce(d.denom, 0), 1),
+         |      1000000000000) AS praw
+         |  FROM items i LEFT JOIN (
+         |    SELECT s.src AS item,
+         |      CAST(sum((s.n * 1000000000) // (pa.p + pb.p)) AS BIGINT)
+         |        AS denom
+         |    FROM sym s JOIN it${k - 1} pa ON s.src = pa.item
+         |      JOIN it${k - 1} pb ON s.dst = pb.item
+         |    GROUP BY s.src) d ON i.item = d.item
+         |), it$k AS MATERIALIZED (
+         |  SELECT item, CAST(greatest((praw * 1000000) //
+         |    greatest((SELECT sum(praw) FROM raw$k) //
+         |      (SELECT n_items FROM nn), 1), 1) AS BIGINT) AS p
+         |  FROM raw$k
+         |)""".stripMargin
+    }.mkString
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis: token counting + quality signals ----
     "q_doc_stats" -> ((s, d) => {
@@ -1140,6 +1171,36 @@ object DocQueries {
         .select(col("query_id"), col("id"), col("rank"),
           round(col("dot"), 6).as("dot"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- Bradley–Terry preference-strength ranking (Hunter 2004 MM):
+    // the reward-model data-prep step — banded pairwise matches decided
+    // by the integer quality score (ties to the earlier doc), then 5
+    // exact-integer MM iterations; two keyed joins + one keyed agg per
+    // iteration, one 8-byte normalization scalar ----
+    "q_bt_rank" -> ((s, d) => {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stopHits = size(filter(toks,
+        t => t.isInCollection(TextFunctions.enStopwords))).cast("long")
+      val scored = docsPar(s, d)
+        .where(col("doc_id") < 120 && col("text").isNotNull)
+        .select(col("doc_id"),
+          (stopHits * 1000L +
+            least(TextFunctions.tokenCountWs(col("text")), lit(999L)))
+            .as("score"))
+      val a = scored.select(col("doc_id").as("a_id"),
+        col("score").as("a_score"))
+      val b = scored.select(col("doc_id").as("b_id"),
+        col("score").as("b_score"))
+      val m = a.join(b,
+          col("b_id") > col("a_id") && col("b_id") <= col("a_id") + 4L)
+        .select(
+          when(col("a_score") >= col("b_score"), col("a_id"))
+            .otherwise(col("b_id")).as("winner"),
+          when(col("a_score") >= col("b_score"), col("b_id"))
+            .otherwise(col("a_id")).as("loser"))
+      graft.operators.Graph.bradleyTerryQ6(m, "winner", "loser", iters = 5)
+        .orderBy("item")
     }),
 
     // ---- MMR diversified top-k (Carbonell & Goldstein 1998): greedy
@@ -3681,6 +3742,49 @@ ORDER BY src_id"""
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_mips_alsh" -> mipsAlshOracle,
+
+    // full replay of the BT MM recursion: same matches, same integer
+    // per-edge terms, clamps and mean normalization, 5 unrolled
+    // iterations via btCtes
+    "q_bt_rank" ->
+      (("""WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN (""" + graft.functions.TextFunctions.enStopwords
+          .map(w => s"'$w'").mkString(",") + """))) AS BIGINT) * 1000 +
+        |    least(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      END, 999) AS score
+        |  FROM documents WHERE doc_id < 120 AND text IS NOT NULL
+        |), m AS MATERIALIZED (
+        |  SELECT
+        |    CASE WHEN a.score >= b.score THEN a.doc_id ELSE b.doc_id END
+        |      AS winner,
+        |    CASE WHEN a.score >= b.score THEN b.doc_id ELSE a.doc_id END
+        |      AS loser
+        |  FROM scored a JOIN scored b
+        |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 4
+        |), pairs AS (
+        |  SELECT least(winner, loser) AS lo, greatest(winner, loser) AS hi,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM m GROUP BY 1, 2
+        |), sym AS MATERIALIZED (
+        |  SELECT lo AS src, hi AS dst, n FROM pairs
+        |  UNION ALL SELECT hi, lo, n FROM pairs
+        |), w AS (
+        |  SELECT winner AS item, CAST(count(*) AS BIGINT) AS wins
+        |  FROM m GROUP BY 1
+        |), items AS MATERIALIZED (
+        |  SELECT s.src AS item, coalesce(any_value(w.wins), 0) AS wins,
+        |    CAST(sum(s.n) AS BIGINT) AS n_matches
+        |  FROM sym s LEFT JOIN w ON s.src = w.item
+        |  GROUP BY s.src
+        |), nn AS MATERIALIZED (SELECT count(*) AS n_items FROM items)""")
+          .stripMargin
+        + btCtes(5) + """
+        |SELECT i.item, i.wins, i.n_matches, t.p AS strength_q6
+        |FROM items i JOIN it5 t ON i.item = t.item
+        |ORDER BY i.item""".stripMargin),
 
     // full replay of the greedy MMR recursion: top-20 integer-dot
     // candidates, pairwise sims, then one pick per recursive step —
