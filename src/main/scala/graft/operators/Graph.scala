@@ -206,7 +206,12 @@ object Graph {
     val nItems = items.count()
     require(nItems > 0, "bradleyTerryQ6: no comparisons")
     var p = items.select(col("item"), lit(1000000L).as("p"))
-    var prev: Option[DataFrame] = None
+    // per-iteration localCheckpoint, not persist: the tree nests two
+    // joins per round, and letting the logical plan grow made Catalyst
+    // analysis dominate (measured ~5 s/iteration by round 5 on a
+    // 500-edge graph); the eager checkpoint keeps plan depth constant
+    // AND provides the materialization the normalization scalar reads
+    var chks: List[DataFrame] = Nil
     (1 to iters).foreach { _ =>
       val denom = sym
         .join(p.select(col("item").as("src"), col("p").as("p_src")),
@@ -221,22 +226,22 @@ object Graph {
           least(expr(
             "(wins * 1000000000) div greatest(coalesce(denom, 0), 1)"),
             lit(1000000000000L)).as("praw"))
-        .persist(lvl)
-      // the per-iteration 8-byte normalization scalar; this action also
-      // materializes `raw` so the next iteration's two joins hit cache
+        .localCheckpoint()
+      chks = raw :: chks
+      // the per-iteration 8-byte normalization scalar (never rows)
       val s = raw.agg(sum("praw")).head().getLong(0)
       val mean = math.max(s / nItems, 1L)
-      val next = raw.select(col("item"),
+      p = raw.select(col("item"),
         greatest(expr(s"(praw * 1000000) div $mean"), lit(1L)).as("p"))
-      prev.foreach(_.unpersist(false))
-      prev = Some(raw)
-      p = next
     }
     val out = items.join(p, Seq("item"))
       .select(col("item"), col("wins"), col("n_matches"),
         col("p").as("strength_q6"))
       .localCheckpoint()
-    prev.foreach(_.unpersist(false))
+    // release every intermediate checkpoint's backing blocks; `out` is
+    // flat and owns the only surviving blocks (Caches.releaseResult
+    // frees those once the caller is done)
+    chks.foreach(Caches.releaseResult)
     sym.unpersist(false)
     items.unpersist(false)
     out

@@ -37,7 +37,7 @@ object ScaleBench {
       // MIPS/bitext family sweeps by default (events-keyed queries
       // still go through EventsScaleBench)
       "q_keyword_tags", "q_url_canonical", "q_mips", "q_mips_alsh",
-      "q_bitext_banded"))
+      "q_bitext_banded", "q_dpo_pairs", "q_mmr", "q_bt_rank"))
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"
