@@ -63,6 +63,29 @@ object TextFunctions {
     (lenScore + punctScore + caseScore + stopScore) / 4
   }
 
+  /** Exact-integer preference-quality score shared by the BT-ranking
+    * (q_bt_rank) and DPO-pairing (q_dpo_pairs) queries: stopword hits
+    * × 1000 + whitespace token count capped at 999 — a deterministic
+    * BIGINT "answer quality" proxy both engines compute identically (no
+    * floats, no rounding ties). Defined once here with its SQL twin
+    * [[prefScoreSql]] so the two query/oracle pairs cannot drift. */
+  def prefScore(text: Column): Column = {
+    val stopHits = size(filter(split(lower(trim(text)), "\\s+"),
+      t => t.isInCollection(enStopwords))).cast("long")
+    stopHits * 1000L + least(tokenCountWs(text), lit(999L))
+  }
+
+  /** DuckDB twin of [[prefScore]] over `inner` — generated from the
+    * same stopword table and cap, so the oracle cannot drift. */
+  def prefScoreSql(inner: String): String = {
+    val stops = enStopwords.map(w => s"'$w'").mkString(",")
+    s"CAST(len(list_filter(string_split_regex(lower(trim($inner)), " +
+      s"'\\s+'), x -> x IN ($stops))) AS BIGINT) * 1000 + " +
+      s"least(CASE WHEN length(trim($inner)) = 0 THEN 0 " +
+      s"ELSE CAST(len(string_split_regex(trim($inner), '\\s+')) " +
+      s"AS BIGINT) END, 999)"
+  }
+
   /** Heuristic language ID over a configurable stopword table; returns the
     * language with the highest stopword hit count, 'und' when nothing
     * matches. Extendable per language; deterministic. */

@@ -166,7 +166,14 @@ object Graph {
     * every step a positive-operand floor division, so the fixpoint is
     * engine-exact and the oracle replays all iterations. Clamp/floor
     * bounds: p_raw ≤ 10¹² keeps p_raw·10⁶ ≤ 10¹⁸ < Long.Max; the
-    * per-edge term needs n_ij ≤ 9·10⁹ comparisons per pair.
+    * per-edge term needs n_ij ≤ 9·10⁹ comparisons per pair. Two more
+    * sums can wrap and are require-guarded below (the pageRankNanos
+    * resolution-require convention): the driver normalization scalar
+    * S = Σ p_raw ≤ N·10¹² needs N ≤ 9.2·10⁶ items, and an item's
+    * denom = Σ_j term with term ≤ n_ij·5·10⁸ (p ≥ 1 each side ⇒
+    * p_i + p_j ≥ 2) needs ≤ 1.8·10¹⁰ comparisons per item — both
+    * checked from one agg over the persisted item table, so the guard
+    * costs no extra job beyond the count the loop already needed.
     *
     * Shape at 100 TB: matches collapse to one (lo, hi) pair agg; each
     * iteration is two keyed joins of the symmetric pair table against
@@ -201,10 +208,23 @@ object Graph {
       .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"),
         col("n_matches"))
       .persist(lvl)
-    // ONE bounded driver scalar outside the loop (pageRank discipline);
+    // ONE bounded driver row outside the loop (pageRank discipline);
     // also materializes the sym/items caches eagerly in one job
-    val nItems = items.count()
+    val itemStats = items
+      .agg(count(lit(1)), max("n_matches")).head()
+    val nItems = itemStats.getLong(0)
     require(nItems > 0, "bradleyTerryQ6: no comparisons")
+    // S = Σ praw ≤ nItems·10¹² must stay < Long.Max (non-ANSI sum
+    // wraps silently); 9.2·10⁶ items of pairwise-preference data is
+    // far past any reward-model corpus, so this is a guard, not a cap
+    require(nItems <= 9200000L,
+      s"bradleyTerryQ6: $nItems items would let the normalization " +
+        "sum wrap a Long (praw clamp 1e12 x n > 9.2e18)")
+    // denom_i = Σ_j n_ij·10⁹ div (p_i+p_j) ≤ n_matches_i·5·10⁸
+    val maxMatches = itemStats.getLong(1)
+    require(maxMatches <= 18000000000L,
+      s"bradleyTerryQ6: an item with $maxMatches comparisons would " +
+        "let its denom sum wrap a Long (n x 5e8 > 9.2e18)")
     var p = items.select(col("item"), lit(1000000L).as("p"))
     // per-iteration localCheckpoint, not persist: the tree nests two
     // joins per round, and letting the logical plan grow made Catalyst

@@ -784,7 +784,10 @@ object SimilaritySearch {
     * never corpus-sized. One window shuffle, one groupByKey shuffle of
     * N·queries candidate rows.
     *
-    * @return (query_id, pick_rank, id, mmr_score) — rank 1..min(k, N) */
+    * @return (query_id, pick_rank, id, mmr_score) — rank
+    *         1..min(k, distinct ids); duplicate (id, vec) corpus rows
+    *         are picked at most once (id-based exclusion, matching the
+    *         oracle's NOT list_contains(chosen, id)) */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, k: Int = 8, candidates: Int = 20,
       lambdaPpm: Long = 700000L): DataFrame = {
@@ -819,16 +822,20 @@ object SimilaritySearch {
         while (i < a.length) { s += a(i) * b(i); i += 1 }; s
       }
       val picked = new Array[Boolean](n)
+      // picked-ID set mirrors the oracle's id-based exclusion: a corpus
+      // with duplicate (id, vec) rows must still yield distinct picks
+      val pickedIds = new scala.collection.mutable.HashSet[Long]
       // running max sim of each candidate to the picked set
       val maxSim = new Array[Long](n)
       val out = new scala.collection.mutable.ArrayBuffer[
         (Long, Long, Long, Long)](math.min(k, n))
       var step = 0
-      while (step < math.min(k, n)) {
+      var exhausted = false
+      while (step < math.min(k, n) && !exhausted) {
         var best = -1; var bestScore = Long.MinValue
         var i = 0
         while (i < n) {
-          if (!picked(i)) {
+          if (!picked(i) && !pickedIds.contains(cs(i)._2)) {
             val s = if (step == 0) lambdaPpm * cs(i)._4
               else lambdaPpm * cs(i)._4 - mu * maxSim(i)
             if (s > bestScore ||
@@ -838,17 +845,21 @@ object SimilaritySearch {
           }
           i += 1
         }
-        picked(best) = true
-        out += ((qid, (step + 1).toLong, cs(best)._2, bestScore))
-        var j = 0
-        while (j < n) {
-          if (!picked(j)) {
-            val d = dotArr(cs(j)._3, cs(best)._3)
-            if (step == 0 || d > maxSim(j)) maxSim(j) = d
+        if (best < 0) exhausted = true // only duplicate-id copies left
+        else {
+          picked(best) = true
+          pickedIds += cs(best)._2
+          out += ((qid, (step + 1).toLong, cs(best)._2, bestScore))
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val d = dotArr(cs(j)._3, cs(best)._3)
+              if (step == 0 || d > maxSim(j)) maxSim(j) = d
+            }
+            j += 1
           }
-          j += 1
+          step += 1
         }
-        step += 1
       }
       out.iterator
     }.toDF("query_id", "pick_rank", "id", "mmr_score")

@@ -1179,15 +1179,10 @@ object DocQueries {
     // exact-integer MM iterations; two keyed joins + one keyed agg per
     // iteration, one 8-byte normalization scalar ----
     "q_bt_rank" -> ((s, d) => {
-      val toks = split(lower(trim(col("text"))), "\\s+")
-      val stopHits = size(filter(toks,
-        t => t.isInCollection(TextFunctions.enStopwords))).cast("long")
       val scored = docsPar(s, d)
         .where(col("doc_id") < 120 && col("text").isNotNull)
         .select(col("doc_id"),
-          (stopHits * 1000L +
-            least(TextFunctions.tokenCountWs(col("text")), lit(999L)))
-            .as("score"))
+          TextFunctions.prefScore(col("text")).as("score"))
       val a = scored.select(col("doc_id").as("a_id"),
         col("score").as("a_score"))
       val b = scored.select(col("doc_id").as("b_id"),
@@ -1254,9 +1249,6 @@ object DocQueries {
     // (key, pair_idx) join — ≤ k/2 pairs from a k-row group ----
     "q_dpo_pairs" -> ((s, d) => {
       import graft.operators.DataPrep
-      val toks = split(lower(trim(col("text"))), "\\s+")
-      val stopHits = size(filter(toks,
-        t => t.isInCollection(TextFunctions.enStopwords))).cast("long")
       val scored = docsPar(s, d)
         .where(col("text").isNotNull && col("lang").isNotNull)
         .select(col("doc_id"),
@@ -1264,9 +1256,7 @@ object DocQueries {
             pmod(graft.functions.Hashing.md5Long56(
               concat(lit("dpo|"), col("doc_id").cast("string"))), lit(8L))
               .cast("string")).as("bucket"),
-          (stopHits * 1000L +
-            least(TextFunctions.tokenCountWs(col("text")), lit(999L)))
-            .as("score"))
+          TextFunctions.prefScore(col("text")).as("score"))
       DataPrep.preferencePairs(scored, "bucket", "doc_id", "score")
         .orderBy("pair_key", "pair_idx")
     }),
@@ -3749,12 +3739,8 @@ ORDER BY src_id"""
     "q_bt_rank" ->
       (("""WITH scored AS (
         |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> x IN (""" + graft.functions.TextFunctions.enStopwords
-          .map(w => s"'$w'").mkString(",") + """))) AS BIGINT) * 1000 +
-        |    least(CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-        |      END, 999) AS score
+        |    """ + graft.functions.TextFunctions.prefScoreSql("text") +
+        """ AS score
         |  FROM documents WHERE doc_id < 120 AND text IS NOT NULL
         |), m AS MATERIALIZED (
         |  SELECT
@@ -3857,12 +3843,8 @@ ORDER BY src_id"""
         |    lang || '|' || CAST(
         |      CAST(md5_number_upper('dpo|' || CAST(doc_id AS VARCHAR))
         |        % 72057594037927936 AS BIGINT) % 8 AS VARCHAR) AS bucket,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> x IN (""" + graft.functions.TextFunctions.enStopwords
-          .map(w => s"'$w'").mkString(",") + """))) AS BIGINT) * 1000 +
-        |    least(CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-        |      END, 999) AS score
+        |    """ + graft.functions.TextFunctions.prefScoreSql("text") +
+        """ AS score
         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
         |), ranked AS (
         |  SELECT bucket AS pair_key, doc_id, score,

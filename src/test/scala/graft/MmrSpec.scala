@@ -86,6 +86,25 @@ class MmrSpec extends AnyFunSuite {
       s"picks $mmr: second pick must jump clusters")
   }
 
+  test("duplicate (id, vec) corpus rows are picked at most once") {
+    import spark.implicits._
+    // an un-deduplicated union: id 1 appears twice with identical vecs;
+    // pure relevance (λ=1e6) would otherwise pick id 1 at ranks 1 AND 2
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.5f, 0.5f)), (3L, Seq(0.1f, 0.9f)))
+    val emb = (base ++ Seq((1L, Seq(0.9f, 0.1f))))
+      .toDF("vec_id", "embedding")
+    val got = SimilaritySearch.mmrTopK(emb,
+        emb.where(col("vec_id") === 0L).dropDuplicates("vec_id"),
+        "vec_id", "embedding", "vec_id",
+        k = 8, candidates = 8, lambdaPpm = 1000000L)
+      .collect().sortBy(_.getAs[Long]("pick_rank"))
+    val ids = got.map(_.getAs[Long]("id")).toSeq
+    assert(ids.distinct == ids, s"repeated id in picks: $ids")
+    assert(ids.toSet == Set(1L, 2L, 3L), s"picks $ids")
+  }
+
   test("k capped at pool size; lambda=1e6 degenerates to relevance") {
     import spark.implicits._
     val emb = (0L until 4L)
