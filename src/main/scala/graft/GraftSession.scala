@@ -24,10 +24,22 @@ object GraftSession {
     * The driver records only the stdout TAIL of bench/verify runs, and
     * thousands of repeats of this known-benign line would bury any NEW
     * warning class in that window (r10 verdict #3). */
-  def quietKnownWarnings(): Unit =
+  def quietKnownWarnings(): Unit = {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // "RDD was locally checkpointed ... cannot be recomputed after
+    // unpersisting": emitted once per released checkpoint by the
+    // release-after-consume discipline (Caches.releaseResult on
+    // localCheckpoint-backed results — BT/MMR/LPA and every iterative
+    // operator). Benign BY CONSTRUCTION: a result is only released
+    // after everything derived from it is itself materialized, so the
+    // truncated lineage is never re-executed; the hygiene specs
+    // (StorageHygiene/Soak), not this log line, are the protection.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+  }
 
   /** Shared tuning: adaptive execution (coalescing + skew-join split),
     * UTC timestamps (oracle/Postgres parity), extensions registered. */

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH dedup index: build ONCE over the corpus,
+  * probe every incoming crawl batch against it, append accepted
+  * batches — the incremental-ingestion shape a continuously-crawled
+  * 100 TB corpus needs. [[Dedup.minhashCrossDupPairs]] recomputes the
+  * corpus-side shingles, signatures, and band keys on every call,
+  * which is right for a one-shot decontamination pass and wrong for a
+  * per-batch ingest gate; this operator materializes that work as two
+  * plain parquet tables (the [[AnnIndex]] discipline — disk layout IS
+  * the index, no binary sidecar format):
+  *
+  *   <path>/meta    (bands, rows_per_band)        — one row
+  *   <path>/bands   (id, bh) PARTITIONED BY band  — 8-byte LSH keys
+  *   <path>/grams   (id, gram_hashes)             — verification sets
+  *
+  * A probe computes the BATCH side's bands fresh (it must — the text
+  * is new) and joins them against the stored band keys: one keyed
+  * join on fixed-width (band, bh), with the batch side broadcast (a
+  * crawl increment is small against the corpus). Candidates are then
+  * exact-Jaccard verified against the stored distinct-shingle hash
+  * sets — Jaccard over injectively-hashed grams equals Jaccard over
+  * the grams themselves, so the verification is as exact as
+  * [[Dedup.minhashDupPairs]]' text-side verify without ever re-reading
+  * corpus text. The candidate set broadcasts back against the grams
+  * table, so the index side never shuffles at probe time.
+  *
+  * [[append]] adds a batch's bands + grams WITHOUT touching existing
+  * files (additive writes into the band partition directories), so
+  * ingest is: probe → drop batch rows that hit → append the survivors.
+  */
+object DedupIndex {
+
+  /** Build the index over `corpus` at `path` (overwrites). Banding
+    * parameters are persisted in `<path>/meta` and re-checked on every
+    * append/probe; the `shingler` is code, not data — callers must pass
+    * the same one (the default matches [[Dedup.minhashDupPairs]]). */
+  def build(corpus: DataFrame, idCol: String, textCol: String,
+      path: String,
+      shingler: Column => Column =
+        graft.functions.TextFunctions.wordShingles(_, 3),
+      bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((bands, rowsPerBand)).toDF("bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeTables(corpus, idCol, textCol, path, shingler, bands,
+      rowsPerBand, overwrite = true)
+  }
+
+  /** Append a new batch into the existing index — additive writes into
+    * the band directories, no rewrite of prior files. */
+  def append(batch: DataFrame, idCol: String, textCol: String,
+      path: String,
+      shingler: Column => Column =
+        graft.functions.TextFunctions.wordShingles(_, 3)): Unit = {
+    val (bands, rowsPerBand) = readMeta(batch.sparkSession, path)
+    writeTables(batch, idCol, textCol, path, shingler, bands,
+      rowsPerBand, overwrite = false)
+  }
+
+  /** Probe: near-dup pairs (id, batch_id, jaccard) between the indexed
+    * corpus and `batch`, jaccard ≥ `threshold` — same candidate
+    * generation + exact-verify contract as
+    * [[Dedup.minhashCrossDupPairs]], with the corpus side read from
+    * the persisted tables instead of recomputed. */
+  def probe(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      shingler: Column => Column =
+        graft.functions.TextFunctions.wordShingles(_, 3)): DataFrame = {
+    val (bands, rowsPerBand) = readMeta(spark, path)
+    val bsh = batch
+      .select(col(idCol).as("batch_id"), shingler(col(textCol)).as("_sh"))
+      .where(size(col("_sh")) > 0)
+    val bb = bsh
+      .select(col("batch_id"),
+        Dedup.minhashSignature(col("_sh"), bands * rowsPerBand).as("sig"))
+      .select(col("batch_id"),
+        explode(Dedup.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("batch_id"), col("bk.band").as("band"),
+        col("bk.bh").as("bh"))
+    val cands = spark.read.parquet(s"$path/bands")
+      .join(broadcast(bb), Seq("band", "bh"))
+      .select("id", "batch_id")
+      .dropDuplicates("id", "batch_id")
+    // candidates broadcast back against the grams table: the (large)
+    // index side streams through a BroadcastHashJoin — no shuffle
+    spark.read.parquet(s"$path/grams")
+      .join(broadcast(cands), Seq("id"))
+      .join(broadcast(bsh.select(col("batch_id"),
+        gramHashes(col("_sh")).as("_bg"))), Seq("batch_id"))
+      .withColumn("jaccard", Dedup.jaccard(col("gram_hashes"), col("_bg")))
+      .where(col("jaccard") >= threshold)
+      .select("id", "batch_id", "jaccard")
+  }
+
+  private def writeTables(df: DataFrame, idCol: String, textCol: String,
+      path: String, shingler: Column => Column, bands: Int,
+      rowsPerBand: Int, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val sh = df
+      .select(col(idCol).as("id"), shingler(col(textCol)).as("_sh"))
+      .where(size(col("_sh")) > 0)
+    sh.select(col("id"),
+        Dedup.minhashSignature(col("_sh"), bands * rowsPerBand).as("sig"))
+      .select(col("id"),
+        explode(Dedup.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+    sh.select(col("id"), gramHashes(col("_sh")).as("gram_hashes"))
+      .write.mode(mode).parquet(s"$path/grams")
+  }
+
+  /** Distinct 64-bit shingle hashes — the stored verification set.
+    * Jaccard over these equals Jaccard over the shingle strings as
+    * long as the hash is injective on the corpus vocabulary (64-bit
+    * murmur over ≤ 10⁹ distinct shingles: collision odds ≈ 3·10⁻²,
+    * and ONE collision perturbs one set's size by one element). */
+  private val gramHashes = udf((sh: Seq[String]) =>
+    sh.map(Dedup.hash64).distinct.sorted)
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    (m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"))
+  }
+}

@@ -266,4 +266,67 @@ object Graph {
     items.unpersist(false)
     out
   }
+
+  /** Synchronous label propagation (Raghavan 2007) over an UNDIRECTED
+    * edge list `(id_a, id_b)`, made deterministic: labels start as the
+    * node id, and each round every node adopts the most frequent label
+    * among its NEIGHBORS, ties broken by the smallest label. Where
+    * [[graft.operators.Dedup.connectedComponents]] answers "which docs
+    * are transitively linked at all", LPA answers "which docs form a
+    * DENSE community" — two near-clique template clusters linked by one
+    * accidental bridge pair stay separate communities here while CC
+    * merges them, which is the grain a canonical-pick or
+    * cluster-sampling policy actually wants.
+    *
+    * Exactness: the update is pure integer argmax (count desc, label
+    * asc) over integer labels, so a fixed-`iters` run is engine-exact
+    * and a SQL oracle can replay every round (the pageRankNanos /
+    * bradleyTerryQ6 discipline). Fixed iterations, NOT
+    * run-to-convergence: synchronous LPA can 2-cycle on bipartite
+    * structures, so a convergence loop may never exit — a bounded
+    * round count is the standard fix and keeps the oracle finite.
+    *
+    * Scale shape: per round, ONE exchange keyed by the edge src — the
+    * neighbor-label join rides the edge table persisted pre-partitioned
+    * by `dst` (the lookup key), the (src, lbl) count is a map-side
+    * partial agg into the src exchange, and the argmax is a second agg
+    * on the SAME src key (no new exchange). Per-round localCheckpoint
+    * keeps plan depth constant (the bradleyTerryQ6 lesson). Label
+    * state is one (node, lbl) row per node — never edge-sized.
+    *
+    * Returns (node, community) with community = the final label. */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // input contract (same as pageRankNanos): DISTINCT undirected pairs
+    // — a repeated pair would count as a multi-edge in the label vote
+    val e = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges
+        .select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("dst"))
+      .persist(lvl)
+    var lbl = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var chks: List[DataFrame] = List(lbl)
+    (1 to iters).foreach { _ =>
+      val next = e
+        .join(lbl.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy("src", "lbl").agg(count(lit(1)).as("c"))
+        // argmax by (count desc, label asc) == max of (c, -lbl): labels
+        // are node ids >= 0, so -lbl is exact and orders ties ascending
+        .groupBy("src")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+      chks = next :: chks
+      lbl = next
+    }
+    val out = lbl.select(col("node"), col("lbl").as("community"))
+      .localCheckpoint()
+    chks.foreach(Caches.releaseResult)
+    e.unpersist(false)
+    out
+  }
 }

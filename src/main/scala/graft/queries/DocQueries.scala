@@ -194,6 +194,26 @@ object DocQueries {
          |)""".stripMargin
     }.mkString
 
+  /** [[graft.operators.Graph.labelPropagation]]'s deterministic sync
+    * update, unrolled: lp0 = identity labels over the symmetric edge
+    * CTE `e0`; each round every node takes the most frequent neighbor
+    * label, ties to the smallest (min over the max-count labels —
+    * exactly the operator's max(struct(c, -lbl)) argmax). */
+  private def lpCtes(iters: Int): String =
+    """, lp0 AS MATERIALIZED (
+      |  SELECT DISTINCT src AS node, src AS lbl FROM e0
+      |)""".stripMargin +
+    (1 to iters).map { k =>
+      s""", lp$k AS MATERIALIZED (
+         |  SELECT src AS node, min(lbl) AS lbl FROM (
+         |    SELECT e.src, l.lbl, count(*) AS c,
+         |      max(count(*)) OVER (PARTITION BY e.src) AS mx
+         |    FROM e0 e JOIN lp${k - 1} l ON e.dst = l.node
+         |    GROUP BY e.src, l.lbl)
+         |  WHERE c = mx GROUP BY src
+         |)""".stripMargin
+    }.mkString
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis: token counting + quality signals ----
     "q_doc_stats" -> ((s, d) => {
@@ -424,6 +444,24 @@ object DocQueries {
       Graph.triangleStats(pairs)
         .select(col("node").as("doc_id"), col("deg"), col("n_tri"),
           col("clustering_ppm"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- label-propagation communities over the near-dup graph:
+    // where CC answers "transitively linked at all", LPA answers
+    // "densely linked" — two template clusters joined by one bridge
+    // pair stay separate communities. Deterministic integer argmax,
+    // fixed 4 rounds; the oracle replays every round off the trigram
+    // truth edges ----
+    "q_label_prop" -> ((s, d) => {
+      val pairs = Dedup.minhashDupPairs(docsWithDups(s, d), "doc_id",
+          "text", threshold = 0.5)
+        .select("id_a", "id_b")
+      val lp = Graph.labelPropagation(pairs, iters = 4)
+      // lp is eagerly checkpointed flat — free the orphaned pair
+      // checkpoint now (the q_pagerank discipline)
+      graft.operators.Caches.releaseResult(pairs)
+      lp.select(col("node").as("doc_id"), col("community"))
         .orderBy("doc_id")
     }),
 
@@ -1130,6 +1168,49 @@ object DocQueries {
         .select(col("id").as("doc_id"), col("ref_id"),
           (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
         .orderBy("doc_id", "ref_id")
+    }),
+
+    // ---- persisted dedup index, full ingest cycle: build over half
+    // the corpus, APPEND the other half (no rewrite), probe a derived
+    // crawl batch — pairs must equal the all-pairs trigram truth
+    // between the WHOLE corpus and the batch, which proves the append
+    // path feeds candidates exactly like the build path ----
+    "q_dedup_index_probe" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      val docs = docsPar(s, d).select("doc_id", "text")
+        .where(col("text").isNotNull)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dedup_idx_").toString
+      // 16 bands x 2 rows (same 32-hash signature as the 8x4 default):
+      // the flattest S-curve the signature affords, because this
+      // query's oracle is the ALL-PAIRS truth — the corpus has organic
+      // borderline pairs down to j ≈ 0.69, where 8x4 banding has a
+      // ~13% miss rate but 16x2 is ≤ 3·10⁻⁵ (deterministic hashes, so
+      // the gate outcome is fixed, not flaky — verified green at the
+      // driver SF)
+      DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", tmp, bands = 16, rowsPerBand = 2)
+      DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", tmp)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" crawl extra tail")).as("text"))
+      DedupIndex.probe(s, tmp, batch, "doc_id", "text", threshold = 0.5)
+        .select(col("id"), col("batch_id"),
+          (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
+        .orderBy("id", "batch_id")
+    }),
+
+    // ---- k-anonymity / l-diversity release gate over
+    // (lang, source, length-band) quasi-identifiers: group size,
+    // distinct-sensitive count, and the publish verdict — ONE keyed
+    // agg of fixed-width group keys ----
+    "q_kanon" -> ((s, d) => {
+      val qi = docsPar(s, d).select(col("lang"), col("source"),
+        expr("n_chars div 500").as("len_band"), col("text"))
+      graft.operators.Privacy.kAnonymityStats(qi,
+          Seq("lang", "source", "len_band"), "text", k = 5L, l = 2L)
+        .orderBy("lang", "source", "len_band")
     }),
 
     // ---- DSIR importance weights (Xie et al. 2023 data selection):
@@ -2859,6 +2940,16 @@ ORDER BY src_id"""
         |FROM dg LEFT JOIN tn USING (node)
         |ORDER BY doc_id""".stripMargin),
 
+    // same truth-pair edges; replays all four deterministic LPA rounds
+    // (most-frequent neighbor label, ties to min) via lpCtes
+    "q_label_prop" -> (docsWithDupsCte + trigramPairsCte +
+      """, e0 AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |)""".stripMargin + lpCtes(4) + """
+        |SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community
+        |FROM lp4 ORDER BY doc_id""".stripMargin),
+
     // rebuilds the edge set from the all-pairs trigram truth (the
     // q_minhash_pairs pinned property), then replays pageRankNanos'
     // integer recurrence with all five iterations unrolled — every op
@@ -3474,6 +3565,49 @@ ORDER BY src_id"""
         |  (len(t.grams) + len(b.grams) - len(list_intersect(t.grams, b.grams)))
         |  >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+
+    // all-pairs trigram truth between the WHOLE corpus (build half +
+    // append half) and the derived crawl batch — banding recall
+    // completeness at 0.5 is the q_minhash_pairs pinned property, and
+    // Jaccard over murmur-hashed distinct grams equals Jaccard over
+    // the grams themselves
+    "q_dedup_index_probe" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |), batch AS (
+        |  SELECT doc_id + 300000 AS batch_id,
+        |    text || ' crawl extra tail' AS text
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0
+        |), cg AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g'), ' ') AS t FROM corpus) WHERE len(t) >= 3
+        |), bg AS (
+        |  SELECT batch_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM (SELECT batch_id, string_split(regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g'), ' ') AS t FROM batch) WHERE len(t) >= 3
+        |)
+        |SELECT c.doc_id AS id, b.batch_id,
+        |  floor(CAST(len(list_intersect(c.grams, b.grams)) AS DOUBLE) /
+        |    (len(c.grams) + len(b.grams) - len(list_intersect(c.grams, b.grams)))
+        |    * 1e6) / 1e6 AS jaccard
+        |FROM cg c JOIN bg b ON true
+        |WHERE CAST(len(list_intersect(c.grams, b.grams)) AS DOUBLE) /
+        |  (len(c.grams) + len(b.grams) - len(list_intersect(c.grams, b.grams)))
+        |  >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+
+    // one GROUP BY on the quasi-identifier tuple; count(DISTINCT)
+    // ignores NULL sensitive values on both engines
+    "q_kanon" ->
+      """SELECT lang, source, n_chars // 500 AS len_band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS l_div,
+        |  (count(*) >= 5 AND count(DISTINCT text) >= 2) AS kept
+        |FROM documents
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // replays the md5Long56 bucket hash, the add-one smoothing, and the
     // once-quantized per-bucket log ratio; per-doc sums are integer

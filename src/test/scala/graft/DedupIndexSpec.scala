@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{Dedup, DedupIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted MinHash dedup index: probing the built index must equal
+  * the live cross-corpus pair generator on the same inputs, appends
+  * must feed candidates without a rebuild, and the probe plan must not
+  * shuffle the index side. */
+class DedupIndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = graft.Tables.documents(spark, sf)
+    .select("doc_id", "text").where(col("text").isNotNull)
+
+  private def tmp(): String = {
+    val d = java.nio.file.Files.createTempDirectory("dedupindex").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def batch() = docs.where(col("doc_id") % 5 === 0)
+    .select((col("doc_id") + 300000L).as("doc_id"),
+      concat(col("text"), lit(" crawl extra tail")).as("text"))
+
+  test("index probe equals the live minhashCrossDupPairs on the same " +
+      "corpus and batch") {
+    val path = tmp()
+    DedupIndex.build(docs, "doc_id", "text", path)
+    val probed = DedupIndex.probe(spark, path, batch(),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("id"), col("batch_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+      .map(_.toString).sorted.toSeq
+    val live = Dedup.minhashCrossDupPairs(docs, batch(),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("id"), col("ref_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+      .map(_.toString).sorted.toSeq
+    assert(probed.nonEmpty, "planted near-dups must be found")
+    assert(probed == live)
+  }
+
+  test("append feeds probe candidates exactly like build") {
+    val path = tmp()
+    val whole = tmp()
+    DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", path)
+    DedupIndex.build(docs, "doc_id", "text", whole)
+    def run(p: String) = DedupIndex.probe(spark, p, batch(),
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(run(path) == run(whole))
+  }
+
+  test("probe plan: index tables never shuffle — the only Exchange is " +
+      "the candidate-sized dedup, and the bands scan is " +
+      "dynamically partition-pruned") {
+    val path = tmp()
+    DedupIndex.build(docs, "doc_id", "text", path)
+    val plan = DedupIndex.probe(spark, path, batch(), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // every index-side join is a BroadcastHashJoin (stored tables
+    // stream); the single hash exchange is the (id, batch_id)
+    // candidate dedup, which is candidate-sized by construction
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"expected only the candidate-dedup " +
+      s"exchange, got $exchanges in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"index-side sort-merge join in probe plan:\n$plan")
+    // the batch's band keys prune the band partition directories
+    assert(plan.contains("dynamicpruningexpression(band"),
+      s"no dynamic partition pruning on the bands scan:\n$plan")
+  }
+
+  test("probe reads the build-time banding params from the index meta") {
+    val path = tmp()
+    DedupIndex.build(docs.limit(10), "doc_id", "text", path,
+      bands = 4, rowsPerBand = 8)
+    // meta round-trips the build-time banding parameters
+    val m = spark.read.parquet(s"$path/meta").head()
+    assert(m.getAs[Int]("bands") == 4 && m.getAs[Int]("rows_per_band") == 8)
+    // probe picks them up: signatures still line up with the index
+    val got = DedupIndex.probe(spark, path, docs.limit(10),
+      "doc_id", "text", threshold = 0.99)
+    // every doc matches itself at jaccard 1.0
+    assert(got.where(col("id") === col("batch_id")).count() == 10)
+  }
+}

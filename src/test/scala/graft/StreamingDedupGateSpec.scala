@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.DedupIndex
+import graft.streaming.StreamingDedupGate
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ingest gate: duplicates of the seed corpus are rejected,
+  * novel docs are admitted AND extend the index, and a later
+  * micro-batch duplicating an earlier batch's survivor is rejected —
+  * the incremental semantics a one-shot batch probe cannot express. */
+class StreamingDedupGateSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  // long distinct sentences so word-trigram jaccard behaves
+  private val seedText =
+    "the quick brown fox jumps over the lazy dog near the old river bank"
+  private val novelA =
+    "completely different words about tokenizer training and vocab merges here"
+  private val novelB =
+    "spark catalyst optimizer pushes filters below the shuffle boundary nicely"
+
+  test("gate rejects seed dups, admits novel docs, and rejects a dup " +
+      "of an earlier micro-batch's survivor") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmp("gate_idx")
+    val out = tmp("gate_out") + "/accepted"
+    val chk = tmp("gate_chk")
+    DedupIndex.build(Seq((1L, seedText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedupGate.start(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, out, chk, threshold = 0.5)
+    try {
+      // batch 1: a near-copy of the seed (rejected) + a novel doc
+      input.addData((10L, seedText + " extra tail"), (11L, novelA))
+      q.processAllAvailable()
+      // batch 2: a near-copy of batch 1's SURVIVOR (rejected — the
+      // index grew), a near-copy of the seed (still rejected), novel
+      input.addData((20L, novelA + " extra tail"),
+        (21L, seedText + " other tail"), (22L, novelB))
+      q.processAllAvailable()
+      val accepted = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(accepted == Seq(11L, 22L),
+        s"accepted $accepted — expected only the two novel docs")
+    } finally q.stop()
+  }
+
+  test("restartable: the index reflects every committed batch, so a " +
+      "fresh query over the same index keeps rejecting") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmp("gate_idx2")
+    val out = tmp("gate_out2") + "/accepted"
+    DedupIndex.build(Seq((1L, seedText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamingDedupGate.start(in1.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, out, tmp("gate_chk2a"))
+    in1.addData((10L, novelA))
+    q1.processAllAvailable()
+    q1.stop()
+    // a NEW query (fresh checkpoint) against the same index still
+    // rejects dups of the first query's survivor
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamingDedupGate.start(in2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, out, tmp("gate_chk2b"))
+    try {
+      in2.addData((20L, novelA + " tail words"), (21L, novelB))
+      q2.processAllAvailable()
+      val accepted = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(accepted == Seq(10L, 21L), s"accepted $accepted")
+    } finally q2.stop()
+  }
+}
