@@ -1213,6 +1213,17 @@ object DocQueries {
         .orderBy("lang", "source", "len_band")
     }),
 
+    // ---- row-level cell suppression twin: QI cells NULLed in
+    // sub-k groups, row count preserved — one window count over the
+    // same QI key ----
+    "q_kanon_rows" -> ((s, d) => {
+      val qi = docsPar(s, d).select(col("doc_id"), col("lang"),
+        col("source"), expr("n_chars div 500").as("len_band"))
+      graft.operators.Privacy.kAnonymize(qi,
+          Seq("lang", "source", "len_band"), k = 5L)
+        .orderBy("doc_id")
+    }),
+
     // ---- DSIR importance weights (Xie et al. 2023 data selection):
     // hashed unigram+bigram features, add-one-smoothed target/raw
     // bucket distributions, per-doc quantized log importance weight.
@@ -3608,6 +3619,22 @@ ORDER BY src_id"""
         |  (count(*) >= 5 AND count(DISTINCT text) >= 2) AS kept
         |FROM documents
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the row-level window-count twin; suppressed rows keep their
+    // doc_id but lose every QI cell
+    "q_kanon_rows" ->
+      """WITH qi AS (
+        |  SELECT doc_id, lang, source, n_chars // 500 AS len_band,
+        |    count(*) OVER (PARTITION BY lang, source, n_chars // 500)
+        |      < 5 AS suppressed
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN suppressed THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN suppressed THEN NULL ELSE source END AS source,
+        |  CASE WHEN suppressed THEN NULL ELSE len_band END AS len_band,
+        |  suppressed
+        |FROM qi ORDER BY doc_id""".stripMargin,
 
     // replays the md5Long56 bucket hash, the add-one smoothing, and the
     // once-quantized per-bucket log ratio; per-doc sums are integer
