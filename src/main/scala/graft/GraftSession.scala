@@ -36,9 +36,43 @@ object GraftSession {
     // after everything derived from it is itself materialized, so the
     // truncated lineage is never re-executed; the hygiene specs
     // (StorageHygiene/Soak), not this log line, are the protection.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // A MESSAGE-level filter, deliberately not a logger-level cut:
+    // RDD warnings key by concrete class, so silencing the whole
+    // MapPartitionsRDD logger would also hide any FUTURE warning that
+    // signals the release discipline actually broke — exactly the
+    // bury-new-warnings failure this method exists to prevent.
+    denyMessage("org.apache.spark.rdd.MapPartitionsRDD",
+      "locally checkpointed")
+  }
+
+  /** Attach a DENY filter for messages containing `needle` to the
+    * named logger, leaving every other message at its normal level. */
+  private def denyMessage(loggerName: String, needle: String): Unit = {
+    import org.apache.logging.log4j.core.{Filter, LogEvent}
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.AbstractFilter
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val cfg = ctx.getConfiguration
+    val existing = cfg.getLoggerConfig(loggerName)
+    val lc =
+      if (existing.getName == loggerName) existing
+      else {
+        // additive pass-through config: no level override, no own
+        // appenders — everything except the denied message reaches the
+        // root appenders unchanged
+        val created = new LoggerConfig(loggerName, null, true)
+        cfg.addLogger(loggerName, created)
+        created
+      }
+    lc.addFilter(new AbstractFilter(
+        Filter.Result.DENY, Filter.Result.NEUTRAL) {
+      override def filter(event: LogEvent): Filter.Result =
+        if (event.getMessage.getFormattedMessage.contains(needle))
+          Filter.Result.DENY
+        else Filter.Result.NEUTRAL
+    })
+    ctx.updateLoggers()
   }
 
   /** Shared tuning: adaptive execution (coalescing + skew-join split),

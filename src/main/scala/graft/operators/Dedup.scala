@@ -256,6 +256,19 @@ object Dedup {
           .as("bh"))
     }: _*)
 
+  /** THE band-key pipeline — shingle array column → exploded
+    * (idCol, band, bh) triples — shared by every banding consumer
+    * (self-join dedup, cross-corpus decontamination, the persisted
+    * [[DedupIndex]]): one definition, so the persisted index's keys can
+    * never desynchronize from the live paths. */
+  private[operators] def bandTriples(sh: DataFrame, idCol: String,
+      shCol: String, bands: Int, rowsPerBand: Int): DataFrame =
+    sh.select(col(idCol),
+        minhashSignature(col(shCol), bands * rowsPerBand).as("sig"))
+      .select(col(idCol),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
   /** MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
     * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
     * jaccard >= threshold. The result is EAGERLY materialized (computed
@@ -313,12 +326,7 @@ object Dedup {
     // the probe action populates the cache, so the signature UDF runs
     // exactly ONCE per document — the r9 shape ran it once per join
     // side. (bands+1)·n rows of 20 bytes — far below the shingle cache.
-    val bandsDf = sh
-      .select(col("id"),
-        minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
-      .select(col("id"),
-        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val bandsDf = bandTriples(sh, "id", "sh", bands, rowsPerBand)
       .persistTracked
 
     // try/finally: the operator runs ACTIONS (probe collect +
@@ -439,12 +447,8 @@ object Dedup {
     def shingled(df: DataFrame, out: String): DataFrame = df.select(
       col(idCol).as(out), shingler(col(textCol)).as(s"_sh_$out"))
       .where(size(col(s"_sh_$out")) > 0)
-    def banded(sh: DataFrame, out: String): DataFrame = sh
-      .select(col(out),
-        minhashSignature(col(s"_sh_$out"), bands * rowsPerBand).as("sig"))
-      .select(col(out), explode(bandKeys(col("sig"), bands, rowsPerBand))
-        .as("bk"))
-      .select(col(out), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    def banded(sh: DataFrame, out: String): DataFrame =
+      bandTriples(sh, out, s"_sh_$out", bands, rowsPerBand)
 
     val corpusSh = shingled(corpus, "id")
     val refSh = shingled(reference, "ref_id")

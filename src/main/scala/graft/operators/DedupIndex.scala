@@ -72,16 +72,14 @@ object DedupIndex {
       shingler: Column => Column =
         graft.functions.TextFunctions.wordShingles(_, 3)): DataFrame = {
     val (bands, rowsPerBand) = readMeta(spark, path)
+    // the batch side is computed twice (bands + gram sets) — both
+    // passes are over the small side and both ship as broadcasts (the
+    // [[Dedup.minhashCrossDupPairs]] convention; the result stays lazy,
+    // so there is nothing to pin-and-release here)
     val bsh = batch
       .select(col(idCol).as("batch_id"), shingler(col(textCol)).as("_sh"))
       .where(size(col("_sh")) > 0)
-    val bb = bsh
-      .select(col("batch_id"),
-        Dedup.minhashSignature(col("_sh"), bands * rowsPerBand).as("sig"))
-      .select(col("batch_id"),
-        explode(Dedup.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("batch_id"), col("bk.band").as("band"),
-        col("bk.bh").as("bh"))
+    val bb = Dedup.bandTriples(bsh, "batch_id", "_sh", bands, rowsPerBand)
     val cands = spark.read.parquet(s"$path/bands")
       .join(broadcast(bb), Seq("band", "bh"))
       .select("id", "batch_id")
@@ -101,17 +99,18 @@ object DedupIndex {
       path: String, shingler: Column => Column, bands: Int,
       rowsPerBand: Int, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
+    // the corpus-sized shingle pass feeds TWO write actions — pin it so
+    // the scan + shingler UDF run once per build/append, not twice
     val sh = df
       .select(col(idCol).as("id"), shingler(col(textCol)).as("_sh"))
       .where(size(col("_sh")) > 0)
-    sh.select(col("id"),
-        Dedup.minhashSignature(col("_sh"), bands * rowsPerBand).as("sig"))
-      .select(col("id"),
-        explode(Dedup.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
-    sh.select(col("id"), gramHashes(col("_sh")).as("gram_hashes"))
-      .write.mode(mode).parquet(s"$path/grams")
+      .localCheckpoint()
+    try {
+      Dedup.bandTriples(sh, "id", "_sh", bands, rowsPerBand)
+        .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+      sh.select(col("id"), gramHashes(col("_sh")).as("gram_hashes"))
+        .write.mode(mode).parquet(s"$path/grams")
+    } finally Caches.releaseResult(sh)
   }
 
   /** Distinct 64-bit shingle hashes — the stored verification set.

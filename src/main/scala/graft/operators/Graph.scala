@@ -286,13 +286,18 @@ object Graph {
     * structures, so a convergence loop may never exit — a bounded
     * round count is the standard fix and keeps the oracle finite.
     *
-    * Scale shape: per round, ONE exchange keyed by the edge src — the
+    * Scale shape: per round, ONE edge-sized exchange — the
     * neighbor-label join rides the edge table persisted pre-partitioned
-    * by `dst` (the lookup key), the (src, lbl) count is a map-side
-    * partial agg into the src exchange, and the argmax is a second agg
-    * on the SAME src key (no new exchange). Per-round localCheckpoint
-    * keeps plan depth constant (the bradleyTerryQ6 lesson). Label
-    * state is one (node, lbl) row per node — never edge-sized.
+    * by `dst` (the lookup key; only the node-sized label frame shuffles
+    * to meet it), then the joined rows repartition ONCE by `src`:
+    * HashPartitioning(src) satisfies the clustering of BOTH the
+    * (src, lbl) count agg and the src argmax agg (the subset rule), so
+    * neither agg plans its own exchange — without the explicit
+    * repartition, each agg would shuffle the edge-sized count frame
+    * separately (LabelPropSpec pins the round's exchange count).
+    * Per-round localCheckpoint keeps plan depth constant (the
+    * bradleyTerryQ6 lesson). Label state is one (node, lbl) row per
+    * node — never edge-sized.
     *
     * Returns (node, community) with community = the final label. */
   def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
@@ -311,15 +316,7 @@ object Graph {
       .localCheckpoint()
     var chks: List[DataFrame] = List(lbl)
     (1 to iters).foreach { _ =>
-      val next = e
-        .join(lbl.select(col("node").as("dst"), col("lbl")), Seq("dst"))
-        .groupBy("src", "lbl").agg(count(lit(1)).as("c"))
-        // argmax by (count desc, label asc) == max of (c, -lbl): labels
-        // are node ids >= 0, so -lbl is exact and orders ties ascending
-        .groupBy("src")
-        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("src").as("node"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint()
+      val next = lpRound(e, lbl).localCheckpoint()
       chks = next :: chks
       lbl = next
     }
@@ -329,4 +326,16 @@ object Graph {
     e.unpersist(false)
     out
   }
+
+  /** One LPA round, un-checkpointed — package-visible so the spec can
+    * gate its plan shape (one src exchange feeding both aggs). */
+  private[graft] def lpRound(e: DataFrame, lbl: DataFrame): DataFrame =
+    e.join(lbl.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+      .repartition(col("src"))
+      .groupBy("src", "lbl").agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) == max of (c, -lbl): labels
+      // are node ids >= 0, so -lbl is exact and orders ties ascending
+      .groupBy("src")
+      .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+      .select(col("src").as("node"), (-col("m.nl")).as("lbl"))
 }

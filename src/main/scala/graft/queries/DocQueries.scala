@@ -38,6 +38,12 @@ object DocQueries {
   /** documents scan with the split-starvation guard: every query below
     * runs per-row CPU work (regex token stacks, shingle/minhash kernels,
     * PNG codecs) that a sub-cores partition count would serialize. */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   private def docsPar(s: SparkSession, d: String): DataFrame =
     graft.Tables.ensureParallelism(documents(s, d))
 
@@ -1195,10 +1201,17 @@ object DocQueries {
       val batch = docs.where(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 300000L).as("doc_id"),
           concat(col("text"), lit(" crawl extra tail")).as("text"))
-      DedupIndex.probe(s, tmp, batch, "doc_id", "text", threshold = 0.5)
+      // materialize the probe, then delete the corpus-sized temp index
+      // — repeated bench/verify invocations must not accumulate index
+      // trees until /tmp fills
+      val res = DedupIndex
+        .probe(s, tmp, batch, "doc_id", "text", threshold = 0.5)
         .select(col("id"), col("batch_id"),
           (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
         .orderBy("id", "batch_id")
+        .localCheckpoint()
+      deleteRecursively(new java.io.File(tmp))
+      res
     }),
 
     // ---- k-anonymity / l-diversity release gate over

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.DedupIndex
@@ -24,44 +24,82 @@ import graft.operators.DedupIndex
   * of the per-batch step is therefore [[DedupIndex.probe]]'s own
   * oracle-checked contract.
   *
-  * State lives entirely in the index directories — the streaming query
-  * itself is stateless (no watermark, no state store), so a restart
-  * resumes from the checkpoint with the index already reflecting every
-  * committed batch. At 100 TB the index is the same partitioned
-  * parquet the batch path uses; per-trigger cost is batch-sized
-  * banding + candidate-sized verification, never corpus-sized. */
+  * Replay safety: `foreachBatch` is AT-LEAST-ONCE — a crash between
+  * the side effects and the epoch commit re-runs the batch — so the
+  * batch step is made idempotent at document-id grain (ids must be
+  * globally unique, the standard crawl-pipeline contract):
+  *  - survivors land in a PER-EPOCH directory
+  *    (`outPath/ingest_batch=<epoch>`) written with overwrite, so a
+  *    replayed epoch rewrites the same files instead of appending a
+  *    second copy;
+  *  - a probe hit with `id == batch_id` is an EXACT self-match — the
+  *    document is already IN the index, i.e. this is a replay of a
+  *    previously-appended survivor. Self-matched docs are still
+  *    admitted to the (overwritten) output but are NOT re-appended to
+  *    the index; only docs with no self-match append.
+  * Residual window: [[DedupIndex.writeTables]] runs the bands job
+  * before the grams job (each job-level atomic under the parquet
+  * committer), so a crash between them can leave a survivor with band
+  * rows but no grams row; the replay re-appends it (grams presence is
+  * the self-match signal), and the duplicated band rows are harmless —
+  * probe dedups candidates before verification.
+  *
+  * Otherwise the query is stateless (no watermark, no state store) —
+  * all state lives in the index directories, so a restart resumes from
+  * the checkpoint with the index reflecting every committed batch. At
+  * 100 TB the index is the same partitioned parquet the batch path
+  * uses; per-trigger cost is batch-sized banding + candidate-sized
+  * verification, never corpus-sized. */
 object StreamingDedupGate {
 
   /** Start the gate: `docs` is a streaming DataFrame of
-    * (idCol, textCol); survivors land in `outPath` (append-only
-    * parquet) and are appended to the index at `indexPath` (which must
-    * already exist — seed it with [[DedupIndex.build]] on the initial
-    * corpus). Scope note: the gate rejects duplicates of ADMITTED
-    * documents; two near-duplicates arriving in the SAME micro-batch
-    * both survive (run [[graft.operators.Dedup.minhashDupPairs]]
-    * within the batch first if intra-batch dedup is also wanted). */
+    * (idCol, textCol); survivors land under `outPath` (one
+    * `ingest_batch=<epoch>` partition directory per micro-batch) and
+    * are appended to the index at `indexPath` (which must already
+    * exist — seed it with [[DedupIndex.build]] on the initial corpus).
+    * Scope note: the gate rejects duplicates of ADMITTED documents;
+    * two near-duplicates arriving in the SAME micro-batch both survive
+    * (run [[graft.operators.Dedup.minhashDupPairs]] within the batch
+    * first if intra-batch dedup is also wanted). */
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpoint: String,
       threshold: Double = 0.5): StreamingQuery = {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // the micro-batch feeds three consumers (probe, anti-join,
-        // append) — pin it so the source is read once
-        val b = batch.localCheckpoint()
-        val hits = DedupIndex.probe(spark, indexPath, b, idCol, textCol,
-            threshold)
-          .select(col("batch_id").as("_hit_id")).distinct()
-        val survivors = b.join(broadcast(hits),
-            b(idCol) === col("_hit_id"), "left_anti")
-          .localCheckpoint()
-        survivors.write.mode("append").parquet(outPath)
-        DedupIndex.append(survivors, idCol, textCol, indexPath)
-        graft.operators.Caches.releaseResult(b)
-        graft.operators.Caches.releaseResult(survivors)
-        ()
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        ingestBatch(batch.sparkSession, batch, idCol, textCol,
+          indexPath, outPath, threshold, epoch)
       }
       .start()
+  }
+
+  /** One idempotent ingest step — package-visible so the spec can
+    * replay it and pin the exactly-once-at-id-grain contract. */
+  private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, indexPath: String, outPath: String,
+      threshold: Double, epoch: Long): Unit = {
+    // the micro-batch feeds three consumers (probe, anti-join, append)
+    // — pin it so the source is read once
+    val b = batch.localCheckpoint()
+    val hits = DedupIndex.probe(spark, indexPath, b, idCol, textCol,
+        threshold)
+      .select(col("id"), col("batch_id"))
+      .localCheckpoint()
+    // exact self-match == this doc is already indexed (a replay)
+    val selfIds = hits.where(col("id") === col("batch_id"))
+      .select(col("batch_id").as("_self_id")).distinct()
+    val rejectIds = hits.where(col("id") =!= col("batch_id"))
+      .select(col("batch_id").as("_hit_id")).distinct()
+    val survivors = b.join(broadcast(rejectIds),
+        b(idCol) === col("_hit_id"), "left_anti")
+      .localCheckpoint()
+    survivors.write.mode("overwrite")
+      .parquet(s"$outPath/ingest_batch=$epoch")
+    val toAppend = survivors.join(broadcast(selfIds),
+      survivors(idCol) === col("_self_id"), "left_anti")
+    DedupIndex.append(toAppend, idCol, textCol, indexPath)
+    graft.operators.Caches.releaseResult(b)
+    graft.operators.Caches.releaseResult(hits)
+    graft.operators.Caches.releaseResult(survivors)
   }
 }

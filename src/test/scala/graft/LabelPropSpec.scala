@@ -59,6 +59,26 @@ class LabelPropSpec extends AnyFunSuite {
     assert(got == lbl)
   }
 
+  test("round plan: one src exchange feeds BOTH aggs (plus the " +
+      "node-sized label shuffle to the edge partitioning)") {
+    import spark.implicits._
+    val e = (Seq((0L, 1L), (1L, 2L), (2L, 3L)) ++
+      Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+      .toDF("src", "dst")
+    val lbl = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("node", "lbl")
+    val plan = Graph.lpRound(e, lbl).queryExecution.executedPlan.toString
+    // the load-bearing claim: exactly ONE src-keyed exchange — the
+    // explicit repartition — which BOTH aggs reuse
+    // (HashPartitioning(src) satisfies the (src, lbl) clustering too:
+    // the subset rule). Without the repartition each agg plans its own
+    // exchange and this count is 2.
+    val srcExchanges = "Exchange hashpartitioning\\(src".r
+      .findAllIn(plan).size
+    assert(srcExchanges == 1,
+      s"expected one shared src exchange, got $srcExchanges in:\n$plan")
+  }
+
   test("no persistent-RDD residue after the run") {
     // before/after diff, not global emptiness — independent of what
     // other suites left in the shared session (StorageHygieneSpec

@@ -59,26 +59,61 @@ class StreamingDedupGateSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val idx = tmp("gate_idx2")
-    val out = tmp("gate_out2") + "/accepted"
+    // a fresh checkpoint restarts epochs at 0, so a new query writes
+    // to its own output root (resuming the SAME checkpoint continues
+    // epochs and may reuse the root — the per-epoch overwrite then
+    // makes replays idempotent)
+    val out1 = tmp("gate_out2a") + "/accepted"
+    val out2 = tmp("gate_out2b") + "/accepted"
     DedupIndex.build(Seq((1L, seedText)).toDF("doc_id", "text"),
       "doc_id", "text", idx)
     val in1 = MemoryStream[(Long, String)]
     val q1 = StreamingDedupGate.start(in1.toDF().toDF("doc_id", "text"),
-      "doc_id", "text", idx, out, tmp("gate_chk2a"))
+      "doc_id", "text", idx, out1, tmp("gate_chk2a"))
     in1.addData((10L, novelA))
     q1.processAllAvailable()
     q1.stop()
-    // a NEW query (fresh checkpoint) against the same index still
-    // rejects dups of the first query's survivor
+    // a NEW query against the same index still rejects dups of the
+    // first query's survivor
     val in2 = MemoryStream[(Long, String)]
     val q2 = StreamingDedupGate.start(in2.toDF().toDF("doc_id", "text"),
-      "doc_id", "text", idx, out, tmp("gate_chk2b"))
+      "doc_id", "text", idx, out2, tmp("gate_chk2b"))
     try {
       in2.addData((20L, novelA + " tail words"), (21L, novelB))
       q2.processAllAvailable()
-      val accepted = spark.read.parquet(out)
+      val accepted = spark.read.parquet(out2)
         .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-      assert(accepted == Seq(10L, 21L), s"accepted $accepted")
+      assert(accepted == Seq(21L), s"accepted $accepted")
     } finally q2.stop()
+  }
+
+  test("at-least-once replay is idempotent at id grain: re-running a " +
+      "batch rewrites the same output and appends nothing to the index") {
+    import spark.implicits._
+    val idx = tmp("gate_idx3")
+    val out = tmp("gate_out3") + "/accepted"
+    DedupIndex.build(Seq((1L, seedText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val batch = Seq((10L, novelA), (11L, seedText + " extra tail"))
+      .toDF("doc_id", "text")
+    StreamingDedupGate.ingestBatch(spark, batch, "doc_id", "text",
+      idx, out, 0.5, epoch = 0L)
+    val acceptedOnce = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val bandRows = spark.read.parquet(s"$idx/bands").count()
+    val gramRows = spark.read.parquet(s"$idx/grams").count()
+    // crash-replay of the SAME epoch: the survivor (10) self-matches
+    // in the index and is admitted again WITHOUT a second append; the
+    // per-epoch overwrite rewrites, not duplicates, the output
+    StreamingDedupGate.ingestBatch(spark, batch, "doc_id", "text",
+      idx, out, 0.5, epoch = 0L)
+    val acceptedTwice = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(acceptedOnce == Seq(10L) && acceptedTwice == Seq(10L),
+      s"once $acceptedOnce twice $acceptedTwice")
+    assert(spark.read.parquet(s"$idx/bands").count() == bandRows,
+      "replay re-appended band rows")
+    assert(spark.read.parquet(s"$idx/grams").count() == gramRows,
+      "replay re-appended gram rows")
   }
 }
