@@ -599,4 +599,39 @@ object DataPrep {
       .where(col("_u") < w)
       .drop("_u")
   }
+
+  /** Curriculum ordering (Bengio et al. 2009): stage the corpus
+    * easy-to-hard by a difficulty band while ROUND-ROBIN interleaving
+    * sources within each band, so no band front-loads one domain (the
+    * classic curriculum failure: "easy" is dominated by one source and
+    * early training sees a single distribution). Difficulty buckets by
+    * FIXED integer thresholds on `difficulty` (a config, like every
+    * curriculum schedule) — deliberately not quantile banding, which
+    * would need a global sort/window; fixed thresholds keep the plan
+    * one keyed shuffle at any corpus size.
+    *
+    * The curriculum IS the lexicographic order of the emitted columns
+    * (band, interleave_rank, sourceCol, idCol): consumers
+    * `ORDER BY` those four, and the per-(band, source) `interleave_rank`
+    * (row_number by (difficulty, id) — deterministic, engine-exact over
+    * integer difficulties) realizes the round-robin. No global order
+    * index column on purpose: that would be a single-partition window;
+    * the sort keys carry the same information and distribute.
+    *
+    * Scale shape: ONE exchange — the (band, source) window shuffle;
+    * banding is a narrow per-row projection. */
+  def curriculumOrder(df: DataFrame, idCol: String, sourceCol: String,
+      difficulty: Column, bandWidth: Long, maxBand: Int): DataFrame = {
+    require(bandWidth >= 1, s"bandWidth=$bandWidth must be >= 1")
+    require(maxBand >= 0, s"maxBand=$maxBand must be >= 0")
+    val w = Window.partitionBy(col("band"), col(sourceCol))
+      .orderBy(col("_difficulty"), col(idCol))
+    df.withColumn("_difficulty",
+        greatest(difficulty.cast("long"), lit(0L)))
+      // integer `div`, never float `/`+cast — exact at any magnitude
+      .withColumn("band",
+        least(expr(s"_difficulty div $bandWidth"), lit(maxBand.toLong)))
+      .withColumn("interleave_rank", row_number().over(w).cast("long"))
+      .drop("_difficulty")
+  }
 }

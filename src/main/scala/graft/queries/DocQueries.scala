@@ -1214,6 +1214,23 @@ object DocQueries {
       res
     }),
 
+    // ---- curriculum ordering (Bengio 2009): easy-to-hard difficulty
+    // bands with sources round-robin interleaved inside each band —
+    // the curriculum is the lexicographic order of the emitted sort
+    // keys (no global order index column: that would be a
+    // single-partition window); ONE (band, source) window shuffle ----
+    "q_curriculum" -> ((s, d) => {
+      import graft.operators.DataPrep
+      val scored = docsPar(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.prefScore(col("text")).as("difficulty"))
+      DataPrep.curriculumOrder(scored, "doc_id", "source",
+          col("difficulty"), bandWidth = 2000L, maxBand = 3)
+        .select(col("doc_id"), col("source"), col("difficulty"),
+          col("band"), col("interleave_rank"))
+        .orderBy("band", "interleave_rank", "source", "doc_id")
+    }),
+
     // ---- k-anonymity / l-diversity release gate over
     // (lang, source, length-band) quasi-identifiers: group size,
     // distinct-sensitive count, and the publish verdict — ONE keyed
@@ -3622,6 +3639,28 @@ ORDER BY src_id"""
         |  (len(c.grams) + len(b.grams) - len(list_intersect(c.grams, b.grams)))
         |  >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+
+    // same integer difficulty (prefScoreSql), same fixed-threshold
+    // banding (integer //, both operands non-negative), same
+    // per-(band, source) rank window
+    "q_curriculum" ->
+      ("""WITH scored AS (
+        |  SELECT doc_id, source,
+        |    """ + graft.functions.TextFunctions.prefScoreSql("text") +
+        """ AS difficulty
+        |  FROM documents WHERE text IS NOT NULL
+        |), banded AS (
+        |  SELECT doc_id, source, difficulty,
+        |    least(greatest(difficulty, 0) // 2000, 3) AS band
+        |  FROM scored
+        |)
+        |SELECT doc_id, source, difficulty,
+        |  CAST(band AS BIGINT) AS band,
+        |  CAST(row_number() OVER (PARTITION BY band, source
+        |    ORDER BY greatest(difficulty, 0), doc_id) AS BIGINT)
+        |    AS interleave_rank
+        |FROM banded
+        |ORDER BY band, interleave_rank, source, doc_id""").stripMargin,
 
     // one GROUP BY on the quasi-identifier tuple; count(DISTINCT)
     // ignores NULL sensitive values on both engines
