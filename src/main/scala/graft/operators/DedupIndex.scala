@@ -99,18 +99,24 @@ object DedupIndex {
       path: String, shingler: Column => Column, bands: Int,
       rowsPerBand: Int, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
-    // the corpus-sized shingle pass feeds TWO write actions — pin it so
-    // the scan + shingler UDF run once per build/append, not twice
+    // the shingle pass feeds TWO write actions and is deliberately NOT
+    // pinned — measured A/B at sf0.1 (min-of-3, across several runs):
+    // recompute-twice 4.9-6.6 s and persistTracked 5.5 s are within
+    // box noise of each other; localCheckpoint 9.9 s is clearly worst
+    // (eagerly materializing the fat shingle rows costs more than
+    // re-running a parquet scan + a cheap per-row UDF). With no local
+    // win, the 100 TB argument decides: pinning a CORPUS-sized
+    // intermediate trades an embarrassingly parallel recompute for
+    // corpus-sized storage churn (contrast minhashDupPairs, whose
+    // shingle cache feeds JOINS that would otherwise re-shuffle — here
+    // both consumers are map-only writes).
     val sh = df
       .select(col(idCol).as("id"), shingler(col(textCol)).as("_sh"))
       .where(size(col("_sh")) > 0)
-      .localCheckpoint()
-    try {
-      Dedup.bandTriples(sh, "id", "_sh", bands, rowsPerBand)
-        .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
-      sh.select(col("id"), gramHashes(col("_sh")).as("gram_hashes"))
-        .write.mode(mode).parquet(s"$path/grams")
-    } finally Caches.releaseResult(sh)
+    Dedup.bandTriples(sh, "id", "_sh", bands, rowsPerBand)
+      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+    sh.select(col("id"), gramHashes(col("_sh")).as("gram_hashes"))
+      .write.mode(mode).parquet(s"$path/grams")
   }
 
   /** Distinct 64-bit shingle hashes — the stored verification set.
