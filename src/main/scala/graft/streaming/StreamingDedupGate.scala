@@ -88,8 +88,16 @@ object StreamingDedupGate {
     // exact self-match == this doc is already indexed (a replay)
     val selfIds = hits.where(col("id") === col("batch_id"))
       .select(col("batch_id").as("_self_id")).distinct()
+    // a self-matched doc is ALWAYS re-admitted, even if it also
+    // cross-matches something else: two intra-batch near-dups are both
+    // admitted and appended on the first run, so on replay each
+    // self-matches AND cross-matches the other — counting the
+    // cross-hit would reject both and the epoch overwrite would LOSE
+    // previously-admitted rows
     val rejectIds = hits.where(col("id") =!= col("batch_id"))
       .select(col("batch_id").as("_hit_id")).distinct()
+      .join(broadcast(selfIds), col("_hit_id") === col("_self_id"),
+        "left_anti")
     val survivors = b.join(broadcast(rejectIds),
         b(idCol) === col("_hit_id"), "left_anti")
       .localCheckpoint()

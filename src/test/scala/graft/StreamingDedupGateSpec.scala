@@ -116,4 +116,32 @@ class StreamingDedupGateSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/grams").count() == gramRows,
       "replay re-appended gram rows")
   }
+
+  test("replay of a batch with INTRA-batch near-dups keeps both: " +
+      "self-matched docs are never rejected by their cross-hit") {
+    import spark.implicits._
+    val idx = tmp("gate_idx4")
+    val out = tmp("gate_out4") + "/accepted"
+    DedupIndex.build(Seq((1L, seedText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    // 30 and 31 are near-dups of each other (same batch: both admitted
+    // — intra-batch dedup is out of the gate's scope by contract)
+    val batch = Seq((30L, novelA), (31L, novelA + " tail"))
+      .toDF("doc_id", "text")
+    StreamingDedupGate.ingestBatch(spark, batch, "doc_id", "text",
+      idx, out, 0.5, epoch = 0L)
+    val once = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val gramRows = spark.read.parquet(s"$idx/grams").count()
+    // replay: each doc now self-matches AND cross-matches its sibling;
+    // the cross-hit must not reject it or the overwrite loses rows
+    StreamingDedupGate.ingestBatch(spark, batch, "doc_id", "text",
+      idx, out, 0.5, epoch = 0L)
+    val twice = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(once == Seq(30L, 31L) && twice == Seq(30L, 31L),
+      s"once $once twice $twice")
+    assert(spark.read.parquet(s"$idx/grams").count() == gramRows,
+      "replay re-appended gram rows")
+  }
 }
