@@ -37,7 +37,15 @@ object DedupIndex {
   /** Build the index over `corpus` at `path` (overwrites). Banding
     * parameters are persisted in `<path>/meta` and re-checked on every
     * append/probe; the `shingler` is code, not data — callers must pass
-    * the same one (the default matches [[Dedup.minhashDupPairs]]). */
+    * the same one (the default matches [[Dedup.minhashDupPairs]]).
+    *
+    * PRECONDITION: `corpus` (and every appended batch) must be
+    * DETERMINISTIC — the bands and grams tables are written by two
+    * independent actions that each re-execute the frame, so a
+    * nondeterministic source (`sample`, `limit` on an unordered frame,
+    * `monotonically_increasing_id`) could desynchronize the two tables
+    * and silently corrupt probe verification. Materialize such frames
+    * (e.g. write them out, or `localCheckpoint()`) before indexing. */
   def build(corpus: DataFrame, idCol: String, textCol: String,
       path: String,
       shingler: Column => Column =
@@ -100,7 +108,8 @@ object DedupIndex {
       rowsPerBand: Int, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
     // the shingle pass feeds TWO write actions and is deliberately NOT
-    // pinned — measured A/B at sf0.1 (min-of-3, across several runs):
+    // pinned (hence the determinism precondition on build/append) —
+    // measured A/B at sf0.1 (min-of-3, across several runs):
     // recompute-twice 4.9-6.6 s and persistTracked 5.5 s are within
     // box noise of each other; localCheckpoint 9.9 s is clearly worst
     // (eagerly materializing the fat shingle rows costs more than

@@ -78,36 +78,42 @@ object StreamingDedupGate {
   private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, indexPath: String, outPath: String,
       threshold: Double, epoch: Long): Unit = {
-    // the micro-batch feeds three consumers (probe, anti-join, append)
-    // — pin it so the source is read once
-    val b = batch.localCheckpoint()
-    val hits = DedupIndex.probe(spark, indexPath, b, idCol, textCol,
-        threshold)
-      .select(col("id"), col("batch_id"))
-      .localCheckpoint()
-    // exact self-match == this doc is already indexed (a replay)
-    val selfIds = hits.where(col("id") === col("batch_id"))
-      .select(col("batch_id").as("_self_id")).distinct()
-    // a self-matched doc is ALWAYS re-admitted, even if it also
-    // cross-matches something else: two intra-batch near-dups are both
-    // admitted and appended on the first run, so on replay each
-    // self-matches AND cross-matches the other — counting the
-    // cross-hit would reject both and the epoch overwrite would LOSE
-    // previously-admitted rows
-    val rejectIds = hits.where(col("id") =!= col("batch_id"))
-      .select(col("batch_id").as("_hit_id")).distinct()
-      .join(broadcast(selfIds), col("_hit_id") === col("_self_id"),
-        "left_anti")
-    val survivors = b.join(broadcast(rejectIds),
-        b(idCol) === col("_hit_id"), "left_anti")
-      .localCheckpoint()
-    survivors.write.mode("overwrite")
-      .parquet(s"$outPath/ingest_batch=$epoch")
-    val toAppend = survivors.join(broadcast(selfIds),
-      survivors(idCol) === col("_self_id"), "left_anti")
-    DedupIndex.append(toAppend, idCol, textCol, indexPath)
-    graft.operators.Caches.releaseResult(b)
-    graft.operators.Caches.releaseResult(hits)
-    graft.operators.Caches.releaseResult(survivors)
+    // try/finally over EVERY checkpoint: a failed probe/write/append
+    // must not leak blocks across streaming retries on a long-lived
+    // session (the release-after-consume discipline)
+    val chks = scala.collection.mutable.ListBuffer[DataFrame]()
+    try {
+      // the micro-batch feeds three consumers (probe, anti-join,
+      // append) — pin it so the source is read once
+      val b = batch.localCheckpoint()
+      chks += b
+      val hits = DedupIndex.probe(spark, indexPath, b, idCol, textCol,
+          threshold)
+        .select(col("id"), col("batch_id"))
+        .localCheckpoint()
+      chks += hits
+      // exact self-match == this doc is already indexed (a replay)
+      val selfIds = hits.where(col("id") === col("batch_id"))
+        .select(col("batch_id").as("_self_id")).distinct()
+      // a self-matched doc is ALWAYS re-admitted, even if it also
+      // cross-matches something else: two intra-batch near-dups are
+      // both admitted and appended on the first run, so on replay each
+      // self-matches AND cross-matches the other — counting the
+      // cross-hit would reject both and the epoch overwrite would LOSE
+      // previously-admitted rows
+      val rejectIds = hits.where(col("id") =!= col("batch_id"))
+        .select(col("batch_id").as("_hit_id")).distinct()
+        .join(broadcast(selfIds), col("_hit_id") === col("_self_id"),
+          "left_anti")
+      val survivors = b.join(broadcast(rejectIds),
+          b(idCol) === col("_hit_id"), "left_anti")
+        .localCheckpoint()
+      chks += survivors
+      survivors.write.mode("overwrite")
+        .parquet(s"$outPath/ingest_batch=$epoch")
+      val toAppend = survivors.join(broadcast(selfIds),
+        survivors(idCol) === col("_self_id"), "left_anti")
+      DedupIndex.append(toAppend, idCol, textCol, indexPath)
+    } finally chks.foreach(graft.operators.Caches.releaseResult)
   }
 }

@@ -36,7 +36,9 @@ class CurriculumSpec extends AnyFunSuite {
       .orderBy("band", "interleave_rank", "src", "id")
       .collect().map(_.getAs[Long]("id")).toSeq
     // band 0: rank 1 of a (easiest: id 1), rank 1 of b (id 3), then
-    // rank 2 of a (id 2), rank 2 of b (id 4); band 10: ids 5, 6
+    // rank 2 of a (id 2), rank 2 of b (id 4); ids 5/6 (difficulty
+    // 100/101) land in band 9 via the maxBand cap (100 div 10 = 10
+    // clamps to 9) and trail the order
     assert(got == Seq(1L, 3L, 2L, 4L, 5L, 6L))
   }
 
