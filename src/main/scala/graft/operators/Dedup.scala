@@ -256,6 +256,38 @@ object Dedup {
           .as("bh"))
     }: _*)
 
+  /** Probability that LSH banding catches a pair of Jaccard
+    * similarity `s`: 1 − (1 − s^r)^b (the standard S-curve). Driver
+    * math, no Spark — use it to budget recall before picking banding
+    * parameters. */
+  def lshCatchProbability(s: Double, bands: Int, rowsPerBand: Int)
+      : Double = {
+    require(s >= 0 && s <= 1, s"similarity $s outside [0,1]")
+    require(bands >= 1 && rowsPerBand >= 1, "bands/rows must be >= 1")
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+  }
+
+  /** Pick (bands, rowsPerBand) for a fixed signature length: the
+    * FEWEST-bands factorization of `numHashes` whose catch probability
+    * at `threshold` is ≥ `minCatch` — fewer bands = fewer exploded key
+    * rows = a cheaper banding shuffle, so take the cheapest plan that
+    * meets the recall budget. Returns None when no factorization
+    * qualifies (raise numHashes). This is the calculation behind
+    * q_dedup_index_probe's 16×2 choice: at threshold 0.5 the default
+    * 8×4 misses a j=0.69 pair ~13% of the time while 16×2 misses it
+    * ≤ 3·10⁻⁵. */
+  def lshPlanFor(threshold: Double, numHashes: Int,
+      minCatch: Double = 0.999): Option[(Int, Int)] = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold $threshold outside (0,1]")
+    (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .find { case (b, r) =>
+        lshCatchProbability(threshold, b, r) >= minCatch
+      }
+  }
+
   /** THE band-key pipeline — shingle array column → exploded
     * (idCol, band, bh) triples — shared by every banding consumer
     * (self-join dedup, cross-corpus decontamination, the persisted

@@ -444,11 +444,17 @@ object PipelineQueries {
       // 05_cpd_orchestrator_polars.py): CPD consumes its input twice
       // (gates aggregate + clean filter), so reading a narrow 7-column
       // parquet beats recomputing the whole window stack per consumer
-      // unique per invocation: a shared name keyed on the sf dir would race
-      // concurrent Verify/Bench processes (overwrite mid-scan) and collide
-      // across datasets
-      val goldDir = java.nio.file.Files
-        .createTempDirectory("graft_gold_").toString
+      // stable per (session, dataset) — NOT per invocation: bench reps
+      // and soak runs re-invoke this query dozens of times and
+      // per-invocation temp dirs accumulated corpus-sized parquet
+      // trees until /tmp filled (r11 review class). applicationId
+      // isolates concurrent processes; the sf-dir hash isolates
+      // datasets; within one session invocations are sequential
+      // (Verify/Bench/Soak all consume a query fully before the next),
+      // so the overwrite never races a live scan
+      val goldDir = System.getProperty("java.io.tmpdir") +
+        s"/graft_gold_${s.sparkContext.applicationId}_" +
+        java.lang.Integer.toHexString(d.hashCode)
       feats.select("device_date", "timestamp",
           "load_weight_rate_of_change", "speed_rolling_avg_5s",
           "altitude_rate_of_change", "has_reliable_payload",

@@ -77,6 +77,23 @@ class DedupIndexSpec extends AnyFunSuite {
       s"no dynamic partition pruning on the bands scan:\n$plan")
   }
 
+  test("lshPlanFor picks the cheapest factorization meeting the " +
+      "recall budget — the 16x2 rationale, hand-verified") {
+    // hand-computed S-curve values: catch(s, b, r) = 1 - (1 - s^r)^b
+    val c84 = Dedup.lshCatchProbability(0.69, 8, 4)
+    assert(math.abs(c84 - (1 - math.pow(1 - math.pow(0.69, 4), 8)))
+      < 1e-12)
+    assert(c84 > 0.85 && c84 < 0.90, s"8x4 at j=0.69: $c84") // ~13% miss
+    val c162 = Dedup.lshCatchProbability(0.69, 16, 2)
+    assert(c162 > 0.9999, s"16x2 at j=0.69: $c162")
+    // at threshold 0.69 and 32 hashes, 16x2 is the fewest-bands plan
+    // meeting 0.999; at threshold 0.95 a cheaper 8x4 already qualifies
+    assert(Dedup.lshPlanFor(0.69, 32) == Some((16, 2)))
+    assert(Dedup.lshPlanFor(0.95, 32) == Some((8, 4)))
+    // unreachable budget -> None (raise numHashes)
+    assert(Dedup.lshPlanFor(0.2, 4, minCatch = 0.9999).isEmpty)
+  }
+
   test("probe reads the build-time banding params from the index meta") {
     val path = tmp()
     DedupIndex.build(docs.limit(10), "doc_id", "text", path,
