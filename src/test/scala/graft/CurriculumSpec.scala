@@ -42,6 +42,21 @@ class CurriculumSpec extends AnyFunSuite {
     assert(got == Seq(1L, 3L, 2L, 4L, 5L, 6L))
   }
 
+  test("prefScore known answers — the independent leg for the " +
+      "generated prefScoreSql oracles (q_curriculum/q_bt_rank/" +
+      "q_dpo_pairs)") {
+    import spark.implicits._
+    val got = Seq(
+      (1L, "The quick the fox"), // 2 stopword hits, 4 tokens
+      (2L, ""),                  // empty: 0 hits, 0 tokens
+      (3L, ("a " * 1200).trim))  // 1200 hits, token count caps at 999
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.functions.TextFunctions.prefScore(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2004L, 2L -> 0L, 3L -> 1200999L), got)
+  }
+
   test("plan: ONE exchange — the (band, source) window shuffle") {
     val plan = DataPrep.curriculumOrder(
         df(Seq((1L, "a", 1L))), "id", "src", col("diff"),
