@@ -2044,6 +2044,23 @@ object DocQueries {
         .orderBy("cluster_id", "dim_idx")
     }),
 
+    // ---- cluster-balanced subsampling (the SemDeDup/DoReMi-adjacent
+    // balancing step): assign every embedding to its nearest seed
+    // centroid, then keep a deterministic equal-size sample per
+    // cluster — caps any one semantic region's share of the corpus.
+    // Assignment is a broadcast-centroid narrow map (zero shuffle);
+    // the per-cluster cap is the stratifiedSample WindowGroupLimit ----
+    "q_cluster_balance" -> ((s, d) => {
+      import graft.operators.{DataPrep, KMeans}
+      val e = embeddings(s, d)
+      val cs = KMeans.initCentroids(e, "vec_id", "embedding", 8, 1024)
+      val assigned = KMeans.assign(e, "embedding", 1024, cs)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      DataPrep.stratifiedSample(assigned, "vec_id", "cluster",
+          n = 20, salt = "cbal|")
+        .orderBy("cluster", "vec_id")
+    }),
+
     // ---- corpus-level exact line dedup (MassiveText/RefinedWeb): every
     // distinct line keeps only its (min doc, min idx) occurrence. Pages
     // are seeded by doc_id % 100000 so the injected exact copies
@@ -5091,6 +5108,41 @@ ORDER BY src_id"""
 
     // replays KMeans' quantize → md5-draw init → integer-distance
     // assignment → floor(sum/count) update, one full Lloyd step
+    // replays the seed pick, the exact-integer nearest-centroid
+    // assignment (ties to the lowest cluster), and the salted
+    // stratified draw
+    "q_cluster_balance" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+        |  FROM embeddings
+        |), init AS (
+        |  SELECT q, CAST(row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT)
+        |    AS cluster_id
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+        |), d AS (
+        |  SELECT e.vec_id, i.cluster_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      j -> (e.q[j] - i.q[j]) * (e.q[j] - i.q[j]))) AS dist
+        |  FROM e CROSS JOIN init i
+        |), a AS (
+        |  SELECT vec_id, cluster_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cluster_id) AS rn
+        |  FROM d
+        |), r AS (
+        |  SELECT vec_id, cluster_id,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY CAST(md5_number_upper('cbal|' ||
+        |          CAST(vec_id AS VARCHAR)) % 72057594037927936 AS BIGINT),
+        |        vec_id) AS rk
+        |  FROM a WHERE rn = 1
+        |)
+        |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster
+        |FROM r WHERE rk <= 20 ORDER BY cluster, vec_id""".stripMargin,
+
     "q_kmeans_iter" ->
       """WITH e AS (
         |  SELECT vec_id,

@@ -39,7 +39,7 @@ object ScaleBench {
       "q_keyword_tags", "q_url_canonical", "q_mips", "q_mips_alsh",
       "q_bitext_banded", "q_dpo_pairs", "q_mmr", "q_bt_rank",
       "q_label_prop", "q_kanon", "q_kanon_rows", "q_dedup_index_probe",
-      "q_curriculum"))
+      "q_curriculum", "q_cluster_balance"))
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"
