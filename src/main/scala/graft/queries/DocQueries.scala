@@ -220,6 +220,35 @@ object DocQueries {
          |)""".stripMargin
     }.mkString
 
+  /** The shared KMeans replay prefix — quantize at 1024, md5-draw seed
+    * pick, exact-integer distances, nearest assignment with ties to
+    * the lowest cluster (emits `e`/`init`/`d`/`a`; assigned rows are
+    * `a WHERE rn = 1`). ONE definition consumed by BOTH the
+    * q_kmeans_iter and q_cluster_balance oracles, so a change to the
+    * shared math cannot land on only one of them. */
+  private val kmeansAssignCtes: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), init AS (
+      |  SELECT q, CAST(row_number() OVER (
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT)
+      |    AS cluster_id
+      |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+      |), d AS (
+      |  SELECT e.vec_id, i.cluster_id, e.q,
+      |    list_sum(list_transform(range(1, 65),
+      |      j -> (e.q[j] - i.q[j]) * (e.q[j] - i.q[j]))) AS dist
+      |  FROM e CROSS JOIN init i
+      |), a AS (
+      |  SELECT vec_id, cluster_id, q,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, cluster_id) AS rn
+      |  FROM d
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis: token counting + quality signals ----
     "q_doc_stats" -> ((s, d) => {
@@ -5106,33 +5135,12 @@ ORDER BY src_id"""
         |  x -> length(x) > 0)) > 0
         |ORDER BY doc_id""".stripMargin,
 
-    // replays KMeans' quantize → md5-draw init → integer-distance
-    // assignment → floor(sum/count) update, one full Lloyd step
     // replays the seed pick, the exact-integer nearest-centroid
-    // assignment (ties to the lowest cluster), and the salted
-    // stratified draw
-    "q_cluster_balance" ->
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
-        |  FROM embeddings
-        |), init AS (
-        |  SELECT q, CAST(row_number() OVER (
-        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT)
-        |    AS cluster_id
-        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
-        |), d AS (
-        |  SELECT e.vec_id, i.cluster_id,
-        |    list_sum(list_transform(range(1, 65),
-        |      j -> (e.q[j] - i.q[j]) * (e.q[j] - i.q[j]))) AS dist
-        |  FROM e CROSS JOIN init i
-        |), a AS (
-        |  SELECT vec_id, cluster_id,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist, cluster_id) AS rn
-        |  FROM d
-        |), r AS (
+    // assignment (ties to the lowest cluster — kmeansAssignCtes, the
+    // SAME prefix q_kmeans_iter replays), and the salted stratified
+    // draw
+    "q_cluster_balance" -> (kmeansAssignCtes +
+      """, r AS (
         |  SELECT vec_id, cluster_id,
         |    row_number() OVER (PARTITION BY cluster_id
         |      ORDER BY CAST(md5_number_upper('cbal|' ||
@@ -5141,30 +5149,13 @@ ORDER BY src_id"""
         |  FROM a WHERE rn = 1
         |)
         |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster
-        |FROM r WHERE rk <= 20 ORDER BY cluster, vec_id""".stripMargin,
+        |FROM r WHERE rk <= 20 ORDER BY cluster, vec_id""".stripMargin),
 
-    "q_kmeans_iter" ->
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
-        |  FROM embeddings
-        |), init AS (
-        |  SELECT q, CAST(row_number() OVER (
-        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT)
-        |    AS cluster_id
-        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
-        |), d AS (
-        |  SELECT e.vec_id, i.cluster_id, e.q,
-        |    list_sum(list_transform(range(1, 65),
-        |      j -> (e.q[j] - i.q[j]) * (e.q[j] - i.q[j]))) AS dist
-        |  FROM e CROSS JOIN init i
-        |), a AS (
-        |  SELECT vec_id, cluster_id, q,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist, cluster_id) AS rn
-        |  FROM d
-        |), upd AS (
+    // replays KMeans' quantize → md5-draw init → integer-distance
+    // assignment (kmeansAssignCtes) → floor(sum/count) update, one
+    // full Lloyd step
+    "q_kmeans_iter" -> (kmeansAssignCtes +
+      """, upd AS (
         |  SELECT cluster_id, CAST(j - 1 AS BIGINT) AS dim_idx,
         |    CAST(count(*) AS BIGINT) AS n_assigned,
         |    CAST(floor(sum(q[j]) * 1.0 / count(*)) AS BIGINT) AS centroid_q
@@ -5182,7 +5173,7 @@ ORDER BY src_id"""
         |            AS dim_idx) dd
         |LEFT JOIN upd u ON u.cluster_id = i.cluster_id
         |  AND u.dim_idx = dd.dim_idx
-        |ORDER BY i.cluster_id, dd.dim_idx""".stripMargin,
+        |ORDER BY i.cluster_id, dd.dim_idx""".stripMargin),
 
     // the keep-first argmin keyed by line TEXT (the Spark plan keys by
     // xxhash64 — this check proves the hashed plan lossless)
