@@ -121,9 +121,15 @@ object Bench {
     }
     // noop sink: count() lets Spark skip projection work on map-only
     // plans; noop forces every output column to materialize.
-    // Median of 3 runs per query: a single-shot timing is hostage to
-    // co-located load on the box (the recorded r5 headline was 4.3x
-    // inflated by exactly that) — the median survives one bad run.
+    // MIN of 3 runs per query (was median through r11): contamination
+    // on this shared box is strictly ADDITIVE — a co-located load spike
+    // can only slow a run down, never speed it up — and spikes last
+    // minutes, long enough to swallow 2 of 3 consecutive runs. That is
+    // exactly how the r11 driver recording showed q_dedup_canonical at
+    // 11.7 s and q_bloom at 6.3 s vs 5.5/1.1 s on a quiet box
+    // (r11 verdict finding 1). Same argument, and the same statistic,
+    // as the throughput anchors above: the min is the code's
+    // capability; contended runs are box noise, not plan cost.
     def timed(names: Seq[String]): Seq[(String, Double)] =
       names.filter(qs.contains).map { name =>
         val runs = (1 to 3).map { _ =>
@@ -143,11 +149,9 @@ object Bench {
           spark.catalog.clearCache(); graft.operators.Caches.clear()
           if (ok) sec else -1.0
         }
-        // median of the SUCCESSFUL runs: one transient failure must not
-        // discard two good timings (that is the noisy-box scenario the
-        // repeats exist for); -1 only when every run failed
-        val good = runs.filter(_ >= 0).sorted
-        name -> (if (good.isEmpty) -1.0 else good(good.size / 2))
+        // min of the SUCCESSFUL runs; -1 only when every run failed
+        val good = runs.filter(_ >= 0)
+        name -> (if (good.isEmpty) -1.0 else good.min)
       }
     def toJson(r: Seq[(String, Double)]): String =
       r.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

@@ -330,7 +330,11 @@ object TextFunctions {
       .otherwise(concat(lit(":"), port))
     val path0 = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // non-greedy [^#]*? prefix: the matched '?' is the first one BEFORE
+    // any '#', so a fragment-only URL (http://h/p#sec?a=1) keeps no
+    // query — a bare "\\?([^#]*)" would resurrect the fragment's tail
+    // as query params (r11 advice)
+    val query = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     val params = filter(split(query, "&"), p => {
       val name = lower(substring_index(p, "=", 1))
       p =!= "" && !startswith(name, lit("utm_")) &&

@@ -27,9 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Meta schema version written by [[build]]. Pre-versioned indexes
+    * (no `<path>/meta` directory) are read with the contract checks
+    * skipped; the vector-dimension check still holds because the
+    * persisted centroids define the dimension. */
+  val MetaVersion = 2
+
+  /** The one distance the probe ranks by. Persisted so a future
+    * metric variant cannot silently probe a cosine-built index. */
+  val Metric = "cosine"
+
   /** Train the coarse quantizer (deterministic bounded sample — the
     * [[SimilaritySearch.ivfTopK]] discipline, same seed ⇒ same cells)
-    * and persist centroids + cell-partitioned assignments. */
+    * and persist centroids + cell-partitioned assignments, plus a
+    * `<path>/meta` row carrying the probe contract (metric, vector
+    * dimension, nlist) that append/probe re-check fail-fast. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nlist: Int = 16, seed: Long = 42,
       maxTrain: Int = 50000): Unit = {
@@ -40,6 +52,9 @@ object AnnIndex {
     // the ONE shared training body ([[SimilaritySearch.trainOnSample]]):
     // same inputs ⇒ the index and a live ivfTopK train identical cells
     val centroids = SimilaritySearch.trainOnSample(c, nlist, seed, maxTrain)
+    Seq((MetaVersion, Metric, centroids.head.length, nlist))
+      .toDF("version", "metric", "dim", "nlist")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     centroids.zipWithIndex
       .map { case (ctr, i) => (i, ctr.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -49,9 +64,13 @@ object AnnIndex {
   }
 
   /** Assign a new batch to the EXISTING centroids and append it into
-    * their cell directories — no retrain, no rewrite of other cells. */
+    * their cell directories — no retrain, no rewrite of other cells.
+    * A batch whose vectors differ in dimension from the index fails
+    * fast per row (the distance would otherwise silently rank on a
+    * truncated prefix). */
   def append(batch: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
+    checkMeta(batch.sparkSession, path)
     val centroids = readCentroids(batch.sparkSession, path)
     val b = batch.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -60,7 +79,12 @@ object AnnIndex {
 
   private def writeAssigned(c: DataFrame, centroids: Array[Array[Double]],
       path: String, overwrite: Boolean): Unit = {
+    val dim = centroids.head.length
     val cellUdf = udf { (v: Seq[Double]) =>
+      require(v != null && v.length == dim,
+        s"vector dim ${if (v == null) "null" else v.length} != index " +
+          s"dim $dim (index at $path) — sqDist over mismatched arrays " +
+          "would silently rank on a truncated prefix")
       nearestCells(centroids, v, 1).head
     }
     c.withColumn("cell", cellUdf(col("v")))
@@ -68,6 +92,33 @@ object AnnIndex {
       .partitionBy("cell")
       .parquet(s"$path/assignments")
   }
+
+  /** Fail fast when the persisted contract does not match this build
+    * of the library (metric) or the stored centroids (dim, nlist —
+    * a meta/centroids mismatch means the index tree was hand-edited).
+    * Legacy indexes without a meta table skip the check. */
+  private def checkMeta(spark: SparkSession, path: String): Unit =
+    readMetaOpt(spark, path).foreach { case (metric, dim, nlist) =>
+      require(metric == Metric,
+        s"index at $path was built for metric '$metric'; this build " +
+          s"ranks by '$Metric'")
+      val centroids = readCentroids(spark, path)
+      require(centroids.length == nlist &&
+          centroids.head.length == dim,
+        s"index meta at $path declares dim=$dim nlist=$nlist but the " +
+          s"centroids table holds ${centroids.length} cells of dim " +
+          s"${centroids.head.length} — the index tree is inconsistent")
+    }
+
+  private def readMetaOpt(spark: SparkSession,
+      path: String): Option[(String, Int, Int)] =
+    try {
+      val m = spark.read.parquet(s"$path/meta").head()
+      Some((m.getAs[String]("metric"), m.getAs[Int]("dim"),
+        m.getAs[Int]("nlist")))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
 
   private def readCentroids(spark: SparkSession,
       path: String): Array[Array[Double]] =
@@ -92,10 +143,17 @@ object AnnIndex {
       nprobe: Int = 4): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
     import org.apache.spark.sql.expressions.Window
+    checkMeta(spark, path)
     val centroids = readCentroids(spark, path)
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe $nprobe outside [1, nlist=${centroids.length}]")
+    val dim = centroids.head.length
     val q = queries.select(col(qidCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val probeUdf = udf { (qv: Seq[Double]) =>
+      require(qv != null && qv.length == dim,
+        s"query dim ${if (qv == null) "null" else qv.length} != index " +
+          s"dim $dim (index at $path)")
       nearestCells(centroids, qv, nprobe)
     }
     val probed = q.withColumn("cell", explode(probeUdf(col("qv"))))

@@ -224,26 +224,49 @@ object Dedup {
     */
   def minhashSig(shingles: Seq[String], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    shingles.foreach { sh =>
-      val h = hash64(sh)
-      var i = 0
-      while (i < numHashes) {
-        // splitmix64-style odd multipliers keyed by i
-        val a = 0x9e3779b97f4a7c15L * (2 * i + 1)
-        val b = 0xbf58476d1ce4e5b9L * (i + 1)
-        val v = a * h + b
-        if (v < sig(i)) sig(i) = v
-        i += 1
-      }
-    }
+    shingles.foreach(sh => remixMin(sig, hash64(sh), numHashes))
     sig
+  }
+
+  /** Same signature, computed from PRE-HASHED shingles. The signature
+    * is a pure function of the base-hash SET (min is invariant under
+    * duplicates), so minhash over a stored `distinct` hash array —
+    * [[DedupIndex]]'s grams table — equals minhash over the original
+    * shingle multiset. This is what lets the persisted index DERIVE
+    * its bands table from its grams table instead of re-executing the
+    * source frame. */
+  def minhashSigFromHashes(hashes: Seq[Long], numHashes: Int)
+      : Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    hashes.foreach(remixMin(sig, _, numHashes))
+    sig
+  }
+
+  @inline private def remixMin(sig: Array[Long], h: Long,
+      numHashes: Int): Unit = {
+    var i = 0
+    while (i < numHashes) {
+      // splitmix64-style odd multipliers keyed by i
+      val a = 0x9e3779b97f4a7c15L * (2 * i + 1)
+      val b = 0xbf58476d1ce4e5b9L * (i + 1)
+      val v = a * h + b
+      if (v < sig(i)) sig(i) = v
+      i += 1
+    }
   }
 
   private val minhashSigUdf = udf(
     (sh: Seq[String], n: Int) => minhashSig(sh, n))
 
+  private val minhashSigFromHashesUdf = udf(
+    (hs: Seq[Long], n: Int) => minhashSigFromHashes(hs, n))
+
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     minhashSigUdf(shingleCol, lit(numHashes))
+
+  def minhashSignatureFromHashes(hashesCol: Column,
+      numHashes: Int): Column =
+    minhashSigFromHashesUdf(hashesCol, lit(numHashes))
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and emit one (band_idx, band_hash) per band. */
@@ -295,8 +318,22 @@ object Dedup {
     * never desynchronize from the live paths. */
   private[operators] def bandTriples(sh: DataFrame, idCol: String,
       shCol: String, bands: Int, rowsPerBand: Int): DataFrame =
-    sh.select(col(idCol),
-        minhashSignature(col(shCol), bands * rowsPerBand).as("sig"))
+    bandsOf(sh, idCol,
+      minhashSignature(col(shCol), bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** [[bandTriples]] over PRE-HASHED shingle sets (the persisted
+    * [[DedupIndex]] grams layout) — identical keys by the
+    * [[minhashSigFromHashes]] set-invariance argument. */
+  private[operators] def bandTriplesFromHashes(g: DataFrame, idCol: String,
+      hashesCol: String, bands: Int, rowsPerBand: Int): DataFrame =
+    bandsOf(g, idCol,
+      minhashSignatureFromHashes(col(hashesCol), bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  private def bandsOf(df: DataFrame, idCol: String, sig: Column,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol), sig.as("sig"))
       .select(col(idCol),
         explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))

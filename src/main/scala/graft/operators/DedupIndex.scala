@@ -2,6 +2,27 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Caches.Persisted
+
+/** A named shingling function: the shingler IDENTITY travels with a
+  * persisted [[DedupIndex]] so a probe against an index built with
+  * different shingles fails fast instead of silently computing garbage
+  * Jaccard (different shingle universes almost never collide, so every
+  * similarity would quietly read ~0). Construct via the factories so
+  * the id string actually describes the function. */
+final case class Shingler(id: String, fn: Column => Column) {
+  def apply(c: Column): Column = fn(c)
+}
+
+object Shingler {
+  /** Word n-gram shingles — the [[Dedup.minhashDupPairs]] default. */
+  def word(n: Int = 3): Shingler =
+    Shingler(s"word-$n", graft.functions.TextFunctions.wordShingles(_, n))
+
+  /** Character n-gram shingles. */
+  def char(n: Int): Shingler =
+    Shingler(s"char-$n", graft.functions.TextFunctions.shingles(_, n))
+}
 
 /** Persisted MinHash-LSH dedup index: build ONCE over the corpus,
   * probe every incoming crawl batch against it, append accepted
@@ -13,88 +34,159 @@ import org.apache.spark.sql.functions._
   * plain parquet tables (the [[AnnIndex]] discipline — disk layout IS
   * the index, no binary sidecar format):
   *
-  *   <path>/meta    (bands, rows_per_band)        — one row
-  *   <path>/bands   (id, bh) PARTITIONED BY band  — 8-byte LSH keys
-  *   <path>/grams   (id, gram_hashes)             — verification sets
+  *   <path>/meta    (version, bands, rows_per_band,
+  *                   shingler, design_threshold)       — one row
+  *   <path>/bands   (id, bh) PARTITIONED BY band       — 8-byte LSH keys
+  *   <path>/grams   (id, gram_hashes) PART. BY epoch   — verification sets
+  *
+  * The bands table is DERIVED from the grams table: each build/append
+  * runs the shingler exactly once, stages the hashed gram sets on
+  * disk, then reads the staged files back and computes signatures from
+  * the stored hashes (minhash is a pure function of the base-hash set
+  * — [[Dedup.minhashSigFromHashes]]); the stage commits as a fresh
+  * `epoch=<uuid>` grams partition after the bands write.
+  * Consequences, both deliberate: the source frame executes once, so
+  * nondeterministic inputs can no longer desynchronize the two tables
+  * (the r11 caller precondition is gone); and the bands keys are
+  * provably consistent with the verification sets because they are
+  * computed FROM them.
   *
   * A probe computes the BATCH side's bands fresh (it must — the text
-  * is new) and joins them against the stored band keys: one keyed
-  * join on fixed-width (band, bh), with the batch side broadcast (a
-  * crawl increment is small against the corpus). Candidates are then
-  * exact-Jaccard verified against the stored distinct-shingle hash
-  * sets — Jaccard over injectively-hashed grams equals Jaccard over
-  * the grams themselves, so the verification is as exact as
-  * [[Dedup.minhashDupPairs]]' text-side verify without ever re-reading
-  * corpus text. The candidate set broadcasts back against the grams
-  * table, so the index side never shuffles at probe time.
+  * is new) and joins them against the stored band keys, then
+  * exact-Jaccard verifies candidates against the stored gram-hash sets
+  * (Jaccard over injectively-hashed grams equals Jaccard over the
+  * grams themselves). Batch sides up to
+  * [[DedupIndex.MaxBroadcastBatchDefault]] rows ship as broadcasts and
+  * the index side never shuffles; larger (backfill-sized) batches
+  * degrade to keyed joins — see [[DedupIndex.probe]].
   *
-  * [[append]] adds a batch's bands + grams WITHOUT touching existing
-  * files (additive writes into the band partition directories), so
+  * [[DedupIndex.append]] adds a batch's bands + grams WITHOUT touching
+  * existing files (additive writes into the partition directories), so
   * ingest is: probe → drop batch rows that hit → append the survivors.
   */
 object DedupIndex {
 
+  /** Meta schema version written by [[build]]. v1 indexes (no version
+    * column) predate the shingler/threshold contract and are read with
+    * the identity checks skipped. */
+  val MetaVersion = 2
+
+  /** Batch row count above which [[probe]] stops broadcasting the
+    * batch side and degrades to keyed joins. The binding constraint is
+    * the gram-set broadcast: a web document holds ~10²–10³ shingles,
+    * so 250 k docs ≈ 0.5–2 GB serialized — the upper edge of a sane
+    * broadcast (the [[Tokenizer.joinByWord]] sizing argument; its 5 M
+    * threshold is per-WORD rows, these are per-DOCUMENT set rows).
+    * Overridable per session via `graft.dedupIndex.maxBroadcastBatch`
+    * (specs use it to force the keyed path at test scale). */
+  val MaxBroadcastBatchDefault: Long = 250000L
+
+  private def maxBroadcastBatch(spark: SparkSession): Long =
+    spark.conf.getOption("graft.dedupIndex.maxBroadcastBatch")
+      .map(_.toLong).getOrElse(MaxBroadcastBatchDefault)
+
   /** Build the index over `corpus` at `path` (overwrites). Banding
-    * parameters are persisted in `<path>/meta` and re-checked on every
-    * append/probe; the `shingler` is code, not data — callers must pass
-    * the same one (the default matches [[Dedup.minhashDupPairs]]).
+    * parameters AND the probe contract — shingler identity and the
+    * threshold the banding was designed for — are persisted in
+    * `<path>/meta` and re-checked on every append/probe.
     *
-    * PRECONDITION: `corpus` (and every appended batch) must be
-    * DETERMINISTIC — the bands and grams tables are written by two
-    * independent actions that each re-execute the frame, so a
-    * nondeterministic source (`sample`, `limit` on an unordered frame,
-    * `monotonically_increasing_id`) could desynchronize the two tables
-    * and silently corrupt probe verification. Materialize such frames
-    * (e.g. write them out, or `localCheckpoint()`) before indexing. */
+    * `designThreshold` is the Jaccard level the (bands, rowsPerBand)
+    * banding is supposed to catch (pick them together via
+    * [[Dedup.lshPlanFor]]); probes BELOW it fail fast because the
+    * banding would silently miss pairs the caller asked for. */
   def build(corpus: DataFrame, idCol: String, textCol: String,
       path: String,
-      shingler: Column => Column =
-        graft.functions.TextFunctions.wordShingles(_, 3),
-      bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+      shingler: Shingler = Shingler.word(3),
+      bands: Int = 8, rowsPerBand: Int = 4,
+      designThreshold: Double = 0.5): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((bands, rowsPerBand)).toDF("bands", "rows_per_band")
+    Seq((MetaVersion, bands, rowsPerBand, shingler.id, designThreshold))
+      .toDF("version", "bands", "rows_per_band", "shingler",
+        "design_threshold")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     writeTables(corpus, idCol, textCol, path, shingler, bands,
       rowsPerBand, overwrite = true)
   }
 
   /** Append a new batch into the existing index — additive writes into
-    * the band directories, no rewrite of prior files. */
+    * the partition directories, no rewrite of prior files. Fails fast
+    * if `shingler` differs from the build-time one in the index meta. */
   def append(batch: DataFrame, idCol: String, textCol: String,
       path: String,
-      shingler: Column => Column =
-        graft.functions.TextFunctions.wordShingles(_, 3)): Unit = {
-    val (bands, rowsPerBand) = readMeta(batch.sparkSession, path)
-    writeTables(batch, idCol, textCol, path, shingler, bands,
-      rowsPerBand, overwrite = false)
+      shingler: Shingler = Shingler.word(3)): Unit = {
+    val meta = readMeta(batch.sparkSession, path)
+    meta.requireShingler(shingler, path, "append")
+    writeTables(batch, idCol, textCol, path, shingler, meta.bands,
+      meta.rowsPerBand, overwrite = false)
   }
 
   /** Probe: near-dup pairs (id, batch_id, jaccard) between the indexed
     * corpus and `batch`, jaccard ≥ `threshold` — same candidate
     * generation + exact-verify contract as
     * [[Dedup.minhashCrossDupPairs]], with the corpus side read from
-    * the persisted tables instead of recomputed. */
+    * the persisted tables instead of recomputed.
+    *
+    * Fails fast on a shingler mismatch with the index meta, and on
+    * `threshold` below the index's design threshold (the persisted
+    * banding would silently miss pairs at that level — rebuild with
+    * banding planned for the lower threshold instead).
+    *
+    * Two plans, chosen from the batch's real row count (one cheap
+    * count() over the raw batch frame at plan-construction time — the
+    * [[Tokenizer.joinByWord]] convention):
+    *
+    *  - batch ≤ `graft.dedupIndex.maxBroadcastBatch` (a crawl
+    *    increment, the common case): the batch's bands, the candidate
+    *    ids, and the batch gram sets all ship as broadcasts — the
+    *    index side streams through BroadcastHashJoins and NEVER
+    *    shuffles, and the returned frame stays lazy;
+    *  - larger (backfill-sized) batches: the same dataflow with keyed
+    *    joins — the batch shingles persist once (they feed bands and
+    *    gram sets), the result is eagerly localCheckpoint-ed and the
+    *    cache released before returning (the [[Dedup.minhashDupPairs]]
+    *    eagerness contract).
+    */
   def probe(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
-      shingler: Column => Column =
-        graft.functions.TextFunctions.wordShingles(_, 3)): DataFrame = {
-    val (bands, rowsPerBand) = readMeta(spark, path)
-    // the batch side is computed twice (bands + gram sets) — both
-    // passes are over the small side and both ship as broadcasts (the
-    // [[Dedup.minhashCrossDupPairs]] convention; the result stays lazy,
-    // so there is nothing to pin-and-release here)
+      shingler: Shingler = Shingler.word(3)): DataFrame = {
+    val meta = readMeta(spark, path)
+    meta.requireShingler(shingler, path, "probe")
+    meta.designThreshold.foreach { t0 =>
+      require(threshold >= t0,
+        s"probe threshold $threshold is below the index's banding " +
+          s"design threshold $t0 (index at $path): the persisted " +
+          "bands would silently miss pairs at that similarity. " +
+          "Rebuild with banding planned for the lower threshold " +
+          "(Dedup.lshPlanFor).")
+    }
+    if (batch.count() <= maxBroadcastBatch(spark))
+      probeBroadcast(spark, path, batch, idCol, textCol, threshold,
+        shingler, meta)
+    else
+      probeKeyed(spark, path, batch, idCol, textCol, threshold,
+        shingler, meta)
+  }
+
+  /** The crawl-increment plan: batch side computed twice (bands + gram
+    * sets) — both passes are over the small side and both ship as
+    * broadcasts; the result stays lazy, so there is nothing to
+    * pin-and-release here. */
+  private def probeBroadcast(spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingler: Shingler, meta: Meta): DataFrame = {
     val bsh = batch
       .select(col(idCol).as("batch_id"), shingler(col(textCol)).as("_sh"))
       .where(size(col("_sh")) > 0)
-    val bb = Dedup.bandTriples(bsh, "batch_id", "_sh", bands, rowsPerBand)
+    val bb = Dedup.bandTriples(bsh, "batch_id", "_sh", meta.bands,
+      meta.rowsPerBand)
     val cands = spark.read.parquet(s"$path/bands")
       .join(broadcast(bb), Seq("band", "bh"))
       .select("id", "batch_id")
       .dropDuplicates("id", "batch_id")
     // candidates broadcast back against the grams table: the (large)
     // index side streams through a BroadcastHashJoin — no shuffle
-    spark.read.parquet(s"$path/grams")
+    spark.read.parquet(s"$path/grams").select("id", "gram_hashes")
       .join(broadcast(cands), Seq("id"))
       .join(broadcast(bsh.select(col("batch_id"),
         gramHashes(col("_sh")).as("_bg"))), Seq("batch_id"))
@@ -103,29 +195,77 @@ object DedupIndex {
       .select("id", "batch_id", "jaccard")
   }
 
-  private def writeTables(df: DataFrame, idCol: String, textCol: String,
-      path: String, shingler: Column => Column, bands: Int,
-      rowsPerBand: Int, overwrite: Boolean): Unit = {
-    val mode = if (overwrite) "overwrite" else "append"
-    // the shingle pass feeds TWO write actions and is deliberately NOT
-    // pinned (hence the determinism precondition on build/append) —
-    // measured A/B at sf0.1 (min-of-3, across several runs):
-    // recompute-twice 4.9-6.6 s and persistTracked 5.5 s are within
-    // box noise of each other; localCheckpoint 9.9 s is clearly worst
-    // (eagerly materializing the fat shingle rows costs more than
-    // re-running a parquet scan + a cheap per-row UDF). With no local
-    // win, the 100 TB argument decides: pinning a CORPUS-sized
-    // intermediate trades an embarrassingly parallel recompute for
-    // corpus-sized storage churn (contrast minhashDupPairs, whose
-    // shingle cache feeds JOINS that would otherwise re-shuffle — here
-    // both consumers are map-only writes).
-    val sh = df
-      .select(col(idCol).as("id"), shingler(col(textCol)).as("_sh"))
+  /** The backfill plan: same dataflow, keyed joins. The batch shingle
+    * table persists once (it feeds the banding AND the gram sets);
+    * the verified-pair result — small by construction — is eagerly
+    * materialized so the cache can be released before returning. */
+  private def probeKeyed(spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingler: Shingler, meta: Meta): DataFrame = {
+    val bsh = batch
+      .select(col(idCol).as("batch_id"), shingler(col(textCol)).as("_sh"))
       .where(size(col("_sh")) > 0)
-    Dedup.bandTriples(sh, "id", "_sh", bands, rowsPerBand)
+      .persistTracked
+    try {
+      val bb = Dedup.bandTriples(bsh, "batch_id", "_sh", meta.bands,
+        meta.rowsPerBand)
+      val cands = spark.read.parquet(s"$path/bands")
+        .join(bb, Seq("band", "bh"))
+        .select("id", "batch_id")
+        .dropDuplicates("id", "batch_id")
+      val verified = spark.read.parquet(s"$path/grams")
+        .select("id", "gram_hashes")
+        .join(cands, Seq("id"))
+        .join(bsh.select(col("batch_id"),
+          gramHashes(col("_sh")).as("_bg")), Seq("batch_id"))
+        .withColumn("jaccard",
+          Dedup.jaccard(col("gram_hashes"), col("_bg")))
+        .where(col("jaccard") >= threshold)
+        .select("id", "batch_id", "jaccard")
+      verified.localCheckpoint()
+    } finally bsh.unpersist(false)
+  }
+
+  /** ONE pass over the source: shingle → hash → gram sets, written to
+    * a dot-prefixed STAGING directory (invisible to parquet readers);
+    * the bands rows are then computed FROM the staged files and the
+    * grams epoch is committed LAST by an atomic directory rename into
+    * `grams/epoch=<uuid>`. Two properties, both load-bearing:
+    *
+    *  - the source frame executes exactly once, so the bands keys are
+    *    derived from — and provably consistent with — the verification
+    *    sets, and nondeterministic inputs cannot desynchronize them;
+    *  - grams-commit-last preserves [[graft.streaming.StreamingDedupGate]]'s
+    *    crash-residual contract: a crash mid-append can leave band rows
+    *    without grams rows (harmless — probe dedups candidates, and a
+    *    replayed append re-writes both), never grams without bands,
+    *    which would duplicate probe pairs after a replay. A crash
+    *    before the bands write leaks only an invisible staging dir
+    *    (cleared by the next overwrite build). */
+  private def writeTables(df: DataFrame, idCol: String, textCol: String,
+      path: String, shingler: Shingler, bands: Int,
+      rowsPerBand: Int, overwrite: Boolean): Unit = {
+    val spark = df.sparkSession
+    val mode = if (overwrite) "overwrite" else "append"
+    val epoch = java.util.UUID.randomUUID().toString
+    val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
+    val fs = gramsDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (overwrite) fs.delete(gramsDir, true)
+    val staging = new org.apache.hadoop.fs.Path(gramsDir,
+      s".staging-$epoch")
+    df.select(col(idCol).as("id"), shingler(col(textCol)).as("_sh"))
+      .where(size(col("_sh")) > 0)
+      .select(col("id"), gramHashes(col("_sh")).as("gram_hashes"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val g = spark.read.parquet(staging.toString)
+    Dedup.bandTriplesFromHashes(g, "id", "gram_hashes", bands,
+      rowsPerBand)
       .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
-    sh.select(col("id"), gramHashes(col("_sh")).as("gram_hashes"))
-      .write.mode(mode).parquet(s"$path/grams")
+    val committed = new org.apache.hadoop.fs.Path(gramsDir,
+      s"epoch=$epoch")
+    require(fs.rename(staging, committed),
+      s"failed to commit grams epoch $staging -> $committed")
   }
 
   /** Distinct 64-bit shingle hashes — the stored verification set.
@@ -136,8 +276,28 @@ object DedupIndex {
   private val gramHashes = udf((sh: Seq[String]) =>
     sh.map(Dedup.hash64).distinct.sorted)
 
-  private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
-    val m = spark.read.parquet(s"$path/meta").head()
-    (m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"))
+  private case class Meta(version: Int, bands: Int, rowsPerBand: Int,
+      shingler: Option[String], designThreshold: Option[Double]) {
+    def requireShingler(s: Shingler, path: String, op: String): Unit =
+      shingler.foreach { s0 =>
+        require(s0 == s.id,
+          s"$op called with shingler '${s.id}' against the index at " +
+            s"$path, which was built with shingler '$s0' — the shingle " +
+            "universes differ, so every Jaccard would silently read ~0. " +
+            "Pass the build-time shingler (or rebuild).")
+      }
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val df = spark.read.parquet(s"$path/meta")
+    val m = df.head()
+    val has = df.columns.toSet
+    Meta(
+      if (has("version")) m.getAs[Int]("version") else 1,
+      m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"),
+      if (has("shingler")) Some(m.getAs[String]("shingler")) else None,
+      if (has("design_threshold"))
+        Some(m.getAs[Double]("design_threshold"))
+      else None)
   }
 }

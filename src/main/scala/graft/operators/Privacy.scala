@@ -55,6 +55,12 @@ object Privacy {
       : DataFrame = {
     require(qiCols.nonEmpty, "kAnonymize: no quasi-identifiers")
     require(k >= 1, s"kAnonymize: k=$k must be >= 1")
+    // the applyChangelog collision convention: the output column must
+    // not silently overwrite caller data, and a QI named 'suppressed'
+    // would make the nulling fold read its own flag (r11 advice)
+    require(!df.columns.contains("suppressed"),
+      "kAnonymize: input already has a 'suppressed' column — rename " +
+        "it first; the operator writes its verdict there")
     val w = Window.partitionBy(qiCols.map(col): _*)
     val small = count(lit(1)).over(w) < k
     val out = df.withColumn("suppressed", small)

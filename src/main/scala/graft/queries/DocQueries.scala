@@ -615,8 +615,14 @@ object DocQueries {
         lit("/p/"), (col("doc_id") % 50).cast("string"),
         when(col("doc_id") % 2 === 0,
           lit("?utm_source=feed&b=2&a=1&gclid=x"))
+          .when(col("doc_id") % 10 === 7, lit(""))
           .otherwise(lit("?a=1&b=2")),
-        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+        // %10=7: NO query but a '?' inside the fragment — the case the
+        // anchored query regex exists for (a bare \? would resurrect
+        // 'x=1' as a query param; r11 advice)
+        when(col("doc_id") % 5 === 0, lit("#frag"))
+          .when(col("doc_id") % 10 === 7, lit("#sec?x=1"))
+          .otherwise(lit("")))
       docsPar(s, d).select(col("doc_id"), url.as("url"))
         .select(TextFunctions.canonicalUrl(col("url")).as("canonical_url"))
         .groupBy("canonical_url")
@@ -1232,15 +1238,15 @@ object DocQueries {
           concat(col("text"), lit(" crawl extra tail")).as("text"))
       // materialize the probe, then delete the corpus-sized temp index
       // — repeated bench/verify invocations must not accumulate index
-      // trees until /tmp fills
-      val res = DedupIndex
+      // trees until /tmp fills; finally, so a failed build/append/probe
+      // cannot leak the tree either (r11 advice)
+      try DedupIndex
         .probe(s, tmp, batch, "doc_id", "text", threshold = 0.5)
         .select(col("id"), col("batch_id"),
           (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
         .orderBy("id", "batch_id")
         .localCheckpoint()
-      deleteRecursively(new java.io.File(tmp))
-      res
+      finally deleteRecursively(new java.io.File(tmp))
     }),
 
     // ---- curriculum ordering (Bengio 2009): easy-to-hard difficulty
@@ -3230,8 +3236,11 @@ ORDER BY src_id"""
         |         WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
         |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
         |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1&gclid=x'
+        |         WHEN doc_id % 10 = 7 THEN ''
         |         ELSE '?a=1&b=2' END ||
-        |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        |    CASE WHEN doc_id % 5 = 0 THEN '#frag'
+        |         WHEN doc_id % 10 = 7 THEN '#sec?x=1'
+        |         ELSE '' END AS url
         |  FROM documents
         |), parts AS (
         |  SELECT doc_id, url,
@@ -3240,7 +3249,7 @@ ORDER BY src_id"""
         |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1))
         |      AS hostport,
         |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
-        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS query
         |  FROM u
         |), norm AS (
         |  SELECT doc_id, scheme,

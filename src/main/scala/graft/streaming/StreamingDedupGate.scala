@@ -37,12 +37,13 @@ import graft.operators.DedupIndex
   *    previously-appended survivor. Self-matched docs are still
   *    admitted to the (overwritten) output but are NOT re-appended to
   *    the index; only docs with no self-match append.
-  * Residual window: [[DedupIndex.writeTables]] runs the bands job
-  * before the grams job (each job-level atomic under the parquet
-  * committer), so a crash between them can leave a survivor with band
-  * rows but no grams row; the replay re-appends it (grams presence is
-  * the self-match signal), and the duplicated band rows are harmless —
-  * probe dedups candidates before verification.
+  * Residual window: [[DedupIndex.writeTables]] commits the grams
+  * epoch LAST (staged invisibly, renamed in after the bands job), so
+  * a crash mid-append can leave a survivor with band rows but no
+  * grams row; the replay re-appends it (grams presence is the
+  * self-match signal), and the duplicated band rows are harmless —
+  * probe dedups candidates before verification. Grams-without-bands —
+  * which WOULD duplicate probe pairs on replay — cannot occur.
   *
   * Otherwise the query is stateless (no watermark, no state store) —
   * all state lives in the index directories, so a restart resumes from

@@ -59,4 +59,43 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.getAs[Long]("id") == 90001L,
       got.mkString(","))
   }
+
+  test("meta persists the probe contract and dimension mismatches " +
+      "fail fast instead of ranking on a truncated prefix") {
+    import spark.implicits._
+    val path = tmp()
+    AnnIndex.build(emb, "vec_id", "embedding", path, nlist = 8)
+    val dim = emb.select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).length
+    // meta round-trips (version, metric, dim, nlist)
+    val m = spark.read.parquet(s"$path/meta").head()
+    assert(m.getAs[Int]("version") == AnnIndex.MetaVersion)
+    assert(m.getAs[String]("metric") == "cosine")
+    assert(m.getAs[Int]("dim") == dim)
+    assert(m.getAs[Int]("nlist") == 8)
+    // a wrong-dimension batch fails the append (udf require surfaces
+    // as a SparkException wrapping the IllegalArgumentException)
+    val shortVec = Seq.fill(dim - 1)(0.5)
+    val ae = intercept[org.apache.spark.SparkException] {
+      AnnIndex.append(Seq((90002L, shortVec)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path)
+    }
+    assert(ae.getMessage.contains("dim") ||
+      Option(ae.getCause).exists(_.getMessage.contains("dim")))
+    // a wrong-dimension query fails the probe the same way
+    val pe = intercept[org.apache.spark.SparkException] {
+      AnnIndex.probe(spark, path,
+          Seq((1L, shortVec)).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .collect()
+    }
+    assert(pe.getMessage.contains("dim") ||
+      Option(pe.getCause).exists(_.getMessage.contains("dim")))
+    // nprobe beyond nlist is a contract violation, not a silent clamp
+    val ne = intercept[IllegalArgumentException] {
+      AnnIndex.probe(spark, path, queries, "vec_id", "embedding",
+        k = 3, nprobe = 99)
+    }
+    assert(ne.getMessage.contains("nprobe"))
+  }
 }

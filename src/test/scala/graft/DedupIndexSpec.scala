@@ -94,6 +94,67 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(Dedup.lshPlanFor(0.2, 4, minCatch = 0.9999).isEmpty)
   }
 
+  test("probe and append fail fast on a shingler mismatch with the " +
+      "index meta — never silently compute cross-universe Jaccard") {
+    import graft.operators.Shingler
+    val path = tmp()
+    DedupIndex.build(docs.limit(10), "doc_id", "text", path,
+      shingler = Shingler.word(3))
+    // meta persists the shingler identity
+    val m = spark.read.parquet(s"$path/meta").head()
+    assert(m.getAs[String]("shingler") == "word-3")
+    assert(m.getAs[Int]("version") == DedupIndex.MetaVersion)
+    val pe = intercept[IllegalArgumentException] {
+      DedupIndex.probe(spark, path, batch(), "doc_id", "text",
+        threshold = 0.5, shingler = Shingler.char(4))
+    }
+    assert(pe.getMessage.contains("char-4") &&
+      pe.getMessage.contains("word-3"))
+    val ae = intercept[IllegalArgumentException] {
+      DedupIndex.append(batch(), "doc_id", "text", path,
+        shingler = Shingler.char(4))
+    }
+    assert(ae.getMessage.contains("shingler"))
+    // the matching shingler still probes fine
+    assert(DedupIndex.probe(spark, path, docs.limit(10), "doc_id",
+      "text", threshold = 0.99).count() == 10)
+  }
+
+  test("probe fails fast below the index's banding design threshold") {
+    val path = tmp()
+    DedupIndex.build(docs.limit(10), "doc_id", "text", path,
+      designThreshold = 0.5)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.probe(spark, path, batch(), "doc_id", "text",
+        threshold = 0.3)
+    }
+    assert(e.getMessage.contains("design threshold"))
+  }
+
+  test("the keyed (backfill-sized batch) probe path equals the " +
+      "broadcast path row for row") {
+    val path = tmp()
+    DedupIndex.build(docs, "doc_id", "text", path)
+    def run() = DedupIndex.probe(spark, path, batch(),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("id"), col("batch_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+      .map(_.toString).sorted.toSeq
+    val viaBroadcast = run()
+    val viaKeyed =
+      try {
+        spark.conf.set("graft.dedupIndex.maxBroadcastBatch", "1")
+        // the keyed path returns an eagerly-checkpointed frame — proof
+        // the fallback was actually taken (the broadcast path is lazy)
+        val kf = DedupIndex.probe(spark, path, batch(),
+          "doc_id", "text", threshold = 0.5)
+        assert(kf.queryExecution.logical.toString.contains("LogicalRDD"),
+          "keyed fallback not taken under maxBroadcastBatch=1")
+        run()
+      } finally spark.conf.unset("graft.dedupIndex.maxBroadcastBatch")
+    assert(viaBroadcast.nonEmpty && viaKeyed == viaBroadcast)
+  }
+
   test("probe reads the build-time banding params from the index meta") {
     val path = tmp()
     DedupIndex.build(docs.limit(10), "doc_id", "text", path,
