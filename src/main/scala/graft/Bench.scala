@@ -195,7 +195,8 @@ object Bench {
       "q_ewma", "q_funnel", "q_retention", "q_markov", "q_ks_drift", "q_zorder_pruning", "q_psi_drift", "q_changelog_apply",
       "q_skew_join", "q_hll_groups", "q_rrf_fusion", "q_hilbert_layout",
       "q_hilbert_pruning", "q_hist_quantiles", "q_hh_groups",
-      "q_mips", "q_mips_alsh", "q_bitext_mine", "q_bitext_banded",
+      "q_mips", "q_mips_alsh", "q_mips_alsh_planned", "q_bitext_mine",
+      "q_bitext_banded", "q_bitext_planned",
       "q_keyword_tags",
       "q_url_canonical", "q_neg_samples", "q_fim", "q_span_corrupt",
       "q_sft_render", "q_dpo_pairs", "q_mmr", "q_bt_rank", "q_curriculum", "q_cluster_balance",

@@ -62,6 +62,33 @@ object Bitext {
     * @return (src_id, tgt_id, cosine, margin) — margin as a 6-decimal
     *         double reconstructed from the exact integer margin_q
     */
+  /** [[mine]] with the banded-candidate grid (bits, bands) chosen by
+    * [[SimilaritySearch.hyperplanePlanFor]] from the REAL corpus sizes
+    * (two count actions at plan-construction time) and a recall
+    * budget: pairs at `targetCosine` are caught with probability ≥
+    * `minCatch`, and the grid scales with the corpora instead of
+    * flooding at 10× (the fixed-64-bucket lesson of SCALING.md r11).
+    * Throws when no grid inside the 64-bit signature meets the budget
+    * — a flooding grid must be an explicit caller decision via
+    * [[mine]], never a planner default. */
+  def minePlanned(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int, minMargin: Double,
+      mutual: Boolean = false, targetCosine: Double = 0.99,
+      minCatch: Double = 0.95,
+      maxCandidatesPerRow: Double = 1024.0): DataFrame = {
+    val nA = a.count()
+    val nB = b.count()
+    val (bits, bands) = SimilaritySearch.hyperplanePlanFor(
+      targetCosine, nA, nB, minCatch,
+      maxCandidatesPerRow = maxCandidatesPerRow)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no (bits, bands) grid inside the 64-bit signature catches " +
+          s"cosine-$targetCosine pairs at >= $minCatch under " +
+          s"$maxCandidatesPerRow candidates/row for corpus sizes " +
+          s"($nA, $nB) — widen the signature or relax the budget"))
+    mine(a, b, idCol, vecCol, k, minMargin, mutual, Some(bits), bands)
+  }
+
   def mine(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
       k: Int, minMargin: Double, mutual: Boolean = false,
       bits: Option[Int] = None, bands: Int = 4): DataFrame = {

@@ -232,6 +232,116 @@ object SimilaritySearch {
       .select("query_id", "id", "dot", "rank")
   }
 
+  /** Per-hyperplane agreement probability for a pair at `cosine`:
+    * p = 1 − θ/π, the sign-sketch collision probability (Charikar
+    * 2002). Driver math, no Spark. */
+  def hyperplaneAgreeProbability(cosine: Double): Double = {
+    require(cosine >= -1 && cosine <= 1, s"cosine $cosine outside [-1,1]")
+    1.0 - math.acos(cosine) / math.Pi
+  }
+
+  /** Probability that a banded hyperplane scheme catches a pair at
+    * `cosine`: 1 − (1 − p^bits)^bands — [[Dedup.lshCatchProbability]]'s
+    * S-curve with the hyperplane agreement probability in place of
+    * Jaccard. bands = 1 is the single-table ([[lshTopK]] /
+    * [[mipsAlshTopK]]) recall. */
+  def hyperplaneCatchProbability(cosine: Double, bits: Int,
+      bands: Int): Double = {
+    require(bits >= 1 && bands >= 1, "bits/bands must be >= 1")
+    val p = hyperplaneAgreeProbability(cosine)
+    1.0 - math.pow(1.0 - math.pow(p, bits), bands)
+  }
+
+  /** Pick (bits, bands) for the banded hyperplane family
+    * ([[graft.operators.Bitext.mine]]'s `bits = Some(b)` path) from the
+    * CORPUS SIZES and a recall budget — the [[Dedup.lshPlanFor]]
+    * S-curve planner for sign sketches. The r11 lesson this codifies:
+    * a fixed band grid that is fine at one corpus size floods (or
+    * starves) at 10× — q_bitext_banded's 64-bucket grid measured 4.8×
+    * at 10× — so the grid must be derived from the data.
+    *
+    * Feasible plans meet catch(targetCosine) ≥ `minCatch` within the
+    * `sigBudgetBits`-bit packed signature, with expected
+    * background-pair candidates per source row
+    * (bands · p₀^bits · nB, p₀ = agreement at `backgroundCosine`)
+    * capped by `maxCandidatesPerRow`. Among them, minimize the real
+    * work model
+    *
+    *   cost = bands · (nA + nB)              (banding/explode rows)
+    *        + bands · p₀^bits · nA · nB      (candidate verifications)
+    *
+    * — which is what makes the answer corpus-size-dependent: small
+    * corpora prefer few cheap bands, large corpora buy more bits (and
+    * the bands recall demands) to keep the quadratic term down. Ties
+    * break toward fewer bands, then fewer bits. Returns None when no
+    * plan fits — at ~10⁹-row corpora a 64-bit signature genuinely
+    * cannot deliver high recall at sane candidate rates; widen the
+    * signature (multiple longs) or relax the budget, but do not let a
+    * planner silently pick a flooding grid.
+    *
+    * The arithmetic is replayed verbatim by the q_bitext_planned SQL
+    * oracle (same cost expression, same tie-break order), so keep any
+    * edit to the formula in sync with that CTE. `backgroundCosine = 0`
+    * keeps p₀ exactly 0.5 in BOTH engines (acos(0) is π/2 in the same
+    * doubles), making the cost column bit-identical. */
+  def hyperplanePlanFor(targetCosine: Double, nA: Long, nB: Long,
+      minCatch: Double = 0.95, backgroundCosine: Double = 0.0,
+      sigBudgetBits: Int = 64,
+      maxCandidatesPerRow: Double = 1024.0): Option[(Int, Int)] = {
+    require(nA >= 1 && nB >= 1, s"corpus sizes ($nA, $nB) must be >= 1")
+    require(minCatch > 0 && minCatch < 1,
+      s"minCatch $minCatch outside (0,1)")
+    require(sigBudgetBits >= 1 && sigBudgetBits <= 64,
+      s"sigBudgetBits $sigBudgetBits outside [1,64]")
+    val p0 = hyperplaneAgreeProbability(backgroundCosine)
+    val feasible = for {
+      bits <- 1 to sigBudgetBits
+      bands <- 1 to sigBudgetBits / bits
+      if hyperplaneCatchProbability(targetCosine, bits, bands) >= minCatch
+      if bands * math.pow(p0, bits) * nB <= maxCandidatesPerRow
+    } yield {
+      val cost = bands.toDouble * (nA + nB) +
+        bands * math.pow(p0, bits) * nA * nB
+      (cost, bands, bits)
+    }
+    feasible.sorted.headOption.map { case (_, bands, bits) =>
+      (bits, bands)
+    }
+  }
+
+  /** Single-table bucket-width planner for the [[mipsAlshTopK]] /
+    * [[lshTopK]] family: the SMALLEST `bits` keeping the expected
+    * same-bucket background candidates per query
+    * (corpusRows · 0.5^bits) at or below `targetCandidatesPerQuery`.
+    * Smallest, because every extra bit halves single-table recall
+    * (catch = p^bits with no OR-amplification — see
+    * [[hyperplaneCatchProbability]] at bands = 1); the caller buys
+    * exactly the bucket thinning the corpus size forces and no more.
+    * Exact powers of two on both engines, so the SQL twin (smallest
+    * bits with n · pow(0.5, bits) ≤ target) agrees bit for bit. */
+  def alshBitsFor(corpusRows: Long,
+      targetCandidatesPerQuery: Double = 64.0): Int = {
+    require(corpusRows >= 1, s"corpusRows $corpusRows must be >= 1")
+    require(targetCandidatesPerQuery >= 1,
+      s"targetCandidatesPerQuery $targetCandidatesPerQuery must be >= 1")
+    var bits = 1
+    while (bits < 62 &&
+        corpusRows * math.pow(0.5, bits) > targetCandidatesPerQuery)
+      bits += 1
+    bits
+  }
+
+  /** [[mipsAlshTopK]] with `bits` chosen by [[alshBitsFor]] from the
+    * REAL corpus row count (one count action at plan-construction
+    * time — the sizing convention of [[Tokenizer.joinByWord]]). */
+  def mipsAlshTopKPlanned(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      targetCandidatesPerQuery: Double = 64.0,
+      portableBuckets: Boolean = false): DataFrame =
+    mipsAlshTopK(corpus, queries, idCol, vecCol, qidCol, k,
+      bits = alshBitsFor(corpus.count(), targetCandidatesPerQuery),
+      portableBuckets = portableBuckets)
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * hash-derived value in [-1, 1). Shared by corpus and queries without
     * shipping any state. */

@@ -1385,6 +1385,23 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- planner-chosen ALSH bucket width: bits from
+    // SimilaritySearch.alshBitsFor over the REAL corpus count (the
+    // smallest width holding expected bucket candidates <= 64/query —
+    // 3 bits at the 500-row verify corpus, 9 at 10x scale); the oracle
+    // replays the width selection, then masks the same 62-plane
+    // portable signature down to it ----
+    "q_mips_alsh_planned" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      SimilaritySearch.mipsAlshTopKPlanned(emb, queries,
+          "vec_id", "embedding", "vec_id", k = 10,
+          targetCandidatesPerQuery = 64.0, portableBuckets = true)
+        .select(col("query_id"), col("id"), col("rank"),
+          round(col("dot"), 6).as("dot"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- SFT chat-template rendering + loss-mask spans: the training
     // string and the assistant-span offsets come from the SAME concat
     // tree (the drift between render and mask is the bug class this
@@ -1493,6 +1510,23 @@ object DocQueries {
           emb.where(col("vec_id") % 2 === 1),
           "vec_id", "embedding", k = 4, minMargin = 1.15,
           bits = Some(6), bands = 4)
+        .orderBy("src_id")
+    }),
+
+    // ---- planner-chosen banded bitext: the (bits, bands) grid comes
+    // from SimilaritySearch.hyperplanePlanFor over the REAL corpus
+    // sizes (9x3 at the 250-row verify sides, 13x4 at 1000), so the
+    // grid scales with the data instead of flooding at 10x — the
+    // oracle replays the PLANNER itself (same cost model, same
+    // tie-breaks) before replaying the banding, so a drifted plan
+    // fails the gate, not just a drifted bucket ----
+    "q_bitext_planned" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      graft.operators.Bitext.minePlanned(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.15,
+          targetCosine = 0.99, minCatch = 0.95)
         .orderBy("src_id")
     }),
 
@@ -2377,14 +2411,82 @@ SELECT query_id, id, rank, round(dot, 6) AS dot
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
   }
 
+  /** Planner-driven ALSH twin: replays
+    * [[graft.operators.SimilaritySearch.alshBitsFor]] (the smallest
+    * width with n·0.5^bits ≤ 64 — exact powers of two, so the argmin
+    * is engine-identical) as a CTE, then masks the same 62-plane
+    * portable signature down to the planned width; otherwise the
+    * mipsAlshOracle pipeline verbatim. */
+  private val mipsAlshPlannedOracle: String = {
+    val sigTerms = sigTermsSql(62)
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pl AS (
+  SELECT COALESCE((SELECT min(g.bits)
+    FROM (SELECT unnest(range(1, 63)) AS bits) g
+    WHERE (SELECT count(*) FROM e) * pow(0.5, g.bits) <= 64), 62)
+    AS bits
+), qh AS (
+  SELECT vec_id, v,
+    list_transform(range(1, len(v) + 1),
+      i -> CAST(floor(v[i] * 1e6) AS BIGINT)) AS qb
+  FROM e
+), norms AS (
+  SELECT vec_id, v, qb,
+    CAST(list_sum(list_transform(qb, x -> x * x)) AS BIGINT) AS n2
+  FROM qh
+), m AS (
+  SELECT max(n2) AS m2q FROM norms
+), corp AS (
+  SELECT vec_id, v,
+    list_append(qb, CAST(floor(sqrt(CAST(greatest(m2q - n2, 0) AS DOUBLE)))
+      AS BIGINT)) AS q,
+    list_transform(range(1, len(qb) + 2),
+      i -> md5_number_upper(CAST(i - 1 AS VARCHAR))) AS h
+  FROM norms CROSS JOIN m
+), qry0 AS (
+  SELECT vec_id, v, qb AS q,
+    list_transform(range(1, len(qb) + 1),
+      i -> md5_number_upper(CAST(i - 1 AS VARCHAR))) AS h
+  FROM norms WHERE vec_id < 5
+), csig AS (
+  SELECT vec_id, v,
+    ($sigTerms) & ((CAST(1 AS BIGINT) << pl.bits) - 1) AS bucket
+  FROM corp CROSS JOIN pl
+), qsig AS (
+  SELECT vec_id AS query_id, v AS qv,
+    ($sigTerms) & ((CAST(1 AS BIGINT) << pl.bits) - 1) AS bucket
+  FROM qry0 CROSS JOIN pl
+), scored AS (
+  SELECT qsig.query_id, c.vec_id AS id,
+    list_inner_product(c.v, qsig.qv) AS dot
+  FROM csig c JOIN qsig ON c.bucket = qsig.bucket
+  WHERE c.vec_id != qsig.query_id
+), ranked AS (
+  SELECT query_id, id, dot,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY dot DESC, id) AS rank
+  FROM scored
+)
+SELECT query_id, id, rank, round(dot, 6) AS dot
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   /** `bits`-bit integer-Rademacher signature terms over per-row `q`
     * (quantized vector) and `h` (per-dimension md5) list columns — the
     * annLshOracle expression, parameterized on width for the banded
     * bitext replay. */
   private def sigTermsSql(bits: Int): String = (0 until bits).map { p =>
+    // bit 63: DuckDB's checked shift rejects 1 << 63, so the sign bit
+    // is written as the min-BIGINT literal (same bit pattern Spark's
+    // 1L << 63 produces); the sum then wraps into the same two's-
+    // complement value on both engines
+    val bitLit =
+      if (p == 63) "CAST(-9223372036854775808 AS BIGINT)"
+      else s"(CAST(1 AS BIGINT) << $p)"
     s"""CASE WHEN list_sum(list_transform(range(1, len(q) + 1),
        |      i -> CASE WHEN (h[i] >> $p) & 1 = 1 THEN q[i] ELSE -q[i] END)) >= 0
-       |    THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END"""
+       |    THEN $bitLit ELSE CAST(0 AS BIGINT) END"""
       .stripMargin
   }.mkString(" +\n    ")
 
@@ -2408,6 +2510,65 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
               i -> md5_number_upper(CAST(i - 1 AS VARCHAR))) AS h
           FROM $table)
       ) CROSS JOIN (SELECT unnest(range(4)) AS j)"""
+    s"""SELECT c.src_id, a2.va, c.tgt_id, b2.vb
+  FROM (
+    SELECT DISTINCT ab.src_id, bb.tgt_id
+    FROM (
+      ${bandedSide("a", "src_id", "va")}
+    ) ab
+    JOIN (
+      ${bandedSide("b", "tgt_id", "vb")}
+    ) bb ON ab.band = bb.band AND ab.bucket = bb.bucket
+  ) c
+  JOIN a a2 USING (src_id)
+  JOIN b b2 USING (tgt_id)"""
+  }
+
+  /** Candidate CTE for the PLANNER-driven banded bitext oracle: first
+    * replays [[graft.operators.SimilaritySearch.hyperplanePlanFor]]
+    * itself — same feasibility tests, same cost model
+    * (bands·(nA+nB) + bands·p₀^bits·nA·nB), same (cost, bands, bits)
+    * tie-break — then slices a 64-plane portable signature by the
+    * planned grid. p₀ is exactly 0.5 in both engines (acos(0) = π/2 in
+    * the same doubles) and the cost terms are integer·2⁻ᵇ products, so
+    * the argmin is bit-identical; a drifted planner constant fails the
+    * gate before any bucket is compared. */
+  private val bitextPlannedCandidates: String = {
+    val sig = sigTermsSql(64)
+    val planner = s"""SELECT bits, bands FROM (
+        SELECT gb.bits AS bits, gn.bands AS bands,
+          gn.bands * ((SELECT count(*) FROM a) + (SELECT count(*) FROM b))
+            + gn.bands * pow(0.5, gb.bits)
+              * (SELECT count(*) FROM a) * (SELECT count(*) FROM b)
+            AS cost
+        FROM (SELECT unnest(range(1, 65)) AS bits) gb
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS bands) gn
+        WHERE gb.bits * gn.bands <= 64
+          AND 1 - pow(1 - pow(1 - acos(0.99) / pi(), gb.bits), gn.bands)
+                >= 0.95
+          AND gn.bands * pow(0.5, gb.bits) * (SELECT count(*) FROM b)
+                <= 1024
+      ) ORDER BY cost, bands, bits LIMIT 1"""
+    // one template for both sides (the bitextBandedCandidates
+    // discipline); the 64-plane signature's unused high bits are
+    // masked off by the planned (bits, bands) slice, so it equals the
+    // Spark side's bits·bands-plane signature on every used bit
+    def bandedSide(table: String, idCol: String, vecCol: String) =
+      s"""SELECT $idCol, j AS band,
+        (sig >> (j * p.bits)) & ((CAST(1 AS BIGINT) << p.bits) - 1)
+          AS bucket
+      FROM (
+        SELECT $idCol, $sig AS sig
+        FROM (
+          SELECT $idCol,
+            list_transform(range(1, len($vecCol) + 1),
+              i -> CAST(floor($vecCol[i] * 1e6) AS BIGINT)) AS q,
+            list_transform(range(1, len($vecCol) + 1),
+              i -> md5_number_upper(CAST(i - 1 AS VARCHAR))) AS h
+          FROM $table)
+      ) CROSS JOIN ($planner) p
+      CROSS JOIN (SELECT unnest(range(64)) AS j)
+      WHERE j < p.bands"""
     s"""SELECT c.src_id, a2.va, c.tgt_id, b2.vb
   FROM (
     SELECT DISTINCT ab.src_id, bb.tgt_id
@@ -4001,6 +4162,10 @@ ORDER BY src_id"""
 
     "q_mips_alsh" -> mipsAlshOracle,
 
+    // width-planner replay (alshBitsFor) + the same ALSH pipeline with
+    // the 62-plane signature masked to the planned width
+    "q_mips_alsh_planned" -> mipsAlshPlannedOracle,
+
     // full replay of the BT MM recursion: same matches, same integer
     // per-edge terms, clamps and mean normalization, 5 unrolled
     // iterations via btCtes
@@ -4275,6 +4440,11 @@ ORDER BY src_id"""
     // identical margin tail — so even the approximate candidate set is
     // exact, not rows-only
     "q_bitext_banded" -> bitextMarginOracle(bitextBandedCandidates),
+
+    // planner replay first (same cost model + tie-breaks as
+    // hyperplanePlanFor), then the banded-candidate pipeline under the
+    // planned grid
+    "q_bitext_planned" -> bitextMarginOracle(bitextPlannedCandidates),
 
     // the q_ann_cosine replay plus the label-mismatch predicate
     "q_hard_negatives" ->

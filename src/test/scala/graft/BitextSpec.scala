@@ -110,4 +110,47 @@ class BitextSpec extends AnyFunSuite {
         s"planted pair $i lost by bucketing; mined=$mined")
     }
   }
+
+  test("hyperplane planner: hand-verified S-curve + cost argmin, " +
+      "corpus-size-dependent grid, honest None at the budget wall") {
+    import graft.operators.SimilaritySearch._
+    // agreement probability: p = 1 - acos(s)/pi (Charikar 2002);
+    // hand-computed anchors
+    assert(math.abs(hyperplaneAgreeProbability(0.0) - 0.5) == 0.0,
+      "p(0) must be EXACTLY 0.5 — the SQL planner twin relies on it")
+    assert(math.abs(hyperplaneAgreeProbability(0.99) - 0.9549465864)
+      < 1e-9)
+    // catch probabilities at the plans the size sweep below picks
+    assert(math.abs(hyperplaneCatchProbability(0.99, 9, 3)
+      - 0.960837008889) < 1e-9)
+    assert(math.abs(hyperplaneCatchProbability(0.99, 13, 4)
+      - 0.958700221813) < 1e-9)
+    // the grid GROWS with the corpus: 250-row sides afford 3 cheap
+    // 9-bit bands; 1000-row sides buy 13 bits x 4 bands to hold the
+    // quadratic candidate term down (hand-checked cost argmin)
+    assert(hyperplanePlanFor(0.99, 250, 250) == Some((9, 3)))
+    assert(hyperplanePlanFor(0.99, 1000, 1000) == Some((13, 4)))
+    assert(hyperplanePlanFor(0.99, 10000, 10000) == Some((13, 4)))
+    // at ~1e9 rows a 64-bit signature cannot deliver 0.95 recall at a
+    // sane candidate rate — the planner refuses rather than flooding
+    assert(hyperplanePlanFor(0.99, 1000000000L, 1000000000L).isEmpty)
+    // ALSH width planner: smallest bits with n/2^bits <= 64
+    assert(alshBitsFor(500) == 3)
+    assert(alshBitsFor(2000) == 5)
+    assert(alshBitsFor(20000) == 9)
+    assert(alshBitsFor(1) == 1)
+  }
+
+  test("minePlanned equals mine under the planner's own grid") {
+    val planned = Bitext.minePlanned(srcDf, tgtDf, "vec_id", "embedding",
+      k = 3, minMargin = 1.2, targetCosine = 0.99, minCatch = 0.95)
+      .collect().map(_.toString).sorted.toSeq
+    val n = srcDf.count()
+    val (bits, bands) = graft.operators.SimilaritySearch
+      .hyperplanePlanFor(0.99, n, tgtDf.count()).get
+    val direct = Bitext.mine(srcDf, tgtDf, "vec_id", "embedding",
+      k = 3, minMargin = 1.2, bits = Some(bits), bands = bands)
+      .collect().map(_.toString).sorted.toSeq
+    assert(planned.nonEmpty && planned == direct)
+  }
 }

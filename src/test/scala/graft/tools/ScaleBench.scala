@@ -37,7 +37,9 @@ object ScaleBench {
       // MIPS/bitext family sweeps by default (events-keyed queries
       // still go through EventsScaleBench)
       "q_keyword_tags", "q_url_canonical", "q_mips", "q_mips_alsh",
-      "q_bitext_banded", "q_dpo_pairs", "q_mmr", "q_bt_rank",
+      "q_mips_alsh_planned",
+      "q_bitext_banded", "q_bitext_planned", "q_dpo_pairs", "q_mmr",
+      "q_bt_rank",
       "q_label_prop", "q_kanon", "q_kanon_rows", "q_dedup_index_probe",
       "q_curriculum", "q_cluster_balance"))
 
