@@ -29,27 +29,79 @@ import org.apache.spark.sql.functions._
   */
 object SftFormat {
 
-  /** Render one 2-exchange conversation per row from four turn
-    * columns. Returns one row per ASSISTANT span:
-    * (idCol, train_text, turn, start_off, span_len, span_text). */
-  def renderTwoTurn(df: DataFrame, idCol: String,
-      u1: Column, a1: Column, u2: Column, a2: Column): DataFrame = {
-    val p1 = concat(lit("<|user|> "), u1, lit(" <|assistant|> "))
-    val render = concat(p1, a1, lit(" <|user|> "), u2,
-      lit(" <|assistant|> "), a2)
-    val start1 = length(p1) + 1
-    val p2 = concat(p1, a1, lit(" <|user|> "), u2, lit(" <|assistant|> "))
-    val start2 = length(p2) + 1
+  /** Render an ARBITRARY-length conversation per row from an
+    * array<struct<role: string, content: string>> column (real SFT
+    * corpora are variable-length — the two-turn entry point below is
+    * now a special case of this). Template per turn: `<|role|> content`,
+    * turns joined by single spaces; empty contents keep their
+    * surrounding spaces so the offset arithmetic never branches.
+    * Contents and roles must be non-null (a null would null the whole
+    * concat on one engine and be skipped by concat_ws on another —
+    * coalesce upstream).
+    *
+    * Returns one row per ASSISTANT turn:
+    * (idCol, train_text, turn, turn_pos, start_off, span_len,
+    * span_text) — `turn` is the 1-based ordinal among assistant spans
+    * (the loss-mask index), `turn_pos` the 1-based position in the
+    * conversation. Conversations with no assistant turn (e.g. a
+    * single user message) contribute zero rows. Offsets are 1-based
+    * (substr convention) and satisfy the spec-pinned invariant
+    * `substr(train_text, start_off, span_len) == span_text`.
+    *
+    * Plan shape: pure column expressions — one codegen projection +
+    * one posexplode; zero shuffles, no UDF. The per-turn prefix length
+    * is an `aggregate` fold over the preceding turns (O(n²) in turns
+    * per row, with n = conversation length, corpus-independent), and
+    * every length comes from the SAME arithmetic that sizes the
+    * rendered elements, so the SQL oracle replays offsets exactly. */
+  def renderConversation(df: DataFrame, idCol: String,
+      turnsCol: Column): DataFrame = {
+    // element i renders as "<|" + role + "|> " + content: the content
+    // starts len(role) + 5 characters into the element
+    val render = concat_ws(" ",
+      transform(turnsCol,
+        t => concat(lit("<|"), t("role"), lit("|> "), t("content"))))
+    val spans = transform(
+      sequence(lit(0), size(turnsCol) - 1),
+      i => {
+        val t = element_at(turnsCol, i + 1)
+        // chars before element i: each prior element's length plus its
+        // one joining space
+        val prefix = aggregate(slice(turnsCol, lit(1), i), lit(0),
+          (acc, u) => acc + length(u("role")) + length(u("content"))
+            + lit(6))
+        struct(
+          (i + 1).as("turn_pos"),
+          t("role").as("role"),
+          (prefix + length(t("role")) + lit(6)).as("start_off"),
+          length(t("content")).as("span_len"),
+          t("content").as("span_text"))
+      })
     df.select(col(idCol), render.as("train_text"),
-        posexplode(array(
-          struct(start1.as("start_off"), length(a1).as("span_len"),
-            a1.as("span_text")),
-          struct(start2.as("start_off"), length(a2).as("span_len"),
-            a2.as("span_text")))).as(Seq("turn", "span")))
+        posexplode(filter(spans, s => s("role") === "assistant"))
+          .as(Seq("_i", "span")))
       .select(col(idCol), col("train_text"),
-        (col("turn") + 1).as("turn"),
+        (col("_i") + 1).as("turn"),
+        col("span.turn_pos").as("turn_pos"),
         col("span.start_off"), col("span.span_len"), col("span.span_text"))
   }
+
+  /** Render one 2-exchange conversation per row from four turn
+    * columns — [[renderConversation]] over the 4-element turns array,
+    * with the legacy output shape (no turn_pos; `turn` = assistant
+    * span ordinal 1..2). Returns one row per ASSISTANT span:
+    * (idCol, train_text, turn, start_off, span_len, span_text). */
+  def renderTwoTurn(df: DataFrame, idCol: String,
+      u1: Column, a1: Column, u2: Column, a2: Column): DataFrame =
+    renderConversation(
+      df.withColumn("_turns", array(
+        struct(lit("user").as("role"), u1.as("content")),
+        struct(lit("assistant").as("role"), a1.as("content")),
+        struct(lit("user").as("role"), u2.as("content")),
+        struct(lit("assistant").as("role"), a2.as("content")))),
+      idCol, col("_turns"))
+      .select(col(idCol), col("train_text"), col("turn"),
+        col("start_off"), col("span_len"), col("span_text"))
 
   /** Token-quarter conversation derivation for corpora without a turn
     * structure (the demo/gate path): quarters of the whitespace token

@@ -1416,6 +1416,35 @@ object DocQueries {
         .orderBy("doc_id", "turn")
     }),
 
+    // ---- n-turn SFT rendering (real corpora are variable-length
+    // conversations): 1..4-turn conversations derived from each doc's
+    // token stream (length = 1 + doc_id % 4, roles alternating
+    // user-first), rendered + loss-masked by the general array-of-turns
+    // operator. Single-user-turn docs contribute ZERO rows (no
+    // assistant span) and short docs exercise empty segments — the
+    // edges the two-turn path never hits ----
+    "q_sft_render_n" -> ((s, d) => {
+      import graft.operators.SftFormat
+      val toks = filter(split(trim(col("text")), "\\s+"),
+        t => length(t) > 0)
+      val base = docsPar(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), toks.as("toks"),
+          (lit(1) + col("doc_id") % 4).cast("int").as("nt"))
+      val q = size(col("toks"))
+      def bound(k: Column): Column =
+        floor(q.cast("double") * k.cast("double")
+          / col("nt").cast("double")).cast("int")
+      val turns = transform(sequence(lit(1), col("nt")), k =>
+        struct(
+          when(k % 2 === 1, lit("user")).otherwise(lit("assistant"))
+            .as("role"),
+          concat_ws(" ", slice(col("toks"), bound(k - 1) + 1,
+            bound(k) - bound(k - 1))).as("content")))
+      SftFormat.renderConversation(
+          base.withColumn("_turns", turns), "doc_id", col("_turns"))
+        .orderBy("doc_id", "turn")
+    }),
+
     // ---- DPO/RLHF preference-pair construction: i-th-best vs i-th-
     // worst pairing by an exact-integer quality score inside hash-
     // bucketed prompt groups (lang × md5 bucket), equal-score pairs
@@ -4338,6 +4367,53 @@ ORDER BY src_id"""
         |    CAST(length(a2) AS INT), a2
         |  FROM r2
         |)
+        |ORDER BY doc_id, turn""".stripMargin,
+
+    // n-turn replay: same segment bounds, element lengths from the
+    // same role/content arithmetic (len(role) + len(content) + 6 per
+    // prior turn), prefix as a window sum, assistant ordinal as a
+    // row_number — offsets replay the operator's aggregate fold
+    "q_sft_render_n" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> length(t) > 0) AS toks,
+        |    CAST(1 + doc_id % 4 AS INT) AS nt
+        |  FROM documents WHERE text IS NOT NULL
+        |), t AS (
+        |  SELECT doc_id, nt, g.k AS k,
+        |    CASE WHEN g.k % 2 = 1 THEN 'user' ELSE 'assistant' END
+        |      AS role,
+        |    coalesce(array_to_string(toks[
+        |      CAST(floor(len(toks) * (g.k - 1) / CAST(nt AS DOUBLE))
+        |        AS INT) + 1 :
+        |      CAST(floor(len(toks) * g.k / CAST(nt AS DOUBLE))
+        |        AS INT)], ' '), '') AS content
+        |  FROM d CROSS JOIN (SELECT unnest(range(1, 5)) AS k) g
+        |  WHERE g.k <= nt
+        |), agg AS (
+        |  SELECT doc_id,
+        |    string_agg('<|' || role || '|> ' || content, ' '
+        |      ORDER BY k) AS train_text
+        |  FROM t GROUP BY doc_id
+        |), offs AS (
+        |  SELECT doc_id, k AS turn_pos, role, content,
+        |    CAST(coalesce(sum(length(role) + length(content) + 6)
+        |        OVER (PARTITION BY doc_id ORDER BY k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + length(role) + 6 AS INT) AS start_off,
+        |    CAST(length(content) AS INT) AS span_len,
+        |    content AS span_text
+        |  FROM t
+        |), spans AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY turn_pos) AS turn
+        |  FROM offs WHERE role = 'assistant'
+        |)
+        |SELECT s.doc_id, a.train_text, CAST(s.turn AS INT) AS turn,
+        |  CAST(s.turn_pos AS INT) AS turn_pos, s.start_off, s.span_len,
+        |  s.span_text
+        |FROM spans s JOIN agg a USING (doc_id)
         |ORDER BY doc_id, turn""".stripMargin,
 
     // relational replay of the block fold: unnest blocks → per-block

@@ -30,6 +30,66 @@ class SftFormatSpec extends AnyFunSuite {
       == "see you")
   }
 
+  test("n-turn conversations: 1..4-turn fixtures incl. empty contents " +
+      "— spans, ordinals, and the loss-mask invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(("user", "hello"))), // no assistant turn -> zero rows
+      (2L, Seq(("user", "hi"), ("assistant", "yo"))),
+      (3L, Seq(("user", ""), ("assistant", "a b"), ("user", "x"))),
+      (4L, Seq(("user", "q1"), ("assistant", ""), ("user", "q2"),
+        ("assistant", "fin al"))))
+      .toDF("id", "raw")
+      .withColumn("turns", transform(col("raw"),
+        t => struct(t("_1").as("role"), t("_2").as("content"))))
+    val rows = SftFormat.renderConversation(df, "id", col("turns"))
+      .collect()
+    assert(!rows.exists(_.getAs[Long]("id") == 1L),
+      "a user-only conversation must contribute no spans")
+    // every span satisfies the invariant — offsets and render come
+    // from the same arithmetic
+    rows.foreach { r =>
+      val tt = r.getAs[String]("train_text")
+      val off = r.getAs[Int]("start_off") - 1
+      assert(tt.substring(off, off + r.getAs[Int]("span_len"))
+        == r.getAs[String]("span_text"), r.toString)
+    }
+    val r2 = rows.filter(_.getAs[Long]("id") == 2L)
+    assert(r2.length == 1 &&
+      r2.head.getAs[String]("train_text") == "<|user|> hi <|assistant|> yo" &&
+      r2.head.getAs[Int]("turn") == 1 && r2.head.getAs[Int]("turn_pos") == 2)
+    // 3-turn with empty first content: single assistant span at pos 2,
+    // surrounded by the empty user turn's doubled space
+    val r3 = rows.filter(_.getAs[Long]("id") == 3L)
+    assert(r3.length == 1 &&
+      r3.head.getAs[String]("train_text") ==
+        "<|user|>  <|assistant|> a b <|user|> x" &&
+      r3.head.getAs[String]("span_text") == "a b")
+    // 4-turn with an EMPTY assistant span: both ordinals present, the
+    // empty span has span_len 0 at the right offset
+    val r4 = rows.filter(_.getAs[Long]("id") == 4L)
+      .sortBy(_.getAs[Int]("turn"))
+    assert(r4.map(_.getAs[Int]("turn")).toSeq == Seq(1, 2))
+    assert(r4.map(_.getAs[Int]("turn_pos")).toSeq == Seq(2, 4))
+    assert(r4.head.getAs[Int]("span_len") == 0)
+    assert(r4(1).getAs[String]("span_text") == "fin al")
+  }
+
+  test("renderTwoTurn is the 4-element special case of " +
+      "renderConversation (legacy shape preserved)") {
+    import spark.implicits._
+    val df = Seq((7L, "a", "b c", "", "d"))
+      .toDF("doc_id", "u1", "a1", "u2", "a2")
+    val legacy = SftFormat.renderTwoTurn(df, "doc_id",
+      col("u1"), col("a1"), col("u2"), col("a2"))
+    assert(legacy.columns.toSeq == Seq("doc_id", "train_text", "turn",
+      "start_off", "span_len", "span_text"))
+    val rows = legacy.collect().sortBy(_.getAs[Int]("turn"))
+    assert(rows.map(_.getAs[Int]("turn")).toSeq == Seq(1, 2))
+    assert(rows.forall(_.getAs[String]("train_text") ==
+      "<|user|> a <|assistant|> b c <|user|>  <|assistant|> d"))
+  }
+
   test("short documents (< 4 tokens) render with empty segments, " +
       "never nulls, and the loss-mask invariant still holds") {
     import spark.implicits._

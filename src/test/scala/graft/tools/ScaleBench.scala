@@ -108,6 +108,97 @@ object ScaleBench {
     runs.min
   }
 
+  /** Targeted growth sweeps (r11 verdict item 6): two operators whose
+    * scale axis is NOT corpus rows — Bradley–Terry's work lives in
+    * MATCHES (the driver query pins 120 docs and a ±4 pairing window),
+    * k-anonymity's in GROUP COUNT with sizes at the k boundary (the
+    * driver corpus's organic QI groups grow in SIZE at 10×, which
+    * leaves the window per-group work constant) — so grow exactly that
+    * axis and report the usual ratio rows. */
+  private def grownSweeps(spark: SparkSession, scaledDir: String,
+      copies: Int, reps: Int): Unit = {
+    import graft.functions.TextFunctions
+
+    // BT with the pairing window as the match-count dial: window w
+    // mints ~120·w matches over the fixed 120-doc item set
+    def bt(window: Long)(s: SparkSession, dir: String): DataFrame = {
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 120 && col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFunctions.prefScore(col("text")).as("score"))
+      val a = scored.select(col("doc_id").as("a_id"),
+        col("score").as("a_score"))
+      val b = scored.select(col("doc_id").as("b_id"),
+        col("score").as("b_score"))
+      val m = a.join(b,
+          col("b_id") > col("a_id") && col("b_id") <= col("a_id") + window)
+        .select(
+          when(col("a_score") >= col("b_score"), col("a_id"))
+            .otherwise(col("b_id")).as("winner"),
+          when(col("a_score") >= col("b_score"), col("b_id"))
+            .otherwise(col("a_id")).as("loser"))
+      graft.operators.Graph.bradleyTerryQ6(m, "winner", "loser",
+        iters = 5).orderBy("item")
+    }
+
+    // k-anonymity with every group AT the k boundary (cell = doc_id
+    // div 5 → size-5 groups, block tails dip below k and suppress);
+    // the scaled corpus multiplies GROUP COUNT, not group size
+    def kanonBoundary(s: SparkSession, dir: String): DataFrame = {
+      val qi = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("doc_id") / 5).cast("long").as("cell"))
+      graft.operators.Privacy.kAnonymize(qi,
+        Seq("lang", "source", "cell"), k = 5L)
+    }
+
+    val btBase = time(bt(4), spark, BaseDir, reps)
+    val btGrown = time(bt(4L * copies), spark, BaseDir, reps)
+    val btRatio = btGrown / btBase
+    println(f"| q_bt_rank[matches x$copies] | $btBase%.2f | $btGrown%.2f " +
+      f"| ${btRatio}%.1fx | ${if (btRatio <= copies * 1.5) "linear-ok"
+        else "SUPERLINEAR"} |")
+    val kBase = time(kanonBoundary, spark, BaseDir, reps)
+    val kGrown = time(kanonBoundary, spark, scaledDir, reps)
+    val kRatio = kGrown / kBase
+    println(f"| q_kanon_rows[k-boundary groups x$copies] | $kBase%.2f " +
+      f"| $kGrown%.2f | ${kRatio}%.1fx | ${if (kRatio <= copies * 1.5)
+        "linear-ok" else "SUPERLINEAR"} |")
+
+    // backfill-sized probe: the batch IS the odd half of the corpus,
+    // with the broadcast threshold forced to 1 so the KEYED fallback
+    // carries the whole cycle (build + keyed probe) — the
+    // DedupIndex.probe degrade path measured at its intended scale
+    def probeBackfill(s: SparkSession, dir: String): DataFrame = {
+      import graft.operators.DedupIndex
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").where(col("text").isNotNull)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_scale_didx_").toString
+      try {
+        DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", tmp, bands = 16, rowsPerBand = 2)
+        s.conf.set("graft.dedupIndex.maxBroadcastBatch", "1")
+        DedupIndex.probe(s, tmp, docs.where(col("doc_id") % 2 === 1)
+            .select((col("doc_id") + 500000000L).as("doc_id"),
+              col("text")),
+          "doc_id", "text", threshold = 0.5)
+      } finally {
+        s.conf.unset("graft.dedupIndex.maxBroadcastBatch")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(tmp))
+      }
+    }
+    val pBase = time(probeBackfill, spark, BaseDir, reps)
+    val pGrown = time(probeBackfill, spark, scaledDir, reps)
+    val pRatio = pGrown / pBase
+    println(f"| q_dedup_index_probe[keyed backfill x$copies] | $pBase%.2f " +
+      f"| $pGrown%.2f | ${pRatio}%.1fx | ${if (pRatio <= copies * 1.5)
+        "linear-ok" else "SUPERLINEAR"} |")
+  }
+
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
@@ -134,6 +225,11 @@ object ScaleBench {
         case e: Throwable =>
           println(s"| $name | ERR | ERR | - | ${e.toString.take(60)} |")
       }
+    }
+    try grownSweeps(spark, scaledDir, copies, reps)
+    catch {
+      case e: Throwable =>
+        println(s"| grown-sweeps | ERR | ERR | - | ${e.toString.take(60)} |")
     }
     spark.stop()
   }
