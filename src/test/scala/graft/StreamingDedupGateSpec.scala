@@ -3,6 +3,7 @@ package graft
 import graft.operators.DedupIndex
 import graft.streaming.StreamingDedupGate
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Streaming ingest gate: duplicates of the seed corpus are rejected,
@@ -143,5 +144,47 @@ class StreamingDedupGateSpec extends AnyFunSuite {
       s"once $once twice $twice")
     assert(spark.read.parquet(s"$idx/grams").count() == gramRows,
       "replay re-appended gram rows")
+  }
+
+  test("crash residual: bands-without-grams (a crash before the grams " +
+      "epoch commit) is healed by replay with no duplicate probe pairs") {
+    import spark.implicits._
+    val idx = tmp("gate_idx_crash")
+    val out = tmp("gate_out_crash") + "/accepted"
+    DedupIndex.build(Seq((1L, seedText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    def epochs() = Option(new java.io.File(s"$idx/grams").listFiles())
+      .map(_.filter(_.getName.startsWith("epoch=")).map(_.getName).toSet)
+      .getOrElse(Set.empty[String])
+    val before = epochs()
+    val batch = Seq((40L, novelB)).toDF("doc_id", "text")
+    StreamingDedupGate.ingestBatch(spark, batch, "doc_id", "text",
+      idx, out, 0.5, epoch = 0L)
+    // simulate the crash window writeTables leaves open: the batch's
+    // band rows landed, its grams epoch did not commit — delete the
+    // epoch dir the append just created, keep the band files
+    val created = epochs() -- before
+    assert(created.size == 1, s"expected one new grams epoch: $created")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$idx/grams/${created.head}"))
+    // replay of the SAME micro-batch: the doc has band rows but no
+    // grams row, so it cannot self-match — it must be re-admitted and
+    // re-appended (grams presence is the self-match signal)
+    StreamingDedupGate.ingestBatch(spark, batch, "doc_id", "text",
+      idx, out, 0.5, epoch = 0L)
+    assert(spark.read.parquet(s"$idx/grams")
+      .where(col("id") === 40L).count() == 1,
+      "healed index must hold exactly one grams row for the survivor")
+    assert(spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(40L))
+    // the duplicated band rows are harmless by construction: a probe
+    // of a near-copy returns ONE pair despite two band-row copies
+    val probe = DedupIndex.probe(spark, idx,
+      Seq((99L, novelB + " tail")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+    assert(probe.where(col("id") === 40L).count() == 1,
+      "duplicate band rows leaked duplicate probe pairs")
   }
 }
