@@ -240,8 +240,8 @@ object DedupIndex {
     *    without grams rows (harmless — probe dedups candidates, and a
     *    replayed append re-writes both), never grams without bands,
     *    which would duplicate probe pairs after a replay. A crash
-    *    before the bands write leaks only an invisible staging dir
-    *    (cleared by the next overwrite build). */
+    *    before the bands write leaks only a staging dir probes never
+    *    read (glob-cleared by the next overwrite build). */
   private def writeTables(df: DataFrame, idCol: String, textCol: String,
       path: String, shingler: Shingler, bands: Int,
       rowsPerBand: Int, overwrite: Boolean): Unit = {
@@ -251,9 +251,19 @@ object DedupIndex {
     val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
     val fs = gramsDir.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (overwrite) fs.delete(gramsDir, true)
-    val staging = new org.apache.hadoop.fs.Path(gramsDir,
-      s".staging-$epoch")
+    if (overwrite) {
+      fs.delete(gramsDir, true)
+      // also clear any crash-leaked staging dirs from prior appends
+      val stale = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$path/grams_staging-*"))
+      if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
+    }
+    // staging lives BESIDE grams (probes read only <path>/grams, so
+    // the stage is invisible by path): a dot-prefixed dir inside grams
+    // would also work but trips Spark's hidden-path listing warning on
+    // every read-back, polluting the bench tail
+    val staging = new org.apache.hadoop.fs.Path(path,
+      s"grams_staging-$epoch")
     df.select(col(idCol).as("id"), shingler(col(textCol)).as("_sh"))
       .where(size(col("_sh")) > 0)
       .select(col("id"), gramHashes(col("_sh")).as("gram_hashes"))
@@ -264,6 +274,7 @@ object DedupIndex {
       .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
     val committed = new org.apache.hadoop.fs.Path(gramsDir,
       s"epoch=$epoch")
+    fs.mkdirs(gramsDir) // first build: the parent must exist to rename into
     require(fs.rename(staging, committed),
       s"failed to commit grams epoch $staging -> $committed")
   }
