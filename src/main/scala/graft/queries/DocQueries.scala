@@ -226,17 +226,17 @@ object DocQueries {
     * `a WHERE rn = 1`). ONE definition consumed by BOTH the
     * q_kmeans_iter and q_cluster_balance oracles, so a change to the
     * shared math cannot land on only one of them. */
-  private val kmeansAssignCtes: String =
-    """WITH e AS (
+  private def kmeansAssignBody(source: String, k: Int): String =
+    s"""e AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
-      |  FROM embeddings
+      |  FROM $source
       |), init AS (
       |  SELECT q, CAST(row_number() OVER (
       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT)
       |    AS cluster_id
-      |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+      |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k
       |), d AS (
       |  SELECT e.vec_id, i.cluster_id, e.q,
       |    list_sum(list_transform(range(1, 65),
@@ -248,6 +248,60 @@ object DocQueries {
       |      ORDER BY dist, cluster_id) AS rn
       |  FROM d
       |)""".stripMargin
+
+  private val kmeansAssignCtes: String =
+    "WITH " + kmeansAssignBody("embeddings", 8)
+
+  /** SQL twin of [[graft.operators.SemDedup.verdicts]] on the injected
+    * corpus: the shared k-means assignment body (over the UNIONED
+    * source — same seeding math as q_kmeans_iter/q_cluster_balance),
+    * cluster-scoped quantized-cosine pairs, the q_embed_dedup
+    * recursive min-label closure, then the keep-the-outlier pick
+    * (lowest centroid cosine, ties to min id) as a window rank. */
+  private val semDedupOracle: String = {
+    val src =
+      """(SELECT vec_id, embedding FROM embeddings
+        |    UNION ALL
+        |    SELECT vec_id + 100000 AS vec_id, embedding
+        |    FROM embeddings WHERE vec_id % 20 = 0)""".stripMargin
+    "WITH RECURSIVE " + kmeansAssignBody(src, 8) +
+      s""", ev AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src e2
+        |), asg AS (
+        |  SELECT a.vec_id, a.cluster_id AS cluster, ev.v
+        |  FROM a JOIN ev USING (vec_id) WHERE a.rn = 1
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |      CAST(floor(list_cosine_similarity(x.v, y.v) * 1e6)
+        |        AS BIGINT) AS cq
+        |    FROM asg x JOIN asg y
+        |      ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+        |  WHERE cq >= 990000
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+        |), reach(id, label) AS (
+        |  SELECT vec_id, vec_id FROM asg
+        |  UNION
+        |  SELECT s.dst, r.label FROM reach r JOIN sym s ON r.id = s.src
+        |), comp AS (
+        |  SELECT id, min(label) AS component FROM reach GROUP BY id
+        |), cent AS (
+        |  SELECT asg.vec_id, asg.cluster, comp.component,
+        |    CAST(floor(list_cosine_similarity(asg.v,
+        |      list_transform(i.q, x -> x / 1024.0)) * 1e6) AS BIGINT)
+        |      AS centroid_cos_q
+        |  FROM asg
+        |  JOIN init i ON i.cluster_id = asg.cluster
+        |  JOIN comp ON comp.id = asg.vec_id
+        |)
+        |SELECT vec_id, CAST(cluster AS INT) AS cluster, component,
+        |  centroid_cos_q,
+        |  row_number() OVER (PARTITION BY component
+        |    ORDER BY centroid_cos_q, vec_id) = 1 AS keep
+        |FROM cent ORDER BY vec_id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis: token counting + quality signals ----
@@ -2157,6 +2211,24 @@ object DocQueries {
       DataPrep.stratifiedSample(assigned, "vec_id", "cluster",
           n = 20, salt = "cbal|")
         .orderBy("cluster", "vec_id")
+    }),
+
+    // ---- SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup
+    // — the paper's own pairing mechanism (k-means cells bound pair
+    // formation: n²/k candidates, never corpus-all-pairs; the LSH
+    // sibling is Dedup.dropEmbeddingDups) with the keep-the-outlier
+    // representative policy (lowest centroid cosine, ties to min id).
+    // Same injected exact copies as q_embed_dedup so the dedup has
+    // real work; the oracle replays assignment, cluster-scoped pairs,
+    // the recursive component closure, AND the keep pick ----
+    "q_semdedup" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(e.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding")))
+      graft.operators.SemDedup.verdicts(corpus, "vec_id", "embedding",
+          k = 8, threshold = 0.99)
+        .orderBy("vec_id")
     }),
 
     // ---- corpus-level exact line dedup (MassiveText/RefinedWeb): every
@@ -5394,6 +5466,10 @@ ORDER BY src_id"""
     // assignment (ties to the lowest cluster — kmeansAssignCtes, the
     // SAME prefix q_kmeans_iter replays), and the salted stratified
     // draw
+    // cluster-scoped semantic dedup: assignment + pairs + closure +
+    // keep pick all replayed (see semDedupOracle)
+    "q_semdedup" -> semDedupOracle,
+
     "q_cluster_balance" -> (kmeansAssignCtes +
       """, r AS (
         |  SELECT vec_id, cluster_id,

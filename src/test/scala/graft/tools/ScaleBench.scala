@@ -41,7 +41,7 @@ object ScaleBench {
       "q_bitext_banded", "q_bitext_planned", "q_dpo_pairs", "q_mmr",
       "q_bt_rank",
       "q_label_prop", "q_kanon", "q_kanon_rows", "q_dedup_index_probe",
-      "q_curriculum", "q_cluster_balance"))
+      "q_curriculum", "q_cluster_balance", "q_semdedup"))
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"
