@@ -577,6 +577,43 @@ object DataPrep {
         (col("chosen_score") - col("rejected_score")).as("margin"))
   }
 
+  /** GRPO-style group-relative advantage normalization (the
+    * group-baseline trick of DeepSeek's GRPO — Shao et al. 2024,
+    * "DeepSeekMath": advantage = (score − group mean) / group std,
+    * replacing a learned value baseline with the group statistic):
+    * per `groupCol` group of integer-scored samples, emit
+    *
+    *   adv_q = floor( (n·x − Σx) · 10⁶ / sqrt(n·Σx² − (Σx)²) )
+    *
+    * — algebraically (x − mean)/σ_pop quantized at 10⁻⁶. The
+    * numerator and the radicand are EXACT integers off one keyed
+    * window (three aggregates share the one shuffle), and the only
+    * float ops are a single correctly-rounded sqrt and divide, so the
+    * quantized advantage replays bit-for-bit in SQL. Zero-variance
+    * groups (all members at the mean — includes singletons) emit 0.
+    *
+    * Long bound (KernelProperties convention): the radicand n·Σx²
+    * wraps past 2⁶³, so the kernel is safe while n·max|x|² ·n ≤ 2⁶³,
+    * i.e. n·max|x| ≤ 3·10⁹ — e.g. 10⁵-member groups at |x| ≤ 3·10⁴,
+    * or prefScore-scale scores (≤ 10⁶) in groups ≤ 3·10³.
+    *
+    * @return (idCol, groupCol, scoreCol, adv_q) row-per-input */
+  def groupAdvantages(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+    val x = col(scoreCol).cast("long")
+    df.withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_s1", sum(x).over(w))
+      .withColumn("_s2", sum(x * x).over(w))
+      .withColumn("adv_q",
+        when(col("_n") * col("_s2") === col("_s1") * col("_s1"), 0L)
+          .otherwise(floor(
+            (col("_n") * x - col("_s1")).cast("double") * 1e6 /
+              sqrt((col("_n") * col("_s2") - col("_s1") * col("_s1"))
+                .cast("double"))).cast("long")))
+      .select(col(idCol), col(groupCol), col(scoreCol), col("adv_q"))
+  }
+
   def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty, "mixture needs at least one source weight")

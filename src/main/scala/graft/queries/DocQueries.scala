@@ -1518,6 +1518,26 @@ object DocQueries {
         .orderBy("pair_key", "pair_idx")
     }),
 
+    // ---- GRPO group-relative advantages (DeepSeek's group-baseline
+    // normalization): (x − group mean)/group σ as ONE exact-integer
+    // window — adv_q = floor((n·x − Σx)·10⁶ / sqrt(n·Σx² − (Σx)²)),
+    // numerator and radicand exact off one keyed shuffle, so the
+    // normalized advantage replays bit-for-bit; zero-variance groups
+    // (incl. singletons) emit 0 ----
+    "q_grpo_adv" -> ((s, d) => {
+      import graft.operators.DataPrep
+      val scored = docsPar(s, d)
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id"),
+          concat(col("lang"), lit("|"),
+            pmod(graft.functions.Hashing.md5Long56(
+              concat(lit("grpo|"), col("doc_id").cast("string"))), lit(8L))
+              .cast("string")).as("grp"),
+          TextFunctions.prefScore(col("text")).as("score"))
+      DataPrep.groupAdvantages(scored, "doc_id", "grp", "score")
+        .orderBy("doc_id")
+    }),
+
     // ---- T5/UL2 span corruption (Raffel 2020 §3.1.4): sentinel-masked
     // spans + span targets, in the deterministic 8-token-block variant
     // (independent per-block md5 draws — nothing to reject, fully
@@ -4371,6 +4391,31 @@ ORDER BY src_id"""
 
     // full replay of the pairing: same integer score, same dual-rank
     // windows, same i-th-best × i-th-worst join and strict-margin filter
+    // same integer window sums; the only float ops are one sqrt + one
+    // divide on identical doubles, so adv_q floors identically
+    "q_grpo_adv" ->
+      ("""WITH scored AS (
+        |  SELECT doc_id,
+        |    lang || '|' || CAST(
+        |      CAST(md5_number_upper('grpo|' || CAST(doc_id AS VARCHAR))
+        |        % 72057594037927936 AS BIGINT) % 8 AS VARCHAR) AS grp,
+        |    """ + graft.functions.TextFunctions.prefScoreSql("text") +
+        """ AS score
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, grp, score,
+        |    count(*) OVER (PARTITION BY grp) AS n,
+        |    sum(score) OVER (PARTITION BY grp) AS s1,
+        |    sum(score * score) OVER (PARTITION BY grp) AS s2
+        |  FROM scored
+        |)
+        |SELECT doc_id, grp, score,
+        |  CASE WHEN n * s2 = s1 * s1 THEN 0
+        |    ELSE CAST(floor(CAST(n * score - s1 AS DOUBLE) * 1e6
+        |      / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS BIGINT)
+        |  END AS adv_q
+        |FROM g ORDER BY doc_id""").stripMargin,
+
     "q_dpo_pairs" ->
       ("""WITH scored AS (
         |  SELECT doc_id,

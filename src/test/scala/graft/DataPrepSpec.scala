@@ -348,4 +348,23 @@ class DataPrepSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("packed_efficiency") -
       258.0 / 320) < 1e-15)
   }
+
+  test("groupAdvantages: hand-computed (x - mean)/sigma quantization; " +
+      "zero-variance groups and singletons emit 0") {
+    import spark.implicits._
+    val df = Seq((1L, "g", 10L), (2L, "g", 20L), (3L, "g", 30L),
+      (4L, "z", 5L), (5L, "z", 5L), (6L, "solo", 7L))
+      .toDF("id", "grp", "score")
+    val got = DataPrep.groupAdvantages(df, "id", "grp", "score")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("adv_q"))
+      .toMap
+    // group g: n=3, s1=60, s2=1400 -> radicand n*s2-s1^2 = 600;
+    // adv(10) = -30e6/sqrt(600) = -1224744.87.. -> floor -1224745
+    // (floor, not truncation: negative advantages round AWAY from 0)
+    assert(got(1L) == -1224745L, got.toString)
+    assert(got(2L) == 0L)
+    assert(got(3L) == 1224744L)
+    // all-equal group and the singleton: zero variance -> 0
+    assert(got(4L) == 0L && got(5L) == 0L && got(6L) == 0L)
+  }
 }
