@@ -602,9 +602,13 @@ object DataPrep {
       scoreCol: String): DataFrame = {
     val w = Window.partitionBy(groupCol)
     val x = col(scoreCol).cast("long")
-    df.withColumn("_n", count(lit(1)).over(w))
-      .withColumn("_s1", sum(x).over(w))
-      .withColumn("_s2", sum(x * x).over(w))
+    // one projection for all three aggregates -> ONE Window node over
+    // the single keyed exchange (separate withColumns plan as three
+    // stacked Window operators)
+    df.select(col("*"),
+        count(lit(1)).over(w).as("_n"),
+        sum(x).over(w).as("_s1"),
+        sum(x * x).over(w).as("_s2"))
       .withColumn("adv_q",
         when(col("_n") * col("_s2") === col("_s1") * col("_s1"), 0L)
           .otherwise(floor(
