@@ -207,4 +207,70 @@ object Relevance {
           .orderBy(col("rrf_score_ppb").desc, col(idCol))))
       .where(col("fused_rank") <= topK)
   }
+
+  /** Quantized per-rank DCG discount table: floor(10⁶ / log2(r+1)) for
+    * r = 1..k, computed ONCE driver-side and embedded LITERALLY in
+    * both engines — Spark's log2 is ln(x)/ln(2) while DuckDB's is the
+    * C log2(), which can differ in the last ulp, so neither engine's
+    * log runs at execution time (the langStopwords generated-oracle
+    * convention: one Scala computation feeds both sides). */
+  def dcgDiscounts(k: Int): Seq[Long] = {
+    require(k >= 1 && k <= 10000, s"k=$k outside [1, 10000]")
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+  }
+
+  /** Ideal-DCG prefix sums of [[dcgDiscounts]]: entry m = the DCG of a
+    * perfect ranking with m relevant docs in the top m. */
+  def dcgIdealPrefix(k: Int): Seq[Long] =
+    dcgDiscounts(k).scanLeft(0L)(_ + _).tail
+
+  /** IR ranking metrics — recall@k, MRR@k, nDCG@k per query over a
+    * ranked result list vs a binary relevance truth table: the
+    * evaluation leg of the retrieval family (anything emitting
+    * (query, id, rank) — [[bm25]], brute-force/LSH/IVF/PQ rankings,
+    * [[rrfFuse]] output).
+    *
+    * Engine-exact: per-rank discounts come from the literal
+    * [[dcgDiscounts]] table (quantized BEFORE summation, so summation
+    * order cannot matter), IDCG from the literal [[dcgIdealPrefix]]
+    * at min(n_rel, k), and the final ratios are ppm integer divisions:
+    * recall_ppm = hits·10⁶ div n_rel; mrr_ppm = 10⁶ div first-hit
+    * rank (0 when the top-k misses everything); ndcg_ppm = dcg_q·10⁶
+    * div idcg_q — exactly 10⁶ for a perfect ranking by construction.
+    *
+    * Scale shape: results are k-bounded per query (candidate-sized);
+    * one keyed join against the truth table + two keyed aggs — no
+    * corpus-sized stage. Queries with no relevant truth rows are not
+    * emitted (no denominator exists for them).
+    *
+    * @return (query_id, n_rel, n_hits, recall_ppm, mrr_ppm, ndcg_ppm) */
+  def rankingMetrics(results: DataFrame, truth: DataFrame,
+      queryCol: String, idCol: String, rankCol: String,
+      k: Int): DataFrame = {
+    val discounts = typedLit(dcgDiscounts(k))
+    val idealPrefix = typedLit(dcgIdealPrefix(k))
+    val r = results.select(col(queryCol).as("query_id"),
+      col(idCol).as("id"), col(rankCol).cast("int").as("rank"))
+      .where(col("rank") <= k)
+    val t = truth.select(col(queryCol).as("query_id"),
+      col(idCol).as("id")).dropDuplicates("query_id", "id")
+    val nRel = t.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val perQ = r.join(t, Seq("query_id", "id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min("rank").as("_first"),
+        sum(element_at(discounts, col("rank"))).as("_dcg"))
+    nRel.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(expr("1000000L div _first"), lit(0L)).as("mrr_ppm"),
+        coalesce(col("_dcg"), lit(0L)).as("_dcg"),
+        element_at(idealPrefix,
+          least(col("n_rel"), lit(k.toLong)).cast("int")).as("_idcg"))
+      .withColumn("recall_ppm", expr("n_hits * 1000000L div n_rel"))
+      .withColumn("ndcg_ppm", expr("_dcg * 1000000L div _idcg"))
+      .select("query_id", "n_rel", "n_hits", "recall_ppm", "mrr_ppm",
+        "ndcg_ppm")
+  }
 }

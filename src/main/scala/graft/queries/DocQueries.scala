@@ -1359,6 +1359,28 @@ object DocQueries {
     }),
 
     // ---- brute-force cosine top-k (exact ANN baseline) ----
+    // ---- IR ranking metrics (recall@k / MRR@k / nDCG@k): the
+    // evaluation leg of the retrieval family — brute-force cosine
+    // top-10 scored against the same-label relevance truth; DCG
+    // discounts come from ONE driver-computed literal table embedded
+    // in both engines (Spark log2 = ln/ln2 vs DuckDB's C log2 differ
+    // by ulps), ratios are ppm integer divisions ----
+    "q_ranking_metrics" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      val ranked = SimilaritySearch.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "vec_id", k = 10)
+      val truth = queries
+        .select(col("vec_id").as("query_id"), col("label").as("_ql"))
+        .join(emb.select(col("vec_id").as("id"), col("label")),
+          col("label") === col("_ql"))
+        .where(col("id") =!= col("query_id"))
+        .select("query_id", "id")
+      graft.operators.Relevance.rankingMetrics(ranked, truth,
+          "query_id", "id", "rank", k = 10)
+        .orderBy("query_id")
+    }),
+
     "q_ann_cosine" -> ((s, d) => {
       val emb = embeddings(s, d)
       val queries = emb.where(col("vec_id") < 5)
@@ -4241,6 +4263,54 @@ ORDER BY src_id"""
     // pinned-centroid replay of the deterministic IVF pipeline (valid at
     // the gate SF; see IvfOracle's scaladoc for the regeneration recipe)
     "q_ann_ivf" -> IvfOracle.sql,
+
+    // the q_ann_cosine ranking CTE + same-label truth + metrics; the
+    // discount/ideal tables are the SAME Scala-computed literals the
+    // operator embeds (Relevance.dcgDiscounts/dcgIdealPrefix)
+    "q_ranking_metrics" -> {
+      val disc = graft.operators.Relevance.dcgDiscounts(10)
+        .mkString("[", ", ", "]")
+      val ideal = graft.operators.Relevance.dcgIdealPrefix(10)
+        .mkString("[", ", ", "]")
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |    label AS ql
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |      AS cosine
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id != q.query_id
+        |), ranked AS (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, id) AS rank
+        |  FROM scored
+        |), r AS (
+        |  SELECT query_id, id, CAST(rank AS INT) AS rank
+        |  FROM ranked WHERE rank <= 10
+        |), t AS (
+        |  SELECT q.query_id, e.vec_id AS id
+        |  FROM embeddings e JOIN q ON e.label = q.ql
+        |  WHERE e.vec_id != q.query_id
+        |), nrel AS (
+        |  SELECT query_id, count(*) AS n_rel FROM t GROUP BY query_id
+        |), hits AS (
+        |  -- CAST the sum: DuckDB sum() promotes to HUGEINT
+        |  SELECT r.query_id, count(*) AS n_hits, min(r.rank) AS frst,
+        |    CAST(sum(($disc)[r.rank]) AS BIGINT) AS dcg_q
+        |  FROM r JOIN t USING (query_id, id) GROUP BY r.query_id
+        |)
+        |SELECT nrel.query_id, n_rel,
+        |  coalesce(n_hits, 0) AS n_hits,
+        |  coalesce(n_hits, 0) * 1000000 // n_rel AS recall_ppm,
+        |  coalesce(CAST(1000000 AS BIGINT) // frst, 0) AS mrr_ppm,
+        |  coalesce(dcg_q, 0) * 1000000
+        |    // ($ideal)[CAST(least(n_rel, 10) AS INT)] AS ndcg_ppm
+        |FROM nrel LEFT JOIN hits USING (query_id)
+        |ORDER BY query_id""".stripMargin
+    },
 
     "q_ann_cosine" ->
       """WITH q AS (

@@ -104,4 +104,36 @@ class RelevanceSpec extends AnyFunSuite {
       .orderBy("fused_rank").collect().map(_.getAs[String]("id")).toSeq
     assert(t == Seq("y", "z"))
   }
+
+  test("rankingMetrics: hand-computed recall/MRR/nDCG at ppm grain; " +
+      "a perfect ranking scores nDCG exactly 10^6") {
+    import spark.implicits._
+    // discount table hand-verified: floor(1e6/log2(r+1)) for r=1..3
+    assert(Relevance.dcgDiscounts(3) == Seq(1000000L, 630929L, 500000L))
+    assert(Relevance.dcgIdealPrefix(3) ==
+      Seq(1000000L, 1630929L, 2130929L))
+    val results = Seq(
+      // q1: hits at ranks 1 and 3, miss at 2
+      (1L, "a", 1), (1L, "x", 2), (1L, "b", 3),
+      // q2: top-3 misses the one relevant doc entirely
+      (2L, "m", 1), (2L, "n", 2), (2L, "o", 3),
+      // q3: perfect two-relevant ranking
+      (3L, "p", 1), (3L, "q", 2))
+      .toDF("qid", "id", "rank")
+    val truth = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "z"), (3L, "p"), (3L, "q")).toDF("qid", "id")
+    val got = Relevance.rankingMetrics(results, truth,
+        "qid", "id", "rank", k = 3)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"),
+          r.getAs[Long]("mrr_ppm"), r.getAs[Long]("ndcg_ppm"))).toMap
+    // q1: 2 of 4 relevant in top-3 -> recall 0.5; first hit rank 1;
+    // dcg = disc(1)+disc(3) = 1.5e6, idcg = prefix(min(4,3)) = 2130929
+    assert(got(1L) == ((2L, 500000L, 1000000L,
+      1500000L * 1000000L / 2130929L)), got.toString)
+    // q2: zero hits -> all zeros (but the query IS emitted)
+    assert(got(2L) == ((0L, 0L, 0L, 0L)))
+    // q3: perfect -> recall, MRR, and nDCG all exactly 10^6
+    assert(got(3L) == ((2L, 1000000L, 1000000L, 1000000L)))
+  }
 }
