@@ -70,8 +70,7 @@ object AnnIndex {
     * truncated prefix). */
   def append(batch: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
-    checkMeta(batch.sparkSession, path)
-    val centroids = readCentroids(batch.sparkSession, path)
+    val centroids = checkedCentroids(batch.sparkSession, path)
     val b = batch.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     writeAssigned(b, centroids, path, overwrite = false)
@@ -93,22 +92,28 @@ object AnnIndex {
       .parquet(s"$path/assignments")
   }
 
-  /** Fail fast when the persisted contract does not match this build
-    * of the library (metric) or the stored centroids (dim, nlist —
-    * a meta/centroids mismatch means the index tree was hand-edited).
-    * Legacy indexes without a meta table skip the check. */
-  private def checkMeta(spark: SparkSession, path: String): Unit =
+  /** Read the centroids ONCE, failing fast when the persisted
+    * contract does not match this build of the library (metric) or
+    * the stored centroids (dim, nlist — a meta/centroids mismatch
+    * means the index tree was hand-edited). Legacy indexes without a
+    * meta table skip the contract check; callers reuse the returned
+    * centroids, so the tiny table is scanned exactly once per
+    * operation. */
+  private def checkedCentroids(spark: SparkSession,
+      path: String): Array[Array[Double]] = {
+    val centroids = readCentroids(spark, path)
     readMetaOpt(spark, path).foreach { case (metric, dim, nlist) =>
       require(metric == Metric,
         s"index at $path was built for metric '$metric'; this build " +
           s"ranks by '$Metric'")
-      val centroids = readCentroids(spark, path)
       require(centroids.length == nlist &&
           centroids.head.length == dim,
         s"index meta at $path declares dim=$dim nlist=$nlist but the " +
           s"centroids table holds ${centroids.length} cells of dim " +
           s"${centroids.head.length} — the index tree is inconsistent")
     }
+    centroids
+  }
 
   private def readMetaOpt(spark: SparkSession,
       path: String): Option[(String, Int, Int)] =
@@ -143,8 +148,7 @@ object AnnIndex {
       nprobe: Int = 4): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
     import org.apache.spark.sql.expressions.Window
-    checkMeta(spark, path)
-    val centroids = readCentroids(spark, path)
+    val centroids = checkedCentroids(spark, path)
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe $nprobe outside [1, nlist=${centroids.length}]")
     val dim = centroids.head.length

@@ -51,17 +51,6 @@ import org.apache.spark.sql.functions._
   */
 object Bitext {
 
-  /** Mine forward pairs: for every source vector, its best-margin target
-    * with margin ≥ `minMargin`; `mutual = true` additionally requires the
-    * pair to be the target's best margin too (the paper's intersection
-    * strategy — higher precision, drops hub-contested pairs).
-    *
-    * @param a source corpus (idCol, vecCol)
-    * @param b target corpus (idCol, vecCol) — broadcast when bits = None
-    * @param k neighborhood size for the margin denominator
-    * @return (src_id, tgt_id, cosine, margin) — margin as a 6-decimal
-    *         double reconstructed from the exact integer margin_q
-    */
   /** [[mine]] with the banded-candidate grid (bits, bands) chosen by
     * [[SimilaritySearch.hyperplanePlanFor]] from the REAL corpus sizes
     * (two count actions at plan-construction time) and a recall
@@ -89,6 +78,17 @@ object Bitext {
     mine(a, b, idCol, vecCol, k, minMargin, mutual, Some(bits), bands)
   }
 
+  /** Mine forward pairs: for every source vector, its best-margin target
+    * with margin ≥ `minMargin`; `mutual = true` additionally requires the
+    * pair to be the target's best margin too (the paper's intersection
+    * strategy — higher precision, drops hub-contested pairs).
+    *
+    * @param a source corpus (idCol, vecCol)
+    * @param b target corpus (idCol, vecCol) — broadcast when bits = None
+    * @param k neighborhood size for the margin denominator
+    * @return (src_id, tgt_id, cosine, margin) — margin as a 6-decimal
+    *         double reconstructed from the exact integer margin_q
+    */
   def mine(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
       k: Int, minMargin: Double, mutual: Boolean = false,
       bits: Option[Int] = None, bands: Int = 4): DataFrame = {

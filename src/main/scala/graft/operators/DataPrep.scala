@@ -597,9 +597,16 @@ object DataPrep {
     * i.e. n·max|x| ≤ 3·10⁹ — e.g. 10⁵-member groups at |x| ≤ 3·10⁴,
     * or prefScore-scale scores (≤ 10⁶) in groups ≤ 3·10³.
     *
-    * @return (idCol, groupCol, scoreCol, adv_q) row-per-input */
-  def groupAdvantages(df: DataFrame, idCol: String, groupCol: String,
+    * NULL scores are EXCLUDED up front (a null row would inflate the
+    * count(1) window while the sum windows skip it — silently wrong
+    * statistics for the group's real members — and would itself emit
+    * a null advantage).
+    *
+    * @return (idCol, groupCol, scoreCol, adv_q) row per non-null-score
+    *         input row */
+  def groupAdvantages(df0: DataFrame, idCol: String, groupCol: String,
       scoreCol: String): DataFrame = {
+    val df = df0.where(col(scoreCol).isNotNull)
     val w = Window.partitionBy(groupCol)
     val x = col(scoreCol).cast("long")
     // one projection for all three aggregates -> ONE Window node over

@@ -116,6 +116,15 @@ object DedupIndex {
       path: String,
       shingler: Shingler = Shingler.word(3)): Unit = {
     val meta = readMeta(batch.sparkSession, path)
+    // a v1 index stores grams as FLAT part files; appending an
+    // epoch=<uuid> partition dir beside them would produce the
+    // mixed-depth layout Spark's partition discovery rejects —
+    // bricking every subsequent probe. Probing a v1 index still
+    // works (flat reads fine); growing one requires a rebuild.
+    require(meta.version >= 2,
+      s"index at $path has the v1 (pre-epoch) grams layout — " +
+        "append would corrupt partition discovery for probes; " +
+        "rebuild it with DedupIndex.build")
     meta.requireShingler(shingler, path, "append")
     writeTables(batch, idCol, textCol, path, shingler, meta.bands,
       meta.rowsPerBand, overwrite = false)

@@ -250,9 +250,14 @@ object Relevance {
       k: Int): DataFrame = {
     val discounts = typedLit(dcgDiscounts(k))
     val idealPrefix = typedLit(dcgIdealPrefix(k))
+    // best-rank dedup of the result side: a doc listed at two ranks
+    // for one query (e.g. a naive union of two rankings) must count
+    // as ONE hit at its best rank — double-counting would push
+    // recall/nDCG past 10⁶ with no error. Candidate-sized agg.
     val r = results.select(col(queryCol).as("query_id"),
       col(idCol).as("id"), col(rankCol).cast("int").as("rank"))
       .where(col("rank") <= k)
+      .groupBy("query_id", "id").agg(min("rank").as("rank"))
     val t = truth.select(col(queryCol).as("query_id"),
       col(idCol).as("id")).dropDuplicates("query_id", "id")
     val nRel = t.groupBy("query_id").agg(count(lit(1)).as("n_rel"))

@@ -77,7 +77,14 @@ object SftFormat {
           length(t("content")).as("span_len"),
           t("content").as("span_text"))
       })
-    df.select(col(idCol), render.as("train_text"),
+    // empty conversations contribute zero rows by the same mechanism
+    // as assistant-free ones — and MUST be filtered before the span
+    // transform: sequence(0, size-1) at size 0 is [0, -1] (Spark
+    // steps DOWN when start > stop), whose lambda would evaluate
+    // element_at(turns, 0) and a negative-length slice, both runtime
+    // errors
+    df.where(size(turnsCol) > 0)
+      .select(col(idCol), render.as("train_text"),
         posexplode(filter(spans, s => s("role") === "assistant"))
           .as(Seq("_i", "span")))
       .select(col(idCol), col("train_text"),

@@ -283,7 +283,14 @@ object SimilaritySearch {
     * oracle (same cost expression, same tie-break order), so keep any
     * edit to the formula in sync with that CTE. `backgroundCosine = 0`
     * keeps p₀ exactly 0.5 in BOTH engines (acos(0) is π/2 in the same
-    * doubles), making the cost column bit-identical. */
+    * doubles), making the COST column — integer·2⁻ᵇ products — bit-
+    * identical. The FEASIBILITY filter is weaker: it evaluates
+    * acos(targetCosine) through each engine's libm (JVM vs C, neither
+    * guaranteed correctly rounded), so a grid whose catch probability
+    * sits within ~1 ulp of `minCatch` could in principle be feasible
+    * on one engine only; with fixed planner constants that boundary
+    * coincidence is measure-zero, and the oracle gate would surface
+    * it as a loud hash mismatch, not silent drift. */
   def hyperplanePlanFor(targetCosine: Double, nA: Long, nB: Long,
       minCatch: Double = 0.95, backgroundCosine: Double = 0.0,
       sigBudgetBits: Int = 64,

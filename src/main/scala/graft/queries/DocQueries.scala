@@ -1283,24 +1283,26 @@ object DocQueries {
       // ~13% miss rate but 16x2 is ≤ 3·10⁻⁵ (deterministic hashes, so
       // the gate outcome is fixed, not flaky — verified green at the
       // driver SF)
-      DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
-        "doc_id", "text", tmp, bands = 16, rowsPerBand = 2)
-      DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
-        "doc_id", "text", tmp)
-      val batch = docs.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 300000L).as("doc_id"),
-          concat(col("text"), lit(" crawl extra tail")).as("text"))
       // materialize the probe, then delete the corpus-sized temp index
       // — repeated bench/verify invocations must not accumulate index
-      // trees until /tmp fills; finally, so a failed build/append/probe
-      // cannot leak the tree either (r11 advice)
-      try DedupIndex
-        .probe(s, tmp, batch, "doc_id", "text", threshold = 0.5)
-        .select(col("id"), col("batch_id"),
-          (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
-        .orderBy("id", "batch_id")
-        .localCheckpoint()
-      finally deleteRecursively(new java.io.File(tmp))
+      // trees until /tmp fills; the finally covers BUILD and APPEND
+      // too, so a failure in any of the three stages cannot leak the
+      // tree either (r11 advice; scope widened in r12 review)
+      try {
+        DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", tmp, bands = 16, rowsPerBand = 2)
+        DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", tmp)
+        val batch = docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" crawl extra tail")).as("text"))
+        DedupIndex
+          .probe(s, tmp, batch, "doc_id", "text", threshold = 0.5)
+          .select(col("id"), col("batch_id"),
+            (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
+          .orderBy("id", "batch_id")
+          .localCheckpoint()
+      } finally deleteRecursively(new java.io.File(tmp))
     }),
 
     // ---- curriculum ordering (Bengio 2009): easy-to-hard difficulty

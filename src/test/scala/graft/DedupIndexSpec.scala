@@ -120,6 +120,24 @@ class DedupIndexSpec extends AnyFunSuite {
       "text", threshold = 0.99).count() == 10)
   }
 
+  test("append refuses a legacy v1 index (flat grams layout) — an " +
+      "epoch dir beside flat part files would brick partition " +
+      "discovery for every later probe") {
+    import spark.implicits._
+    val path = tmp()
+    DedupIndex.build(docs.limit(10), "doc_id", "text", path)
+    // regress the meta to the v1 schema (bands/rows only, no version)
+    Seq((8, 4)).toDF("bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.append(batch(), "doc_id", "text", path)
+    }
+    assert(e.getMessage.contains("v1"))
+    // probing a v1-meta index still works (reads are layout-agnostic)
+    assert(DedupIndex.probe(spark, path, docs.limit(10),
+      "doc_id", "text", threshold = 0.99).count() == 10)
+  }
+
   test("probe fails fast below the index's banding design threshold") {
     val path = tmp()
     DedupIndex.build(docs.limit(10), "doc_id", "text", path,

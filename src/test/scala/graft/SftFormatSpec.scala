@@ -38,7 +38,9 @@ class SftFormatSpec extends AnyFunSuite {
       (2L, Seq(("user", "hi"), ("assistant", "yo"))),
       (3L, Seq(("user", ""), ("assistant", "a b"), ("user", "x"))),
       (4L, Seq(("user", "q1"), ("assistant", ""), ("user", "q2"),
-        ("assistant", "fin al"))))
+        ("assistant", "fin al"))),
+      // EMPTY conversation: zero rows, not a sequence(0,-1) crash
+      (5L, Seq.empty[(String, String)]))
       .toDF("id", "raw")
       .withColumn("turns", transform(col("raw"),
         t => struct(t("_1").as("role"), t("_2").as("content"))))
@@ -46,6 +48,8 @@ class SftFormatSpec extends AnyFunSuite {
       .collect()
     assert(!rows.exists(_.getAs[Long]("id") == 1L),
       "a user-only conversation must contribute no spans")
+    assert(!rows.exists(_.getAs[Long]("id") == 5L),
+      "an EMPTY conversation must contribute no spans (and not crash)")
     // every span satisfies the invariant — offsets and render come
     // from the same arithmetic
     rows.foreach { r =>
