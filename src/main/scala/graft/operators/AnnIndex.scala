@@ -115,15 +115,25 @@ object AnnIndex {
     centroids
   }
 
+  /** v1 (pre-versioned) indexes have NO meta directory → None, checks
+    * skipped. Anything else that goes wrong reading an EXISTING meta
+    * dir — partial write, empty dir, schema drift — is corruption and
+    * rethrows: silently skipping the metric/dim/nlist contract on a
+    * present-but-broken meta would downgrade a probe against the wrong
+    * index into garbage ranks with no error (r12 advice). The
+    * existence probe, not exception-class sniffing, draws the line. */
   private def readMetaOpt(spark: SparkSession,
-      path: String): Option[(String, Int, Int)] =
-    try {
+      path: String): Option[(String, Int, Int)] = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) None
+    else {
       val m = spark.read.parquet(s"$path/meta").head()
       Some((m.getAs[String]("metric"), m.getAs[Int]("dim"),
         m.getAs[Int]("nlist")))
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => None
     }
+  }
 
   private def readCentroids(spark: SparkSession,
       path: String): Array[Array[Double]] =

@@ -606,6 +606,16 @@ object DataPrep {
     *         input row */
   def groupAdvantages(df0: DataFrame, idCol: String, groupCol: String,
       scoreCol: String): DataFrame = {
+    // the kAnonymize/applyChangelog collision convention: withColumn
+    // would silently OVERWRITE a caller column named adv_q, and the
+    // select(*) projection would raise a confusing duplicate-name
+    // AnalysisException if any temp name already exists — fail fast
+    // with the actual contract instead (r12 advice)
+    Seq("adv_q", "_n", "_s1", "_s2").foreach { c =>
+      require(!df0.columns.contains(c),
+        s"groupAdvantages: input already has a '$c' column — rename " +
+          "it first; the operator writes its statistics there")
+    }
     val df = df0.where(col(scoreCol).isNotNull)
     val w = Window.partitionBy(groupCol)
     val x = col(scoreCol).cast("long")

@@ -35,9 +35,12 @@ object SftFormat {
     * now a special case of this). Template per turn: `<|role|> content`,
     * turns joined by single spaces; empty contents keep their
     * surrounding spaces so the offset arithmetic never branches.
-    * Contents and roles must be non-null (a null would null the whole
-    * concat on one engine and be skipped by concat_ws on another —
-    * coalesce upstream).
+    * A null role or content FAILS THE JOB in-plan (the merge /
+    * applyChangelog raise_error convention): a null would null the
+    * whole concat on one engine and be skipped by concat_ws on
+    * another — i.e. the render and the offsets would silently
+    * disagree across engines, the exact drift this operator exists
+    * to prevent, so it is a data error, not a renderable state.
     *
     * Returns one row per ASSISTANT turn:
     * (idCol, train_text, turn, turn_pos, start_off, span_len,
@@ -82,8 +85,18 @@ object SftFormat {
     // transform: sequence(0, size-1) at size 0 is [0, -1] (Spark
     // steps DOWN when start > stop), whose lambda would evaluate
     // element_at(turns, 0) and a negative-length slice, both runtime
-    // errors
-    df.where(size(turnsCol) > 0)
+    // errors. The null-turn fail-fast (scaladoc contract) rides the
+    // SAME filter predicate — a Filter evaluates per INPUT row, so no
+    // corrupt conversation can dodge the check by emitting zero spans
+    // (a guard on the train_text column can: whole-stage codegen
+    // defers Generate's required-child-output projection into the
+    // per-OUTPUT-row consume, so it never runs for span-less rows)
+    df.where(when(
+        exists(turnsCol, t => t("role").isNull || t("content").isNull),
+        raise_error(concat(
+          lit("renderConversation: null role/content in conversation "),
+          col(idCol).cast("string"))).cast("boolean"))
+      .otherwise(size(turnsCol) > 0))
       .select(col(idCol), render.as("train_text"),
         posexplode(filter(spans, s => s("role") === "assistant"))
           .as(Seq("_i", "span")))

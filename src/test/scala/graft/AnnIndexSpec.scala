@@ -98,4 +98,27 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(ne.getMessage.contains("nprobe"))
   }
+
+  test("a PRESENT but corrupt meta dir fails the probe loudly; only " +
+      "a genuinely absent meta reads as a legacy pre-versioned index") {
+    import spark.implicits._
+    val path = tmp()
+    AnnIndex.build(emb, "vec_id", "embedding", path, nlist = 8)
+    // corrupt the meta: empty directory (the partial-write shape).
+    // Pre-r13 this silently downgraded to skipping the contract
+    // checks; it must now surface as an error, not a lucky probe.
+    val metaDir = new java.io.File(s"$path/meta")
+    metaDir.listFiles.foreach(_.delete())
+    intercept[Exception] {
+      AnnIndex.probe(spark, path, queries, "vec_id", "embedding",
+        k = 3, nprobe = 2).collect()
+    }
+    // a legacy index (no meta dir at all) still probes with the
+    // checks skipped
+    assert(metaDir.listFiles.isEmpty && metaDir.delete(),
+      "test setup: could not remove the corrupt meta dir")
+    val got = AnnIndex.probe(spark, path, queries, "vec_id",
+      "embedding", k = 3, nprobe = 2).collect()
+    assert(got.nonEmpty)
+  }
 }

@@ -367,4 +367,18 @@ class DataPrepSpec extends AnyFunSuite {
     // all-equal group and the singleton: zero variance -> 0
     assert(got(4L) == 0L && got(5L) == 0L && got(6L) == 0L)
   }
+
+  test("groupAdvantages: output/temp column collisions fail fast " +
+      "instead of silently overwriting caller data (r12 advice)") {
+    import spark.implicits._
+    // adv_q would be overwritten by withColumn; _n/_s1/_s2 would trip
+    // a confusing duplicate-name AnalysisException in the projection
+    Seq("adv_q", "_n", "_s1", "_s2").foreach { c =>
+      val df = Seq((1L, "g", 10L, 99L)).toDF("id", "grp", "score", c)
+      val e = intercept[IllegalArgumentException] {
+        DataPrep.groupAdvantages(df, "id", "grp", "score")
+      }
+      assert(e.getMessage.contains(c), e.getMessage)
+    }
+  }
 }

@@ -79,6 +79,30 @@ class SftFormatSpec extends AnyFunSuite {
     assert(r4(1).getAs[String]("span_text") == "fin al")
   }
 
+  test("a null role or content FAILS THE JOB in-plan — even when the " +
+      "corrupt conversation would emit zero spans") {
+    import spark.implicits._
+    def render(turns: Seq[(String, String)]) = {
+      val df = Seq((1L, turns)).toDF("id", "raw")
+        .withColumn("turns", transform(col("raw"),
+          t => struct(t("_1").as("role"), t("_2").as("content"))))
+      SftFormat.renderConversation(df, "id", col("turns")).collect()
+    }
+    // null CONTENT on an assistant turn
+    val e1 = intercept[Exception] {
+      render(Seq(("user", "hi"), ("assistant", null)))
+    }
+    assert(e1.getMessage.contains("null role/content"), e1.getMessage)
+    // null ROLE — the span filter would read it as non-assistant and
+    // silently emit zero rows without the guard
+    val e2 = intercept[Exception] {
+      render(Seq((null, "hi"), ("user", "x")))
+    }
+    assert(e2.getMessage.contains("null role/content"), e2.getMessage)
+    // clean conversations through the SAME code path stay green
+    assert(render(Seq(("user", "hi"), ("assistant", "yo"))).length == 1)
+  }
+
   test("renderTwoTurn is the 4-element special case of " +
       "renderConversation (legacy shape preserved)") {
     import spark.implicits._
