@@ -225,11 +225,11 @@ object Relevance {
   def dcgIdealPrefix(k: Int): Seq[Long] =
     dcgDiscounts(k).scanLeft(0L)(_ + _).tail
 
-  /** IR ranking metrics — recall@k, MRR@k, nDCG@k per query over a
-    * ranked result list vs a binary relevance truth table: the
-    * evaluation leg of the retrieval family (anything emitting
-    * (query, id, rank) — [[bm25]], brute-force/LSH/IVF/PQ rankings,
-    * [[rrfFuse]] output).
+  /** IR ranking metrics — recall@k, MRR@k, nDCG@k, precision@k, MAP@k
+    * per query over a ranked result list vs a binary relevance truth
+    * table: the evaluation leg of the retrieval family (anything
+    * emitting (query, id, rank) — [[bm25]], brute-force/LSH/IVF/PQ
+    * rankings, [[rrfFuse]] output).
     *
     * Engine-exact: per-rank discounts come from the literal
     * [[dcgDiscounts]] table (quantized BEFORE summation, so summation
@@ -237,17 +237,31 @@ object Relevance {
     * at min(n_rel, k), and the final ratios are ppm integer divisions:
     * recall_ppm = hits·10⁶ div n_rel; mrr_ppm = 10⁶ div first-hit
     * rank (0 when the top-k misses everything); ndcg_ppm = dcg_q·10⁶
-    * div idcg_q — exactly 10⁶ for a perfect ranking by construction.
+    * div idcg_q — exactly 10⁶ for a perfect ranking by construction;
+    * precision_ppm = hits·10⁶ div k; map_ppm = average precision at k
+    * with each per-hit precision quantized BEFORE the mean —
+    * (Σ_hits cum_hits·10⁶ div rank) div min(n_rel, k), where cum_hits
+    * numbers the query's hits in (rank, id) order — so the sum is
+    * order-independent integer arithmetic and a perfect ranking scores
+    * exactly 10⁶ when n_rel ≤ k.
+    *
+    * Ranks outside [1, k] are rejected in-plan (raise_error): a
+    * rank ≤ 0 would silently index the discount table from the END
+    * (element_at's negative-index semantics) and drive mrr_ppm
+    * negative — garbage metrics, no error (r12 advice). Over-k ranks
+    * are simply outside the @k window and are filtered, not errors.
     *
     * Scale shape: results are k-bounded per query (candidate-sized);
-    * one keyed join against the truth table + two keyed aggs — no
-    * corpus-sized stage. Queries with no relevant truth rows are not
-    * emitted (no denominator exists for them).
+    * one keyed join against the truth table + one window and two keyed
+    * aggs over the hits — no corpus-sized stage. Queries with no
+    * relevant truth rows are not emitted (no denominator exists).
     *
-    * @return (query_id, n_rel, n_hits, recall_ppm, mrr_ppm, ndcg_ppm) */
+    * @return (query_id, n_rel, n_hits, recall_ppm, mrr_ppm, ndcg_ppm,
+    *         precision_ppm, map_ppm) */
   def rankingMetrics(results: DataFrame, truth: DataFrame,
       queryCol: String, idCol: String, rankCol: String,
       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val discounts = typedLit(dcgDiscounts(k))
     val idealPrefix = typedLit(dcgIdealPrefix(k))
     // best-rank dedup of the result side: a doc listed at two ranks
@@ -255,27 +269,41 @@ object Relevance {
     // as ONE hit at its best rank — double-counting would push
     // recall/nDCG past 10⁶ with no error. Candidate-sized agg.
     val r = results.select(col(queryCol).as("query_id"),
-      col(idCol).as("id"), col(rankCol).cast("int").as("rank"))
+      col(idCol).as("id"),
+      when(col(rankCol) >= 1, col(rankCol).cast("int"))
+        .otherwise(raise_error(concat(
+          lit("rankingMetrics: rank must be >= 1, got "),
+          col(rankCol).cast("string"))).cast("int")).as("rank"))
       .where(col("rank") <= k)
       .groupBy("query_id", "id").agg(min("rank").as("rank"))
     val t = truth.select(col(queryCol).as("query_id"),
       col(idCol).as("id")).dropDuplicates("query_id", "id")
     val nRel = t.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    // hit ordinal in (rank, id) order — the cumulative-hit count that
+    // precision@rank needs; ties across ids at one rank (possible
+    // after a union of rankings) break deterministically by id
+    val hitW = Window.partitionBy("query_id").orderBy("rank", "id")
     val perQ = r.join(t, Seq("query_id", "id"))
+      .withColumn("_cum", row_number().over(hitW).cast("long"))
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_hits"),
         min("rank").as("_first"),
-        sum(element_at(discounts, col("rank"))).as("_dcg"))
+        sum(element_at(discounts, col("rank"))).as("_dcg"),
+        sum(expr("_cum * 1000000L div rank")).as("_ap_num"))
     nRel.join(perQ, Seq("query_id"), "left")
       .select(col("query_id"), col("n_rel"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         coalesce(expr("1000000L div _first"), lit(0L)).as("mrr_ppm"),
         coalesce(col("_dcg"), lit(0L)).as("_dcg"),
+        coalesce(col("_ap_num"), lit(0L)).as("_ap_num"),
         element_at(idealPrefix,
           least(col("n_rel"), lit(k.toLong)).cast("int")).as("_idcg"))
       .withColumn("recall_ppm", expr("n_hits * 1000000L div n_rel"))
       .withColumn("ndcg_ppm", expr("_dcg * 1000000L div _idcg"))
+      .withColumn("precision_ppm", expr(s"n_hits * 1000000L div $k"))
+      .withColumn("map_ppm",
+        expr(s"_ap_num div least(n_rel, ${k.toLong}L)"))
       .select("query_id", "n_rel", "n_hits", "recall_ppm", "mrr_ppm",
-        "ndcg_ppm")
+        "ndcg_ppm", "precision_ppm", "map_ppm")
   }
 }

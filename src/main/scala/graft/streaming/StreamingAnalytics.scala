@@ -167,4 +167,44 @@ object StreamingAnalytics {
   def ksCounts(evts: DataFrame): DataFrame =
     evts.groupBy(col("event_type"), col("x_milli"))
       .agg(sum("is_a").as("ca"), sum(expr("1 - is_a")).as("cb"))
+
+  // ---- GRPO / ranking-metrics: the same sufficient-statistic twin
+  // shape (r12 verdict stretch item) ----
+
+  /** GRPO group statistics as a streaming aggregation: grp →
+    * (n, s1, s2) — exactly the three aggregates
+    * [[graft.operators.DataPrep.groupAdvantages]] computes off its
+    * keyed window, accumulated incrementally as rollout batches land.
+    * Input rows carry (grp, x) with the score already cast long and
+    * null scores filtered upstream (the batch operator's own
+    * contract). State: one 3-long row per group in the agg store —
+    * bounded by group count, not rollouts. Run Complete to a
+    * snapshot; any row's advantage replays as the identical closed
+    * form floor((n·x − s1)·10⁶ / sqrt(n·s2 − s1²)) (0 on zero
+    * variance) — StreamingAnalyticsSpec pins batch equality across
+    * interleaved micro-batches. */
+  def grpoStats(scores: DataFrame): DataFrame =
+    scores.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+
+  /** Ranking-metrics hit table as a streaming aggregation:
+    * (query_id, id) → best rank — the result-side best-rank dedup of
+    * [[graft.operators.Relevance.rankingMetrics]] as incremental
+    * state, for rankings that arrive as retrieval batches (`truth` is
+    * a static dimension; stream–static inner join per micro-batch).
+    * Out-of-window ranks are FILTERED here, not raised — a streaming
+    * job cannot usefully fail a row mid-flight; feed the snapshot
+    * back through the batch operator (which re-guards) for metrics.
+    * State: ≤ one row per (query, relevant candidate), k-bounded per
+    * query per ranking source. Because the snapshot is itself a valid
+    * (already-deduped) results frame, `rankingMetrics(snapshot,
+    * truth, ...)` equals the batch metrics over the full stream. */
+  def rankingHits(results: DataFrame, truth: DataFrame,
+      k: Int): DataFrame =
+    results.where(col("rank").between(1, k))
+      .join(truth.select(col("query_id"), col("id")),
+        Seq("query_id", "id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(min(col("rank")).as("rank"))
 }

@@ -126,14 +126,48 @@ class RelevanceSpec extends AnyFunSuite {
         "qid", "id", "rank", k = 3)
       .collect().map(r => r.getAs[Long]("query_id") ->
         (r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"),
-          r.getAs[Long]("mrr_ppm"), r.getAs[Long]("ndcg_ppm"))).toMap
+          r.getAs[Long]("mrr_ppm"), r.getAs[Long]("ndcg_ppm"),
+          r.getAs[Long]("precision_ppm"), r.getAs[Long]("map_ppm")))
+      .toMap
     // q1: 2 of 4 relevant in top-3 -> recall 0.5; first hit rank 1;
-    // dcg = disc(1)+disc(3) = 1.5e6, idcg = prefix(min(4,3)) = 2130929
+    // dcg = disc(1)+disc(3) = 1.5e6, idcg = prefix(min(4,3)) = 2130929;
+    // precision@3 = 2/3 -> 666666; AP@3 = (P@1 + P@3) / min(4,3)
+    //   = (1000000 + 2*1000000 div 3) div 3 = 1666666 div 3 = 555555
     assert(got(1L) == ((2L, 500000L, 1000000L,
-      1500000L * 1000000L / 2130929L)), got.toString)
+      1500000L * 1000000L / 2130929L, 666666L, 555555L)), got.toString)
     // q2: zero hits -> all zeros (but the query IS emitted)
-    assert(got(2L) == ((0L, 0L, 0L, 0L)))
-    // q3: perfect -> recall, MRR, and nDCG all exactly 10^6
-    assert(got(3L) == ((2L, 1000000L, 1000000L, 1000000L)))
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    // q3: perfect 2-relevant ranking -> recall, MRR, nDCG, and MAP all
+    // exactly 10^6 (n_rel = 2 <= k); precision@3 = 2/3
+    assert(got(3L) == ((2L, 1000000L, 1000000L, 1000000L, 666666L,
+      1000000L)))
+  }
+
+  test("rankingMetrics: a rank outside [1, k] FAILS the job instead " +
+      "of indexing the discount table from the end (r12 advice)") {
+    import spark.implicits._
+    val truth = Seq((1L, "a")).toDF("qid", "id")
+    // rank -1 would read element_at(discounts, -1) = the LAST discount
+    // and emit a negative mrr_ppm — garbage with no error before r13
+    val bad = Seq((1L, "a", -1)).toDF("qid", "id", "rank")
+    val e = intercept[Exception] {
+      Relevance.rankingMetrics(bad, truth, "qid", "id", "rank", k = 3)
+        .collect()
+    }
+    assert(e.getMessage.contains("rank must be >= 1"), e.getMessage)
+    // rank 0 used to throw an opaque element_at error; now the same
+    // contract message
+    val zero = Seq((1L, "a", 0)).toDF("qid", "id", "rank")
+    val e0 = intercept[Exception] {
+      Relevance.rankingMetrics(zero, truth, "qid", "id", "rank", k = 3)
+        .collect()
+    }
+    assert(e0.getMessage.contains("rank must be >= 1"), e0.getMessage)
+    // over-k ranks are outside the @k window, not errors
+    val over = Seq((1L, "a", 9)).toDF("qid", "id", "rank")
+    val gotOver = Relevance.rankingMetrics(over, truth,
+      "qid", "id", "rank", k = 3).collect()
+    assert(gotOver.length == 1 &&
+      gotOver.head.getAs[Long]("n_hits") == 0L)
   }
 }

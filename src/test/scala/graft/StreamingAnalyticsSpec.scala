@@ -217,4 +217,85 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     // (q_psi_drift's grid + nano-ln; q_ks_drift's integer cross-
     // multiplication), so count equality implies stat equality
   }
+
+  test("GRPO group-stat stream: advantages computed off the snapshot " +
+      "equal DataPrep.groupAdvantages across interleaved micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // rollouts: 12 groups x variable sample counts, incl. a singleton
+    // and a zero-variance group
+    val rows = (for {
+      g <- 1L to 12L
+      i <- 0L until (g % 5 + 1)
+    } yield (g * 100 + i, s"g$g",
+      if (g == 4L) 7L else (g * 13 + i * i * 5) % 97)).toSeq
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StreamingAnalytics.grpoStats(
+        input.toDS().toDF("id", "grp", "x"))
+      .writeStream.format("memory").queryName("grpo_stream")
+      .outputMode("complete").start()
+    try {
+      batches(rows).foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the closed form over the snapshot — identical arithmetic to the
+    // batch operator's window projection
+    val scored = rows.toDF("id", "grp", "x")
+    val viaStream = scored
+      .join(spark.table("grpo_stream"), Seq("grp"))
+      .select(col("id"),
+        when(col("n") * col("s2") === col("s1") * col("s1"), 0L)
+          .otherwise(floor(
+            (col("n") * col("x") - col("s1")).cast("double") * 1e6 /
+              sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+                .cast("double"))).cast("long")).as("adv_q"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val viaBatch = graft.operators.DataPrep
+      .groupAdvantages(scored, "id", "grp", "x")
+      .select(col("id"), col("adv_q"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaStream == viaBatch)
+  }
+
+  test("ranking hit-table stream: rankingMetrics over the snapshot " +
+      "equals the batch metrics over the full result stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 4 queries x ranked candidates, with a duplicate (query, id) at a
+    // worse rank split across batches (best-rank dedup must span
+    // batches) and an out-of-window rank that must be filtered
+    val results = Seq(
+      (1L, "a", 1), (1L, "x", 2), (1L, "b", 3), (1L, "b", 7),
+      (2L, "m", 1), (2L, "n", 2),
+      (3L, "p", 1), (3L, "q", 2), (3L, "p", 9),
+      (4L, "z", 12)) // rank > k: outside the @k window
+    val truth = Seq((1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "zz"), (3L, "p"), (3L, "q"), (4L, "z"))
+      .toDF("query_id", "id")
+    val input = MemoryStream[(Long, String, Int)]
+    val q = StreamingAnalytics.rankingHits(
+        input.toDS().toDF("query_id", "id", "rank"), truth, k = 10)
+      .writeStream.format("memory").queryName("rank_stream")
+      .outputMode("complete").start()
+    try {
+      batches(results).foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def canon(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    val viaStream = graft.operators.Relevance.rankingMetrics(
+      spark.table("rank_stream"), truth, "query_id", "id", "rank",
+      k = 10)
+    val viaBatch = graft.operators.Relevance.rankingMetrics(
+      results.toDF("query_id", "id", "rank"), truth,
+      "query_id", "id", "rank", k = 10)
+    assert(canon(viaStream) == canon(viaBatch))
+    // the cross-batch dedup really happened: one state row for (1, b)
+    assert(spark.table("rank_stream")
+      .where(col("query_id") === 1 && col("id") === "b")
+      .collect().map(_.getAs[Int]("rank")).toSeq == Seq(3))
+  }
 }
