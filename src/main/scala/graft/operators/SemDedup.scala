@@ -34,6 +34,43 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** Per-cell row count above which [[verdicts]] switches that cell's
+    * pair formation from the plain cluster-keyed self-join to an
+    * exact grid split (see below). The binding constraint is per-TASK
+    * pair work: one join key carrying an m-row cell computes m²/2
+    * cosines in one task, so a degenerate cell (near-identical
+    * boilerplate, a collapsed quantizer region — exactly the inputs
+    * semantic dedup sees) turns into a straggler or an executor OOM
+    * with no error. 16384² / 2 ≈ 1.3·10⁸ cosines bounds a task at
+    * seconds, not hours. Overridable per session via
+    * `graft.semdedup.maxCellRows` (specs plant a hot cell and lower
+    * it to force the split at test scale). */
+  val MaxCellRowsDefault: Long = 16384L
+
+  private def maxCellRows(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.semdedup.maxCellRows")
+      .map(_.toLong).getOrElse(MaxCellRowsDefault)
+
+  /** Plan k for a corpus of `n` rows — the [[Dedup.lshPlanFor]]
+    * convention: derive the scale knob from the corpus instead of
+    * hard-coding it. SemDeDup's cost is Σ m_c² ≈ n·(n/k) candidate
+    * cosines on balanced cells, so k must GROW with the corpus to
+    * hold per-cell work constant: k = ⌈n / targetCellRows⌉ keeps the
+    * expected cell at `targetCellRows` rows and total candidate work
+    * at n·targetCellRows — linear in n. The default target (2048)
+    * sits 8× under [[MaxCellRowsDefault]], so only genuinely skewed
+    * cells (not planning slack) engage the grid split. Raising k
+    * sharpens cost and loses boundary pairs sooner (the documented
+    * recall trade above). */
+  def semdedupKFor(n: Long, targetCellRows: Long = 2048L): Int = {
+    require(n >= 1, s"corpus size n=$n must be >= 1")
+    require(targetCellRows >= 1,
+      s"targetCellRows=$targetCellRows must be >= 1")
+    ((n + targetCellRows - 1) / targetCellRows)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   /** Per-row verdicts: (idCol, cluster, component, centroid_cos_q,
     * keep). `keep` marks each component's representative; filtering is
     * the caller's `where(col("keep"))` — verdicts are returned rather
@@ -45,6 +82,21 @@ object SemDedup {
     * the [[DedupIndex]] recompute argument), the pair join is
     * cluster-keyed, and [[Dedup.connectedComponents]] materializes the
     * component labels internally (checkpointed, cache-released).
+    *
+    * Hot-cell guard (the [[Dedup.minhashDupPairs]] flood-guard
+    * discipline): one k-row driver probe counts rows per cell; when
+    * every cell is ≤ `graft.semdedup.maxCellRows`, the pair join is
+    * EXACTLY the unguarded cluster-keyed self-join (the guard costs
+    * only the probe). Oversized cells switch to an exact grid split:
+    * rows salt into g = ⌈m / cap⌉ buckets by id hash, the A side
+    * replicates each row to grid cells (b, b..g−1), the B side to
+    * (0..b, b), and the join key becomes (cluster, bl, br) — every
+    * unordered in-cell pair meets at exactly one grid cell (same-
+    * bucket keys produce both orderings; the bl = br ⇒ id_a < id_b
+    * predicate keeps one), so the pair SET — and therefore every
+    * verdict — is bit-identical to the unguarded plan while per-task
+    * work drops from m² to (m/g)·m ≈ cap·m spread over g tasks.
+    * Replication cost: ~(g+1)/2× on the hot cell's rows only.
     *
     * @param centroids pre-trained quantized centroids (e.g. from
     *        [[KMeans.train]]); None → deterministic
@@ -65,16 +117,49 @@ object SemDedup {
       col(vecCol).cast("array<double>").as("v"))
     val assigned = KMeans.assign(v, "v", scale, cs)
     val thresholdQ = math.floor(threshold * 1e6).toLong
-    val pairs = assigned
-      .select(col("id").as("id_a"), col("cluster"), col("v").as("va"))
-      .join(assigned.select(col("id").as("id_b"), col("cluster"),
-        col("v").as("vb")), Seq("cluster"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cq",
-        floor(SimilaritySearch.cosine(col("va"), col("vb")) * 1e6)
-          .cast("long"))
-      .where(col("cq") >= thresholdQ)
-      .select("id_a", "id_b")
+    val cq = floor(SimilaritySearch.cosine(col("va"), col("vb")) * 1e6)
+      .cast("long")
+    // hot-cell probe: at most k rows (one map-side-combined agg), so
+    // the collect is bounded by a caller argument, not the corpus
+    val cap = maxCellRows(spark)
+    val hotCells = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("_m")).where(col("_m") > cap)
+      .collect()
+      .map(r => (r.getAs[Int]("cluster"),
+        ((r.getAs[Long]("_m") + cap - 1) / cap).toInt))
+    val pairs =
+      if (hotCells.isEmpty) {
+        // the r12 plan, verbatim: cluster-keyed self-join
+        assigned
+          .select(col("id").as("id_a"), col("cluster"), col("v").as("va"))
+          .join(assigned.select(col("id").as("id_b"), col("cluster"),
+            col("v").as("vb")), Seq("cluster"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("cq", cq)
+          .where(col("cq") >= thresholdQ)
+          .select("id_a", "id_b")
+      } else {
+        // exact grid split (scaladoc above): cold cells ride the same
+        // plan with g = 1 — one bucket, key (cluster, 0, 0), identical
+        // pair set to the unguarded join
+        val gDf = broadcast(hotCells.toSeq.toDF("cluster", "_g"))
+        val withG = assigned.join(gDf, Seq("cluster"), "left")
+          .withColumn("_g", coalesce(col("_g"), lit(1)))
+          .withColumn("_b", pmod(xxhash64(col("id")), col("_g"))
+            .cast("int"))
+        val aSide = withG.select(col("id").as("id_a"), col("cluster"),
+          col("v").as("va"), col("_b").as("bl"),
+          explode(sequence(col("_b"), col("_g") - 1)).as("br"))
+        val bSide = withG.select(col("id").as("id_b"), col("cluster"),
+          col("v").as("vb"), col("_b").as("br"),
+          explode(sequence(lit(0), col("_b"))).as("bl"))
+        aSide.join(bSide, Seq("cluster", "bl", "br"))
+          .where(col("bl") =!= col("br") || col("id_a") < col("id_b"))
+          .withColumn("cq", cq)
+          .where(col("cq") >= thresholdQ)
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+      }
     val comps = Dedup.connectedComponents(
       assigned.select("id"), pairs, "id")
     val centDf = broadcast(KMeans.dequantize(cs, scale).zipWithIndex

@@ -59,4 +59,62 @@ class SemDedupSpec extends AnyFunSuite {
       "cross-cell near-dups are out of scope by design")
     assert(got(6L)._2 == 6L && got(7L)._2 == 7L)
   }
+
+  test("planted hot cell: the grid split fires and the verdicts are " +
+      "bit-identical to the unguarded plan (exact split, no recall " +
+      "loss inside the cell)") {
+    import spark.implicits._
+    // 60 rows in cluster A — 40 of them forming 20 exact-copy pairs —
+    // plus a 3-row cluster B; cap 16 forces g = ceil(60/16) = 4 on A
+    val hot = (0 until 20).flatMap { i =>
+      val base = Seq(0.999, 0.01 + i * 0.001, 0.0, 0.0)
+      Seq((100L + i) -> base, (500L + i) -> base)
+    } ++ (0 until 20).map(i =>
+      (900L + i) -> Seq(0.9, 0.2 + i * 0.02, 0.0, 0.0))
+    val cold = Seq(30L -> Seq(0.0, 1.0, 0.0, 0.0),
+      31L -> Seq(0.02, 0.999, 0.0, 0.0), 32L -> Seq(0.02, 0.999, 0.0, 0.0))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    def verdicts() = SemDedup.verdicts(df, "vec_id", "embedding",
+        k = 2, threshold = 0.99, centroids = Some(centroids))
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Int]("cluster"), r.getAs[Long]("component"),
+        r.getAs[Long]("centroid_cos_q"), r.getAs[Boolean]("keep")))
+      .sortBy(_._1).toSeq
+    val unguarded = verdicts()
+    spark.conf.set("graft.semdedup.maxCellRows", "16")
+    val split =
+      try verdicts()
+      finally spark.conf.unset("graft.semdedup.maxCellRows")
+    assert(split == unguarded,
+      "grid-split verdicts must be bit-identical to the unguarded plan")
+    // sanity on the fixture itself: every exact-copy pair landed in
+    // one component (the split examined the pair), exactly one keep
+    // per component, and the cold cluster still dedups
+    val byId = split.map(r => r._1 -> r).toMap
+    (0 until 20).foreach { i =>
+      assert(byId(100L + i)._3 == byId(500L + i)._3,
+        s"copy pair $i must share a component")
+    }
+    split.groupBy(_._3).foreach { case (comp, members) =>
+      assert(members.count(_._5) == 1,
+        s"component $comp must have exactly one representative")
+    }
+    assert(byId(31L)._3 == byId(32L)._3 &&
+      byId(31L)._5 != byId(32L)._5,
+      "cold-cluster exact pair still dedups under the split plan")
+  }
+
+  test("semdedupKFor grows k linearly with the corpus (constant " +
+      "expected cell size), never returns < 1") {
+    assert(SemDedup.semdedupKFor(1L) == 1)
+    assert(SemDedup.semdedupKFor(2048L) == 1)
+    assert(SemDedup.semdedupKFor(2049L) == 2)
+    assert(SemDedup.semdedupKFor(1000000L) == 489)
+    assert(SemDedup.semdedupKFor(10000000L) == 4883,
+      "10x corpus -> 10x cells: per-cell work stays constant")
+    assert(SemDedup.semdedupKFor(100L, targetCellRows = 10L) == 10)
+    intercept[IllegalArgumentException] {
+      SemDedup.semdedupKFor(0L)
+    }
+  }
 }

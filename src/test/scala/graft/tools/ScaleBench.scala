@@ -197,6 +197,42 @@ object ScaleBench {
     println(f"| q_dedup_index_probe[keyed backfill x$copies] | $pBase%.2f " +
       f"| $pGrown%.2f | ${pRatio}%.1fx | ${if (pRatio <= copies * 1.5)
         "linear-ok" else "SUPERLINEAR"} |")
+
+    // SemDedup hot cell (r12 verdict item 1): HALF the scaled embedding
+    // corpus collapses into ONE quantizer cell — the degenerate
+    // semantic-dedup input. Same exact pair set both runs (the split is
+    // exact); the row compares the unguarded plan (the whole m-row cell
+    // on one join key = one straggler task) against the grid split at
+    // cap 2048. Columns here are unguarded (s) | grid split (s) |
+    // split/unguarded; guard-ok when the split does not LOSE time —
+    // the win is straggler/OOM removal, with total work unchanged.
+    def semdedupHot(cap: Long)(s: SparkSession, dir: String): DataFrame = {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      // hot rows: base 8.0 on axis 0 + deterministic ±0.8/component
+      // jitter → all assign together, but pairwise cosine ≈ 0.82 stays
+      // below the 0.99 threshold (sparse pair graph — the cost is the
+      // m² candidate JOIN, not the output)
+      val skewed = emb.select(col("vec_id"),
+        when(col("vec_id") % 2 === 0,
+          transform(sequence(lit(0), lit(63)),
+            j => when(j === 0, lit(8.0)).otherwise(lit(0.0)) +
+              (pmod(xxhash64(col("vec_id"), j), lit(2001)).cast("double")
+                - lit(1000.0)) * 0.0008))
+          .otherwise(col("embedding").cast("array<double>"))
+          .as("embedding"))
+      s.conf.set("graft.semdedup.maxCellRows", cap.toString)
+      // the cell probe (and so the plan choice) happens INSIDE
+      // verdicts, before the finally resets the conf
+      try graft.operators.SemDedup.verdicts(skewed, "vec_id",
+        "embedding", k = 8, threshold = 0.99)
+      finally s.conf.unset("graft.semdedup.maxCellRows")
+    }
+    val sdUnguarded = time(semdedupHot(Long.MaxValue), spark, scaledDir, 1)
+    val sdSplit = time(semdedupHot(2048L), spark, scaledDir, 1)
+    val sdRatio = sdSplit / sdUnguarded
+    println(f"| q_semdedup[hot cell x$copies: unguarded vs grid split] " +
+      f"| $sdUnguarded%.2f | $sdSplit%.2f | ${sdRatio}%.2fx | " +
+      f"${if (sdRatio <= 1.1) "guard-ok" else "GUARD-SLOWER"} |")
   }
 
   def main(args: Array[String]): Unit = {
