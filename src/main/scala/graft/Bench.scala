@@ -82,17 +82,20 @@ object Bench {
 
     // sf1 anchor (r10 verdict #3): BASELINE.md's measured reference
     // artifacts are for 8.8 M telemetry rows, but the 5-rep anchors above
-    // replicate to 3.2 M. One additional single-rep anchor pass at
-    // rep=100 (10 M rows from the sf0.1 base — reference scale) in its
-    // own fresh context records rows/s directly comparable to the
-    // baseline's own row counts. Single rep: the 10 M-row pass is long
-    // enough to amortize noise, and five reps would triple bench time.
+    // replicate to 3.2 M. An additional anchor pass at rep=100 (10 M
+    // rows from the sf0.1 base — reference scale) records rows/s
+    // directly comparable to the baseline's own row counts. TWO reps,
+    // each in its own fresh context, per-metric MIN (r12 verdict: the
+    // single-rep r12 recording caught a box spike and published a
+    // phantom 5x transform regression — 15.76 s driver vs 2.99 s
+    // quiet-box; a second independent rep is the cheapest spike dodge
+    // at a pass this long). Raw reps ride along in the JSON.
     // GATED on the default sf0.1 base: with a different SPARK_GRAFT_SF_DIR
     // the 100× replication would produce a wholly different scale while
     // still labeled "sf1_anchor" (r11 review) — emit {} instead.
-    val sf1 =
-      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) None
-      else {
+    val sf1Runs =
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Seq.empty
+      else (1 to 2).flatMap { _ =>
         val s = newSession()
         try {
           throughputAnchors(s, warmDir)
@@ -100,9 +103,16 @@ object Bench {
           throughputAnchors(s, sfDir, rep = 100)
         } finally s.stop()
       }
-    val sf1Json = sf1.map { a =>
-      f"""{"rows":${a.rows},"transform_sec":${a.transformSec}%.3f,"transform_rows_per_s":${a.rows / a.transformSec}%.0f,"features_cpd_sec":${a.cpdSec}%.3f,"features_cpd_rows_per_s":${a.rows / a.cpdSec}%.0f,"ingest_rows":${a.ingestRows},"ingest_sec":${a.ingestSec}%.3f,"ingest_rows_per_s":${a.ingestRows / a.ingestSec}%.0f}"""
-    }.getOrElse("{}")
+    val sf1Json =
+      if (sf1Runs.isEmpty) "{}"
+      else {
+        val rows = sf1Runs.head.rows
+        val nCsv = sf1Runs.head.ingestRows
+        val tSec = sf1Runs.map(_.transformSec).min
+        val cSec = sf1Runs.map(_.cpdSec).min
+        val iSec = sf1Runs.map(_.ingestSec).min
+        f"""{"rows":$rows,"transform_sec":$tSec%.3f,"transform_rows_per_s":${rows / tSec}%.0f,"features_cpd_sec":$cSec%.3f,"features_cpd_rows_per_s":${rows / cSec}%.0f,"ingest_rows":$nCsv,"ingest_sec":$iSec%.3f,"ingest_rows_per_s":${nCsv / iSec}%.0f,"transform_reps":${reps(sf1Runs.map(_.transformSec))},"features_cpd_reps":${reps(sf1Runs.map(_.cpdSec))},"ingest_reps":${reps(sf1Runs.map(_.ingestSec))}}"""
+      }
 
     val spark = newSession()
     val qs = SparkEntry.queries
@@ -123,41 +133,56 @@ object Bench {
     // plans; noop forces every output column to materialize.
     // MIN of 3 runs per query (was median through r11): contamination
     // on this shared box is strictly ADDITIVE — a co-located load spike
-    // can only slow a run down, never speed it up — and spikes last
-    // minutes, long enough to swallow 2 of 3 consecutive runs. That is
-    // exactly how the r11 driver recording showed q_dedup_canonical at
-    // 11.7 s and q_bloom at 6.3 s vs 5.5/1.1 s on a quiet box
-    // (r11 verdict finding 1). Same argument, and the same statistic,
-    // as the throughput anchors above: the min is the code's
-    // capability; contended runs are box noise, not plan cost.
-    def timed(names: Seq[String]): Seq[(String, Double)] =
-      names.filter(qs.contains).map { name =>
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try {
-            qs(name)(spark, sfDir).write.format("noop").mode("overwrite")
-              .save()
-            true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              false }
-          val sec = (System.nanoTime() - t0) / 1e9
-          // operators that persist intermediates (minhash shingles, bm25
-          // term base) register with the CacheManager; without this the
-          // blocks accumulate across the ~40 bench queries and later
-          // queries pay the eviction/GC pressure (measured 2-4x noise)
-          spark.catalog.clearCache(); graft.operators.Caches.clear()
-          if (ok) sec else -1.0
-        }
-        // min of the SUCCESSFUL runs; -1 only when every run failed
-        val good = runs.filter(_ >= 0)
-        name -> (if (good.isEmpty) -1.0 else good.min)
+    // can only slow a run down, never speed it up. The statistic alone
+    // was not enough: spikes last MINUTES, and r12's back-to-back
+    // min-of-3 still put all three reps of one query inside a single
+    // spike (q_pagerank read 12.66 s in the driver tail vs 4.17 s on
+    // the quiet box — a phantom 3x regression). So the reps are
+    // INTERLEAVED: three full passes over the whole list, per-query
+    // min ACROSS passes — consecutive reps of the same query are now
+    // a full list-length apart (minutes at this SF), longer than the
+    // spikes they must dodge. All raw rep times ride along in
+    // BENCH_DETAIL.json (queries_reps/extra_reps) so cross-round
+    // comparisons and variance stay auditable against the pre-r12
+    // median rounds (r12 advice).
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = try {
+        qs(name)(spark, sfDir).write.format("noop").mode("overwrite")
+          .save()
+        true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // operators that persist intermediates (minhash shingles, bm25
+      // term base) register with the CacheManager; without this the
+      // blocks accumulate across the ~40 bench queries and later
+      // queries pay the eviction/GC pressure (measured 2-4x noise)
+      spark.catalog.clearCache(); graft.operators.Caches.clear()
+      if (ok) sec else -1.0
+    }
+    def timedReps(names: Seq[String]): Seq[(String, Seq[Double])] = {
+      val present = names.filter(qs.contains)
+      val passes = (1 to 3).map(_ => present.map(timeOne))
+      present.zipWithIndex.map { case (n, i) => n -> passes.map(_(i)) }
+    }
+    // min of the SUCCESSFUL runs; -1 only when every run failed
+    def minOf(reps: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
+      reps.map { case (n, rs) =>
+        val good = rs.filter(_ >= 0)
+        n -> (if (good.isEmpty) -1.0 else good.min)
       }
     def toJson(r: Seq[(String, Double)]): String =
       r.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    def repsJson(r: Seq[(String, Seq[Double])]): String =
+      r.map { case (k, rs) =>
+        "\"" + k + "\":" + rs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
 
     warm(headline)
-    val results = timed(headline)
+    val headlineReps = timedReps(headline)
+    val results = minOf(headlineReps)
     val qJson = toJson(results)
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -201,13 +226,15 @@ object Bench {
       "q_url_canonical", "q_neg_samples", "q_fim", "q_span_corrupt",
       "q_sft_render", "q_sft_render_n", "q_dpo_pairs", "q_grpo_adv", "q_mmr", "q_bt_rank", "q_curriculum", "q_cluster_balance", "q_semdedup",
       "q_label_prop", "q_kanon", "q_kanon_rows", "q_dedup_index_probe",
+      "q_dedup_index_backfill",
       "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
       "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",
       "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
       "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19",
       "q_tpch_q20", "q_tpch_q21", "q_tpch_q22")
     warm(extraNames)
-    val extraResults = timed(extraNames)
+    val extraReps = timedReps(extraNames)
+    val extraResults = minOf(extraReps)
     val extraJson = toJson(extraResults)
 
     // The driver captures only the LAST 2000 characters of stdout and
@@ -218,7 +245,7 @@ object Bench {
     // driver commits it with the round snapshot; the judge reads it from
     // the tree), and stdout gets a compact line — headline queries +
     // anchors + the slowest breadth queries — sized well under the window.
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"sf1_anchor":$sf1Json,"extra":$extraJson}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"sf1_anchor":$sf1Json,"extra":$extraJson,"queries_reps":${repsJson(headlineReps)},"extra_reps":${repsJson(extraReps)}}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         fullJson.getBytes("UTF-8"))

@@ -130,6 +130,60 @@ object DedupIndex {
       meta.rowsPerBand, overwrite = false)
   }
 
+  /** Migrate a v1 (pre-epoch) index IN PLACE to the v2 layout, making
+    * it growable again: v1 stores grams as FLAT part files, which
+    * [[append]] refuses (an epoch dir beside flat files bricks
+    * partition discovery — see the require there). The migration is
+    * pure FILE MOVES — each flat gram part file renames into one new
+    * `grams/epoch=<uuid>` directory — so it costs namenode metadata
+    * ops, not a data rewrite, at any index size. The v2 meta
+    * (version, shingler identity, design threshold) is written LAST:
+    * every intermediate state is either still-v1 (meta untouched;
+    * append still refuses, probes of an untouched grams dir still
+    * work) or mid-move (re-running rebuildFrom completes it — the
+    * file moves are idempotent in aggregate, and a second epoch dir
+    * from a re-run is a normal multi-epoch layout).
+    *
+    * `shingler`/`designThreshold` become the index's persisted
+    * contract — a v1 index never recorded them, so the CALLER asserts
+    * what the index was built with. Passing the wrong shingler locks
+    * in the silently-zero-Jaccard failure mode the v2 meta exists to
+    * prevent; there is nothing stored to check it against. */
+  def rebuildFrom(spark: SparkSession, path: String,
+      shingler: Shingler = Shingler.word(3),
+      designThreshold: Double = 0.5): Unit = {
+    import spark.implicits._
+    val meta = readMeta(spark, path)
+    require(meta.version < 2,
+      s"index at $path is already v${meta.version} — nothing to migrate")
+    val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
+    val fs = gramsDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // the flat v1 part files: skip epoch=* dirs (a prior interrupted
+    // migration) and _SUCCESS/.-prefixed metadata, which Spark's path
+    // filter ignores wherever they sit
+    val flat = Option(fs.listStatus(gramsDir))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    if (flat.nonEmpty) {
+      val epochDir = new org.apache.hadoop.fs.Path(gramsDir,
+        s"epoch=${java.util.UUID.randomUUID().toString}")
+      fs.mkdirs(epochDir)
+      flat.foreach { st =>
+        val dest = new org.apache.hadoop.fs.Path(epochDir,
+          st.getPath.getName)
+        require(fs.rename(st.getPath, dest),
+          s"rebuildFrom: failed to move ${st.getPath} -> $dest")
+      }
+    }
+    Seq((MetaVersion, meta.bands, meta.rowsPerBand, shingler.id,
+        designThreshold))
+      .toDF("version", "bands", "rows_per_band", "shingler",
+        "design_threshold")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** Probe: near-dup pairs (id, batch_id, jaccard) between the indexed
     * corpus and `batch`, jaccard ≥ `threshold` — same candidate
     * generation + exact-verify contract as

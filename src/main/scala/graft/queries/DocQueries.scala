@@ -252,6 +252,39 @@ object DocQueries {
   private val kmeansAssignCtes: String =
     "WITH " + kmeansAssignBody("embeddings", 8)
 
+  /** All-pairs word-trigram Jaccard truth between the WHOLE indexed
+    * corpus (build half + append half) and the derived crawl batch —
+    * shared by q_dedup_index_probe (broadcast plan) and
+    * q_dedup_index_backfill (keyed plan): one truth, two physical
+    * dataflows against the same persisted index. */
+  private val dedupIndexProbeOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      |), batch AS (
+      |  SELECT doc_id + 300000 AS batch_id,
+      |    text || ' crawl extra tail' AS text
+      |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0
+      |), cg AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+      |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+      |    '\s+', ' ', 'g'), ' ') AS t FROM corpus) WHERE len(t) >= 3
+      |), bg AS (
+      |  SELECT batch_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+      |  FROM (SELECT batch_id, string_split(regexp_replace(lower(trim(text)),
+      |    '\s+', ' ', 'g'), ' ') AS t FROM batch) WHERE len(t) >= 3
+      |)
+      |SELECT c.doc_id AS id, b.batch_id,
+      |  floor(CAST(len(list_intersect(c.grams, b.grams)) AS DOUBLE) /
+      |    (len(c.grams) + len(b.grams) - len(list_intersect(c.grams, b.grams)))
+      |    * 1e6) / 1e6 AS jaccard
+      |FROM cg c JOIN bg b ON true
+      |WHERE CAST(len(list_intersect(c.grams, b.grams)) AS DOUBLE) /
+      |  (len(c.grams) + len(b.grams) - len(list_intersect(c.grams, b.grams)))
+      |  >= 0.5
+      |ORDER BY 1, 2""".stripMargin
+
   /** SQL twin of [[graft.operators.SemDedup.verdicts]] on the injected
     * corpus: the shared k-means assignment body (over the UNIONED
     * source — same seeding math as q_kmeans_iter/q_cluster_balance),
@@ -1303,6 +1336,43 @@ object DocQueries {
           .orderBy("id", "batch_id")
           .localCheckpoint()
       } finally deleteRecursively(new java.io.File(tmp))
+    }),
+
+    // ---- the SAME ingest cycle driven down the KEYED (backfill)
+    // probe plan: graft.dedupIndex.maxBroadcastBatch=1 forces every
+    // batch past the broadcast threshold, so the shuffle-join dataflow
+    // earns its own oracle row instead of riding a spec-pinned
+    // equality (the q_skew_join precedent) — probe() reads the conf
+    // and eagerly materializes before the finally resets it ----
+    "q_dedup_index_backfill" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      val docs = docsPar(s, d).select("doc_id", "text")
+        .where(col("text").isNotNull)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dedup_idx_bf_").toString
+      s.conf.set("graft.dedupIndex.maxBroadcastBatch", "1")
+      try {
+        DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", tmp, bands = 16, rowsPerBand = 2)
+        DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", tmp)
+        val batch = docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" crawl extra tail")).as("text"))
+        // NO outer localCheckpoint (unlike the broadcast twin): the
+        // keyed path already returns an eagerly-checkpointed frame, so
+        // the index tree can be deleted, and a second checkpoint would
+        // bury the inner one where Caches.releaseResult's leaf walk
+        // cannot free it (SoakSpec caught exactly that)
+        DedupIndex
+          .probe(s, tmp, batch, "doc_id", "text", threshold = 0.5)
+          .select(col("id"), col("batch_id"),
+            (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
+          .orderBy("id", "batch_id")
+      } finally {
+        s.conf.unset("graft.dedupIndex.maxBroadcastBatch")
+        deleteRecursively(new java.io.File(tmp))
+      }
     }),
 
     // ---- curriculum ordering (Bengio 2009): easy-to-hard difficulty
@@ -3973,33 +4043,11 @@ ORDER BY src_id"""
     // completeness at 0.5 is the q_minhash_pairs pinned property, and
     // Jaccard over murmur-hashed distinct grams equals Jaccard over
     // the grams themselves
-    "q_dedup_index_probe" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
-        |), batch AS (
-        |  SELECT doc_id + 300000 AS batch_id,
-        |    text || ' crawl extra tail' AS text
-        |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0
-        |), cg AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
-        |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
-        |    '\s+', ' ', 'g'), ' ') AS t FROM corpus) WHERE len(t) >= 3
-        |), bg AS (
-        |  SELECT batch_id, list_distinct(list_transform(range(1, len(t) - 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
-        |  FROM (SELECT batch_id, string_split(regexp_replace(lower(trim(text)),
-        |    '\s+', ' ', 'g'), ' ') AS t FROM batch) WHERE len(t) >= 3
-        |)
-        |SELECT c.doc_id AS id, b.batch_id,
-        |  floor(CAST(len(list_intersect(c.grams, b.grams)) AS DOUBLE) /
-        |    (len(c.grams) + len(b.grams) - len(list_intersect(c.grams, b.grams)))
-        |    * 1e6) / 1e6 AS jaccard
-        |FROM cg c JOIN bg b ON true
-        |WHERE CAST(len(list_intersect(c.grams, b.grams)) AS DOUBLE) /
-        |  (len(c.grams) + len(b.grams) - len(list_intersect(c.grams, b.grams)))
-        |  >= 0.5
-        |ORDER BY 1, 2""".stripMargin,
+    "q_dedup_index_probe" -> dedupIndexProbeOracle,
+
+    // the keyed (backfill) plan computes the SAME pairs from the same
+    // index — one truth, two physical dataflows
+    "q_dedup_index_backfill" -> dedupIndexProbeOracle,
 
     // same integer difficulty (prefScoreSql), same fixed-threshold
     // banding (integer //, both operands non-negative), same
@@ -4298,18 +4346,28 @@ ORDER BY src_id"""
         |  WHERE e.vec_id != q.query_id
         |), nrel AS (
         |  SELECT query_id, count(*) AS n_rel FROM t GROUP BY query_id
+        |), hitrows AS (
+        |  -- hit ordinal in (rank, id) order = cumulative hits at each
+        |  -- hit's rank, the precision@rank numerator MAP needs
+        |  SELECT r.query_id, r.id, r.rank,
+        |    row_number() OVER (PARTITION BY r.query_id
+        |      ORDER BY r.rank, r.id) AS cum
+        |  FROM r JOIN t USING (query_id, id)
         |), hits AS (
-        |  -- CAST the sum: DuckDB sum() promotes to HUGEINT
-        |  SELECT r.query_id, count(*) AS n_hits, min(r.rank) AS frst,
-        |    CAST(sum(($disc)[r.rank]) AS BIGINT) AS dcg_q
-        |  FROM r JOIN t USING (query_id, id) GROUP BY r.query_id
+        |  -- CAST the sums: DuckDB sum() promotes to HUGEINT
+        |  SELECT query_id, count(*) AS n_hits, min(rank) AS frst,
+        |    CAST(sum(($disc)[rank]) AS BIGINT) AS dcg_q,
+        |    CAST(sum(cum * 1000000 // rank) AS BIGINT) AS ap_num
+        |  FROM hitrows GROUP BY query_id
         |)
         |SELECT nrel.query_id, n_rel,
         |  coalesce(n_hits, 0) AS n_hits,
         |  coalesce(n_hits, 0) * 1000000 // n_rel AS recall_ppm,
         |  coalesce(CAST(1000000 AS BIGINT) // frst, 0) AS mrr_ppm,
         |  coalesce(dcg_q, 0) * 1000000
-        |    // ($ideal)[CAST(least(n_rel, 10) AS INT)] AS ndcg_ppm
+        |    // ($ideal)[CAST(least(n_rel, 10) AS INT)] AS ndcg_ppm,
+        |  coalesce(n_hits, 0) * 1000000 // 10 AS precision_ppm,
+        |  coalesce(ap_num, 0) // least(n_rel, 10) AS map_ppm
         |FROM nrel LEFT JOIN hits USING (query_id)
         |ORDER BY query_id""".stripMargin
     },

@@ -138,6 +138,53 @@ class DedupIndexSpec extends AnyFunSuite {
       "doc_id", "text", threshold = 0.99).count() == 10)
   }
 
+  test("rebuildFrom migrates a synthesized v1 index to the v2 epoch " +
+      "layout — append + probe green afterwards, pairs equal a fresh " +
+      "v2 build") {
+    import spark.implicits._
+    val path = tmp()
+    val fresh = tmp()
+    val half = docs.where(col("doc_id") % 2 === 0)
+    val rest = docs.where(col("doc_id") % 2 === 1)
+    // synthesize a TRUE v1 index: build v2, then flatten the grams
+    // epoch dir into flat part files and regress the meta schema
+    DedupIndex.build(half, "doc_id", "text", path)
+    val gramsRows = spark.read.parquet(s"$path/grams")
+      .select("id", "gram_hashes")
+    val flatTmp = tmp() + "/flatgrams"
+    gramsRows.write.parquet(flatTmp)
+    val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
+    val fs = gramsDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(gramsDir, true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(flatTmp), gramsDir))
+    Seq((8, 4)).toDF("bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // v1 state: append refuses, probe works
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(rest, "doc_id", "text", path)
+    }
+    // migrate, then grow: append the other half and probe
+    DedupIndex.rebuildFrom(spark, path, designThreshold = 0.5)
+    val m = spark.read.parquet(s"$path/meta").head()
+    assert(m.getAs[Int]("version") == DedupIndex.MetaVersion)
+    assert(m.getAs[String]("shingler") == "word-3")
+    assert(m.getAs[Double]("design_threshold") == 0.5)
+    DedupIndex.append(rest, "doc_id", "text", path)
+    DedupIndex.build(docs, "doc_id", "text", fresh)
+    def run(p: String) = DedupIndex.probe(spark, p, batch(),
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    val migrated = run(path)
+    assert(migrated.nonEmpty && migrated == run(fresh),
+      "migrated+appended index must probe exactly like a fresh build")
+    // idempotent re-entry: a v2 index refuses a second migration
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.rebuildFrom(spark, path)
+    }
+    assert(e.getMessage.contains("already"))
+  }
+
   test("probe fails fast below the index's banding design threshold") {
     val path = tmp()
     DedupIndex.build(docs.limit(10), "doc_id", "text", path,
