@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generation-evaluation metrics — the GENERATION leg of the eval
+  * family ([[Relevance.rankingMetrics]] is the retrieval leg): chrF
+  * (Popović 2015, "chrF: character n-gram F-score for automatic MT
+  * evaluation"), character error rate over the engines' native
+  * Levenshtein, and distinct-n diversity (Li et al. 2016, "A
+  * Diversity-Promoting Objective Function for Neural Conversation
+  * Models") — the scoring a synthetic-data / distillation pipeline
+  * runs over (hypothesis, reference) pairs and generated corpora.
+  *
+  * Reference scope: the reference engine has no generation-eval
+  * operator — this is part of the beyond-parity LLM-pipeline family.
+  *
+  * Engine-exact discipline: chrF is chosen over BLEU precisely
+  * because it is TRANSCENDENTAL-FREE — BLEU's geometric mean and
+  * brevity penalty need exp/ln, which no two engines round alike,
+  * while chrF's F-score is a rational function. Per-order precision
+  * and recall quantize to ppm integer divisions FIRST; the order
+  * average and the F-score are integer arithmetic over those
+  * quantized values, so no float ever accumulates across rows and
+  * the SQL oracle replays every metric bit-for-bit. CER rides
+  * `levenshtein`, the same plain unit-cost edit distance in Spark
+  * and DuckDB.
+  *
+  * Scale shape: every metric is one narrow per-row gram expansion
+  * (higher-order functions, no UDF) followed by keyed two-phase
+  * aggregation — pair-bounded or corpus-bounded work, no all-pairs
+  * stage anywhere.
+  */
+object EvalMetrics {
+
+  /** Multiset character n-grams of all orders 1..maxOrder as
+    * (n, g) structs — whitespace REMOVED first (Popović's chrF
+    * convention: spaces carry no content signal and double-count
+    * word boundaries). `sequence(1, greatest(len-n+1, 1))` keeps the
+    * sequence ascending for strings shorter than n (Spark steps DOWN
+    * when start > stop — the renderConversation lesson); the
+    * out-of-range probe gram that guard mints is dropped by the
+    * exact-length filter. */
+  private def charGrams(c: Column, maxOrder: Int): Column = {
+    val s = regexp_replace(c, "\\s+", "")
+    filter(
+      flatten(transform(sequence(lit(1), lit(maxOrder)), n =>
+        transform(sequence(lit(1), greatest(length(s) - n + 1, lit(1))),
+          i => struct(n.as("n"), s.substr(i, n).as("g"))))),
+      st => length(st("g")) === st("n"))
+  }
+
+  /** chrF per (hypothesis, reference) pair: character-n-gram
+    * precision/recall with MULTISET (clipped-count) matching per
+    * order 1..maxOrder, ppm-quantized per order, averaged over ALL
+    * maxOrder orders (orders where a side has no grams contribute 0
+    * — the short-string convention, documented rather than silently
+    * skipped), and the F_β score over the quantized averages:
+    *
+    *   chrf_ppm = (1+β²)·avgP·avgR div (β²·avgP + avgR)
+    *
+    * Pairs where NEITHER side yields a gram (both texts whitespace-
+    * only) emit all-zero metrics rather than vanishing — an eval
+    * harness must account for every pair it was given.
+    *
+    * Plan: BOTH sides' grams union into one side-tagged exploded
+    * frame (union is narrow) → ONE per-(id, n, gram) two-phase agg
+    * carrying both multiplicities (clipped match = least of the two —
+    * a gram absent from a side reads 0, so no join is needed at all)
+    * → per-(id, n) agg → per-id agg. Three keyed two-phase
+    * aggregations, zero joins on the gram path, pair-bounded work.
+    *
+    * @return (idCol, prec_ppm, rec_ppm, chrf_ppm) — one row per
+    *         input pair */
+  def chrF(pairs: DataFrame, idCol: String, hypCol: String,
+      refCol: String, maxOrder: Int = 6, beta2: Int = 4): DataFrame = {
+    require(maxOrder >= 1 && maxOrder <= 12,
+      s"maxOrder=$maxOrder outside [1, 12]")
+    require(beta2 >= 0, s"beta2=$beta2 must be >= 0")
+    val base = pairs.select(col(idCol).as("id"),
+      col(hypCol).as("h"), col(refCol).as("r"))
+    def side(c: Column, wh: Int, wr: Int) =
+      base.select(col("id"), lit(wh.toLong).as("wh"),
+        lit(wr.toLong).as("wr"), explode(charGrams(c, maxOrder)).as("s"))
+    val perOrder = side(col("h"), 1, 0)
+      .unionByName(side(col("r"), 0, 1))
+      .groupBy(col("id"), col("s.n").as("n"), col("s.g").as("g"))
+      .agg(sum("wh").as("ch"), sum("wr").as("cr"))
+      .groupBy("id", "n")
+      .agg(sum(least(col("ch"), col("cr"))).as("m"),
+        sum(col("ch")).as("ht"), sum(col("cr")).as("rt"))
+      .select(col("id"),
+        // explicit zero-denominator branches: ANSI div throws on /0,
+        // and a side can have zero grams of an order the other side
+        // has (hyp shorter than n, ref not)
+        when(col("ht") === 0, lit(0L))
+          .otherwise(expr("m * 1000000L div ht")).as("p"),
+        when(col("rt") === 0, lit(0L))
+          .otherwise(expr("m * 1000000L div rt")).as("q"))
+    base.select(col("id")).join(
+        perOrder.groupBy("id").agg(
+          expr(s"sum(p) div ${maxOrder}L").as("prec_ppm"),
+          expr(s"sum(q) div ${maxOrder}L").as("rec_ppm")),
+        Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("prec_ppm"), lit(0L)).as("prec_ppm"),
+        coalesce(col("rec_ppm"), lit(0L)).as("rec_ppm"))
+      .withColumn("chrf_ppm",
+        when(expr(s"${beta2}L * prec_ppm + rec_ppm") === 0, lit(0L))
+          .otherwise(expr(s"(${1 + beta2}L * prec_ppm * rec_ppm) div " +
+            s"(${beta2}L * prec_ppm + rec_ppm)")))
+  }
+
+  /** Character error rate per pair: native `levenshtein` (identical
+    * unit-cost edit distance in Spark and DuckDB — no UDF, no
+    * quantization question) over whitespace-NORMALIZED strings (runs
+    * collapsed to one space, ends trimmed: raw formatting differences
+    * are not transcription errors), against the reference length:
+    *
+    *   cer_ppm = lev(h, r)·10⁶ div len(r)
+    *
+    * Pairs with an empty/null normalized reference are NOT emitted —
+    * no denominator exists for them (the rankingMetrics n_rel
+    * convention). CER can exceed 10⁶ when the hypothesis is much
+    * longer than the reference; that is the metric's real behavior,
+    * not an error.
+    *
+    * @return (idCol, edit_dist, ref_chars, cer_ppm) */
+  def cer(pairs: DataFrame, idCol: String, hypCol: String,
+      refCol: String): DataFrame = {
+    def norm(c: Column) = regexp_replace(trim(c), "\\s+", " ")
+    pairs.select(col(idCol).as(idCol),
+        norm(col(hypCol)).as("_h"), norm(col(refCol)).as("_r"))
+      .where(col("_r").isNotNull && length(col("_r")) > 0 &&
+        col("_h").isNotNull)
+      .select(col(idCol),
+        levenshtein(col("_h"), col("_r")).cast("long").as("edit_dist"),
+        length(col("_r")).cast("long").as("ref_chars"))
+      .withColumn("cer_ppm", expr("edit_dist * 1000000L div ref_chars"))
+  }
+
+  /** Distinct-n diversity per group: distinct word n-grams over total
+    * word n-grams for each order — the mode-collapse detector for
+    * generated corpora (distinct-1/2 near 0 = the generator loops).
+    * Exact distinct via two-phase aggregation (the corpus-bounded agg
+    * a diversity audit needs to be exact at; HLL sketches live in
+    * [[Hll]] for the approximate path).
+    *
+    * @return (groupCol, n, total_ngrams, distinct_ngrams,
+    *         distinct_ppm) — one row per (group, order), groups with
+    *         zero n-grams of an order omitted (no denominator) */
+  def distinctN(docs: DataFrame, groupCol: String, textCol: String,
+      orders: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(orders.nonEmpty && orders.forall(n => n >= 1 && n <= 8),
+      s"orders $orders outside [1, 8]")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val grams = flatten(transform(
+      typedLit(orders.distinct.sorted), n =>
+        transform(
+          sequence(lit(1), greatest(size(toks) - n + 1, lit(1))),
+          i => struct(n.as("n"),
+            when(size(toks) - n + 1 >= i,
+              concat_ws(" ", slice(toks, i, n))).as("g")))))
+    docs.where(col(textCol).isNotNull)
+      .select(col(groupCol), explode(grams).as("s"))
+      .where(col("s.g").isNotNull)
+      .groupBy(col(groupCol), col("s.n").as("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("s.g")).as("distinct_ngrams"))
+      .withColumn("distinct_ppm",
+        expr("distinct_ngrams * 1000000L div total_ngrams"))
+  }
+}

@@ -47,6 +47,31 @@ object DocQueries {
   private def docsPar(s: SparkSession, d: String): DataFrame =
     graft.Tables.ensureParallelism(documents(s, d))
 
+  /** (hyp, ref) evaluation pairs for the generation-eval queries —
+    * two deterministic strata over the first 200 docs: even ids score
+    * the doc against ITSELF plus a generated tail (near-perfect
+    * pairs), odd ids against the NEXT doc's text (low-overlap cross
+    * pairs). [[evalPairsSql]] is the same derivation in DuckDB. */
+  private def evalPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = docsPar(s, d).select("doc_id", "text")
+      .where(col("text").isNotNull)
+    val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("nxt"))
+    docs.where(col("doc_id") < 200).join(nxt, Seq("doc_id"))
+      .select(col("doc_id"), col("text").as("hyp"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" generated tail")))
+          .otherwise(col("nxt")).as("ref"))
+  }
+
+  private val evalPairsSql: String =
+    """SELECT d1.doc_id, d1.text AS hyp,
+      |  CASE WHEN d1.doc_id % 2 = 0 THEN d1.text || ' generated tail'
+      |       ELSE d2.text END AS ref
+      |FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      |WHERE d1.text IS NOT NULL AND d2.text IS NOT NULL
+      |  AND d1.doc_id < 200""".stripMargin
+
   private def docsWithDups(s: SparkSession, d: String): DataFrame = {
     val docs = docsPar(s, d).select("doc_id", "text", "source")
     docs
@@ -1451,6 +1476,31 @@ object DocQueries {
       graft.operators.Relevance.rankingMetrics(ranked, truth,
           "query_id", "id", "rank", k = 10)
         .orderBy("query_id")
+    }),
+
+    // ---- generation-eval metrics: the GENERATION leg of the eval
+    // family beside q_ranking_metrics' retrieval leg. chrF is
+    // transcendental-free by construction (ppm-quantized per-order
+    // P/R BEFORE the order average and F-score — BLEU's exp/ln would
+    // never replay across engines); CER rides both engines' NATIVE
+    // levenshtein; distinct-n is the mode-collapse detector over the
+    // whole corpus. Pairs: evalPairs' two deterministic strata ----
+    "q_chrf" -> ((s, d) => {
+      graft.operators.EvalMetrics.chrF(evalPairs(s, d), "doc_id",
+          "hyp", "ref")
+        .orderBy("doc_id")
+    }),
+
+    "q_cer" -> ((s, d) => {
+      graft.operators.EvalMetrics.cer(evalPairs(s, d), "doc_id",
+          "hyp", "ref")
+        .orderBy("doc_id")
+    }),
+
+    "q_distinct_ngrams" -> ((s, d) => {
+      graft.operators.EvalMetrics.distinctN(docsPar(s, d),
+          "source", "text")
+        .orderBy("source", "n")
     }),
 
     "q_ann_cosine" -> ((s, d) => {
@@ -4370,6 +4420,91 @@ ORDER BY src_id"""
         |  coalesce(ap_num, 0) // least(n_rel, 10) AS map_ppm
         |FROM nrel LEFT JOIN hits USING (query_id)
         |ORDER BY query_id""".stripMargin
+    },
+
+    // chrF replay: the same multiset gram extraction per order 1..6
+    // (range bound exact, so no descending-sequence or short-gram
+    // edge exists), side-tagged counts off ONE union (a gram absent
+    // from a side reads 0 — no join), ppm quantization per order,
+    // integer order-average and F-score
+    "q_chrf" -> {
+      val sides = for {
+        n <- 1 to 6
+        (c, wh, wr) <- Seq(("hs", 1, 0), ("rs", 0, 1))
+      } yield
+        s"""SELECT doc_id, $n AS n,
+           |  unnest(list_transform(range(1, greatest(len($c) - ${n - 1}, 0) + 1),
+           |    i -> substr($c, i, $n))) AS g, $wh AS wh, $wr AS wr
+           |FROM p""".stripMargin
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    regexp_replace(hyp, '\\s+', '', 'g') AS hs,
+         |    regexp_replace(ref, '\\s+', '', 'g') AS rs
+         |  FROM ($evalPairsSql)
+         |), gr AS (
+         |${sides.mkString("\nUNION ALL\n")}
+         |), counts AS (
+         |  SELECT doc_id, n, g, CAST(sum(wh) AS BIGINT) AS ch,
+         |    CAST(sum(wr) AS BIGINT) AS cr
+         |  FROM gr GROUP BY 1, 2, 3
+         |), per_order AS (
+         |  SELECT doc_id, n, CAST(sum(least(ch, cr)) AS BIGINT) AS m,
+         |    CAST(sum(ch) AS BIGINT) AS ht, CAST(sum(cr) AS BIGINT) AS rt
+         |  FROM counts GROUP BY 1, 2
+         |), pq AS (
+         |  SELECT doc_id,
+         |    coalesce(m * 1000000 // nullif(ht, 0), 0) AS pr,
+         |    coalesce(m * 1000000 // nullif(rt, 0), 0) AS rc
+         |  FROM per_order
+         |), agg AS (
+         |  SELECT doc_id, CAST(sum(pr) // 6 AS BIGINT) AS prec_ppm,
+         |    CAST(sum(rc) // 6 AS BIGINT) AS rec_ppm
+         |  FROM pq GROUP BY 1
+         |)
+         |SELECT p.doc_id, coalesce(prec_ppm, 0) AS prec_ppm,
+         |  coalesce(rec_ppm, 0) AS rec_ppm,
+         |  coalesce((5 * prec_ppm * rec_ppm) //
+         |    nullif(4 * prec_ppm + rec_ppm, 0), 0) AS chrf_ppm
+         |FROM p LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // CER: both engines' levenshtein is the same plain unit-cost edit
+    // distance; whitespace normalized identically before comparing
+    "q_cer" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    regexp_replace(trim(hyp), '\\s+', ' ', 'g') AS h,
+         |    regexp_replace(trim(ref), '\\s+', ' ', 'g') AS r
+         |  FROM ($evalPairsSql)
+         |)
+         |SELECT doc_id, CAST(levenshtein(h, r) AS BIGINT) AS edit_dist,
+         |  CAST(length(r) AS BIGINT) AS ref_chars,
+         |  CAST(levenshtein(h, r) * 1000000 // length(r) AS BIGINT)
+         |    AS cer_ppm
+         |FROM p WHERE r IS NOT NULL AND length(r) > 0 AND h IS NOT NULL
+         |ORDER BY doc_id""".stripMargin,
+
+    // distinct-n: word n-grams per order off one token split, exact
+    // COUNT(DISTINCT) both sides
+    "q_distinct_ngrams" -> {
+      val sides = (1 to 3).map(n =>
+        s"""SELECT source, $n AS n,
+           |  unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+           |    i -> array_to_string(t[i:i+${n - 1}], ' '))) AS g
+           |FROM toks""".stripMargin)
+      s"""WITH toks AS (
+         |  SELECT source, list_filter(string_split_regex(lower(trim(text)),
+         |    '\\s+'), x -> len(x) > 0) AS t
+         |  FROM documents WHERE text IS NOT NULL
+         |), gr AS (
+         |${sides.mkString("\nUNION ALL\n")}
+         |)
+         |SELECT source, n, CAST(count(*) AS BIGINT) AS total_ngrams,
+         |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+         |  CAST(count(DISTINCT g) * 1000000 // count(*) AS BIGINT)
+         |    AS distinct_ppm
+         |FROM gr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     "q_ann_cosine" ->

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.EvalMetrics
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generation-eval metrics: hand-computed chrF fixtures (multiset
+  * clipping, the short-string order penalty, the both-empty zero row),
+  * CER against known edit distances, and distinct-n with the
+  * short-document guard. */
+class EvalMetricsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def runChrf(rows: Seq[(Long, String, String)], maxOrder: Int) = {
+    import spark.implicits._
+    EvalMetrics.chrF(rows.toDF("id", "hyp", "ref"), "id", "hyp", "ref",
+        maxOrder = maxOrder)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("prec_ppm"), r.getAs[Long]("rec_ppm"),
+          r.getAs[Long]("chrf_ppm"))).toMap
+  }
+
+  test("chrF: hand-computed multiset clipping at maxOrder=2") {
+    val got = runChrf(Seq(
+      // O1: both {a:2, b:2} -> P1=R1=10^6. O2: hyp {ab:2, ba:1},
+      // ref {ab:1, bb:1, ba:1} -> clipped m=2 of 3 -> 666666 both.
+      // avg 833333 both; F symmetric -> 833333.
+      (1L, "abab", "abba"),
+      // O1: m=2, ht=2, rt=3 -> P1=10^6, R1=666666. O2: hyp {aa:1},
+      // ref {aa:2} -> m=1 -> P2=10^6, R2=500000. avgP=10^6,
+      // avgR=583333; F = 5*1e6*583333 div (4*1e6+583333) = 636363.
+      (2L, "aa", "aaa"),
+      // whitespace stripped before gram extraction: identical to "ab"
+      // vs "ab" -> all 10^6
+      (3L, "a b", "ab")), maxOrder = 2)
+    assert(got(1L) == ((833333L, 833333L, 833333L)), got.toString)
+    assert(got(2L) == ((1000000L, 583333L, 636363L)), got.toString)
+    assert(got(3L) == ((1000000L, 1000000L, 1000000L)))
+  }
+
+  test("chrF: short strings are penalized for missing orders; a " +
+      "both-empty pair emits an all-zero row, not nothing") {
+    val got = runChrf(Seq(
+      // only order 1 exists; its perfect 10^6 averages over BOTH
+      // orders -> 500000, F(500000, 500000) = 500000
+      (1L, "a", "a"),
+      (2L, "", ""),
+      (3L, "   ", " ")), maxOrder = 2)
+    assert(got(1L) == ((500000L, 500000L, 500000L)), got.toString)
+    assert(got(2L) == ((0L, 0L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L)), "whitespace-only = empty")
+    assert(got.size == 3, "every input pair must be accounted for")
+  }
+
+  test("chrF: disjoint strings score 0; identical long strings score " +
+      "10^6 at the default order") {
+    val got = runChrf(Seq(
+      (1L, "aaaa", "bbbb"),
+      (2L, "the quick brown fox", "the quick brown fox")), maxOrder = 6)
+    assert(got(1L) == ((0L, 0L, 0L)))
+    assert(got(2L) == ((1000000L, 1000000L, 1000000L)))
+  }
+
+  test("cer: native levenshtein over whitespace-normalized strings; " +
+      "empty references are not emitted") {
+    import spark.implicits._
+    val got = EvalMetrics.cer(Seq(
+        (1L, "kitten", "sitting"),    // classic lev = 3, ref 7 chars
+        (2L, "a   b", "a b"),         // normalization: distance 0
+        (3L, "abc", ""),              // empty ref: dropped
+        (4L, null, "abc"),            // null hyp: dropped
+        (5L, "xyz", "ab"))            // CER > 10^6 is legal
+      .toDF("id", "hyp", "ref"), "id", "hyp", "ref")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("edit_dist"), r.getAs[Long]("cer_ppm"))).toMap
+    assert(got(1L) == ((3L, 3000000L / 7)), got.toString)
+    assert(got(2L) == ((0L, 0L)))
+    assert(!got.contains(3L) && !got.contains(4L))
+    assert(got(5L) == ((3L, 1500000L)))
+  }
+
+  test("distinct-n: hand-computed ratios; documents shorter than the " +
+      "order contribute no phantom n-grams") {
+    import spark.implicits._
+    val got = EvalMetrics.distinctN(Seq(
+        ("g", "a a b"), ("g", "a b"),
+        ("h", "x"))                    // 1 token: no 2/3-grams at all
+      .toDF("src", "text"), "src", "text")
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Int]("n")) ->
+        (r.getAs[Long]("total_ngrams"), r.getAs[Long]("distinct_ngrams"),
+          r.getAs[Long]("distinct_ppm"))).toMap
+    // g order 1: tokens a,a,b,a,b -> 5 total, 2 distinct
+    assert(got(("g", 1)) == ((5L, 2L, 400000L)), got.toString)
+    // g order 2: "a a","a b" + "a b" -> 3 total, 2 distinct
+    assert(got(("g", 2)) == ((3L, 2L, 666666L)))
+    // g order 3: only the first doc is long enough -> 1/1
+    assert(got(("g", 3)) == ((1L, 1L, 1000000L)))
+    assert(got(("h", 1)) == ((1L, 1L, 1000000L)))
+    assert(!got.contains(("h", 2)) && !got.contains(("h", 3)),
+      "no denominator -> no row (the cer empty-ref convention)")
+  }
+}
