@@ -59,12 +59,13 @@ object Verify {
     // The q_ann_ivf / q_ann_pq oracles replay centroids/codebooks PINNED
     // at the gate SF; at any other SF the Spark side retrains per-corpus
     // and the pinned replay would false-fail, so off-gate dumps fall back
-    // to rows-only for them.
+    // to rows-only for them. q_semdedup_planned pins the PLANNED k the
+    // same way (the Spark side recounts the corpus per-SF).
     val oracles =
       if (sfDir.stripSuffix("/").endsWith(graft.queries.IvfOracle.gateSfSuffix))
         SparkEntry.oracleSql
       else SparkEntry.oracleSql - "q_ann_ivf" - "q_ann_pq" -
-        "q_ann_ivfpq" - "q_ann_ivfpq_res"
+        "q_ann_ivfpq" - "q_ann_ivfpq_res" - "q_semdedup_planned"
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

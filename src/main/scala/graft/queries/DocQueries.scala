@@ -316,13 +316,24 @@ object DocQueries {
     * cluster-scoped quantized-cosine pairs, the q_embed_dedup
     * recursive min-label closure, then the keep-the-outlier pick
     * (lowest centroid cosine, ties to min id) as a window rank. */
-  private val semDedupOracle: String = {
+  private val semDedupOracle: String = semDedupOracleFor(8)
+
+  /** The q_semdedup_planned twin: k comes from the SAME Scala planner
+    * the Spark side calls — semdedupKFor over the gate-SF corpus
+    * count (500 embeddings + 25 injected copies = 525) — so a planner
+    * change re-generates the oracle with it. Valid at the gate SF
+    * only (the Spark side recounts per-corpus); Verify omits this
+    * oracle elsewhere, the q_ann_ivf pinning rule. */
+  private val semDedupPlannedOracle: String = semDedupOracleFor(
+    graft.operators.SemDedup.semdedupKFor(525L, targetCellRows = 64L))
+
+  private def semDedupOracleFor(k: Int): String = {
     val src =
       """(SELECT vec_id, embedding FROM embeddings
         |    UNION ALL
         |    SELECT vec_id + 100000 AS vec_id, embedding
         |    FROM embeddings WHERE vec_id % 20 = 0)""".stripMargin
-    "WITH RECURSIVE " + kmeansAssignBody(src, 8) +
+    "WITH RECURSIVE " + kmeansAssignBody(src, k) +
       s""", ev AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src e2
         |), asg AS (
@@ -2392,6 +2403,26 @@ object DocQueries {
           col("embedding")))
       graft.operators.SemDedup.verdicts(corpus, "vec_id", "embedding",
           k = 8, threshold = 0.99)
+        .orderBy("vec_id")
+    }),
+
+    // ---- SemDeDup under the PLANNED k (the q_bitext_planned
+    // convention applied to the r13 planner): k = semdedupKFor(n)
+    // from the corpus's REAL row count, so the cell budget — and with
+    // it the n²/k pair bound — scales with the corpus instead of
+    // being a hard-coded 8. Oracle k is generated by the SAME Scala
+    // planner at the gate count (Verify omits it at other SFs — the
+    // Spark side recounts per-corpus) ----
+    "q_semdedup_planned" -> ((s, d) => {
+      import graft.operators.SemDedup
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(e.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding")))
+      val k = SemDedup.semdedupKFor(corpus.count(),
+        targetCellRows = 64L)
+      SemDedup.verdicts(corpus, "vec_id", "embedding",
+          k = k, threshold = 0.99)
         .orderBy("vec_id")
     }),
 
@@ -5779,6 +5810,7 @@ ORDER BY src_id"""
     // cluster-scoped semantic dedup: assignment + pairs + closure +
     // keep pick all replayed (see semDedupOracle)
     "q_semdedup" -> semDedupOracle,
+    "q_semdedup_planned" -> semDedupPlannedOracle,
 
     "q_cluster_balance" -> (kmeansAssignCtes +
       """, r AS (
