@@ -63,17 +63,67 @@ object EvalMetrics {
     * only) emit all-zero metrics rather than vanishing — an eval
     * harness must account for every pair it was given.
     *
-    * Plan: BOTH sides' grams union into one side-tagged exploded
-    * frame (union is narrow) → ONE per-(id, n, gram) two-phase agg
-    * carrying both multiplicities (clipped match = least of the two —
-    * a gram absent from a side reads 0, so no join is needed at all)
-    * → per-(id, n) agg → per-id agg. Three keyed two-phase
-    * aggregations, zero joins on the gram path, pair-bounded work.
+    * Plan: a PURE NARROW PROJECTION — zero shuffles at any corpus
+    * size. The per-order clipped match count is the native codegen'd
+    * [[graft.plans.CharNgramMatchesExpression]] (sort + two-pointer
+    * over code-point n-grams, row-local), the totals are length
+    * arithmetic, and the order average + F-score are plain integer
+    * column expressions. chrF is per-pair arithmetic, so the
+    * alternative — exploding 6·len gram rows per side through a
+    * keyed aggregation only to reduce them straight back to one row
+    * per pair — moves the entire gram volume through an Exchange for
+    * nothing; that dataflow is kept as [[chrFViaAgg]], the
+    * bit-identity cross-check (the VectorExpressions native-vs-HOF
+    * convention).
     *
     * @return (idCol, prec_ppm, rec_ppm, chrf_ppm) — one row per
     *         input pair */
   def chrF(pairs: DataFrame, idCol: String, hypCol: String,
       refCol: String, maxOrder: Int = 6, beta2: Int = 4): DataFrame = {
+    require(maxOrder >= 1 && maxOrder <= 12,
+      s"maxOrder=$maxOrder outside [1, 12]")
+    require(beta2 >= 0, s"beta2=$beta2 must be >= 0")
+    graft.plans.GraftExtensions.register(pairs.sparkSession)
+    val base = pairs.select(col(idCol).as("id"),
+      regexp_replace(col(hypCol), "\\s+", "").as("_hs"),
+      regexp_replace(col(refCol), "\\s+", "").as("_rs"))
+    val withCounts = base.select(Seq(col("id")) ++
+      (1 to maxOrder).flatMap { n =>
+        Seq(
+          graft.plans.CharNgramMatchesExpression
+            .matchesNative(col("_hs"), col("_rs"), n).as(s"_m$n"),
+          greatest(length(col("_hs")) - (n - 1), lit(0)).cast("long")
+            .as(s"_ht$n"),
+          greatest(length(col("_rs")) - (n - 1), lit(0)).cast("long")
+            .as(s"_rt$n"))
+      }: _*)
+    def terms(tot: String) = (1 to maxOrder).map(n =>
+      s"(CASE WHEN $tot$n = 0 THEN 0L " +
+        s"ELSE _m$n * 1000000L div $tot$n END)").mkString(" + ")
+    withCounts.select(col("id").as(idCol),
+        // null texts yield null counts end to end -> all-zero metrics,
+        // the same row the agg form's left join + coalesce produces
+        coalesce(expr(s"(${terms("_ht")}) div ${maxOrder}L"), lit(0L))
+          .as("prec_ppm"),
+        coalesce(expr(s"(${terms("_rt")}) div ${maxOrder}L"), lit(0L))
+          .as("rec_ppm"))
+      .withColumn("chrf_ppm",
+        when(expr(s"${beta2}L * prec_ppm + rec_ppm") === 0, lit(0L))
+          .otherwise(expr(s"(${1 + beta2}L * prec_ppm * rec_ppm) div " +
+            s"(${beta2}L * prec_ppm + rec_ppm)")))
+  }
+
+  /** The exploded-aggregation chrF dataflow — kept as the
+    * bit-identity cross-check for [[chrF]]'s native kernel
+    * (EvalMetricsSpec pins equality on the corpus): BOTH sides'
+    * grams union into one side-tagged exploded frame (union is
+    * narrow) → ONE per-(id, n, gram) two-phase agg carrying both
+    * multiplicities (clipped match = least of the two — a gram
+    * absent from a side reads 0, so no join is needed at all) →
+    * per-(id, n) agg → per-id agg. */
+  private[graft] def chrFViaAgg(pairs: DataFrame, idCol: String,
+      hypCol: String, refCol: String, maxOrder: Int = 6,
+      beta2: Int = 4): DataFrame = {
     require(maxOrder >= 1 && maxOrder <= 12,
       s"maxOrder=$maxOrder outside [1, 12]")
     require(beta2 >= 0, s"beta2=$beta2 must be >= 0")

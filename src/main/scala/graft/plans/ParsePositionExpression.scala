@@ -103,6 +103,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.lshSignatureDescriptor)
     e.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
+    e.injectFunction(GraftExtensions.charNgramMatchesDescriptor)
   }
 }
 
@@ -167,6 +168,23 @@ object GraftExtensions {
         UnicodeNormalizeExpression(exprs(0), form)
       })
 
+  val charNgramMatchesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("char_ngram_matches"),
+      new ExpressionInfo(classOf[CharNgramMatchesExpression].getName,
+        "char_ngram_matches"),
+      (exprs: Seq[Expression]) => {
+        // the order is plan-time metadata, not data: require a literal
+        // (the unicode_normalize convention)
+        val n = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "char_ngram_matches(hyp, ref, n): n must be an int literal")
+        }
+        CharNgramMatchesExpression(exprs(0), exprs(1), n)
+      })
+
   /** Register into an already-built session (builder extensions only apply
     * to sessions constructed with `withExtensions`; `getOrCreate` on an
     * existing session ignores them). */
@@ -176,7 +194,7 @@ object GraftExtensions {
       .sessionState.functionRegistry
     Seq(parsePositionDescriptor, pointInPolygonDescriptor,
         vecCosineDescriptor, vecDotDescriptor, lshSignatureDescriptor,
-        unicodeNormalizeDescriptor).foreach {
+        unicodeNormalizeDescriptor, charNgramMatchesDescriptor).foreach {
       case (id, info, builder) => registry.registerFunction(id, info, builder)
     }
   }

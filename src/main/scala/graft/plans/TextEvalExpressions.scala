@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `char_ngram_matches(hyp, ref, n)`: the clipped (multiset) count of
+  * shared character n-grams between two strings — the per-order
+  * numerator of chrF — as ONE native codegen'd expression.
+  *
+  * Why an expression and not the union-agg dataflow
+  * ([[graft.operators.EvalMetrics.chrFViaAgg]] keeps that form as the
+  * cross-check): chrF is per-PAIR arithmetic, so shuffling every gram
+  * to a (pair, order, gram) aggregation moves 6·len rows per side per
+  * pair through an Exchange only to reduce them straight back to one
+  * row. This kernel does the same reduction row-locally — build both
+  * gram arrays, sort, two-pointer count of pairwise equal elements
+  * (= Σ_g min(count_h(g), count_r(g)) on sorted multisets) — turning
+  * the whole metric into a narrow projection: zero shuffles at any
+  * corpus size. O(L log L) per row per order, L = string length.
+  *
+  * Exactness contract: grams come from `UTF8String.substringSQL`, the
+  * SAME code-point-based substring the Column `substr` the agg form
+  * explodes uses (and DuckDB's substr in the oracle), so all three
+  * produce identical gram multisets on any Unicode input — not just
+  * ASCII. EvalMetricsSpec pins native == agg bit-equality on the
+  * corpus.
+  */
+case class CharNgramMatchesExpression(left: Expression,
+    right: Expression, n: Int) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if n >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"char_ngram_matches expects (string, string) with literal " +
+          s"n >= 1, got (${left.dataType.sql}, ${right.dataType.sql}), " +
+          s"n=$n")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CharNgramMatchesExpression.matches(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cls = CharNgramMatchesExpression.getClass.getName
+      .stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = $cls.matches($a, $b, $n);"
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CharNgramMatchesExpression {
+
+  /** Sorted-multiset two-pointer intersection over code-point n-grams.
+    * `substringSQL` is 1-based and code-point-exact — the same gram
+    * boundaries as Column.substr / DuckDB substr. */
+  def matches(a: UTF8String, b: UTF8String, n: Int): Long = {
+    val an = a.numChars() - n + 1
+    val bn = b.numChars() - n + 1
+    if (an <= 0 || bn <= 0) return 0L
+    val xs = new Array[UTF8String](an)
+    var i = 0
+    while (i < an) { xs(i) = a.substringSQL(i + 1, n); i += 1 }
+    val ys = new Array[UTF8String](bn)
+    i = 0
+    while (i < bn) { ys(i) = b.substringSQL(i + 1, n); i += 1 }
+    java.util.Arrays.sort(xs.asInstanceOf[Array[Object]])
+    java.util.Arrays.sort(ys.asInstanceOf[Array[Object]])
+    var j = 0
+    var k = 0
+    var c = 0L
+    while (j < an && k < bn) {
+      val cmp = xs(j).compareTo(ys(k))
+      if (cmp < 0) j += 1
+      else if (cmp > 0) k += 1
+      else { c += 1; j += 1; k += 1 }
+    }
+    c
+  }
+
+  /** Column form via the registered SQL function
+    * (see [[GraftExtensions]]). */
+  def matchesNative(hyp: Column, ref: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("char_ngram_matches",
+      hyp, ref, org.apache.spark.sql.functions.lit(n))
+}

@@ -60,6 +60,38 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(got(2L) == ((1000000L, 1000000L, 1000000L)))
   }
 
+  test("chrF: the zero-shuffle native kernel equals the exploded-agg " +
+      "dataflow bit-for-bit on corpus-derived pairs (incl. multi-byte " +
+      "code points)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .where(col("text").isNotNull).limit(120)
+    val pairs = docs.select(col("doc_id"), col("text").as("hyp"))
+      .join(docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ref")), Seq("doc_id"))
+      // splice in multi-byte content: numChars/substringSQL vs the
+      // Column substr must agree on code points, not bytes
+      .unionByName(Seq(
+        (900001L, "héllo wörld déjà", "héllo wörld vu déjà"),
+        (900002L, "日本語のテキスト", "日本語テキスト"),
+        (900003L, "abc😀def", "abc😀xef"))
+        .toDF("doc_id", "hyp", "ref"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val native = EvalMetrics.chrF(pairs, "doc_id", "hyp", "ref")
+    val viaAgg = EvalMetrics.chrFViaAgg(pairs, "doc_id", "hyp", "ref")
+    assert(canon(native) == canon(viaAgg))
+    // and the metric itself adds NO shuffle on top of its input: over
+    // a join-free source the whole plan is exchange-free (the pairs
+    // frame above contains a join of its own, so assert on a literal)
+    val lit = Seq((1L, "ab", "ba")).toDF("doc_id", "hyp", "ref")
+    val plan = EvalMetrics.chrF(lit, "doc_id", "hyp", "ref")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"native chrF must be shuffle-free:\n$plan")
+  }
+
   test("cer: native levenshtein over whitespace-normalized strings; " +
       "empty references are not emitted") {
     import spark.implicits._

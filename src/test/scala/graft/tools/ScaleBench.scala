@@ -41,7 +41,12 @@ object ScaleBench {
       "q_bitext_banded", "q_bitext_planned", "q_dpo_pairs", "q_mmr",
       "q_bt_rank",
       "q_label_prop", "q_kanon", "q_kanon_rows", "q_dedup_index_probe",
-      "q_curriculum", "q_cluster_balance", "q_semdedup"))
+      "q_curriculum", "q_cluster_balance", "q_semdedup",
+      // r13 additions: the planned-k semdedup recounts the scaled
+      // corpus (k grows 10x), distinct-n is corpus-proportional,
+      // chrF/CER are pair-bounded (the 200-pair stratum is fixed —
+      // flat ratios expected, the q_ranking_metrics shape)
+      "q_semdedup_planned", "q_chrf", "q_cer", "q_distinct_ngrams"))
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"
