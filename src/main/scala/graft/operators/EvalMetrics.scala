@@ -161,6 +161,49 @@ object EvalMetrics {
             s"(${beta2}L * prec_ppm + rec_ppm)")))
   }
 
+  /** SQuAD-style token F1 per (hypothesis, reference) pair: clipped
+    * multiset overlap of lowercased whitespace tokens (the span-answer
+    * scoring every QA / distillation eval reports beside exact match):
+    *
+    *   prec_ppm = m·10⁶ div |hyp|; rec_ppm = m·10⁶ div |ref|;
+    *   f1_ppm   = 2·P·R div (P + R)
+    *
+    * where m = Σ_t min(count_hyp(t), count_ref(t)) — the native
+    * row-local [[graft.plans.ArrayClippedMatchesExpression]] kernel,
+    * so the whole metric is a zero-shuffle narrow projection (the
+    * [[chrF]] argument at token grain). Normalization is lowercase +
+    * whitespace split, documented rather than SQuAD's English-specific
+    * article stripping (language-neutral corpora). A side with zero
+    * tokens contributes zero P/R (and F1 0); every input pair emits a
+    * row.
+    *
+    * @return (idCol, n_match, n_hyp, n_ref, prec_ppm, rec_ppm,
+    *         f1_ppm) */
+  def tokenF1(pairs: DataFrame, idCol: String, hypCol: String,
+      refCol: String): DataFrame = {
+    graft.plans.GraftExtensions.register(pairs.sparkSession)
+    def toks(c: Column) =
+      filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+    pairs.select(col(idCol).as(idCol),
+        toks(col(hypCol)).as("_ht"), toks(col(refCol)).as("_rt"))
+      .select(col(idCol),
+        coalesce(graft.plans.ArrayClippedMatchesExpression
+          .matchesNative(col("_ht"), col("_rt")), lit(0L)).as("n_match"),
+        coalesce(size(col("_ht")).cast("long"), lit(0L)).as("n_hyp"),
+        coalesce(size(col("_rt")).cast("long"), lit(0L)).as("n_ref"))
+      .select(col(idCol), col("n_match"),
+        greatest(col("n_hyp"), lit(0L)).as("n_hyp"),
+        greatest(col("n_ref"), lit(0L)).as("n_ref"))
+      .withColumn("prec_ppm", when(col("n_hyp") === 0, lit(0L))
+        .otherwise(expr("n_match * 1000000L div n_hyp")))
+      .withColumn("rec_ppm", when(col("n_ref") === 0, lit(0L))
+        .otherwise(expr("n_match * 1000000L div n_ref")))
+      .withColumn("f1_ppm",
+        when(expr("prec_ppm + rec_ppm") === 0, lit(0L))
+          .otherwise(expr(
+            "2L * prec_ppm * rec_ppm div (prec_ppm + rec_ppm)")))
+  }
+
   /** Character error rate per pair: native `levenshtein` (identical
     * unit-cost edit distance in Spark and DuckDB — no UDF, no
     * quantization question) over whitespace-NORMALIZED strings (runs

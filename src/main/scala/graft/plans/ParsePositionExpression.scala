@@ -104,6 +104,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.lshSignatureDescriptor)
     e.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
     e.injectFunction(GraftExtensions.charNgramMatchesDescriptor)
+    e.injectFunction(GraftExtensions.arrayClippedMatchesDescriptor)
   }
 }
 
@@ -185,6 +186,14 @@ object GraftExtensions {
         CharNgramMatchesExpression(exprs(0), exprs(1), n)
       })
 
+  val arrayClippedMatchesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("array_clipped_matches"),
+      new ExpressionInfo(classOf[ArrayClippedMatchesExpression].getName,
+        "array_clipped_matches"),
+      (exprs: Seq[Expression]) =>
+        ArrayClippedMatchesExpression(exprs(0), exprs(1)))
+
   /** Register into an already-built session (builder extensions only apply
     * to sessions constructed with `withExtensions`; `getOrCreate` on an
     * existing session ignores them). */
@@ -194,7 +203,8 @@ object GraftExtensions {
       .sessionState.functionRegistry
     Seq(parsePositionDescriptor, pointInPolygonDescriptor,
         vecCosineDescriptor, vecDotDescriptor, lshSignatureDescriptor,
-        unicodeNormalizeDescriptor, charNgramMatchesDescriptor).foreach {
+        unicodeNormalizeDescriptor, charNgramMatchesDescriptor,
+        arrayClippedMatchesDescriptor).foreach {
       case (id, info, builder) => registry.registerFunction(id, info, builder)
     }
   }

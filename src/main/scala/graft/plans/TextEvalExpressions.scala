@@ -98,3 +98,85 @@ object CharNgramMatchesExpression {
     org.apache.spark.sql.functions.call_function("char_ngram_matches",
       hyp, ref, org.apache.spark.sql.functions.lit(n))
 }
+
+/** `array_clipped_matches(a, b)`: clipped multiset intersection size
+  * of two string arrays — [[CharNgramMatchesExpression]]'s kernel at
+  * TOKEN grain (the SQuAD-style token-F1 numerator in
+  * [[graft.operators.EvalMetrics.tokenF1]]): sort both arrays,
+  * two-pointer count of pairwise equal elements = Σ_t min(count_a(t),
+  * count_b(t)). Row-local O(L log L); null ELEMENTS are skipped (a
+  * null token matches nothing), null ARRAYS propagate null. */
+case class ArrayClippedMatchesExpression(left: Expression,
+    right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(StringType, _),
+          org.apache.spark.sql.types.ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"array_clipped_matches expects (array<string>, " +
+          s"array<string>), got (${left.dataType.sql}, " +
+          s"${right.dataType.sql})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayClippedMatchesExpression.matches(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cls = ArrayClippedMatchesExpression.getClass.getName
+      .stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = $cls.matches($a, $b);"
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayClippedMatchesExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def matches(a: ArrayData, b: ArrayData): Long = {
+    val xs = nonNullSorted(a)
+    val ys = nonNullSorted(b)
+    var j = 0
+    var k = 0
+    var c = 0L
+    while (j < xs.length && k < ys.length) {
+      val cmp = xs(j).compareTo(ys(k))
+      if (cmp < 0) j += 1
+      else if (cmp > 0) k += 1
+      else { c += 1; j += 1; k += 1 }
+    }
+    c
+  }
+
+  private def nonNullSorted(a: ArrayData): Array[UTF8String] = {
+    val n = a.numElements()
+    val out = new Array[UTF8String](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) { out(m) = a.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    val trimmed = if (m == n) out else java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(trimmed.asInstanceOf[Array[Object]])
+    trimmed
+  }
+
+  /** Column form via the registered SQL function
+    * (see [[GraftExtensions]]). */
+  def matchesNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "array_clipped_matches", a, b)
+}

@@ -1514,6 +1514,15 @@ object DocQueries {
         .orderBy("source", "n")
     }),
 
+    // ---- SQuAD-style token F1 (the QA/distillation span score):
+    // clipped token overlap via the native row-local kernel — the
+    // chrF zero-shuffle argument at token grain ----
+    "q_token_f1" -> ((s, d) => {
+      graft.operators.EvalMetrics.tokenF1(evalPairs(s, d), "doc_id",
+          "hyp", "ref")
+        .orderBy("doc_id")
+    }),
+
     "q_ann_cosine" -> ((s, d) => {
       val emb = embeddings(s, d)
       val queries = emb.where(col("vec_id") < 5)
@@ -4499,6 +4508,48 @@ ORDER BY src_id"""
          |FROM p LEFT JOIN agg USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // token F1: the clipped-overlap replay at token grain — the
+    // side-tagged union-count shape proves the native two-pointer
+    // kernel against a fully relational computation
+    "q_token_f1" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(hyp)), '\\s+'),
+         |      x -> len(x) > 0) AS ht,
+         |    list_filter(string_split_regex(lower(trim(ref)), '\\s+'),
+         |      x -> len(x) > 0) AS rt
+         |  FROM ($evalPairsSql)
+         |), gr AS (
+         |  SELECT doc_id, unnest(ht) AS t, 1 AS wh, 0 AS wr FROM p
+         |  UNION ALL
+         |  SELECT doc_id, unnest(rt) AS t, 0 AS wh, 1 AS wr FROM p
+         |), counts AS (
+         |  SELECT doc_id, t, CAST(sum(wh) AS BIGINT) AS ch,
+         |    CAST(sum(wr) AS BIGINT) AS cr
+         |  FROM gr GROUP BY 1, 2
+         |), m AS (
+         |  SELECT doc_id, CAST(sum(least(ch, cr)) AS BIGINT) AS n_match
+         |  FROM counts GROUP BY 1
+         |), pr AS (
+         |  SELECT p.doc_id, coalesce(n_match, 0) AS n_match,
+         |    CAST(len(ht) AS BIGINT) AS n_hyp,
+         |    CAST(len(rt) AS BIGINT) AS n_ref,
+         |    CASE WHEN len(ht) = 0 THEN 0
+         |      ELSE coalesce(n_match, 0) * 1000000 // len(ht) END
+         |      AS prec_ppm,
+         |    CASE WHEN len(rt) = 0 THEN 0
+         |      ELSE coalesce(n_match, 0) * 1000000 // len(rt) END
+         |      AS rec_ppm
+         |  FROM p LEFT JOIN m USING (doc_id)
+         |)
+         |SELECT doc_id, n_match, n_hyp, n_ref,
+         |  CAST(prec_ppm AS BIGINT) AS prec_ppm,
+         |  CAST(rec_ppm AS BIGINT) AS rec_ppm,
+         |  CAST(CASE WHEN prec_ppm + rec_ppm = 0 THEN 0
+         |    ELSE 2 * prec_ppm * rec_ppm // (prec_ppm + rec_ppm) END
+         |    AS BIGINT) AS f1_ppm
+         |FROM pr ORDER BY doc_id""".stripMargin,
 
     // CER: both engines' levenshtein is the same plain unit-cost edit
     // distance; whitespace normalized identically before comparing

@@ -92,6 +92,29 @@ class EvalMetricsSpec extends AnyFunSuite {
       s"native chrF must be shuffle-free:\n$plan")
   }
 
+  test("tokenF1: hand-computed clipped token overlap; zero-token " +
+      "sides score 0 and still emit a row") {
+    import spark.implicits._
+    val got = EvalMetrics.tokenF1(Seq(
+        // hyp {a:2, b, c} vs ref {a:2, b, d}: m = 3 of 4/4 ->
+        // P = R = 750000, F1 = 750000
+        (1L, "a b a c", "a a b d"),
+        // case + whitespace normalization: identical after lowering
+        (2L, "The  Cat", "the cat"),
+        (3L, "x y", ""),          // empty ref: P irrelevant, R/F1 0
+        (4L, "", ""),             // both empty: all zero, row kept
+        (5L, "a", "b")).toDF("id", "hyp", "ref"), "id", "hyp", "ref")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_match"), r.getAs[Long]("prec_ppm"),
+          r.getAs[Long]("rec_ppm"), r.getAs[Long]("f1_ppm"))).toMap
+    assert(got(1L) == ((3L, 750000L, 750000L, 750000L)), got.toString)
+    assert(got(2L) == ((2L, 1000000L, 1000000L, 1000000L)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L, 0L)))
+    assert(got(5L) == ((0L, 0L, 0L, 0L)))
+    assert(got.size == 5)
+  }
+
   test("cer: native levenshtein over whitespace-normalized strings; " +
       "empty references are not emitted") {
     import spark.implicits._
