@@ -204,6 +204,71 @@ object EvalMetrics {
             "2L * prec_ppm * rec_ppm div (prec_ppm + rec_ppm)")))
   }
 
+  /** Sentence BLEU in LOG space per pair (Papineni 2002), micro-
+    * quantized: token n-gram clipped precisions for orders 1..maxOrder
+    * with +1 smoothing (Lin & Och 2004 applied to every order — no
+    * ln(0) exists), averaged over the EFFECTIVE orders (those where
+    * the hypothesis has any n-gram — a 3-token hypothesis is not
+    * graded on 4-grams), plus the log brevity penalty:
+    *
+    *   log_bleu = min(0, 1 − r/c) + (Σ_{eff n} ln((m_n+1)/(t_n+1)))
+    *              / eff
+    *
+    * emitted as floor(log_bleu·10⁶). A perfect pair scores exactly 0;
+    * more negative = worse. LOG space is deliberate: exp() never runs,
+    * so the only transcendental is ln over identical IEEE doubles in
+    * both engines — the proven q_tfidf / q_ccnet_bands floor(ln·10⁶)
+    * discipline; exp would stack a second rounding layer on top.
+    *
+    * Pairs where either side has zero tokens are NOT emitted (no
+    * n-gram precision exists — the [[cer]] empty-ref convention).
+    * Same zero-shuffle narrow-projection shape as [[chrF]]/[[tokenF1]]
+    * (the clipped counts are the native array kernel over in-row
+    * n-gram arrays).
+    *
+    * @return (idCol, n_hyp, n_ref, log_bleu_micro) */
+  def logBleu(pairs: DataFrame, idCol: String, hypCol: String,
+      refCol: String, maxOrder: Int = 4): DataFrame = {
+    require(maxOrder >= 1 && maxOrder <= 8,
+      s"maxOrder=$maxOrder outside [1, 8]")
+    graft.plans.GraftExtensions.register(pairs.sparkSession)
+    def toks(c: Column) =
+      filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+    def grams(c: Column, n: Int) =
+      if (n == 1) c
+      else filter(
+        transform(sequence(lit(1), greatest(size(c) - (n - 1), lit(1))),
+          i => when(size(c) - (n - 1) >= i,
+            concat_ws(" ", slice(c, i, lit(n))))),
+        g => g.isNotNull)
+    val base = pairs.select(col(idCol).as("id"),
+        toks(col(hypCol)).as("_ht"), toks(col(refCol)).as("_rt"))
+      .where(size(col("_ht")) > 0 && size(col("_rt")) > 0)
+    val withCounts = base.select(Seq(col("id"),
+      size(col("_ht")).cast("long").as("n_hyp"),
+      size(col("_rt")).cast("long").as("n_ref")) ++
+      (1 to maxOrder).flatMap { n =>
+        Seq(
+          graft.plans.ArrayClippedMatchesExpression.matchesNative(
+            grams(col("_ht"), n), grams(col("_rt"), n)).as(s"_m$n"),
+          greatest(size(col("_ht")) - (n - 1), lit(0)).cast("long")
+            .as(s"_t$n"))
+      }: _*)
+    // ln terms and the effective-order count as ONE expression tree:
+    // identical association order in Spark and DuckDB, so the double
+    // arithmetic replays exactly
+    val lnSum = (1 to maxOrder).map(n =>
+      s"(CASE WHEN _t$n > 0 THEN " +
+        s"ln(CAST(_m$n + 1L AS DOUBLE) / CAST(_t$n + 1L AS DOUBLE)) " +
+        s"ELSE 0.0D END)").mkString(" + ")
+    val eff = (1 to maxOrder).map(n =>
+      s"(CASE WHEN _t$n > 0 THEN 1L ELSE 0L END)").mkString(" + ")
+    withCounts.select(col("id").as(idCol), col("n_hyp"), col("n_ref"),
+      expr(s"CAST(floor((least(0.0D, 1.0D - CAST(n_ref AS DOUBLE) / " +
+        s"CAST(n_hyp AS DOUBLE)) + ($lnSum) / CAST(($eff) AS DOUBLE))" +
+        s" * 1000000.0D) AS BIGINT)").as("log_bleu_micro"))
+  }
+
   /** Character error rate per pair: native `levenshtein` (identical
     * unit-cost edit distance in Spark and DuckDB — no UDF, no
     * quantization question) over whitespace-NORMALIZED strings (runs

@@ -1523,6 +1523,17 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- sentence BLEU in LOG space (+1-smoothed, effective-order
+    // mean, log brevity penalty): exp() never runs — ln over
+    // identical IEEE doubles is the proven q_tfidf/q_ccnet floor(ln)
+    // discipline, and one transcendental layer is the exactness
+    // budget ----
+    "q_log_bleu" -> ((s, d) => {
+      graft.operators.EvalMetrics.logBleu(evalPairs(s, d), "doc_id",
+          "hyp", "ref")
+        .orderBy("doc_id")
+    }),
+
     "q_ann_cosine" -> ((s, d) => {
       val emb = embeddings(s, d)
       val queries = emb.where(col("vec_id") < 5)
@@ -4550,6 +4561,67 @@ ORDER BY src_id"""
          |    ELSE 2 * prec_ppm * rec_ppm // (prec_ppm + rec_ppm) END
          |    AS BIGINT) AS f1_ppm
          |FROM pr ORDER BY doc_id""".stripMargin,
+
+    // log-BLEU: token n-gram clipped counts per order via the chrF
+    // union-count shape, then the SAME double expression tree (ln of
+    // identical IEEE ratios, same association order) — one
+    // transcendental layer, no exp
+    "q_log_bleu" -> {
+      val orders = 1 to 4
+      val sides = for {
+        n <- orders
+        (c, wh, wr) <- Seq(("ht", 1, 0), ("rt", 0, 1))
+      } yield
+        s"""SELECT doc_id, $n AS n,
+           |  unnest(list_transform(range(1, greatest(len($c) - ${n - 1}, 0) + 1),
+           |    i -> array_to_string($c[i:i+${n - 1}], ' '))) AS g,
+           |  $wh AS wh, $wr AS wr
+           |FROM p""".stripMargin
+      val lnSum = orders.map(n =>
+        s"(CASE WHEN t$n > 0 THEN " +
+          s"ln(CAST(m$n + 1 AS DOUBLE) / CAST(t$n + 1 AS DOUBLE)) " +
+          s"ELSE 0.0 END)").mkString(" + ")
+      val eff = orders.map(n =>
+        s"(CASE WHEN t$n > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      val mCols = orders.map(n =>
+        s"coalesce(max(CASE WHEN n = $n THEN m END), 0) AS m$n")
+        .mkString(",\n    ")
+      val tCols = orders.map(n =>
+        s"greatest(max(n_hyp) - ${n - 1}, 0) AS t$n")
+        .mkString(",\n    ")
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(hyp)), '\\s+'),
+         |      x -> len(x) > 0) AS ht,
+         |    list_filter(string_split_regex(lower(trim(ref)), '\\s+'),
+         |      x -> len(x) > 0) AS rt
+         |  FROM ($evalPairsSql)
+         |), sized AS (
+         |  SELECT doc_id, len(ht) AS n_hyp, len(rt) AS n_ref FROM p
+         |  WHERE len(ht) > 0 AND len(rt) > 0
+         |), gr AS (
+         |${sides.mkString("\nUNION ALL\n")}
+         |), counts AS (
+         |  SELECT doc_id, n, g, CAST(sum(wh) AS BIGINT) AS ch,
+         |    CAST(sum(wr) AS BIGINT) AS cr
+         |  FROM gr GROUP BY 1, 2, 3
+         |), perorder AS (
+         |  SELECT doc_id, n, CAST(sum(least(ch, cr)) AS BIGINT) AS m
+         |  FROM counts GROUP BY 1, 2
+         |), wide AS (
+         |  SELECT s.doc_id, CAST(max(n_hyp) AS BIGINT) AS n_hyp,
+         |    CAST(max(n_ref) AS BIGINT) AS n_ref,
+         |    $mCols,
+         |    $tCols
+         |  FROM sized s LEFT JOIN perorder o USING (doc_id)
+         |  GROUP BY s.doc_id
+         |)
+         |SELECT doc_id, n_hyp, n_ref,
+         |  CAST(floor((least(0.0, 1.0 - CAST(n_ref AS DOUBLE) /
+         |    CAST(n_hyp AS DOUBLE)) + ($lnSum) / CAST(($eff) AS DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS log_bleu_micro
+         |FROM wide ORDER BY doc_id""".stripMargin
+    },
 
     // CER: both engines' levenshtein is the same plain unit-cost edit
     // distance; whitespace normalized identically before comparing

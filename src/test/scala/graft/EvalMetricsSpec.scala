@@ -133,6 +133,31 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(got(5L) == ((3L, 1500000L)))
   }
 
+  test("logBleu: perfect pair scores exactly 0; brevity penalty, +1 " +
+      "smoothing, and effective-order averaging replay the JVM " +
+      "arithmetic; zero-token pairs are not emitted") {
+    import spark.implicits._
+    val got = EvalMetrics.logBleu(Seq(
+        (1L, "a b c d", "a b c d"),   // perfect: every p_n = 1, BP 0
+        (2L, "a b c", "a b c d"),     // all precisions 1, short: BP only
+        (3L, "a b", "x y"),           // disjoint: smoothed p1/p2
+        (4L, "", "a b"))              // empty hyp: dropped
+      .toDF("id", "hyp", "ref"), "id", "hyp", "ref")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("log_bleu_micro")).toMap
+    assert(got(1L) == 0L, got.toString)
+    // hyp 3 toks vs ref 4: eff orders 1..3 all at p=1 (m_n = t_n, so
+    // (m+1)/(t+1) = 1), ln-sum 0 -> score = floor((1 - 4/3) * 1e6)
+    val bp2 = math.floor(
+      math.min(0.0, 1.0 - 4.0 / 3.0) * 1e6).toLong
+    assert(got(2L) == bp2 && bp2 == -333334L, got.toString)
+    // disjoint 2-token pair: p1 = 1/3, p2 = 1/2, eff = 2, BP 0
+    val exp3 = math.floor(
+      ((math.log(1.0 / 3.0) + math.log(2.0 / 4.0)) / 2.0) * 1e6).toLong
+    assert(got(3L) == exp3, s"got ${got(3L)}, want $exp3")
+    assert(!got.contains(4L))
+  }
+
   test("distinct-n: hand-computed ratios; documents shorter than the " +
       "order contribute no phantom n-grams") {
     import spark.implicits._
