@@ -46,7 +46,8 @@ object ScaleBench {
       // corpus (k grows 10x), distinct-n is corpus-proportional,
       // chrF/CER are pair-bounded (the 200-pair stratum is fixed —
       // flat ratios expected, the q_ranking_metrics shape)
-      "q_semdedup_planned", "q_chrf", "q_cer", "q_distinct_ngrams"))
+      "q_semdedup_planned", "q_chrf", "q_cer", "q_distinct_ngrams",
+      "q_token_f1", "q_log_bleu"))
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"
