@@ -193,7 +193,7 @@ object Bench {
       "q_pack_shards", "q_hash_split", "q_decontaminate", "q_asof",
       "q_quantile_bins", "q_ann_lsh", "q_multimodal_features",
       "q_chunk_docs", "q_repetition", "q_pii", "q_curation_funnel",
-      "q_heavy_hitters", "q_simhash_pairs", "q_bm25", "q_ranking_metrics", "q_mixture",
+      "q_heavy_hitters", "q_simhash_pairs", "q_bm25", "q_ranking_metrics", "q_ranking_metrics_at", "q_mixture",
       "q_chrf", "q_cer", "q_distinct_ngrams", "q_token_f1", "q_log_bleu",
       "q_grouping_sets", "q_percentiles", "q_ngram_span_dedup",
       "q_embed_quantize", "q_dedup_clusters", "q_gap_fill", "q_merge",

@@ -306,4 +306,74 @@ object Relevance {
       .select("query_id", "n_rel", "n_hits", "recall_ppm", "mrr_ppm",
         "ndcg_ppm", "precision_ppm", "map_ppm")
   }
+
+  /** [[rankingMetrics]] at SEVERAL cutoffs in one pass — the @1/@5/@10
+    * table every retrieval eval reports, without re-joining the truth
+    * per cutoff: ONE truth join and ONE hit-ordinal window at max(ks),
+    * then each hit fans out to the cutoffs it sits inside (explode of
+    * a literal array — candidate-sized × |ks|) and the same per-query
+    * aggregation groups by (query, k). The hit ordinal needs computing
+    * only once because a hit's cumulative position among hits with
+    * rank ≤ k is independent of k (every predecessor has a smaller
+    * rank, hence also ≤ k).
+    *
+    * Per-(query, k) rows replay in SQL as the single-k oracle cross-
+    * joined with the cutoff list. Same rank∈[1, max k] in-plan guard
+    * and ppm discipline as the single-cutoff form.
+    *
+    * @return (query_id, k, n_rel, n_hits, recall_ppm, mrr_ppm,
+    *         ndcg_ppm, precision_ppm, map_ppm) — one row per
+    *         (relevant-truth query) × cutoff */
+  def rankingMetricsAt(results: DataFrame, truth: DataFrame,
+      queryCol: String, idCol: String, rankCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"cutoffs $ks must be non-empty, all >= 1")
+    require(ks.distinct.size == ks.size, s"duplicate cutoffs in $ks")
+    import org.apache.spark.sql.expressions.Window
+    val maxK = ks.max
+    val discounts = typedLit(dcgDiscounts(maxK))
+    val idealPrefix = typedLit(dcgIdealPrefix(maxK))
+    val kList = typedLit(ks.sorted)
+    val r = results.select(col(queryCol).as("query_id"),
+      col(idCol).as("id"),
+      when(col(rankCol) >= 1, col(rankCol).cast("int"))
+        .otherwise(raise_error(concat(
+          lit("rankingMetricsAt: rank must be >= 1, got "),
+          col(rankCol).cast("string"))).cast("int")).as("rank"))
+      .where(col("rank") <= maxK)
+      .groupBy("query_id", "id").agg(min("rank").as("rank"))
+    val t = truth.select(col(queryCol).as("query_id"),
+      col(idCol).as("id")).dropDuplicates("query_id", "id")
+    val nRel = t.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+      .select(col("query_id"), col("n_rel"),
+        explode(kList).as("k"))
+    val hitW = Window.partitionBy("query_id").orderBy("rank", "id")
+    val perQK = r.join(t, Seq("query_id", "id"))
+      .withColumn("_cum", row_number().over(hitW).cast("long"))
+      .select(col("query_id"), col("rank"), col("_cum"),
+        explode(kList).as("k"))
+      .where(col("rank") <= col("k"))
+      .groupBy("query_id", "k")
+      .agg(count(lit(1)).as("n_hits"),
+        min("rank").as("_first"),
+        sum(element_at(discounts, col("rank"))).as("_dcg"),
+        sum(expr("_cum * 1000000L div rank")).as("_ap_num"))
+    nRel.join(perQK, Seq("query_id", "k"), "left")
+      .select(col("query_id"), col("k"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(expr("1000000L div _first"), lit(0L)).as("mrr_ppm"),
+        coalesce(col("_dcg"), lit(0L)).as("_dcg"),
+        coalesce(col("_ap_num"), lit(0L)).as("_ap_num"),
+        element_at(idealPrefix,
+          least(col("n_rel"), col("k").cast("long")).cast("int"))
+          .as("_idcg"))
+      .withColumn("recall_ppm", expr("n_hits * 1000000L div n_rel"))
+      .withColumn("ndcg_ppm", expr("_dcg * 1000000L div _idcg"))
+      .withColumn("precision_ppm", expr("n_hits * 1000000L div k"))
+      .withColumn("map_ppm",
+        expr("_ap_num div least(n_rel, CAST(k AS BIGINT))"))
+      .select("query_id", "k", "n_rel", "n_hits", "recall_ppm",
+        "mrr_ppm", "ndcg_ppm", "precision_ppm", "map_ppm")
+  }
 }

@@ -1489,6 +1489,25 @@ object DocQueries {
         .orderBy("query_id")
     }),
 
+    // ---- the multi-cutoff @1/@5/@10 table off ONE truth join + ONE
+    // hit-ordinal window (hit ordinals are k-independent: every
+    // predecessor of an in-window hit is also in-window) ----
+    "q_ranking_metrics_at" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      val ranked = SimilaritySearch.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "vec_id", k = 10)
+      val truth = queries
+        .select(col("vec_id").as("query_id"), col("label").as("_ql"))
+        .join(emb.select(col("vec_id").as("id"), col("label")),
+          col("label") === col("_ql"))
+        .where(col("id") =!= col("query_id"))
+        .select("query_id", "id")
+      graft.operators.Relevance.rankingMetricsAt(ranked, truth,
+          "query_id", "id", "rank", ks = Seq(1, 5, 10))
+        .orderBy("query_id", "k")
+    }),
+
     // ---- generation-eval metrics: the GENERATION leg of the eval
     // family beside q_ranking_metrics' retrieval leg. chrF is
     // transcendental-free by construction (ppm-quantized per-order
@@ -4471,6 +4490,66 @@ ORDER BY src_id"""
         |  coalesce(ap_num, 0) // least(n_rel, 10) AS map_ppm
         |FROM nrel LEFT JOIN hits USING (query_id)
         |ORDER BY query_id""".stripMargin
+    },
+
+    // the multi-cutoff replay: the single-k CTE chain cross-joined
+    // with the cutoff list; hit ordinals computed once at max(k)
+    "q_ranking_metrics_at" -> {
+      val disc = graft.operators.Relevance.dcgDiscounts(10)
+        .mkString("[", ", ", "]")
+      val ideal = graft.operators.Relevance.dcgIdealPrefix(10)
+        .mkString("[", ", ", "]")
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |    label AS ql
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |      AS cosine
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id != q.query_id
+        |), ranked AS (
+        |  SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, id) AS rank
+        |  FROM scored
+        |), r AS (
+        |  SELECT query_id, id, CAST(rank AS INT) AS rank
+        |  FROM ranked WHERE rank <= 10
+        |), t AS (
+        |  SELECT q.query_id, e.vec_id AS id
+        |  FROM embeddings e JOIN q ON e.label = q.ql
+        |  WHERE e.vec_id != q.query_id
+        |), nrel AS (
+        |  SELECT query_id, count(*) AS n_rel FROM t GROUP BY query_id
+        |), ks(k) AS (VALUES (1), (5), (10)),
+        |hitrows AS (
+        |  SELECT r.query_id, r.id, r.rank,
+        |    row_number() OVER (PARTITION BY r.query_id
+        |      ORDER BY r.rank, r.id) AS cum
+        |  FROM r JOIN t USING (query_id, id)
+        |), hits AS (
+        |  SELECT h.query_id, ks.k, count(*) AS n_hits,
+        |    min(h.rank) AS frst,
+        |    CAST(sum(($disc)[h.rank]) AS BIGINT) AS dcg_q,
+        |    CAST(sum(h.cum * 1000000 // h.rank) AS BIGINT) AS ap_num
+        |  FROM hitrows h CROSS JOIN ks WHERE h.rank <= ks.k
+        |  GROUP BY 1, 2
+        |), base AS (
+        |  SELECT nrel.query_id, ks.k, n_rel FROM nrel CROSS JOIN ks
+        |)
+        |SELECT base.query_id, base.k, n_rel,
+        |  coalesce(n_hits, 0) AS n_hits,
+        |  coalesce(n_hits, 0) * 1000000 // n_rel AS recall_ppm,
+        |  coalesce(CAST(1000000 AS BIGINT) // frst, 0) AS mrr_ppm,
+        |  coalesce(dcg_q, 0) * 1000000
+        |    // ($ideal)[CAST(least(n_rel, base.k) AS INT)] AS ndcg_ppm,
+        |  coalesce(n_hits, 0) * 1000000 // base.k AS precision_ppm,
+        |  coalesce(ap_num, 0) // least(n_rel, base.k) AS map_ppm
+        |FROM base LEFT JOIN hits
+        |  ON hits.query_id = base.query_id AND hits.k = base.k
+        |ORDER BY base.query_id, base.k""".stripMargin
     },
 
     // chrF replay: the same multiset gram extraction per order 1..6

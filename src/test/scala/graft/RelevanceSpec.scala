@@ -143,6 +143,40 @@ class RelevanceSpec extends AnyFunSuite {
       1000000L)))
   }
 
+  test("rankingMetricsAt: the multi-cutoff pass equals the single-k " +
+      "operator at every cutoff; hand-checked @1 slice") {
+    import spark.implicits._
+    val results = Seq(
+      (1L, "a", 1), (1L, "x", 2), (1L, "b", 3),
+      (2L, "m", 1), (2L, "n", 2), (2L, "o", 3),
+      (3L, "p", 1), (3L, "q", 2))
+      .toDF("qid", "id", "rank")
+    val truth = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "z"), (3L, "p"), (3L, "q")).toDF("qid", "id")
+    val at = Relevance.rankingMetricsAt(results, truth,
+      "qid", "id", "rank", ks = Seq(1, 3))
+    // each k-slice must equal the single-cutoff operator verbatim
+    Seq(1, 3).foreach { k =>
+      val slice = at.where(col("k") === k).drop("k")
+        .collect().map(_.toString).sorted.toSeq
+      val single = Relevance.rankingMetrics(results, truth,
+          "qid", "id", "rank", k = k)
+        .collect().map(_.toString).sorted.toSeq
+      assert(slice == single, s"k=$k slice diverges")
+    }
+    // hand-checked @1: q1 takes its rank-1 hit of 4 relevant
+    val q1at1 = at.where(col("k") === 1 && col("query_id") === 1L)
+      .collect().head
+    assert(q1at1.getAs[Long]("n_hits") == 1L &&
+      q1at1.getAs[Long]("recall_ppm") == 250000L &&
+      q1at1.getAs[Long]("mrr_ppm") == 1000000L &&
+      q1at1.getAs[Long]("ndcg_ppm") == 1000000L &&
+      q1at1.getAs[Long]("precision_ppm") == 1000000L &&
+      q1at1.getAs[Long]("map_ppm") == 1000000L, q1at1.toString)
+    // zero-hit queries are emitted at every cutoff
+    assert(at.where(col("query_id") === 2L).count() == 2)
+  }
+
   test("rankingMetrics: a rank outside [1, k] FAILS the job instead " +
       "of indexing the discount table from the end (r12 advice)") {
     import spark.implicits._
