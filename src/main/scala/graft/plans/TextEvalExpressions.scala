@@ -66,30 +66,55 @@ case class CharNgramMatchesExpression(left: Expression,
 object CharNgramMatchesExpression {
 
   /** Sorted-multiset two-pointer intersection over code-point n-grams.
-    * `substringSQL` is 1-based and code-point-exact — the same gram
-    * boundaries as Column.substr / DuckDB substr. */
+    * Gram boundaries are code-point-exact — identical values to
+    * `substringSQL` (and so to Column.substr / DuckDB substr), but
+    * computed from ONE offset-indexing pass per string: substringSQL
+    * walks from byte 0 on every call, which would make gram
+    * extraction O(L²) per row on long multi-byte documents — the
+    * silent hot-spot class a 100 TB corpus always finds. */
   def matches(a: UTF8String, b: UTF8String, n: Int): Long = {
-    val an = a.numChars() - n + 1
-    val bn = b.numChars() - n + 1
-    if (an <= 0 || bn <= 0) return 0L
-    val xs = new Array[UTF8String](an)
-    var i = 0
-    while (i < an) { xs(i) = a.substringSQL(i + 1, n); i += 1 }
-    val ys = new Array[UTF8String](bn)
-    i = 0
-    while (i < bn) { ys(i) = b.substringSQL(i + 1, n); i += 1 }
+    val xs = grams(a, n)
+    val ys = grams(b, n)
+    if (xs.length == 0 || ys.length == 0) return 0L
     java.util.Arrays.sort(xs.asInstanceOf[Array[Object]])
     java.util.Arrays.sort(ys.asInstanceOf[Array[Object]])
     var j = 0
     var k = 0
     var c = 0L
-    while (j < an && k < bn) {
+    while (j < xs.length && k < ys.length) {
       val cmp = xs(j).compareTo(ys(k))
       if (cmp < 0) j += 1
       else if (cmp > 0) k += 1
       else { c += 1; j += 1; k += 1 }
     }
     c
+  }
+
+  /** All code-point n-grams of `s` via one offset-indexing pass:
+    * byte start offsets of every code point first (numBytesForFirstByte
+    * is the same stride substringSQL steps by), then each gram is one
+    * bounded byte copy. O(L) offset work + O(n·L) gram bytes total. */
+  private def grams(s: UTF8String, n: Int): Array[UTF8String] = {
+    val bytes = s.getBytes
+    val L = s.numChars()
+    val cnt = L - n + 1
+    if (cnt <= 0) return Array.empty
+    val offs = new Array[Int](L + 1)
+    var i = 0
+    var off = 0
+    while (i < L) {
+      offs(i) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      i += 1
+    }
+    offs(L) = off
+    val out = new Array[UTF8String](cnt)
+    i = 0
+    while (i < cnt) {
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+      i += 1
+    }
+    out
   }
 
   /** Column form via the registered SQL function
