@@ -185,6 +185,52 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already"))
   }
 
+  test("rebuildFrom completes an INTERRUPTED migration on re-run: a " +
+      "crash that moved only some flat files leaves a state the next " +
+      "run finishes (second epoch dir = normal multi-epoch layout)") {
+    import spark.implicits._
+    val path = tmp()
+    val fresh = tmp()
+    DedupIndex.build(docs, "doc_id", "text", path)
+    // flatten to v1 (same synthesis as the happy-path test)
+    val flatTmp = tmp() + "/flatgrams"
+    // 2 part files, so the "crash" can strand one moved + one flat
+    spark.read.parquet(s"$path/grams").select("id", "gram_hashes")
+      .repartition(2).write.parquet(flatTmp)
+    val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
+    val fs = gramsDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(gramsDir, true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(flatTmp), gramsDir))
+    Seq((8, 4)).toDF("bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // simulate the crash: move ONE flat part file into an epoch dir
+    // by hand (as rebuildFrom would), leave the rest flat, meta v1
+    val flat = fs.listStatus(gramsDir).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith("."))
+    assert(flat.length >= 2,
+      "fixture needs >= 2 flat part files to interrupt between")
+    val crashedEpoch = new org.apache.hadoop.fs.Path(gramsDir,
+      "epoch=crashed-run")
+    fs.mkdirs(crashedEpoch)
+    assert(fs.rename(flat.head.getPath,
+      new org.apache.hadoop.fs.Path(crashedEpoch,
+        flat.head.getPath.getName)))
+    // re-run: moves the REMAINING flat files, writes meta v2
+    DedupIndex.rebuildFrom(spark, path)
+    assert(spark.read.parquet(s"$path/meta").head()
+      .getAs[Int]("version") == DedupIndex.MetaVersion)
+    DedupIndex.build(docs, "doc_id", "text", fresh)
+    def run(p: String) = DedupIndex.probe(spark, p, batch(),
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    val recovered = run(path)
+    assert(recovered.nonEmpty && recovered == run(fresh),
+      "the recovered two-epoch index must probe exactly like a fresh " +
+        "build")
+  }
+
   test("probe fails fast below the index's banding design threshold") {
     val path = tmp()
     DedupIndex.build(docs.limit(10), "doc_id", "text", path,
