@@ -33,6 +33,17 @@ import org.apache.spark.sql.functions._
   */
 object EvalMetrics {
 
+  /** The groupAdvantages/kAnonymize collision convention: an id or
+    * group column named like one of the metric's OUTPUT columns would
+    * either be silently shadowed or raise a confusing duplicate-name
+    * AnalysisException deep in the plan — fail fast with the actual
+    * contract instead. */
+  private def requireNoCollision(role: String, name: String,
+      outputs: Seq[String]): Unit =
+    require(!outputs.contains(name),
+      s"$role column '$name' collides with an output column " +
+        s"(${outputs.mkString(", ")}) of this metric — rename it first")
+
   /** Multiset character n-grams of all orders 1..maxOrder as
     * (n, g) structs — whitespace REMOVED first (Popović's chrF
     * convention: spaces carry no content signal and double-count
@@ -83,6 +94,8 @@ object EvalMetrics {
     require(maxOrder >= 1 && maxOrder <= 12,
       s"maxOrder=$maxOrder outside [1, 12]")
     require(beta2 >= 0, s"beta2=$beta2 must be >= 0")
+    requireNoCollision("id", idCol,
+      Seq("prec_ppm", "rec_ppm", "chrf_ppm"))
     graft.plans.GraftExtensions.register(pairs.sparkSession)
     val base = pairs.select(col(idCol).as("id"),
       regexp_replace(col(hypCol), "\\s+", "").as("_hs"),
@@ -181,6 +194,8 @@ object EvalMetrics {
     *         f1_ppm) */
   def tokenF1(pairs: DataFrame, idCol: String, hypCol: String,
       refCol: String): DataFrame = {
+    requireNoCollision("id", idCol, Seq("n_match", "n_hyp", "n_ref",
+      "prec_ppm", "rec_ppm", "f1_ppm"))
     graft.plans.GraftExtensions.register(pairs.sparkSession)
     def toks(c: Column) =
       filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
@@ -231,6 +246,8 @@ object EvalMetrics {
       refCol: String, maxOrder: Int = 4): DataFrame = {
     require(maxOrder >= 1 && maxOrder <= 8,
       s"maxOrder=$maxOrder outside [1, 8]")
+    requireNoCollision("id", idCol,
+      Seq("n_hyp", "n_ref", "log_bleu_micro"))
     graft.plans.GraftExtensions.register(pairs.sparkSession)
     def toks(c: Column) =
       filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
@@ -286,6 +303,8 @@ object EvalMetrics {
     * @return (idCol, edit_dist, ref_chars, cer_ppm) */
   def cer(pairs: DataFrame, idCol: String, hypCol: String,
       refCol: String): DataFrame = {
+    requireNoCollision("id", idCol,
+      Seq("edit_dist", "ref_chars", "cer_ppm"))
     def norm(c: Column) = regexp_replace(trim(c), "\\s+", " ")
     pairs.select(col(idCol).as(idCol),
         norm(col(hypCol)).as("_h"), norm(col(refCol)).as("_r"))
@@ -311,6 +330,8 @@ object EvalMetrics {
       orders: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     require(orders.nonEmpty && orders.forall(n => n >= 1 && n <= 8),
       s"orders $orders outside [1, 8]")
+    requireNoCollision("group", groupCol, Seq("n", "total_ngrams",
+      "distinct_ngrams", "distinct_ppm"))
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
       t => length(t) > 0)
     val grams = flatten(transform(

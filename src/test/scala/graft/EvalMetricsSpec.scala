@@ -158,6 +158,37 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("id/group columns named like a metric's outputs fail fast " +
+      "(the groupAdvantages collision convention)") {
+    import spark.implicits._
+    val pairs = Seq((1L, "a", "a")).toDF("f1_ppm", "hyp", "ref")
+    val e1 = intercept[IllegalArgumentException] {
+      EvalMetrics.tokenF1(pairs, "f1_ppm", "hyp", "ref")
+    }
+    assert(e1.getMessage.contains("collides"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      EvalMetrics.chrF(Seq((1L, "a", "a"))
+        .toDF("chrf_ppm", "hyp", "ref"), "chrf_ppm", "hyp", "ref")
+    }
+    assert(e2.getMessage.contains("collides"))
+    val e3 = intercept[IllegalArgumentException] {
+      EvalMetrics.cer(Seq((1L, "a", "a"))
+        .toDF("cer_ppm", "hyp", "ref"), "cer_ppm", "hyp", "ref")
+    }
+    assert(e3.getMessage.contains("collides"))
+    val e4 = intercept[IllegalArgumentException] {
+      EvalMetrics.logBleu(Seq((1L, "a", "a"))
+        .toDF("log_bleu_micro", "hyp", "ref"), "log_bleu_micro",
+        "hyp", "ref")
+    }
+    assert(e4.getMessage.contains("collides"))
+    val e5 = intercept[IllegalArgumentException] {
+      EvalMetrics.distinctN(Seq(("g", "a"))
+        .toDF("distinct_ppm", "text"), "distinct_ppm", "text")
+    }
+    assert(e5.getMessage.contains("collides"))
+  }
+
   test("distinct-n: hand-computed ratios; documents shorter than the " +
       "order contribute no phantom n-grams") {
     import spark.implicits._
