@@ -158,6 +158,29 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("the zero-shuffle metrics run UNCHANGED over a stream (narrow " +
+      "projections need no state, no watermark, no output-mode care)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "a b a c", "a a b d"), (2L, "x", "x"),
+      (3L, "q w e", "q w"))
+    val input = MemoryStream[(Long, String, String)]
+    val q = EvalMetrics.tokenF1(
+        input.toDS().toDF("id", "hyp", "ref"), "id", "hyp", "ref")
+      .writeStream.format("memory").queryName("f1_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(2): _*); q.processAllAvailable()
+      input.addData(rows.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(spark.table("f1_stream")) ==
+      canon(EvalMetrics.tokenF1(rows.toDF("id", "hyp", "ref"),
+        "id", "hyp", "ref")))
+  }
+
   test("id/group columns named like a metric's outputs fail fast " +
       "(the groupAdvantages collision convention)") {
     import spark.implicits._
