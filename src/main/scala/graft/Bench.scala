@@ -67,18 +67,21 @@ object Bench {
         throughputAnchors(s, sfDir)
       } finally s.stop()
     }
-    def reps(xs: Seq[Double]): String =
-      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    val derived =
-      if (anchorRuns.isEmpty) "{}"
+    // ONE anchor-JSON builder for both payloads (derived + sf1):
+    // per-metric min over the runs, every raw rep recorded
+    def anchorJson(runs: Seq[AnchorTimes]): String =
+      if (runs.isEmpty) "{}"
       else {
-        val rows = anchorRuns.head.rows
-        val nCsv = anchorRuns.head.ingestRows
-        val tSec = anchorRuns.map(_.transformSec).min
-        val cSec = anchorRuns.map(_.cpdSec).min
-        val iSec = anchorRuns.map(_.ingestSec).min
-        f"""{"rows":$rows,"transform_sec":$tSec%.3f,"transform_rows_per_s":${rows / tSec}%.0f,"features_cpd_sec":$cSec%.3f,"features_cpd_rows_per_s":${rows / cSec}%.0f,"ingest_rows":$nCsv,"ingest_sec":$iSec%.3f,"ingest_rows_per_s":${nCsv / iSec}%.0f,"transform_reps":${reps(anchorRuns.map(_.transformSec))},"features_cpd_reps":${reps(anchorRuns.map(_.cpdSec))},"ingest_reps":${reps(anchorRuns.map(_.ingestSec))}}"""
+        def reps(xs: Seq[Double]): String =
+          xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+        val rows = runs.head.rows
+        val nCsv = runs.head.ingestRows
+        val tSec = runs.map(_.transformSec).min
+        val cSec = runs.map(_.cpdSec).min
+        val iSec = runs.map(_.ingestSec).min
+        f"""{"rows":$rows,"transform_sec":$tSec%.3f,"transform_rows_per_s":${rows / tSec}%.0f,"features_cpd_sec":$cSec%.3f,"features_cpd_rows_per_s":${rows / cSec}%.0f,"ingest_rows":$nCsv,"ingest_sec":$iSec%.3f,"ingest_rows_per_s":${nCsv / iSec}%.0f,"transform_reps":${reps(runs.map(_.transformSec))},"features_cpd_reps":${reps(runs.map(_.cpdSec))},"ingest_reps":${reps(runs.map(_.ingestSec))}}"""
       }
+    val derived = anchorJson(anchorRuns)
 
     // sf1 anchor (r10 verdict #3): BASELINE.md's measured reference
     // artifacts are for 8.8 M telemetry rows, but the 5-rep anchors above
@@ -103,16 +106,7 @@ object Bench {
           throughputAnchors(s, sfDir, rep = 100)
         } finally s.stop()
       }
-    val sf1Json =
-      if (sf1Runs.isEmpty) "{}"
-      else {
-        val rows = sf1Runs.head.rows
-        val nCsv = sf1Runs.head.ingestRows
-        val tSec = sf1Runs.map(_.transformSec).min
-        val cSec = sf1Runs.map(_.cpdSec).min
-        val iSec = sf1Runs.map(_.ingestSec).min
-        f"""{"rows":$rows,"transform_sec":$tSec%.3f,"transform_rows_per_s":${rows / tSec}%.0f,"features_cpd_sec":$cSec%.3f,"features_cpd_rows_per_s":${rows / cSec}%.0f,"ingest_rows":$nCsv,"ingest_sec":$iSec%.3f,"ingest_rows_per_s":${nCsv / iSec}%.0f,"transform_reps":${reps(sf1Runs.map(_.transformSec))},"features_cpd_reps":${reps(sf1Runs.map(_.cpdSec))},"ingest_reps":${reps(sf1Runs.map(_.ingestSec))}}"""
-      }
+    val sf1Json = anchorJson(sf1Runs)
 
     val spark = newSession()
     val qs = SparkEntry.queries

@@ -148,17 +148,49 @@ object DedupIndex {
     * contract — a v1 index never recorded them, so the CALLER asserts
     * what the index was built with. Passing the wrong shingler locks
     * in the silently-zero-Jaccard failure mode the v2 meta exists to
-    * prevent; there is nothing stored to check it against. */
+    * prevent; there is nothing stored to check it against.
+    *
+    * The meta rewrite itself follows the writeTables stage-then-swap
+    * discipline: the v2 meta is fully written to a `meta_staging-*`
+    * dir FIRST, then the old meta deletes and the stage renames into
+    * place. A crash in the only unsafe window (between delete and
+    * rename) leaves no meta but a completed stage — the next
+    * rebuildFrom call detects exactly that state and finishes the
+    * swap before anything else, so "re-run completes it" holds for
+    * every crash point, not just the file moves. */
   def rebuildFrom(spark: SparkSession, path: String,
       shingler: Shingler = Shingler.word(3),
       designThreshold: Double = 0.5): Unit = {
     import spark.implicits._
-    val meta = readMeta(spark, path)
-    require(meta.version < 2,
-      s"index at $path is already v${meta.version} — nothing to migrate")
     val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
     val fs = gramsDir.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val staged = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$path/meta_staging-*")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+    if (!fs.exists(metaDir)) {
+      // a prior run crashed between meta delete and rename: the only
+      // state with no meta dir. Complete the swap (a stage is only
+      // ever COMPLETE at that point — the delete happens strictly
+      // after the staging write returns) and the index is v2.
+      val complete = staged.filter(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      require(complete.nonEmpty,
+        s"index at $path has no meta and no completed meta stage — " +
+          "not a crashed rebuildFrom; restore the meta before probing")
+      require(fs.rename(complete.head.getPath, metaDir),
+        s"rebuildFrom: failed to finish the crashed meta swap at $path")
+      staged.diff(complete.take(1))
+        .foreach(s => fs.delete(s.getPath, true))
+      return
+    }
+    // stale partial stages from a crash DURING a staging write are
+    // invisible to readers (meta still present) — clear them
+    staged.foreach(s => fs.delete(s.getPath, true))
+    val meta = readMeta(spark, path)
+    require(meta.version < 2,
+      s"index at $path is already v${meta.version} — nothing to migrate")
     // the flat v1 part files: skip epoch=* dirs (a prior interrupted
     // migration) and _SUCCESS/.-prefixed metadata, which Spark's path
     // filter ignores wherever they sit
@@ -177,11 +209,16 @@ object DedupIndex {
           s"rebuildFrom: failed to move ${st.getPath} -> $dest")
       }
     }
+    val metaStage = new org.apache.hadoop.fs.Path(path,
+      s"meta_staging-${java.util.UUID.randomUUID().toString}")
     Seq((MetaVersion, meta.bands, meta.rowsPerBand, shingler.id,
         designThreshold))
       .toDF("version", "bands", "rows_per_band", "shingler",
         "design_threshold")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.mode("overwrite").parquet(metaStage.toString)
+    fs.delete(metaDir, true)
+    require(fs.rename(metaStage, metaDir),
+      s"rebuildFrom: failed to commit the v2 meta $metaStage -> $metaDir")
   }
 
   /** Probe: near-dup pairs (id, batch_id, jaccard) between the indexed

@@ -95,7 +95,9 @@ object EvalMetrics {
       s"maxOrder=$maxOrder outside [1, 12]")
     require(beta2 >= 0, s"beta2=$beta2 must be >= 0")
     requireNoCollision("id", idCol,
-      Seq("prec_ppm", "rec_ppm", "chrf_ppm"))
+      Seq("prec_ppm", "rec_ppm", "chrf_ppm", "_hs", "_rs") ++
+        (1 to maxOrder).flatMap(n =>
+          Seq(s"_m$n", s"_ht$n", s"_rt$n")))
     graft.plans.GraftExtensions.register(pairs.sparkSession)
     val base = pairs.select(col(idCol).as("id"),
       regexp_replace(col(hypCol), "\\s+", "").as("_hs"),
@@ -140,8 +142,22 @@ object EvalMetrics {
     require(maxOrder >= 1 && maxOrder <= 12,
       s"maxOrder=$maxOrder outside [1, 12]")
     require(beta2 >= 0, s"beta2=$beta2 must be >= 0")
+    // the aggregation keys on id, so a DUPLICATE id would silently
+    // pool two pairs' gram multisets and void the bit-identity
+    // cross-check contract with the per-row native form — fail the
+    // job instead (the merge duplicate-source-key convention)
+    val dupW = org.apache.spark.sql.expressions.Window.partitionBy("id")
     val base = pairs.select(col(idCol).as("id"),
-      col(hypCol).as("h"), col(refCol).as("r"))
+        col(hypCol).as("h"), col(refCol).as("r"))
+      .withColumn("_idc", count(lit(1)).over(dupW))
+      .withColumn("id", when(col("_idc") === 1, col("id"))
+        .otherwise(raise_error(concat(
+          lit("chrFViaAgg: duplicate pair id "),
+          col("id").cast("string"),
+          lit(" — the agg cross-check pools grams per id; use unique " +
+            "ids")))
+          .cast(pairs.schema(pairs.columns.indexOf(idCol)).dataType)))
+      .drop("_idc")
     def side(c: Column, wh: Int, wr: Int) =
       base.select(col("id"), lit(wh.toLong).as("wh"),
         lit(wr.toLong).as("wr"), explode(charGrams(c, maxOrder)).as("s"))
@@ -195,7 +211,7 @@ object EvalMetrics {
   def tokenF1(pairs: DataFrame, idCol: String, hypCol: String,
       refCol: String): DataFrame = {
     requireNoCollision("id", idCol, Seq("n_match", "n_hyp", "n_ref",
-      "prec_ppm", "rec_ppm", "f1_ppm"))
+      "prec_ppm", "rec_ppm", "f1_ppm", "_ht", "_rt"))
     graft.plans.GraftExtensions.register(pairs.sparkSession)
     def toks(c: Column) =
       filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
@@ -247,7 +263,8 @@ object EvalMetrics {
     require(maxOrder >= 1 && maxOrder <= 8,
       s"maxOrder=$maxOrder outside [1, 8]")
     requireNoCollision("id", idCol,
-      Seq("n_hyp", "n_ref", "log_bleu_micro"))
+      Seq("n_hyp", "n_ref", "log_bleu_micro", "_ht", "_rt") ++
+        (1 to maxOrder).flatMap(n => Seq(s"_m$n", s"_t$n")))
     graft.plans.GraftExtensions.register(pairs.sparkSession)
     def toks(c: Column) =
       filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
@@ -304,7 +321,7 @@ object EvalMetrics {
   def cer(pairs: DataFrame, idCol: String, hypCol: String,
       refCol: String): DataFrame = {
     requireNoCollision("id", idCol,
-      Seq("edit_dist", "ref_chars", "cer_ppm"))
+      Seq("edit_dist", "ref_chars", "cer_ppm", "_h", "_r"))
     def norm(c: Column) = regexp_replace(trim(c), "\\s+", " ")
     pairs.select(col(idCol).as(idCol),
         norm(col(hypCol)).as("_h"), norm(col(refCol)).as("_r"))
@@ -331,7 +348,7 @@ object EvalMetrics {
     require(orders.nonEmpty && orders.forall(n => n >= 1 && n <= 8),
       s"orders $orders outside [1, 8]")
     requireNoCollision("group", groupCol, Seq("n", "total_ngrams",
-      "distinct_ngrams", "distinct_ppm"))
+      "distinct_ngrams", "distinct_ppm", "s"))
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
       t => length(t) > 0)
     val grams = flatten(transform(

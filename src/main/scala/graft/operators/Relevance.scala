@@ -260,52 +260,12 @@ object Relevance {
     *         precision_ppm, map_ppm) */
   def rankingMetrics(results: DataFrame, truth: DataFrame,
       queryCol: String, idCol: String, rankCol: String,
-      k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val discounts = typedLit(dcgDiscounts(k))
-    val idealPrefix = typedLit(dcgIdealPrefix(k))
-    // best-rank dedup of the result side: a doc listed at two ranks
-    // for one query (e.g. a naive union of two rankings) must count
-    // as ONE hit at its best rank — double-counting would push
-    // recall/nDCG past 10⁶ with no error. Candidate-sized agg.
-    val r = results.select(col(queryCol).as("query_id"),
-      col(idCol).as("id"),
-      when(col(rankCol) >= 1, col(rankCol).cast("int"))
-        .otherwise(raise_error(concat(
-          lit("rankingMetrics: rank must be >= 1, got "),
-          col(rankCol).cast("string"))).cast("int")).as("rank"))
-      .where(col("rank") <= k)
-      .groupBy("query_id", "id").agg(min("rank").as("rank"))
-    val t = truth.select(col(queryCol).as("query_id"),
-      col(idCol).as("id")).dropDuplicates("query_id", "id")
-    val nRel = t.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
-    // hit ordinal in (rank, id) order — the cumulative-hit count that
-    // precision@rank needs; ties across ids at one rank (possible
-    // after a union of rankings) break deterministically by id
-    val hitW = Window.partitionBy("query_id").orderBy("rank", "id")
-    val perQ = r.join(t, Seq("query_id", "id"))
-      .withColumn("_cum", row_number().over(hitW).cast("long"))
-      .groupBy("query_id")
-      .agg(count(lit(1)).as("n_hits"),
-        min("rank").as("_first"),
-        sum(element_at(discounts, col("rank"))).as("_dcg"),
-        sum(expr("_cum * 1000000L div rank")).as("_ap_num"))
-    nRel.join(perQ, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_rel"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        coalesce(expr("1000000L div _first"), lit(0L)).as("mrr_ppm"),
-        coalesce(col("_dcg"), lit(0L)).as("_dcg"),
-        coalesce(col("_ap_num"), lit(0L)).as("_ap_num"),
-        element_at(idealPrefix,
-          least(col("n_rel"), lit(k.toLong)).cast("int")).as("_idcg"))
-      .withColumn("recall_ppm", expr("n_hits * 1000000L div n_rel"))
-      .withColumn("ndcg_ppm", expr("_dcg * 1000000L div _idcg"))
-      .withColumn("precision_ppm", expr(s"n_hits * 1000000L div $k"))
-      .withColumn("map_ppm",
-        expr(s"_ap_num div least(n_rel, ${k.toLong}L)"))
-      .select("query_id", "n_rel", "n_hits", "recall_ppm", "mrr_ppm",
-        "ndcg_ppm", "precision_ppm", "map_ppm")
-  }
+      k: Int): DataFrame =
+    // the single-cutoff form IS the multi-cutoff pass at one k
+    // (RelevanceSpec pins the slice equality) — one copy of the
+    // guard/dedup/window/ppm arithmetic to maintain, not two
+    rankingMetricsAt(results, truth, queryCol, idCol, rankCol,
+      Seq(k)).drop("k")
 
   /** [[rankingMetrics]] at SEVERAL cutoffs in one pass — the @1/@5/@10
     * table every retrieval eval reports, without re-joining the truth

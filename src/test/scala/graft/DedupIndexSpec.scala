@@ -231,6 +231,49 @@ class DedupIndexSpec extends AnyFunSuite {
         "build")
   }
 
+  test("rebuildFrom survives a crash in the meta swap itself: no meta " +
+      "+ a completed stage is finished by the next run; stale partial " +
+      "stages are cleared while the meta is intact") {
+    import spark.implicits._
+    val path = tmp()
+    DedupIndex.build(docs.limit(20), "doc_id", "text", path)
+    // regress to v1 meta then migrate normally
+    Seq((8, 4)).toDF("bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    DedupIndex.rebuildFrom(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash WINDOW: stage fully written (copy the live
+    // meta), old meta deleted, rename never happened
+    val stage = new org.apache.hadoop.fs.Path(path,
+      "meta_staging-crashed")
+    fs.mkdirs(stage)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/meta"))
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(stage, st.getPath.getName),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+    // a probe in this state fails (no meta) — the documented recovery
+    // is re-running rebuildFrom, which must finish the swap
+    DedupIndex.rebuildFrom(spark, path)
+    val m = spark.read.parquet(s"$path/meta").head()
+    assert(m.getAs[Int]("version") == DedupIndex.MetaVersion)
+    assert(DedupIndex.probe(spark, path, batch(), "doc_id", "text",
+      threshold = 0.5).collect() != null)
+    // and with the meta INTACT, a leftover partial stage (no _SUCCESS)
+    // is cleared, not promoted
+    val partial = new org.apache.hadoop.fs.Path(path,
+      "meta_staging-partial")
+    fs.mkdirs(partial)
+    intercept[IllegalArgumentException] {
+      DedupIndex.rebuildFrom(spark, path) // already v2 -> refuses
+    }
+    assert(!fs.exists(partial),
+      "a stale partial stage must be cleared while meta is present")
+  }
+
   test("probe fails fast below the index's banding design threshold") {
     val path = tmp()
     DedupIndex.build(docs.limit(10), "doc_id", "text", path,
