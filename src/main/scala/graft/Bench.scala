@@ -27,9 +27,60 @@ object Bench {
     "q_minhash_pairs",       // MinHash-LSH near-dup pairs
     "q_ann_cosine")          // brute-force cosine top-k
 
+  /** 1-minute system load average — whole-box, so it sees co-tenant
+    * processes this JVM cannot. /proc/loadavg on Linux; the MXBean
+    * value (same quantity, slower refresh) elsewhere. */
+  private def loadAvg(): Double =
+    try {
+      new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split("\\s+")(0).toDouble
+    } catch {
+      case _: Throwable =>
+        java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+    }
+
+  /** Cumulative CPU seconds consumed by THIS JVM (all threads). */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
+  /** One measured pass's box-load evidence: system loadavg sampled at
+    * the pass boundaries plus this JVM's wall-vs-CPU ratio inside it.
+    * The two together separate the failure modes three rounds of judge
+    * forensics had to reconstruct by hand: co-tenant load shows up as
+    * loadavg well above the executor thread count while cpu/wall drops
+    * (the box is busy but this JVM is starved); a genuine plan
+    * regression keeps both flat round-over-round. */
+  private case class PassLoad(label: String, loadBefore: Double,
+      loadAfter: Double, wallSec: Double, cpuSec: Double) {
+    def json: String = {
+      val ratio = if (wallSec > 0 && cpuSec >= 0) cpuSec / wallSec else -1.0
+      f"""{"pass":"$label","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"wall_sec":$wallSec%.2f,"cpu_sec":$cpuSec%.2f,"cpu_wall":$ratio%.2f}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // box-load sentinel (r13 verdict #2): every measured pass records
+    // its loadavg window and cpu/wall into BENCH_DETAIL so an
+    // environmental slowdown is machine-readable from the artifact
+    val passLoads = scala.collection.mutable.ArrayBuffer[PassLoad]()
+    def sentinel[T](label: String)(body: => T): T = {
+      val l0 = loadAvg(); val c0 = processCpuSec()
+      val t0 = System.nanoTime()
+      val r = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      passLoads += PassLoad(label, l0, loadAvg(), wall,
+        if (c0 >= 0) processCpuSec() - c0 else -1.0)
+      r
+    }
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -59,9 +110,9 @@ object Bench {
     // prototype of this block measured 11.7 s vs 26.6 s back-to-back).
     // The min is the code's capability; the reps expose the noise.
     val warmDir = "/root/testdata/sf0.001"
-    val anchorRuns = (1 to 5).flatMap { _ =>
+    val anchorRuns = (1 to 5).flatMap { i =>
       val s = newSession()
-      try {
+      try sentinel(s"anchor_$i") {
         throughputAnchors(s, warmDir)
         s.catalog.clearCache(); graft.operators.Caches.clear()
         throughputAnchors(s, sfDir)
@@ -98,9 +149,9 @@ object Bench {
     // still labeled "sf1_anchor" (r11 review) — emit {} instead.
     val sf1Runs =
       if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Seq.empty
-      else (1 to 2).flatMap { _ =>
+      else (1 to 2).flatMap { i =>
         val s = newSession()
-        try {
+        try sentinel(s"sf1_anchor_$i") {
           throughputAnchors(s, warmDir)
           s.catalog.clearCache(); graft.operators.Caches.clear()
           throughputAnchors(s, sfDir, rep = 100)
@@ -156,9 +207,11 @@ object Bench {
       spark.catalog.clearCache(); graft.operators.Caches.clear()
       if (ok) sec else -1.0
     }
-    def timedReps(names: Seq[String]): Seq[(String, Seq[Double])] = {
+    def timedReps(tag: String,
+        names: Seq[String]): Seq[(String, Seq[Double])] = {
       val present = names.filter(qs.contains)
-      val passes = (1 to 3).map(_ => present.map(timeOne))
+      val passes = (1 to 3).map(p =>
+        sentinel(s"${tag}_pass$p")(present.map(timeOne)))
       present.zipWithIndex.map { case (n, i) => n -> passes.map(_(i)) }
     }
     // min of the SUCCESSFUL runs; -1 only when every run failed
@@ -175,7 +228,7 @@ object Bench {
       }.mkString("{", ",", "}")
 
     warm(headline)
-    val headlineReps = timedReps(headline)
+    val headlineReps = timedReps("headline", headline)
     val results = minOf(headlineReps)
     val qJson = toJson(results)
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -188,7 +241,8 @@ object Bench {
       "q_quantile_bins", "q_ann_lsh", "q_multimodal_features",
       "q_chunk_docs", "q_repetition", "q_pii", "q_curation_funnel",
       "q_heavy_hitters", "q_simhash_pairs", "q_bm25", "q_ranking_metrics", "q_ranking_metrics_at", "q_mixture",
-      "q_chrf", "q_cer", "q_distinct_ngrams", "q_token_f1", "q_log_bleu",
+      "q_chrf", "q_cer", "q_distinct_ngrams", "q_distinct_ngrams_approx",
+      "q_token_f1", "q_log_bleu", "q_rouge_l",
       "q_grouping_sets", "q_percentiles", "q_ngram_span_dedup",
       "q_embed_quantize", "q_dedup_clusters", "q_gap_fill", "q_merge",
       "q_embed_dedup", "q_url_filter", "q_bpe_pairs", "q_vocab_stats",
@@ -222,14 +276,14 @@ object Bench {
       "q_sft_render", "q_sft_render_n", "q_dpo_pairs", "q_grpo_adv", "q_mmr", "q_bt_rank", "q_curriculum", "q_cluster_balance", "q_semdedup",
       "q_semdedup_planned",
       "q_label_prop", "q_kanon", "q_kanon_rows", "q_dedup_index_probe",
-      "q_dedup_index_backfill",
+      "q_dedup_index_backfill", "q_dedup_index_migrate",
       "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
       "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",
       "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
       "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19",
       "q_tpch_q20", "q_tpch_q21", "q_tpch_q22")
     warm(extraNames)
-    val extraReps = timedReps(extraNames)
+    val extraReps = timedReps("extra", extraNames)
     val extraResults = minOf(extraReps)
     val extraJson = toJson(extraResults)
 
@@ -241,7 +295,22 @@ object Bench {
     // driver commits it with the round snapshot; the judge reads it from
     // the tree), and stdout gets a compact line — headline queries +
     // anchors + the slowest breadth queries — sized well under the window.
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"sf1_anchor":$sf1Json,"extra":$extraJson,"queries_reps":${repsJson(headlineReps)},"extra_reps":${repsJson(extraReps)}}"""
+    // load sentinel summary: worst boundary loadavg across every
+    // measured pass + this JVM's lowest in-pass cpu/wall — the pair a
+    // reader needs to tell "busy box" from "slow code" without
+    // re-deriving it from the raw pass list
+    val loadPassesJson = passLoads.map(_.json).mkString("[", ",", "]")
+    val loadMax =
+      if (passLoads.isEmpty) -1.0
+      else passLoads.map(p => math.max(p.loadBefore, p.loadAfter)).max
+    val cpuWallMin = {
+      val rs = passLoads.filter(p => p.wallSec > 0 && p.cpuSec >= 0)
+        .map(p => p.cpuSec / p.wallSec)
+      if (rs.isEmpty) -1.0 else rs.min
+    }
+    val loadSummary =
+      f""""load_max":$loadMax%.1f,"cpu_wall_min":$cpuWallMin%.1f"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"sf1_anchor":$sf1Json,"extra":$extraJson,"queries_reps":${repsJson(headlineReps)},"extra_reps":${repsJson(extraReps)},$loadSummary,"load_passes":$loadPassesJson}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         fullJson.getBytes("UTF-8"))
@@ -252,7 +321,7 @@ object Bench {
     val extraGood = extraResults.filter(_._2 >= 0)
     val extraTotal = extraGood.map(_._2).sum
     val slowest = extraGood.sortBy(-_._2).take(8)
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"sf1_anchor":$sf1Json,"extra_total":$extraTotal%.3f,"extra_n":${extraGood.size},"extra_slowest":${toJson(slowest)},"detail":"BENCH_DETAIL.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"sf1_anchor":$sf1Json,"extra_total":$extraTotal%.3f,"extra_n":${extraGood.size},"extra_slowest":${toJson(slowest)},$loadSummary,"detail":"BENCH_DETAIL.json"}"""
     println(compact)
     spark.stop()
   }

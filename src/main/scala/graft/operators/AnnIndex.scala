@@ -115,6 +115,47 @@ object AnnIndex {
     centroids
   }
 
+  /** Migrate a v1 (pre-versioned — no `<path>/meta` directory) index
+    * to the current meta version IN PLACE: mint the meta row from the
+    * index's own persisted state — the centroids table defines dim and
+    * nlist, and `cosine` is the only metric any build of this library
+    * has ever ranked by — so the migration writes ONE tiny parquet dir
+    * and never touches a vector (the DedupIndex.rebuildFrom
+    * pure-file-moves discipline; here not even moves). After it, the
+    * legacy index earns the full metric/dim/nlist contract check on
+    * every append/probe instead of skipping it forever.
+    *
+    * Unlike DedupIndex.rebuildFrom there is no stage-then-swap: v1 has
+    * NO meta to replace, so the mint is a plain create and the only
+    * crash window is a partially-written meta dir. Spark's `_SUCCESS`
+    * marker draws that line: a meta dir WITHOUT it is an incomplete
+    * mint (readMetaOpt would rightly rethrow on it as corruption) —
+    * re-running rebuildFrom clears and re-mints it, since the source
+    * of truth (centroids) is never modified. A meta WITH `_SUCCESS`
+    * is a live versioned index and is refused — rebuildFrom migrates,
+    * it never rewrites. AnnIndexSpec pins migrate → append → probe
+    * equality against a fresh build. */
+  def rebuildFrom(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaDir)) {
+      val complete = fs.exists(
+        new org.apache.hadoop.fs.Path(metaDir, "_SUCCESS"))
+      require(!complete,
+        s"index at $path already has a versioned meta — nothing to " +
+          "migrate (rebuildFrom never rewrites a live meta)")
+      // crashed prior mint: incomplete dir, centroids untouched —
+      // clear and re-mint
+      fs.delete(metaDir, true)
+    }
+    val centroids = readCentroids(spark, path)
+    Seq((MetaVersion, Metric, centroids.head.length, centroids.length))
+      .toDF("version", "metric", "dim", "nlist")
+      .coalesce(1).write.mode("overwrite").parquet(metaDir.toString)
+  }
+
   /** v1 (pre-versioned) indexes have NO meta directory → None, checks
     * skipped. Anything else that goes wrong reading an EXISTING meta
     * dir — partial write, empty dir, schema drift — is corruption and

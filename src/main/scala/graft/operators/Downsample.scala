@@ -136,7 +136,8 @@ object Downsample {
       .agg(min("_bucket").as("_lo"), max("_bucket").as("_hi"))
     val grid = extent.select(col(keyCol),
         when(col("_hi") - col("_lo") >= maxBucketsPerKey,
-          raise_error(concat(lit("gapFill: key "), col(keyCol).cast("string"),
+          raise_error(concat(lit("gapFill: key "),
+            coalesce(col(keyCol).cast("string"), lit("null")),
             lit(s" spans more than $maxBucketsPerKey buckets — corrupt " +
               "timestamp or too-fine step"))))
           .otherwise(col("_lo")).as("_lo"),

@@ -153,7 +153,7 @@ object EvalMetrics {
       .withColumn("id", when(col("_idc") === 1, col("id"))
         .otherwise(raise_error(concat(
           lit("chrFViaAgg: duplicate pair id "),
-          col("id").cast("string"),
+          coalesce(col("id").cast("string"), lit("null")),
           lit(" — the agg cross-check pools grams per id; use unique " +
             "ids")))
           .cast(pairs.schema(pairs.columns.indexOf(idCol)).dataType)))
@@ -303,6 +303,99 @@ object EvalMetrics {
         s" * 1000000.0D) AS BIGINT)").as("log_bleu_micro"))
   }
 
+  /** ROUGE-L per (hypothesis, reference) pair (Lin 2004, "ROUGE: A
+    * Package for Automatic Evaluation of Summaries"): precision,
+    * recall, and F1 of the longest common SUBSEQUENCE of lowercased
+    * whitespace tokens — the most-reported summarization metric, and
+    * the order-sensitive counterpart of [[tokenF1]]'s bag overlap:
+    *
+    *   prec_ppm    = lcs·10⁶ div |hyp|; rec_ppm = lcs·10⁶ div |ref|;
+    *   rouge_l_ppm = 2·P·R div (P + R)
+    *
+    * F1 (β=1, the rouge-score library's convention) rather than
+    * Lin's recall-weighted β→∞ variant, documented; the P/R columns
+    * let a caller re-weight. LCS is an integer DP, so the whole
+    * metric is transcendental-free ppm arithmetic — the SQL oracle
+    * replays it bit-for-bit (a recursive-CTE row DP in prefix-max
+    * form). A side with zero tokens contributes zero P/R (and F 0);
+    * every input pair emits a row (the [[tokenF1]] convention).
+    *
+    * Plan: zero-shuffle narrow projection — the LCS is the native
+    * row-local [[graft.plans.ArrayLcsLengthExpression]] kernel
+    * (two-row integer DP, O(|hyp|·|ref|) per pair,
+    * corpus-independent). That per-pair product is the one cost knob:
+    * summarization pairs are short, but a pathological corpus can
+    * carry 10⁵-token rows whose 10¹⁰-cell DP stalls a task —
+    * `maxTokens > 0` truncates BOTH sides to their first maxTokens
+    * tokens (the standard eval-harness truncation), bounding every
+    * pair's work; 0 (default) scores full sequences.
+    *
+    * @return (idCol, lcs_len, n_hyp, n_ref, prec_ppm, rec_ppm,
+    *         rouge_l_ppm) */
+  def rougeL(pairs: DataFrame, idCol: String, hypCol: String,
+      refCol: String, maxTokens: Int = 0): DataFrame = {
+    require(maxTokens >= 0, s"maxTokens=$maxTokens must be >= 0")
+    requireNoCollision("id", idCol, Seq("lcs_len", "n_hyp", "n_ref",
+      "prec_ppm", "rec_ppm", "rouge_l_ppm", "_ht", "_rt"))
+    graft.plans.GraftExtensions.register(pairs.sparkSession)
+    def toks(c: Column) = {
+      val t = filter(split(lower(trim(c)), "\\s+"), x => length(x) > 0)
+      if (maxTokens > 0) slice(t, 1, maxTokens) else t
+    }
+    pairs.select(col(idCol).as(idCol),
+        toks(col(hypCol)).as("_ht"), toks(col(refCol)).as("_rt"))
+      .select(col(idCol),
+        coalesce(graft.plans.ArrayLcsLengthExpression
+          .lcsNative(col("_ht"), col("_rt")), lit(0L)).as("lcs_len"),
+        coalesce(size(col("_ht")).cast("long"), lit(0L)).as("n_hyp"),
+        coalesce(size(col("_rt")).cast("long"), lit(0L)).as("n_ref"))
+      .select(col(idCol), col("lcs_len"),
+        greatest(col("n_hyp"), lit(0L)).as("n_hyp"),
+        greatest(col("n_ref"), lit(0L)).as("n_ref"))
+      .withColumn("prec_ppm", when(col("n_hyp") === 0, lit(0L))
+        .otherwise(expr("lcs_len * 1000000L div n_hyp")))
+      .withColumn("rec_ppm", when(col("n_ref") === 0, lit(0L))
+        .otherwise(expr("lcs_len * 1000000L div n_ref")))
+      .withColumn("rouge_l_ppm",
+        when(expr("prec_ppm + rec_ppm") === 0, lit(0L))
+          .otherwise(expr(
+            "2L * prec_ppm * rec_ppm div (prec_ppm + rec_ppm)")))
+  }
+
+  /** Column-level LCS length in PREFIX-MAX row form — the
+    * bit-identity cross-check for [[rougeL]]'s native kernel (the
+    * chrFViaAgg convention) and the SAME recurrence the DuckDB oracle
+    * replays as a recursive CTE, so kernel, cross-check, and oracle
+    * are three executions of one algorithm:
+    *
+    *   dp_i[j] = max(dp_{i−1}[j],
+    *             max_{j'≤j, y_{j'}=x_i} (dp_{i−1}[j'−1] + 1))
+    *
+    * (an LCS of X[1..i], Y[1..j] either skips x_i or matches it at
+    * some j' ≤ j — the within-row dp_i[j−1] dependency of the classic
+    * recurrence eliminated, which is what makes the row step a pure
+    * `transform`). O(m·n²) per row — spec/oracle-scale only; the
+    * production path is the O(m·n) kernel. */
+  private[graft] def lcsLenViaFold(h: Column, r: Column): Column = {
+    val fold = element_at(
+      aggregate(h,
+        transform(sequence(lit(0), size(r)), _ => lit(0L)),
+        (dp, x) => concat(array(lit(0L)),
+          transform(sequence(lit(1), size(r)), j =>
+            greatest(element_at(dp, (j + 1).cast("int")),
+              aggregate(sequence(lit(1), j), lit(0L), (m, jp) =>
+                greatest(m, when(element_at(r, jp.cast("int")) === x,
+                  element_at(dp, jp.cast("int")) + 1)
+                  .otherwise(lit(0L)))))))),
+      size(r) + 1)
+    // the empty-side guard must SHORT-CIRCUIT the fold (CaseWhen
+    // evaluates only the matching branch): sequence(1, 0) steps DOWN
+    // — the renderConversation lesson
+    when(h.isNull || r.isNull, lit(null).cast("long"))
+      .when(size(h) === 0 || size(r) === 0, lit(0L))
+      .otherwise(fold)
+  }
+
   /** Character error rate per pair: native `levenshtein` (identical
     * unit-cost edit distance in Spark and DuckDB — no UDF, no
     * quantization question) over whitespace-NORMALIZED strings (runs
@@ -349,6 +442,18 @@ object EvalMetrics {
       s"orders $orders outside [1, 8]")
     requireNoCollision("group", groupCol, Seq("n", "total_ngrams",
       "distinct_ngrams", "distinct_ppm", "s"))
+    explodedGrams(docs, groupCol, textCol, orders)
+      .groupBy(col(groupCol), col("s.n").as("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("s.g")).as("distinct_ngrams"))
+      .withColumn("distinct_ppm",
+        expr("distinct_ngrams * 1000000L div total_ngrams"))
+  }
+
+  /** The per-(group, order) word-n-gram stream both distinct-n forms
+    * aggregate — one Generate, (groupCol, s.n, s.g) rows. */
+  private def explodedGrams(docs: DataFrame, groupCol: String,
+      textCol: String, orders: Seq[Int]): DataFrame = {
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
       t => length(t) > 0)
     val grams = flatten(transform(
@@ -361,10 +466,94 @@ object EvalMetrics {
     docs.where(col(textCol).isNotNull)
       .select(col(groupCol), explode(grams).as("s"))
       .where(col("s.g").isNotNull)
-      .groupBy(col(groupCol), col("s.n").as("n"))
-      .agg(count(lit(1)).as("total_ngrams"),
-        countDistinct(col("s.g")).as("distinct_ngrams"))
-      .withColumn("distinct_ppm",
-        expr("distinct_ngrams * 1000000L div total_ngrams"))
+  }
+
+  /** [[distinctN]]'s 100 TB twin: the SAME diversity report with the
+    * exact per-(group, order) `count(DISTINCT gram)` — the family's
+    * one UNBOUNDED state, since the aggregation's shuffle carries
+    * every distinct n-gram of a vocabulary that grows supra-linearly
+    * with the corpus (SCALING.md measured 5.2× work at 10× on a
+    * vocab-growth fixture) — replaced by the engine's [[Hll]] sketch
+    * (the q_hll_distinct oracle convention): state collapses to
+    * ≤ |groups|·|orders|·4096 register rows regardless of vocabulary,
+    * map-side combine bounds every task's shuffle output the same
+    * way, and the estimate is σ ≈ 1.6% — diversity ratios are a
+    * mode-collapse ALARM, where 2% noise changes no decision; the
+    * exact form stays the default for audit-grade reports.
+    *
+    * One pass over the gram stream: registers carry their bucket
+    * counts, so total_ngrams = Σ bucket counts and no second corpus
+    * aggregation exists; the register frame (bounded) is
+    * persistTracked for its two readers.
+    *
+    * Engine-exact discipline: the sketch replays bit-for-bit in SQL —
+    * md5-derived 56-bit hash, exact-integer 2⁴⁵-scaled registers, the
+    * shared α·m²·2⁴⁵ double literal — so even the APPROXIMATE path is
+    * oracle-checked exactly.
+    *
+    * @return (groupCol, n, total_ngrams, n_present, s_scaled,
+    *         est_raw_q, est_q, distinct_ppm_est) — est_q is the HLL
+    *         estimate of distinct_ngrams; distinct_ppm_est =
+    *         est_q·10⁶ div total (may exceed 10⁶ on small groups —
+    *         HLL can overestimate; the exact twin cannot) */
+  def distinctNApprox(docs: DataFrame, groupCol: String,
+      textCol: String, orders: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    import Caches.Persisted
+    val regs = gramRegisters(docs, groupCol, textCol, orders)
+      .persistTracked
+    approxFromRegisters(regs, groupCol)
+  }
+
+  /** The bounded register frame BOTH distinct-n-approx execution
+    * modes aggregate to: (groupCol, n, bucket, bucket_count, min_len)
+    * — ≤ |groups|·|orders|·4096 rows. Narrow projections + ONE keyed
+    * agg, so it is stream-legal unchanged
+    * ([[graft.streaming.StreamingDistinctN]] delegates here — the
+    * StreamingHll one-key-function/two-execution-modes discipline),
+    * and register frames from batch shards and stream snapshots merge
+    * by re-aggregating sum(bucket_count)/min(min_len). */
+  private[graft] def gramRegisters(docs: DataFrame, groupCol: String,
+      textCol: String, orders: Seq[Int]): DataFrame = {
+    require(orders.nonEmpty && orders.forall(n => n >= 1 && n <= 8),
+      s"orders $orders outside [1, 8]")
+    requireNoCollision("group", groupCol, Seq("n", "total_ngrams",
+      "n_present", "s_scaled", "est_raw_q", "est_q",
+      "distinct_ppm_est", "s", "bucket", "bucket_count", "min_len"))
+    import graft.functions.Hashing
+    val remMod = 1L << 44 // 56-bit hash = 12 bucket bits + 44 suffix
+    explodedGrams(docs, groupCol, textCol, orders)
+      .select(col(groupCol), col("s.n").as("n"),
+        Hashing.md5Long56(col("s.g")).as("_h"))
+      .select(col(groupCol), col("n"),
+        expr(s"_h DIV $remMod").as("bucket"),
+        expr(s"_h % $remMod").as("_rem"))
+      .select(col(groupCol), col("n"), col("bucket"),
+        when(col("_rem") === 0, 0L)
+          .otherwise(length(bin(col("_rem"))).cast("long")).as("_len"))
+      .groupBy(col(groupCol), col("n"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_count"), min("_len").as("min_len"))
+  }
+
+  /** Totals + HLL estimate from ANY [[gramRegisters]] frame — a batch
+    * build, a union of shard sketches, or a snapshot of the streaming
+    * twin's state. */
+  def approxFromRegisters(regs: DataFrame,
+      groupCol: String): DataFrame = {
+    val tot = regs.groupBy(col(groupCol), col("n"))
+      .agg(sum("bucket_count").cast("long").as("total_ngrams"))
+    // re-alias the estimator side: both join inputs derive from the
+    // SAME frame, and when that frame is a named view (a streaming
+    // memory-sink snapshot) the two branches carry identical attribute
+    // ids — the aliases mint fresh ones, which is what lets the join
+    // resolve (batch parquet lineage happened to dodge this)
+    val estSide = regs.select(
+      regs.columns.map(c => col(c).as(c)): _*)
+    val est = Hll.estimateFromRegistersBy(estSide, Seq(groupCol, "n"))
+    tot.join(est, Seq(groupCol, "n"))
+      .select(col(groupCol), col("n"), col("total_ngrams"),
+        col("n_present"), col("s_scaled"), col("est_raw_q"),
+        col("est_q"))
+      .withColumn("distinct_ppm_est",
+        expr("est_q * 1000000L div total_ngrams"))
   }
 }

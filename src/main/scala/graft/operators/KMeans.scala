@@ -74,6 +74,41 @@ object KMeans {
 
   /** Nearest centroid by exact integer squared distance; ties break to
     * the lowest cluster index (strict `<`). */
+  /** The n nearest centroid indexes by exact integer squared distance,
+    * ties to the LOWER index (so head == [[nearest]] — the assignment
+    * convention) — the multi-probe primitive
+    * ([[SemDedup.verdicts]] probeCells). k is bounded small, so the
+    * full sort is row-local and cheap. */
+  private[operators] def nearestN(q: Seq[Long],
+      cs: Array[Array[Long]], n: Int): Seq[Int] = {
+    val ds = new Array[(Long, Int)](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c)
+      var d = 0L
+      var j = 0
+      while (j < ctr.length) { val t = q(j) - ctr(j); d += t * t; j += 1 }
+      ds(c) = (d, c)
+      c += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      ds.sorted.take(n).map(_._2))
+  }
+
+  /** Row-local multi-probe assignment: the `n` nearest centroid
+    * indexes per row as an array column (broadcast centroids, no
+    * shuffle — the [[assign]] shape). element 0 always equals
+    * [[assign]]'s cluster. */
+  def assignN(df: DataFrame, vecCol: String, scale: Int,
+      centroids: Array[Array[Long]], n: Int,
+      outCol: String = "cells"): DataFrame = {
+    require(n >= 1 && n <= centroids.length,
+      s"n=$n outside [1, k=${centroids.length}]")
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val assignU = udf { (q: Seq[Long]) => nearestN(q, bc.value, n) }
+    df.withColumn(outCol, assignU(quantize(col(vecCol), scale)))
+  }
+
   private[operators] def nearest(q: Seq[Long],
       cs: Array[Array[Long]]): Int = {
     var best = 0

@@ -300,7 +300,11 @@ object Relevance {
       when(col(rankCol) >= 1, col(rankCol).cast("int"))
         .otherwise(raise_error(concat(
           lit("rankingMetricsAt: rank must be >= 1, got "),
-          col(rankCol).cast("string"))).cast("int")).as("rank"))
+          // coalesce: a NULL rank would null the whole concat and the
+          // job would die with an opaque raise_error(null) instead of
+          // the contract message (r13 advice)
+          coalesce(col(rankCol).cast("string"), lit("null"))))
+          .cast("int")).as("rank"))
       .where(col("rank") <= maxK)
       .groupBy("query_id", "id").agg(min("rank").as("rank"))
     val t = truth.select(col(queryCol).as("query_id"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
   * floor(cos·10⁶) BEFORE any comparison, so both the pair set and the
   * keep pick replay bit-for-bit in SQL.
   *
-  * Known recall trade, documented: a near-dup pair SPLIT ACROSS two
-  * cells is not examined (the paper accepts the same — ε-balls near
-  * cell boundaries). Raising k sharpens cost and loses boundary pairs
-  * sooner; the LSH-bucketed sibling makes the opposite trade.
+  * Known recall trade, documented AND measured (SCALING.md r14
+  * boundary fixture): a near-dup pair SPLIT ACROSS two cells is not
+  * examined (the paper accepts the same — ε-balls near cell
+  * boundaries). Raising k sharpens cost and loses boundary pairs
+  * sooner; the LSH-bucketed sibling makes the opposite trade; and
+  * `probeCells > 1` buys boundary recall back by letting each row
+  * form pairs in its probeCells nearest cells (pair formation only —
+  * verdict semantics unchanged), at ~probeCells² the candidate work.
   */
 object SemDedup {
 
@@ -101,13 +105,22 @@ object SemDedup {
     * @param centroids pre-trained quantized centroids (e.g. from
     *        [[KMeans.train]]); None → deterministic
     *        [[KMeans.initCentroids]] seeding, the SQL-replayable
-    *        default */
+    *        default
+    * @param probeCells cells each row's PAIR FORMATION probes (its
+    *        probeCells nearest — 1 = the paper's single-cell scan,
+    *        the default and the oracle-checked plan; 2 recovers most
+    *        boundary-straddling pairs at ~4× candidate work, measured
+    *        in SCALING.md). Keep-pick/components always use the
+    *        1-nearest assignment. */
   def verdicts(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, threshold: Double, scale: Int = 1024,
-      centroids: Option[Array[Array[Long]]] = None): DataFrame = {
+      centroids: Option[Array[Array[Long]]] = None,
+      probeCells: Int = 1): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     require(threshold > 0 && threshold <= 1,
       s"threshold $threshold outside (0,1]")
+    require(probeCells >= 1 && probeCells <= k,
+      s"probeCells=$probeCells outside [1, k=$k]")
     val spark = corpus.sparkSession
     graft.plans.GraftExtensions.register(spark)
     import spark.implicits._
@@ -115,14 +128,51 @@ object SemDedup {
       KMeans.initCentroids(corpus, idCol, vecCol, k, scale))
     val v = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val assigned = KMeans.assign(v, "v", scale, cs)
+    // persistTracked: the assignment feeds the hot-cell probe (an
+    // eager collect), both sides of the pair join, the component
+    // vertex list, AND the returned keep-pick plan — without the cache
+    // the KMeans.assign nearest-centroid scan re-evaluates 4-5×.
+    // Registered with Caches, released by the session's post-consume
+    // Caches.clear() sweep (the multi-consumer convention).
+    import Caches.Persisted
+    val assigned = KMeans.assign(v, "v", scale, cs).persistTracked
     val thresholdQ = math.floor(threshold * 1e6).toLong
     val cq = floor(SimilaritySearch.cosine(col("va"), col("vb")) * 1e6)
       .cast("long")
+    // multi-probe pair DOMAIN (probeCells > 1 — the boundary-recall
+    // knob): each row participates in its probeCells nearest cells for
+    // PAIR FORMATION ONLY — components, centroid cosine, and the
+    // keep-pick stay on the 1-nearest assignment, so the verdict
+    // semantics are unchanged and only the examined pair set grows. A
+    // near-dup pair whose members quantize into adjacent cells (the
+    // documented cross-cell recall trade) is examined iff either
+    // member's probe list reaches the other's cell — SCALING.md
+    // measures the recall/cost pair on a planted boundary fixture. A
+    // pair sharing SEVERAL probed cells is kept exactly once, at the
+    // SMALLEST shared cell (array_intersect over two probeCells-sized
+    // lists — a row-local filter, not a distinct shuffle). Default 1 =
+    // the r13 plan, byte-identical.
+    val domain =
+      if (probeCells == 1) assigned
+      else KMeans.assignN(v, "v", scale, cs, probeCells, "_cells")
+        .withColumn("cluster", explode(col("_cells")))
+    // the single-meet filter: a multi-probed pair sharing several
+    // cells is kept exactly once — at the smallest shared cell; with
+    // probeCells = 1 this is Literal(true) and PruneFilters removes
+    // it, so the default plans stay byte-identical to r13
+    val meetOnce =
+      if (probeCells == 1) lit(true)
+      else col("cluster") ===
+        array_min(array_intersect(col("_ca"), col("_cb")))
+    def sideCells(alias: String): Seq[Column] =
+      if (probeCells == 1) Seq()
+      else Seq(col("_cells").as(alias))
     // hot-cell probe: at most k rows (one map-side-combined agg), so
     // the collect is bounded by a caller argument, not the corpus
+    // (probeCells > 1 counts PROBED occupancy — the join key's true
+    // cardinality)
     val cap = maxCellRows(spark)
-    val hotCells = assigned.groupBy("cluster")
+    val hotCells = domain.groupBy("cluster")
       .agg(count(lit(1)).as("_m")).where(col("_m") > cap)
       .collect()
       .map(r => (r.getAs[Int]("cluster"),
@@ -130,11 +180,13 @@ object SemDedup {
     val pairs =
       if (hotCells.isEmpty) {
         // the r12 plan, verbatim: cluster-keyed self-join
-        assigned
-          .select(col("id").as("id_a"), col("cluster"), col("v").as("va"))
-          .join(assigned.select(col("id").as("id_b"), col("cluster"),
-            col("v").as("vb")), Seq("cluster"))
+        domain
+          .select(Seq(col("id").as("id_a"), col("cluster"),
+            col("v").as("va")) ++ sideCells("_ca"): _*)
+          .join(domain.select(Seq(col("id").as("id_b"), col("cluster"),
+            col("v").as("vb")) ++ sideCells("_cb"): _*), Seq("cluster"))
           .where(col("id_a") < col("id_b"))
+          .where(meetOnce)
           .withColumn("cq", cq)
           .where(col("cq") >= thresholdQ)
           .select("id_a", "id_b")
@@ -143,18 +195,21 @@ object SemDedup {
         // plan with g = 1 — one bucket, key (cluster, 0, 0), identical
         // pair set to the unguarded join
         val gDf = broadcast(hotCells.toSeq.toDF("cluster", "_g"))
-        val withG = assigned.join(gDf, Seq("cluster"), "left")
+        val withG = domain.join(gDf, Seq("cluster"), "left")
           .withColumn("_g", coalesce(col("_g"), lit(1)))
           .withColumn("_b", pmod(xxhash64(col("id")), col("_g"))
             .cast("int"))
-        val aSide = withG.select(col("id").as("id_a"), col("cluster"),
+        val aSide = withG.select(Seq(col("id").as("id_a"), col("cluster"),
           col("v").as("va"), col("_b").as("bl"),
-          explode(sequence(col("_b"), col("_g") - 1)).as("br"))
-        val bSide = withG.select(col("id").as("id_b"), col("cluster"),
+          explode(sequence(col("_b"), col("_g") - 1)).as("br")) ++
+          sideCells("_ca"): _*)
+        val bSide = withG.select(Seq(col("id").as("id_b"), col("cluster"),
           col("v").as("vb"), col("_b").as("br"),
-          explode(sequence(lit(0), col("_b"))).as("bl"))
+          explode(sequence(lit(0), col("_b"))).as("bl")) ++
+          sideCells("_cb"): _*)
         aSide.join(bSide, Seq("cluster", "bl", "br"))
           .where(col("bl") =!= col("br") || col("id_a") < col("id_b"))
+          .where(meetOnce)
           .withColumn("cq", cq)
           .where(col("cq") >= thresholdQ)
           .select(least(col("id_a"), col("id_b")).as("id_a"),

@@ -59,6 +59,48 @@ object SftFormat {
     * rendered elements, so the SQL oracle replays offsets exactly. */
   def renderConversation(df: DataFrame, idCol: String,
       turnsCol: Column): DataFrame = {
+    // graft.sft.skipNullGuard: A/B measurement probe (the
+    // GRAFT_PELT_FORCE_PRUNED convention, tools.SftGuardBench) — drops
+    // the null fail-fast so its cost can be attributed without a code
+    // edit. A session CONF rather than an env var because the gate is
+    // a driver-side plan choice and the probe interleaves guarded/
+    // unguarded reps in ONE JVM to dodge box-load spikes (an env is
+    // frozen at JVM start). Measurement only, never a deployment
+    // switch: skipping the guard reintroduces the cross-engine
+    // render/offset drift documented above.
+    val guardOn = !df.sparkSession.conf
+      .getOption("graft.sft.skipNullGuard").contains("true")
+    // The null fail-fast rides the spans transform's role field — the
+    // pass the projection ALREADY pays — instead of a separate filter
+    // scan. Why this is both safe and free:
+    //  * safe: the spans array is the GENERATOR argument, and Generate
+    //    must evaluate its generator per INPUT row to know how many
+    //    rows to emit — unlike the child-output columns (train_text),
+    //    whose projection whole-stage codegen defers into the
+    //    per-OUTPUT-row consume. So a corrupt conversation cannot
+    //    dodge the check by emitting zero spans (SftFormatSpec's
+    //    red case), and transform materializes every struct field of
+    //    every element, while filter()'s assistant predicate forces
+    //    the array — the check runs for ALL turns, not just emitted
+    //    ones.
+    //  * free: the r13 form — a filter doing when(exists(turns, …),
+    //    raise).otherwise(size(turns) > 0) — referenced the turns
+    //    array twice, and because filter predicates are pushed below
+    //    the projection that names the array, EACH reference re-ran
+    //    the whole turns construction per input row: measured +126%
+    //    on q_sft_render / +42% on q_sft_render_n
+    //    (tools.SftGuardBench). Fused into the role field the guard
+    //    measures ~0% on both — the filter below reverts to the plain
+    //    size(turns) > 0 (constant-folded away entirely on
+    //    literal-length conversations like the two-turn path).
+    def checkedRole(t: Column): Column =
+      if (!guardOn) t("role")
+      else when(t("role").isNull || t("content").isNull,
+        raise_error(concat(
+          lit("renderConversation: null role/content in conversation "),
+          coalesce(col(idCol).cast("string"), lit("null"))))
+          .cast("string"))
+        .otherwise(t("role"))
     // element i renders as "<|" + role + "|> " + content: the content
     // starts len(role) + 5 characters into the element
     val render = concat_ws(" ",
@@ -75,7 +117,7 @@ object SftFormat {
             + lit(6))
         struct(
           (i + 1).as("turn_pos"),
-          t("role").as("role"),
+          checkedRole(t).as("role"),
           (prefix + length(t("role")) + lit(6)).as("start_off"),
           length(t("content")).as("span_len"),
           t("content").as("span_text"))
@@ -85,18 +127,11 @@ object SftFormat {
     // transform: sequence(0, size-1) at size 0 is [0, -1] (Spark
     // steps DOWN when start > stop), whose lambda would evaluate
     // element_at(turns, 0) and a negative-length slice, both runtime
-    // errors. The null-turn fail-fast (scaladoc contract) rides the
-    // SAME filter predicate — a Filter evaluates per INPUT row, so no
-    // corrupt conversation can dodge the check by emitting zero spans
-    // (a guard on the train_text column can: whole-stage codegen
-    // defers Generate's required-child-output projection into the
-    // per-OUTPUT-row consume, so it never runs for span-less rows)
-    df.where(when(
-        exists(turnsCol, t => t("role").isNull || t("content").isNull),
-        raise_error(concat(
-          lit("renderConversation: null role/content in conversation "),
-          col(idCol).cast("string"))).cast("boolean"))
-      .otherwise(size(turnsCol) > 0))
+    // errors. The null-turn fail-fast does NOT live in this filter
+    // (it rides the spans transform — see checkedRole above); the
+    // predicate is the plain size check, constant-folded away when
+    // the conversation length is statically known (the two-turn path).
+    df.where(size(turnsCol) > 0)
       .select(col(idCol), render.as("train_text"),
         posexplode(filter(spans, s => s("role") === "assistant"))
           .as(Seq("_i", "span")))

@@ -105,6 +105,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
     e.injectFunction(GraftExtensions.charNgramMatchesDescriptor)
     e.injectFunction(GraftExtensions.arrayClippedMatchesDescriptor)
+    e.injectFunction(GraftExtensions.arrayLcsLengthDescriptor)
   }
 }
 
@@ -194,6 +195,14 @@ object GraftExtensions {
       (exprs: Seq[Expression]) =>
         ArrayClippedMatchesExpression(exprs(0), exprs(1)))
 
+  val arrayLcsLengthDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("array_lcs_length"),
+      new ExpressionInfo(classOf[ArrayLcsLengthExpression].getName,
+        "array_lcs_length"),
+      (exprs: Seq[Expression]) =>
+        ArrayLcsLengthExpression(exprs(0), exprs(1)))
+
   /** Register into an already-built session (builder extensions only apply
     * to sessions constructed with `withExtensions`; `getOrCreate` on an
     * existing session ignores them). */
@@ -204,7 +213,7 @@ object GraftExtensions {
     Seq(parsePositionDescriptor, pointInPolygonDescriptor,
         vecCosineDescriptor, vecDotDescriptor, lshSignatureDescriptor,
         unicodeNormalizeDescriptor, charNgramMatchesDescriptor,
-        arrayClippedMatchesDescriptor).foreach {
+        arrayClippedMatchesDescriptor, arrayLcsLengthDescriptor).foreach {
       case (id, info, builder) => registry.registerFunction(id, info, builder)
     }
   }

@@ -205,3 +205,103 @@ object ArrayClippedMatchesExpression {
     org.apache.spark.sql.functions.call_function(
       "array_clipped_matches", a, b)
 }
+
+/** `array_lcs_length(a, b)`: longest-common-subsequence length of two
+  * string arrays — the ROUGE-L numerator
+  * ([[graft.operators.EvalMetrics.rougeL]]) as one native codegen'd
+  * expression, making the whole metric a zero-shuffle narrow
+  * projection (the [[CharNgramMatchesExpression]] argument at
+  * sequence grain: LCS is per-PAIR arithmetic, so any dataflow that
+  * moves tokens through an Exchange only reduces them straight back
+  * to one row per pair).
+  *
+  * Kernel: the classic two-row integer DP —
+  * dp[i][j] = dp[i−1][j−1]+1 if x_i = y_j else max(dp[i−1][j],
+  * dp[i][j−1]) — O(m·n) time, O(n) space, row-local; per-PAIR work,
+  * corpus-independent (the caller bounds token counts — see rougeL's
+  * maxTokens — when hypotheses can be pathologically long). Null
+  * ARRAYS propagate null; null ELEMENTS are skipped (a null token
+  * matches nothing — the [[ArrayClippedMatchesExpression]]
+  * convention). EvalMetricsSpec pins bit-equality against a
+  * Column-level prefix-max fold (the same recurrence the DuckDB
+  * oracle replays as a recursive CTE). */
+case class ArrayLcsLengthExpression(left: Expression,
+    right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(StringType, _),
+          org.apache.spark.sql.types.ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"array_lcs_length expects (array<string>, array<string>), " +
+          s"got (${left.dataType.sql}, ${right.dataType.sql})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayLcsLengthExpression.lcsLength(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cls = ArrayLcsLengthExpression.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = $cls.lcsLength($a, $b);"
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayLcsLengthExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def lcsLength(a: ArrayData, b: ArrayData): Long = {
+    val xs = nonNull(a)
+    val ys = nonNull(b)
+    val m = xs.length
+    val n = ys.length
+    if (m == 0 || n == 0) return 0L
+    // two-row DP; cur needs no re-zeroing: index 0 is never written
+    // (stays 0 from allocation) and 1..n are overwritten every row
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var i = 1
+    while (i <= m) {
+      val x = xs(i - 1)
+      var j = 1
+      while (j <= n) {
+        cur(j) =
+          if (x.equals(ys(j - 1))) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n).toLong
+  }
+
+  private def nonNull(a: ArrayData): Array[UTF8String] = {
+    val n = a.numElements()
+    val out = new Array[UTF8String](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) { out(m) = a.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** Column form via the registered SQL function
+    * (see [[GraftExtensions]]). */
+  def lcsNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("array_lcs_length", a, b)
+}

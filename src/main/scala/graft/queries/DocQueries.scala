@@ -1386,6 +1386,9 @@ object DocQueries {
         .where(col("text").isNotNull)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_dedup_idx_bf_").toString
+      // restore any pre-existing session override instead of
+      // clobbering it with unset (r13 advice)
+      val priorMax = s.conf.getOption("graft.dedupIndex.maxBroadcastBatch")
       s.conf.set("graft.dedupIndex.maxBroadcastBatch", "1")
       try {
         DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
@@ -1406,8 +1409,62 @@ object DocQueries {
             (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
           .orderBy("id", "batch_id")
       } finally {
-        s.conf.unset("graft.dedupIndex.maxBroadcastBatch")
+        priorMax match {
+          case Some(p) => s.conf.set("graft.dedupIndex.maxBroadcastBatch", p)
+          case None => s.conf.unset("graft.dedupIndex.maxBroadcastBatch")
+        }
         deleteRecursively(new java.io.File(tmp))
+      }
+    }),
+
+    // ---- the SAME ingest cycle driven through a v1→v2 MIGRATION
+    // (DedupIndex.rebuildFrom): a synthesized pre-versioned index —
+    // flat grams part files, version-less meta, the DedupIndexSpec:141
+    // synthesis — is migrated in place (pure file moves + the atomic
+    // meta mint), then appended and probed. The output must equal the
+    // fresh-build cycle, so it shares the all-pairs trigram oracle:
+    // the plan a real migration runs earns its own oracle row instead
+    // of riding a spec-pinned equality (the q_dedup_index_backfill
+    // precedent, r13 verdict #6) ----
+    "q_dedup_index_migrate" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      import s.implicits._
+      val docs = docsPar(s, d).select("doc_id", "text")
+        .where(col("text").isNotNull)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dedup_idx_mig_").toString
+      try {
+        DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", tmp, bands = 16, rowsPerBand = 2)
+        // regress to v1: flatten the grams epoch layout into plain
+        // part files and strip the meta's version/shingler columns
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val gramsDir = new org.apache.hadoop.fs.Path(s"$tmp/grams")
+        val flatTmp = s"${tmp}_flatgrams"
+        s.read.parquet(s"$tmp/grams").select("id", "gram_hashes")
+          .write.parquet(flatTmp)
+        fs.delete(gramsDir, true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(flatTmp),
+          gramsDir), "v1 synthesis: grams rename failed")
+        Seq((16, 2)).toDF("bands", "rows_per_band")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+        // migrate, then grow and serve exactly like the probe cycle
+        DedupIndex.rebuildFrom(s, tmp)
+        DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", tmp)
+        val batch = docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" crawl extra tail")).as("text"))
+        DedupIndex.probe(s, tmp, batch, "doc_id", "text",
+            threshold = 0.5)
+          .select(col("id"), col("batch_id"),
+            (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
+          .orderBy("id", "batch_id")
+          .localCheckpoint()
+      } finally {
+        deleteRecursively(new java.io.File(tmp))
+        deleteRecursively(new java.io.File(s"${tmp}_flatgrams"))
       }
     }),
 
@@ -1533,11 +1590,34 @@ object DocQueries {
         .orderBy("source", "n")
     }),
 
+    // ---- approximate distinct-n (the 100 TB twin): the exact form's
+    // per-(group, order) count(DISTINCT gram) is the eval family's one
+    // unbounded state — its shuffle carries a vocabulary that grows
+    // supra-linearly with the corpus (SCALING.md: 5.2x work at 10x on
+    // the vocab-growth fixture). The HLL sketch bounds state at
+    // |groups|·|orders|·4096 registers at σ≈1.6%, and the estimator
+    // replays bit-for-bit in SQL (the q_hll_distinct convention) ----
+    "q_distinct_ngrams_approx" -> ((s, d) => {
+      graft.operators.EvalMetrics.distinctNApprox(docsPar(s, d),
+          "source", "text")
+        .orderBy("source", "n")
+    }),
+
     // ---- SQuAD-style token F1 (the QA/distillation span score):
     // clipped token overlap via the native row-local kernel — the
     // chrF zero-shuffle argument at token grain ----
     "q_token_f1" -> ((s, d) => {
       graft.operators.EvalMetrics.tokenF1(evalPairs(s, d), "doc_id",
+          "hyp", "ref")
+        .orderBy("doc_id")
+    }),
+
+    // ---- ROUGE-L (the most-reported summarization metric): LCS
+    // P/R/F1 in ppm via the native O(m·n) DP kernel — zero shuffles;
+    // the oracle replays the SAME prefix-max recurrence as a
+    // recursive-CTE row DP ----
+    "q_rouge_l" -> ((s, d) => {
+      graft.operators.EvalMetrics.rougeL(evalPairs(s, d), "doc_id",
           "hyp", "ref")
         .orderBy("doc_id")
     }),
@@ -4168,6 +4248,9 @@ ORDER BY src_id"""
     // the keyed (backfill) plan computes the SAME pairs from the same
     // index — one truth, two physical dataflows
     "q_dedup_index_backfill" -> dedupIndexProbeOracle,
+    // migration is metadata-only, so the migrated+appended index must
+    // serve the identical pair set: same all-pairs trigram truth
+    "q_dedup_index_migrate" -> dedupIndexProbeOracle,
 
     // same integer difficulty (prefScoreSql), same fixed-threshold
     // banding (integer //, both operands non-negative), same
@@ -4641,6 +4724,57 @@ ORDER BY src_id"""
          |    AS BIGINT) AS f1_ppm
          |FROM pr ORDER BY doc_id""".stripMargin,
 
+    // ROUGE-L: the LCS row DP in PREFIX-MAX form as a recursive CTE —
+    // dp_i[j] = max(dp_{i-1}[j], max_{j'<=j, rt[j']=ht[i]}
+    // (dp_{i-1}[j'-1]+1)) — the same recurrence the Spark-side
+    // cross-check fold runs (EvalMetrics.lcsLenViaFold), eliminating
+    // the classic recurrence's within-row dependency so the row step
+    // is one list_transform; integer DP + ppm divisions replay the
+    // native kernel bit-for-bit
+    "q_rouge_l" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(hyp)), '\\s+'),
+         |      x -> len(x) > 0) AS ht,
+         |    list_filter(string_split_regex(lower(trim(ref)), '\\s+'),
+         |      x -> len(x) > 0) AS rt
+         |  FROM ($evalPairsSql)
+         |), lcs AS (
+         |  SELECT doc_id, ht, rt, 0 AS i,
+         |    list_transform(range(0, len(rt) + 1),
+         |      x -> CAST(0 AS BIGINT)) AS dp
+         |  FROM p
+         |  UNION ALL
+         |  SELECT doc_id, ht, rt, i + 1,
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len(rt) + 1), j ->
+         |        greatest(dp[j + 1],
+         |          coalesce(list_max(list_transform(range(1, j + 1),
+         |            jp -> CASE WHEN rt[jp] = ht[i + 1]
+         |              THEN dp[jp] + 1 ELSE NULL END)),
+         |            CAST(0 AS BIGINT)))))
+         |  FROM lcs WHERE i < len(ht)
+         |), fin AS (
+         |  SELECT doc_id, dp[len(rt) + 1] AS lcs_len,
+         |    CAST(len(ht) AS BIGINT) AS n_hyp,
+         |    CAST(len(rt) AS BIGINT) AS n_ref
+         |  FROM lcs WHERE i = len(ht)
+         |), pr AS (
+         |  SELECT doc_id, coalesce(lcs_len, 0) AS lcs_len, n_hyp, n_ref,
+         |    CASE WHEN n_hyp = 0 THEN 0
+         |      ELSE coalesce(lcs_len, 0) * 1000000 // n_hyp END AS prec_ppm,
+         |    CASE WHEN n_ref = 0 THEN 0
+         |      ELSE coalesce(lcs_len, 0) * 1000000 // n_ref END AS rec_ppm
+         |  FROM fin
+         |)
+         |SELECT doc_id, CAST(lcs_len AS BIGINT) AS lcs_len, n_hyp, n_ref,
+         |  CAST(prec_ppm AS BIGINT) AS prec_ppm,
+         |  CAST(rec_ppm AS BIGINT) AS rec_ppm,
+         |  CAST(CASE WHEN prec_ppm + rec_ppm = 0 THEN 0
+         |    ELSE 2 * prec_ppm * rec_ppm // (prec_ppm + rec_ppm) END
+         |    AS BIGINT) AS rouge_l_ppm
+         |FROM pr ORDER BY doc_id""".stripMargin,
+
     // log-BLEU: token n-gram clipped counts per order via the chrF
     // union-count shape, then the SAME double expression tree (ln of
     // identical IEEE ratios, same association order) — one
@@ -4738,6 +4872,60 @@ ORDER BY src_id"""
          |  CAST(count(DISTINCT g) * 1000000 // count(*) AS BIGINT)
          |    AS distinct_ppm
          |FROM gr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // approximate distinct-n: the same gram stream through the full
+    // HLL replay (q_hll_distinct estimator SQL, keyed by (source, n),
+    // registers carrying bucket counts so totals need no second gram
+    // aggregation)
+    "q_distinct_ngrams_approx" -> {
+      val sides = (1 to 3).map(n =>
+        s"""SELECT source, $n AS n,
+           |  unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+           |    i -> array_to_string(t[i:i+${n - 1}], ' '))) AS g
+           |FROM toks""".stripMargin)
+      s"""WITH toks AS (
+         |  SELECT source, list_filter(string_split_regex(lower(trim(text)),
+         |    '\\s+'), x -> len(x) > 0) AS t
+         |  FROM documents WHERE text IS NOT NULL
+         |), gr AS (
+         |${sides.mkString("\nUNION ALL\n")}
+         |), h AS (
+         |  SELECT source, n,
+         |    CAST(md5_number_upper(g) % 72057594037927936 AS BIGINT) AS h
+         |  FROM gr
+         |), regs AS (
+         |  SELECT source, n, h // 17592186044416 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS bc,
+         |    min(CASE WHEN h % 17592186044416 = 0 THEN 0
+         |      ELSE length(bin(h % 17592186044416)) END) AS min_len
+         |  FROM h GROUP BY source, n, bucket
+         |), agg AS (
+         |  SELECT source, n, CAST(sum(bc) AS BIGINT) AS total_ngrams,
+         |    CAST(count(*) AS BIGINT) AS n_present,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(min_len AS INT))
+         |        AS BIGINT)
+         |      + (4096 - CAST(count(*) AS BIGINT)) * 35184372088832
+         |      AS s_scaled
+         |  FROM regs GROUP BY source, n
+         |), est AS (
+         |  SELECT source, n, total_ngrams, n_present, s_scaled,
+         |    CAST(floor(4.2566823519294213e20 / CAST(s_scaled AS DOUBLE))
+         |      AS BIGINT) AS est_raw_q,
+         |    CAST(floor(CASE
+         |      WHEN 4.2566823519294213e20 / CAST(s_scaled AS DOUBLE)
+         |          <= 10240.0 AND n_present < 4096
+         |        THEN 4096.0 * ln(4096.0 /
+         |          CAST(4096 - n_present AS DOUBLE))
+         |      ELSE 4.2566823519294213e20 / CAST(s_scaled AS DOUBLE)
+         |    END) AS BIGINT) AS est_q
+         |  FROM agg
+         |)
+         |SELECT source, n, total_ngrams, n_present, s_scaled,
+         |  est_raw_q, est_q,
+         |  CAST(est_q * 1000000 // total_ngrams AS BIGINT)
+         |    AS distinct_ppm_est
+         |FROM est ORDER BY source, n""".stripMargin
     },
 
     "q_ann_cosine" ->

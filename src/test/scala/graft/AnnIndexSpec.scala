@@ -99,6 +99,46 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ne.getMessage.contains("nprobe"))
   }
 
+  test("rebuildFrom migrates a v1 (meta-less) index in place: meta " +
+      "minted from the persisted centroids, append + probe equal a " +
+      "fresh build, crashed mints recover, live metas are refused") {
+    val v1 = tmp()
+    val fresh = tmp()
+    val half = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 === 1)
+    AnnIndex.build(half, "vec_id", "embedding", v1, nlist = 8)
+    AnnIndex.build(half, "vec_id", "embedding", fresh, nlist = 8)
+    // synthesize a TRUE v1: remove the meta dir entirely (the legacy
+    // layout readMetaOpt maps to None)
+    val metaDir = new java.io.File(s"$v1/meta")
+    metaDir.listFiles.foreach(f => assert(f.delete(), f.toString))
+    assert(metaDir.delete())
+    AnnIndex.rebuildFrom(spark, v1)
+    // the minted meta equals the fresh build's (centroids define
+    // dim/nlist; metric has only ever been cosine)
+    val minted = spark.read.parquet(s"$v1/meta").head()
+    val freshMeta = spark.read.parquet(s"$fresh/meta").head()
+    assert(minted == freshMeta, s"$minted != $freshMeta")
+    // migration is metadata-only: append + probe equal the fresh
+    // build (same deterministic quantizer both sides)
+    AnnIndex.append(rest, "vec_id", "embedding", v1)
+    AnnIndex.append(rest, "vec_id", "embedding", fresh)
+    def probed(p: String) = AnnIndex.probe(spark, p, queries,
+        "vec_id", "embedding", k = 10, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probed(v1) == probed(fresh))
+    // crashed mint: a meta dir WITHOUT _SUCCESS is an incomplete
+    // write — rebuildFrom clears and re-mints it
+    assert(new java.io.File(metaDir, "_SUCCESS").delete())
+    AnnIndex.rebuildFrom(spark, v1)
+    assert(spark.read.parquet(s"$v1/meta").head() == freshMeta)
+    // a live versioned meta is refused — rebuildFrom never rewrites
+    val le = intercept[IllegalArgumentException] {
+      AnnIndex.rebuildFrom(spark, v1)
+    }
+    assert(le.getMessage.contains("nothing to migrate"), le.getMessage)
+  }
+
   test("a PRESENT but corrupt meta dir fails the probe loudly; only " +
       "a genuinely absent meta reads as a legacy pre-versioned index") {
     import spark.implicits._

@@ -115,6 +115,84 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("rougeL: hand-computed LCS fixtures — order sensitivity, " +
+      "repeats, zero-token sides still emit a row, maxTokens bound") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String, String)], maxTokens: Int = 0) =
+      EvalMetrics.rougeL(rows.toDF("id", "hyp", "ref"), "id", "hyp",
+          "ref", maxTokens = maxTokens)
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("lcs_len"), r.getAs[Long]("prec_ppm"),
+            r.getAs[Long]("rec_ppm"), r.getAs[Long]("rouge_l_ppm")))
+        .toMap
+    val got = run(Seq(
+      // LCS(abcd, acbd) = 3 (abd or acd): P = R = F = 750000
+      (1L, "a b c d", "a c b d"),
+      // LCS = 3 of hyp 3 / ref 6: P = 10^6, R = 500000, F = 666666
+      (2L, "the cat sat", "the cat sat on the mat"),
+      // repeats: LCS(bab, abab) = 3 -> P = 10^6, R = 750000,
+      // F = 2*10^6*750000 div 1750000 = 857142
+      (3L, "b a b", "a b a b"),
+      // SAME BAG, different order: LCS = 1 where tokenF1 scores 2 —
+      // the order sensitivity that distinguishes the two metrics
+      (4L, "a b", "b a"),
+      (5L, "x y", ""),            // empty ref: zeros, row kept
+      (6L, "", ""),               // both empty: zeros, row kept
+      (7L, null, "a b"),          // null hyp: zeros, row kept
+      // multi-byte tokens compare as code-point strings
+      (8L, "héllo wörld déjà", "héllo déjà wörld")))
+    assert(got(1L) == ((3L, 750000L, 750000L, 750000L)), got.toString)
+    assert(got(2L) == ((3L, 1000000L, 500000L, 666666L)), got.toString)
+    assert(got(3L) == ((3L, 1000000L, 750000L, 857142L)), got.toString)
+    assert(got(4L) == ((1L, 500000L, 500000L, 500000L)))
+    assert(got(5L) == ((0L, 0L, 0L, 0L)))
+    assert(got(6L) == ((0L, 0L, 0L, 0L)))
+    assert(got(7L) == ((0L, 0L, 0L, 0L)))
+    assert(got(8L) == ((2L, 666666L, 666666L, 666666L)))
+    assert(got.size == 8)
+    // maxTokens truncates BOTH sides before the DP: first-2 tokens
+    // share nothing here, so the bounded score is 0 of 2-vs-2
+    val capped = run(Seq((1L, "a b c d e", "c d e a b")), maxTokens = 2)
+    assert(capped(1L) == ((0L, 0L, 0L, 0L)), capped.toString)
+  }
+
+  test("rougeL: the native O(m*n) kernel equals the prefix-max fold " +
+      "(the oracle's recurrence) bit-for-bit on corpus pairs, and the " +
+      "metric is shuffle-free") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .where(col("text").isNotNull).limit(120)
+    val pairs = docs.select(col("doc_id"), col("text").as("hyp"))
+      .join(docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ref")), Seq("doc_id"))
+      .unionByName(Seq(
+        (900001L, "héllo wörld déjà vu", "déjà wörld héllo vu"),
+        (900002L, "日本語 の テキスト", "日本語 テキスト の"),
+        (900003L, "a 😀 b 😀", "😀 a 😀 b"))
+        .toDF("doc_id", "hyp", "ref"))
+    graft.plans.GraftExtensions.register(spark)
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(lower(trim(c)), "\\s+"), x => length(x) > 0)
+    val both = pairs.select(col("doc_id"),
+        toks(col("hyp")).as("ht"), toks(col("ref")).as("rt"))
+      .select(col("doc_id"),
+        graft.plans.ArrayLcsLengthExpression
+          .lcsNative(col("ht"), col("rt")).as("native"),
+        EvalMetrics.lcsLenViaFold(col("ht"), col("rt")).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getAs[Long]("native") == r.getAs[Long]("fold"),
+        s"doc ${r.get(0)}: native ${r.get(1)} != fold ${r.get(2)}")
+    }
+    val lit = Seq((1L, "a b", "b a")).toDF("doc_id", "hyp", "ref")
+    val plan = EvalMetrics.rougeL(lit, "doc_id", "hyp", "ref")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"native rougeL must be shuffle-free:\n$plan")
+  }
+
   test("cer: native levenshtein over whitespace-normalized strings; " +
       "empty references are not emitted") {
     import spark.implicits._
@@ -210,6 +288,46 @@ class EvalMetricsSpec extends AnyFunSuite {
         .toDF("distinct_ppm", "text"), "distinct_ppm", "text")
     }
     assert(e5.getMessage.contains("collides"))
+    val e6 = intercept[IllegalArgumentException] {
+      EvalMetrics.rougeL(Seq((1L, "a", "a"))
+        .toDF("rouge_l_ppm", "hyp", "ref"), "rouge_l_ppm", "hyp", "ref")
+    }
+    assert(e6.getMessage.contains("collides"))
+    val e7 = intercept[IllegalArgumentException] {
+      EvalMetrics.distinctNApprox(Seq(("g", "a"))
+        .toDF("est_q", "text"), "est_q", "text")
+    }
+    assert(e7.getMessage.contains("collides"))
+  }
+
+  test("distinctNApprox: HLL estimates track the exact distinct-n " +
+      "within the sketch's error bound on the corpus, totals match " +
+      "exactly, and register state is bounded") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+    val exact = EvalMetrics.distinctN(docs, "source", "text")
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("n")) ->
+        (r.getAs[Long]("total_ngrams"), r.getAs[Long]("distinct_ngrams")))
+      .toMap
+    val approx = EvalMetrics.distinctNApprox(docs, "source", "text")
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("n")) ->
+        (r.getAs[Long]("total_ngrams"), r.getAs[Long]("est_q"),
+          r.getAs[Long]("n_present")))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (tot, est, nPresent)) =>
+      val (exTot, exDistinct) = exact(k)
+      assert(tot == exTot, s"$k: totals must be exact ($tot != $exTot)")
+      // sigma ~= 1.6% at m = 4096; 6 sigma leaves the test stable while
+      // still catching a broken register pipeline (off by 2x+)
+      val tol = math.max(0.10 * exDistinct, 8.0)
+      assert(math.abs(est - exDistinct) <= tol,
+        s"$k: est $est vs exact $exDistinct")
+      assert(nPresent <= 4096L)
+    }
   }
 
   test("distinct-n: hand-computed ratios; documents shorter than the " +

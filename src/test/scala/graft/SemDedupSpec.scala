@@ -104,6 +104,61 @@ class SemDedupSpec extends AnyFunSuite {
       "cold-cluster exact pair still dedups under the split plan")
   }
 
+  test("probeCells = 2 recovers the boundary-straddling pair the " +
+      "single-cell scan misses, leaves no-boundary fixtures " +
+      "bit-identical, and composes with the hot-cell grid split") {
+    import spark.implicits._
+    def run2(rows: Seq[(Long, Seq[Double])], pc: Int) =
+      SemDedup.verdicts(rows.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 2, threshold = 0.99,
+          centroids = Some(centroids), probeCells = pc)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Int]("cluster"), r.getAs[Long]("component"),
+            r.getAs[Boolean]("keep"))).toMap
+    // the recall-trade fixture: cos(6,7) = 0.99936 but the members
+    // quantize into different cells — single-cell misses, 2-probe hits
+    val boundary = Seq(
+      9L -> Seq(0.9, 0.1, 0.0, 0.0),
+      6L -> Seq(0.72, 0.694, 0.0, 0.0),
+      7L -> Seq(0.694, 0.72, 0.0, 0.0))
+    val single = run2(boundary, 1)
+    assert(single(6L)._3 && single(7L)._3, "missed at probeCells = 1")
+    val multi = run2(boundary, 2)
+    assert(multi(6L)._2 == multi(7L)._2,
+      "2-probe must join the boundary pair into one component")
+    assert(multi(6L)._3 != multi(7L)._3,
+      "exactly one of the recovered pair survives")
+    // cluster assignment (and so centroid cosine / keep-pick inputs)
+    // stay 1-nearest under multi-probe
+    assert(multi(6L)._1 == single(6L)._1 && multi(7L)._1 == single(7L)._1)
+    assert(multi(9L)._3)
+    // a fixture with NO cross-cell pairs: multi-probe changes nothing
+    val plain = Seq(
+      1L -> Seq(1.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.999, 0.04, 0.0, 0.0),
+      8L -> Seq(0.999, 0.04, 0.0, 0.0),
+      3L -> Seq(0.0, 1.0, 0.0, 0.0),
+      4L -> Seq(0.04, 0.999, 0.0, 0.0))
+    assert(run2(plain, 2) == run2(plain, 1))
+    // and the grid split composes: force a hot cell under 2-probe —
+    // verdicts must stay bit-identical to the unguarded 2-probe plan
+    // (the pair-set argument is per probed cell, so it survives the
+    // domain explode)
+    val hot = (0 until 20).flatMap { i =>
+      val base = Seq(0.999, 0.01 + i * 0.001, 0.0, 0.0)
+      Seq((100L + i) -> base, (500L + i) -> base)
+    } ++ boundary
+    val unguarded = run2(hot, 2)
+    spark.conf.set("graft.semdedup.maxCellRows", "16")
+    val split =
+      try run2(hot, 2)
+      finally spark.conf.unset("graft.semdedup.maxCellRows")
+    assert(split == unguarded,
+      "grid-split 2-probe verdicts must equal the unguarded 2-probe")
+    assert(split(6L)._2 == split(7L)._2,
+      "boundary pair still recovered under the split")
+  }
+
   test("semdedupKFor grows k linearly with the corpus (constant " +
       "expected cell size), never returns < 1") {
     assert(SemDedup.semdedupKFor(1L) == 1)

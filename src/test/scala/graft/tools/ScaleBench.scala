@@ -226,12 +226,16 @@ object ScaleBench {
                 - lit(1000.0)) * 0.0008))
           .otherwise(col("embedding").cast("array<double>"))
           .as("embedding"))
+      val prior = s.conf.getOption("graft.semdedup.maxCellRows")
       s.conf.set("graft.semdedup.maxCellRows", cap.toString)
       // the cell probe (and so the plan choice) happens INSIDE
       // verdicts, before the finally resets the conf
       try graft.operators.SemDedup.verdicts(skewed, "vec_id",
         "embedding", k = 8, threshold = 0.99)
-      finally s.conf.unset("graft.semdedup.maxCellRows")
+      finally prior match {
+        case Some(p) => s.conf.set("graft.semdedup.maxCellRows", p)
+        case None => s.conf.unset("graft.semdedup.maxCellRows")
+      }
     }
     val sdUnguarded = time(semdedupHot(Long.MaxValue), spark, scaledDir, 1)
     val sdSplit = time(semdedupHot(2048L), spark, scaledDir, 1)
@@ -239,6 +243,77 @@ object ScaleBench {
     println(f"| q_semdedup[hot cell x$copies: unguarded vs grid split] " +
       f"| $sdUnguarded%.2f | $sdSplit%.2f | ${sdRatio}%.2fx | " +
       f"${if (sdRatio <= 1.1) "guard-ok" else "GUARD-SLOWER"} |")
+
+    boundaryRecall(spark)
+  }
+
+  /** SemDedup boundary-pair recall vs k, probeCells 1 vs 2 (r13
+    * verdict #7): the documented cross-cell recall trade, measured.
+    * Fixture: for every even base vector, plant a near-dup PAIR
+    * sitting ON the midline between that vector and its successor —
+    * a = 0.5002·u + 0.4998·w and b the mirror, so cos(a, b) ≈ 1 ≥
+    * 0.99 while the pair straddles whatever cell boundary separates
+    * u's and w's regions (more cells ⇒ more boundaries ⇒ more
+    * straddles). Recall = fraction of planted pairs whose members
+    * share a verdict component. Cost rides along so the 2-probe
+    * recall gain is priced. */
+  private[tools] def boundaryRecall(spark: SparkSession): Unit = {
+    val emb = spark.read.parquet(s"$BaseDir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    // partner = a DISTANT vector (i + 997 mod n), so the pair's
+    // midpoint plausibly sits between two different cells' regions;
+    // 0.53/0.47 mixing keeps cos(a, b) >= 0.9928 even for orthogonal
+    // endpoints (a·b = 2·0.53·0.47, |a|² = 0.53² + 0.47² at equal
+    // norms) while separating the members by 0.06·(u − w) — wide
+    // enough for a cell boundary to pass between them
+    val far = emb.select(
+      ((col("vec_id") + 997) % 2000).as("vec_id"),
+      col("embedding").as("w"))
+    val mid = emb.where(col("vec_id") % 2 === 0)
+      .join(far, Seq("vec_id"))
+    def blend(a: Double, b: Double) =
+      zip_with(col("embedding"), col("w"), (x, y) => x * a + y * b)
+    val planted = mid.select((col("vec_id") + 20000000L).as("vec_id"),
+        blend(0.53, 0.47).as("embedding"))
+      .unionByName(mid.select((col("vec_id") + 30000000L).as("vec_id"),
+        blend(0.47, 0.53).as("embedding")))
+    val corpus = emb.unionByName(planted)
+    val nPairs = mid.count()
+    println(s"| semdedup boundary recall ($nPairs planted near-" +
+      "boundary pairs) | k (straddle%) | probeCells=1 | probeCells=2 " +
+      "| recall gain |")
+    Seq(4, 8, 16, 32).foreach { k =>
+      // straddle% — the fraction of planted pairs whose members
+      // ASSIGN to different cells: the population the single-cell
+      // scan cannot examine directly
+      val cs = graft.operators.KMeans.initCentroids(corpus, "vec_id",
+        "embedding", k, 1024)
+      val straddle = 100.0 * graft.operators.KMeans
+        .assign(corpus.where(col("vec_id") >= 20000000L)
+          .select(col("vec_id"), col("embedding").as("v")), "v", 1024, cs)
+        .select((col("vec_id") % 10000000L).as("pid"), col("cluster"))
+        .groupBy("pid").agg(countDistinct("cluster").as("nc"))
+        .where(col("nc") > 1).count() / nPairs
+      val r = Seq(1, 2).map { pc =>
+        val t0 = System.nanoTime()
+        val comp = graft.operators.SemDedup.verdicts(corpus, "vec_id",
+            "embedding", k = k, threshold = 0.99, probeCells = pc)
+          .select(col("vec_id"), col("component"))
+        val caught = comp.where(col("vec_id") >= 20000000L)
+          .select((col("vec_id") % 10000000L).as("pid"),
+            col("component"))
+          .groupBy("pid")
+          .agg(countDistinct("component").as("nc"))
+          .where(col("nc") === 1).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); graft.operators.Caches.clear()
+        (100.0 * caught / nPairs, sec)
+      }
+      println(f"| | k=$k ($straddle%.1f%%) | ${r(0)._1}%.1f%% " +
+        f"(${r(0)._2}%.1f s) | ${r(1)._1}%.1f%% (${r(1)._2}%.1f s) " +
+        f"| +${r(1)._1 - r(0)._1}%.1f pts |")
+    }
   }
 
   def main(args: Array[String]): Unit = {
