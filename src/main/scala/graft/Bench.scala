@@ -242,7 +242,7 @@ object Bench {
       "q_chunk_docs", "q_repetition", "q_pii", "q_curation_funnel",
       "q_heavy_hitters", "q_simhash_pairs", "q_bm25", "q_ranking_metrics", "q_ranking_metrics_at", "q_mixture",
       "q_chrf", "q_cer", "q_distinct_ngrams", "q_distinct_ngrams_approx",
-      "q_token_f1", "q_log_bleu", "q_rouge_l",
+      "q_token_f1", "q_log_bleu", "q_rouge_l", "q_rouge_2",
       "q_grouping_sets", "q_percentiles", "q_ngram_span_dedup",
       "q_embed_quantize", "q_dedup_clusters", "q_gap_fill", "q_merge",
       "q_embed_dedup", "q_url_filter", "q_bpe_pairs", "q_vocab_stats",
@@ -274,7 +274,7 @@ object Bench {
       "q_keyword_tags",
       "q_url_canonical", "q_neg_samples", "q_fim", "q_span_corrupt",
       "q_sft_render", "q_sft_render_n", "q_dpo_pairs", "q_grpo_adv", "q_mmr", "q_bt_rank", "q_curriculum", "q_cluster_balance", "q_semdedup",
-      "q_semdedup_planned",
+      "q_semdedup_planned", "q_semdedup_probe2",
       "q_label_prop", "q_kanon", "q_kanon_rows", "q_dedup_index_probe",
       "q_dedup_index_backfill", "q_dedup_index_migrate",
       "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",

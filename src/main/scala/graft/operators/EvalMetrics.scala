@@ -235,6 +235,63 @@ object EvalMetrics {
             "2L * prec_ppm * rec_ppm div (prec_ppm + rec_ppm)")))
   }
 
+  /** ROUGE-N per (hypothesis, reference) pair (Lin 2004): clipped
+    * token n-gram overlap P/R/F1 — [[tokenF1]]'s clipped-multiset
+    * scoring lifted from unigrams to order-n grams (ROUGE-1 ≡
+    * tokenF1's P/R/F on the same normalization), completing the
+    * reported trio next to [[rougeL]]. F1 (the rouge-score library
+    * convention) with the P/R columns exposed for re-weighting;
+    * ppm integer arithmetic throughout, zero-gram sides score 0 and
+    * still emit a row (the tokenF1 convention).
+    *
+    * Plan: the same zero-shuffle narrow projection — in-row gram
+    * arrays through the native `array_clipped_matches` kernel.
+    *
+    * @return (idCol, n_match, n_hyp_grams, n_ref_grams, prec_ppm,
+    *         rec_ppm, f1_ppm) */
+  def rougeN(pairs: DataFrame, idCol: String, hypCol: String,
+      refCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 8, s"n=$n outside [1, 8]")
+    requireNoCollision("id", idCol, Seq("n_match", "n_hyp_grams",
+      "n_ref_grams", "prec_ppm", "rec_ppm", "f1_ppm", "_hg", "_rg"))
+    graft.plans.GraftExtensions.register(pairs.sparkSession)
+    def toks(c: Column) =
+      filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+    pairs.select(col(idCol).as(idCol),
+        tokenGrams(toks(col(hypCol)), n).as("_hg"),
+        tokenGrams(toks(col(refCol)), n).as("_rg"))
+      .select(col(idCol),
+        coalesce(graft.plans.ArrayClippedMatchesExpression
+          .matchesNative(col("_hg"), col("_rg")), lit(0L)).as("n_match"),
+        coalesce(size(col("_hg")).cast("long"), lit(0L))
+          .as("n_hyp_grams"),
+        coalesce(size(col("_rg")).cast("long"), lit(0L))
+          .as("n_ref_grams"))
+      .select(col(idCol), col("n_match"),
+        greatest(col("n_hyp_grams"), lit(0L)).as("n_hyp_grams"),
+        greatest(col("n_ref_grams"), lit(0L)).as("n_ref_grams"))
+      .withColumn("prec_ppm", when(col("n_hyp_grams") === 0, lit(0L))
+        .otherwise(expr("n_match * 1000000L div n_hyp_grams")))
+      .withColumn("rec_ppm", when(col("n_ref_grams") === 0, lit(0L))
+        .otherwise(expr("n_match * 1000000L div n_ref_grams")))
+      .withColumn("f1_ppm",
+        when(expr("prec_ppm + rec_ppm") === 0, lit(0L))
+          .otherwise(expr(
+            "2L * prec_ppm * rec_ppm div (prec_ppm + rec_ppm)")))
+  }
+
+  /** Word n-grams of a token array as space-joined strings — the
+    * in-row gram builder [[rougeN]] and [[logBleu]] share (n = 1
+    * returns the token array itself; the null-probe filter is the
+    * charGrams short-string guard at token grain). */
+  private def tokenGrams(c: Column, n: Int): Column =
+    if (n == 1) c
+    else filter(
+      transform(sequence(lit(1), greatest(size(c) - (n - 1), lit(1))),
+        i => when(size(c) - (n - 1) >= i,
+          concat_ws(" ", slice(c, i, lit(n))))),
+      g => g.isNotNull)
+
   /** Sentence BLEU in LOG space per pair (Papineni 2002), micro-
     * quantized: token n-gram clipped precisions for orders 1..maxOrder
     * with +1 smoothing (Lin & Och 2004 applied to every order — no
@@ -268,13 +325,7 @@ object EvalMetrics {
     graft.plans.GraftExtensions.register(pairs.sparkSession)
     def toks(c: Column) =
       filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
-    def grams(c: Column, n: Int) =
-      if (n == 1) c
-      else filter(
-        transform(sequence(lit(1), greatest(size(c) - (n - 1), lit(1))),
-          i => when(size(c) - (n - 1) >= i,
-            concat_ws(" ", slice(c, i, lit(n))))),
-        g => g.isNotNull)
+    def grams(c: Column, n: Int) = tokenGrams(c, n)
     val base = pairs.select(col(idCol).as("id"),
         toks(col(hypCol)).as("_ht"), toks(col(refCol)).as("_rt"))
       .where(size(col("_ht")) > 0 && size(col("_rt")) > 0)

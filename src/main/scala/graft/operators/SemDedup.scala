@@ -152,10 +152,14 @@ object SemDedup {
     // SMALLEST shared cell (array_intersect over two probeCells-sized
     // lists — a row-local filter, not a distinct shuffle). Default 1 =
     // the r13 plan, byte-identical.
+    // (persistTracked for the same reason as `assigned`: the exploded
+    // domain feeds the hot-cell probe's collect plus both join sides —
+    // without the cache the assignN UDF re-scans the centroids 3×)
     val domain =
       if (probeCells == 1) assigned
       else KMeans.assignN(v, "v", scale, cs, probeCells, "_cells")
         .withColumn("cluster", explode(col("_cells")))
+        .persistTracked
     // the single-meet filter: a multi-probed pair sharing several
     // cells is kept exactly once — at the smallest shared cell; with
     // probeCells = 1 this is Literal(true) and PruneFilters removes

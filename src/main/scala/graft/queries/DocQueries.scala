@@ -327,27 +327,55 @@ object DocQueries {
   private val semDedupPlannedOracle: String = semDedupOracleFor(
     graft.operators.SemDedup.semdedupKFor(525L, targetCellRows = 64L))
 
-  private def semDedupOracleFor(k: Int): String = {
+  private def semDedupOracleFor(k: Int, probeCells: Int = 1): String = {
     val src =
       """(SELECT vec_id, embedding FROM embeddings
         |    UNION ALL
         |    SELECT vec_id + 100000 AS vec_id, embedding
         |    FROM embeddings WHERE vec_id % 20 = 0)""".stripMargin
+    // single-cell pairs: the r13 oracle verbatim. Multi-probe: the
+    // pair domain is the rn <= probeCells assignment, and a pair
+    // sharing several probed cells counts once — at the smallest
+    // shared cell (the Spark side's row-local array_intersect dedup,
+    // replayed over per-vec cell lists)
+    val pairsCte =
+      if (probeCells == 1)
+        """pairs AS (
+          |  SELECT id_a, id_b FROM (
+          |    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+          |      CAST(floor(list_cosine_similarity(x.v, y.v) * 1e6)
+          |        AS BIGINT) AS cq
+          |    FROM asg x JOIN asg y
+          |      ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+          |  WHERE cq >= 990000
+          |)""".stripMargin
+      else
+        s"""probed AS (
+          |  SELECT a.vec_id, a.cluster_id AS cluster, ev.v
+          |  FROM a JOIN ev USING (vec_id) WHERE a.rn <= $probeCells
+          |), cellsets AS (
+          |  SELECT vec_id, list_sort(list(cluster)) AS cells
+          |  FROM probed GROUP BY vec_id
+          |), pairs AS (
+          |  SELECT id_a, id_b FROM (
+          |    SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cluster,
+          |      cx.cells AS ca, cy.cells AS cb,
+          |      CAST(floor(list_cosine_similarity(x.v, y.v) * 1e6)
+          |        AS BIGINT) AS cq
+          |    FROM probed x JOIN probed y
+          |      ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          |    JOIN cellsets cx ON cx.vec_id = x.vec_id
+          |    JOIN cellsets cy ON cy.vec_id = y.vec_id)
+          |  WHERE cq >= 990000
+          |    AND cluster = list_min(list_intersect(ca, cb))
+          |)""".stripMargin
     "WITH RECURSIVE " + kmeansAssignBody(src, k) +
       s""", ev AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src e2
         |), asg AS (
         |  SELECT a.vec_id, a.cluster_id AS cluster, ev.v
         |  FROM a JOIN ev USING (vec_id) WHERE a.rn = 1
-        |), pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-        |      CAST(floor(list_cosine_similarity(x.v, y.v) * 1e6)
-        |        AS BIGINT) AS cq
-        |    FROM asg x JOIN asg y
-        |      ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
-        |  WHERE cq >= 990000
-        |), sym AS (
+        |), $pairsCte, sym AS (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
         |), reach(id, label) AS (
@@ -1622,6 +1650,15 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- ROUGE-2 (the trio's n-gram member): clipped bigram overlap
+    // P/R/F1 via the same native array kernel — tokenF1 lifted to
+    // order-2 grams, zero shuffles ----
+    "q_rouge_2" -> ((s, d) => {
+      graft.operators.EvalMetrics.rougeN(evalPairs(s, d), "doc_id",
+          "hyp", "ref", n = 2)
+        .orderBy("doc_id")
+    }),
+
     // ---- sentence BLEU in LOG space (+1-smoothed, effective-order
     // mean, log brevity penalty): exp() never runs — ln over
     // identical IEEE doubles is the proven q_tfidf/q_ccnet floor(ln)
@@ -2522,6 +2559,22 @@ object DocQueries {
           col("embedding")))
       graft.operators.SemDedup.verdicts(corpus, "vec_id", "embedding",
           k = 8, threshold = 0.99)
+        .orderBy("vec_id")
+    }),
+
+    // ---- SemDeDup with 2-cell multi-probe (r14): the boundary-recall
+    // knob's plan — pair formation probes each row's TWO nearest
+    // cells, multi-met pairs dedup at their smallest shared cell —
+    // earns its own oracle row rather than riding SemDedupSpec alone:
+    // the oracle replays the rn <= 2 assignment, the min-common-cell
+    // pair dedup, the closure, and the (still 1-nearest) keep pick ----
+    "q_semdedup_probe2" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(e.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding")))
+      graft.operators.SemDedup.verdicts(corpus, "vec_id", "embedding",
+          k = 8, threshold = 0.99, probeCells = 2)
         .orderBy("vec_id")
     }),
 
@@ -4775,6 +4828,54 @@ ORDER BY src_id"""
          |    AS BIGINT) AS rouge_l_ppm
          |FROM pr ORDER BY doc_id""".stripMargin,
 
+    // ROUGE-2: the q_token_f1 union-agg clipped-count shape over
+    // bigram lists (same tokenization, same ppm arithmetic)
+    "q_rouge_2" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(hyp)), '\\s+'),
+         |      x -> len(x) > 0) AS ht,
+         |    list_filter(string_split_regex(lower(trim(ref)), '\\s+'),
+         |      x -> len(x) > 0) AS rt
+         |  FROM ($evalPairsSql)
+         |), g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(len(ht) - 1, 0) + 1),
+         |      i -> array_to_string(ht[i:i+1], ' ')) AS hg,
+         |    list_transform(range(1, greatest(len(rt) - 1, 0) + 1),
+         |      i -> array_to_string(rt[i:i+1], ' ')) AS rg
+         |  FROM p
+         |), gr AS (
+         |  SELECT doc_id, unnest(hg) AS t, 1 AS wh, 0 AS wr FROM g
+         |  UNION ALL
+         |  SELECT doc_id, unnest(rg) AS t, 0 AS wh, 1 AS wr FROM g
+         |), counts AS (
+         |  SELECT doc_id, t, CAST(sum(wh) AS BIGINT) AS ch,
+         |    CAST(sum(wr) AS BIGINT) AS cr
+         |  FROM gr GROUP BY 1, 2
+         |), m AS (
+         |  SELECT doc_id, CAST(sum(least(ch, cr)) AS BIGINT) AS n_match
+         |  FROM counts GROUP BY 1
+         |), pr AS (
+         |  SELECT g.doc_id, coalesce(n_match, 0) AS n_match,
+         |    CAST(len(hg) AS BIGINT) AS n_hyp_grams,
+         |    CAST(len(rg) AS BIGINT) AS n_ref_grams,
+         |    CASE WHEN len(hg) = 0 THEN 0
+         |      ELSE coalesce(n_match, 0) * 1000000 // len(hg) END
+         |      AS prec_ppm,
+         |    CASE WHEN len(rg) = 0 THEN 0
+         |      ELSE coalesce(n_match, 0) * 1000000 // len(rg) END
+         |      AS rec_ppm
+         |  FROM g LEFT JOIN m USING (doc_id)
+         |)
+         |SELECT doc_id, n_match, n_hyp_grams, n_ref_grams,
+         |  CAST(prec_ppm AS BIGINT) AS prec_ppm,
+         |  CAST(rec_ppm AS BIGINT) AS rec_ppm,
+         |  CAST(CASE WHEN prec_ppm + rec_ppm = 0 THEN 0
+         |    ELSE 2 * prec_ppm * rec_ppm // (prec_ppm + rec_ppm) END
+         |    AS BIGINT) AS f1_ppm
+         |FROM pr ORDER BY doc_id""".stripMargin,
+
     // log-BLEU: token n-gram clipped counts per order via the chrF
     // union-count shape, then the SAME double expression tree (ln of
     // identical IEEE ratios, same association order) — one
@@ -6200,6 +6301,9 @@ ORDER BY src_id"""
     // cluster-scoped semantic dedup: assignment + pairs + closure +
     // keep pick all replayed (see semDedupOracle)
     "q_semdedup" -> semDedupOracle,
+    // 2-probe pair domain (rn <= 2) + smallest-shared-cell dedup;
+    // components and keep pick replay on the 1-nearest assignment
+    "q_semdedup_probe2" -> semDedupOracleFor(8, probeCells = 2),
     "q_semdedup_planned" -> semDedupPlannedOracle,
 
     "q_cluster_balance" -> (kmeansAssignCtes +

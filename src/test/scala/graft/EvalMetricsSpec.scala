@@ -156,6 +156,43 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(capped(1L) == ((0L, 0L, 0L, 0L)), capped.toString)
   }
 
+  test("rougeN: hand-computed bigram fixtures; ROUGE-1 coincides " +
+      "with tokenF1's P/R/F on the corpus (same normalization, same " +
+      "clipping)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = EvalMetrics.rougeN(Seq(
+        // hyp bigrams {ab, bc, cd}; ref bigrams {ab, bd, dc}:
+        // clipped m = 1 -> P = R = 333333, F = 333333
+        (1L, "a b c d", "a b d c"),
+        // repeats clip: hyp {aa, aa}? tokens a a a -> bigrams
+        // {"a a","a a"}; ref a a -> {"a a"}: m = 1, P = 500000,
+        // R = 10^6, F = 666666
+        (2L, "a a a", "a a"),
+        (3L, "x", "x"),          // no bigram on either side: zeros
+        (4L, "p q", ""))         // empty ref: zeros, row kept
+        .toDF("id", "hyp", "ref"), "id", "hyp", "ref", n = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_match"), r.getAs[Long]("prec_ppm"),
+          r.getAs[Long]("rec_ppm"), r.getAs[Long]("f1_ppm"))).toMap
+    assert(got(1L) == ((1L, 333333L, 333333L, 333333L)), got.toString)
+    assert(got(2L) == ((1L, 500000L, 1000000L, 666666L)), got.toString)
+    assert(got(3L) == ((0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L, 0L)))
+    // ROUGE-1 == tokenF1 modulo column names (the scaladoc claim)
+    val docs = graft.Tables.documents(spark, sf)
+      .where(col("text").isNotNull).limit(100)
+    val pairs = docs.select(col("doc_id"), col("text").as("hyp"))
+      .join(docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ref")), Seq("doc_id"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(EvalMetrics.rougeN(pairs, "doc_id", "hyp", "ref", 1)
+        .select("doc_id", "n_match", "prec_ppm", "rec_ppm", "f1_ppm")) ==
+      canon(EvalMetrics.tokenF1(pairs, "doc_id", "hyp", "ref")
+        .select("doc_id", "n_match", "prec_ppm", "rec_ppm", "f1_ppm")))
+  }
+
   test("rougeL: the native O(m*n) kernel equals the prefix-max fold " +
       "(the oracle's recurrence) bit-for-bit on corpus pairs, and the " +
       "metric is shuffle-free") {

@@ -47,7 +47,12 @@ object ScaleBench {
       // chrF/CER are pair-bounded (the 200-pair stratum is fixed —
       // flat ratios expected, the q_ranking_metrics shape)
       "q_semdedup_planned", "q_chrf", "q_cer", "q_distinct_ngrams",
-      "q_token_f1", "q_log_bleu"))
+      "q_token_f1", "q_log_bleu",
+      // r14 additions: the approx twin must show the exact form's
+      // supra-linear-vocab ratio collapsing toward linear (bounded
+      // register state); rouge-l is pair-bounded (flat expected);
+      // the migrate cycle is the probe cycle + pure file moves
+      "q_distinct_ngrams_approx", "q_rouge_l", "q_dedup_index_migrate"))
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"
