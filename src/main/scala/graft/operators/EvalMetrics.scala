@@ -447,6 +447,104 @@ object EvalMetrics {
       .otherwise(fold)
   }
 
+  /** Fréchet distance between two embedding corpora under DIAGONAL
+    * covariance (the FID construction — Heusel et al. 2017, "GANs
+    * Trained by a Two Time-Scale Update Rule Converge to a Local Nash
+    * Equilibrium" — with the per-dimension independence simplification
+    * common at corpus scale): the DISTRIBUTION-level generation
+    * signal next to the family's pair-level metrics — "has my
+    * synthetic corpus drifted from the reference in embedding space"
+    * without any pairing at all:
+    *
+    *   fd = Σ_i (μa_i − μb_i)² + (√var_a_i − √var_b_i)²
+    *
+    * (per-dim Gaussians; the full-covariance FID needs a matrix
+    * square root, which is neither SQL-replayable nor integer-exact —
+    * out of the engine-exact budget by design, documented).
+    *
+    * Engine-exact discipline: vectors quantize to integers FIRST
+    * (floor(x·scale) — the KMeans convention), so each side's
+    * per-dimension (n, Σq, Σq²) are EXACT integers that commute under
+    * any partitioning; μ/var/sqrt then run as ONE fixed double
+    * expression tree over those exact inputs (sqrt is correctly
+    * rounded — the q_grpo_adv budget), each dimension's two terms
+    * floor-quantize to micro units independently (de-quantized by
+    * scale², so the result reads in input units²), and the cross-dim
+    * totals are integer sums. The SQL oracle replays every step
+    * bit-for-bit.
+    *
+    * Scale shape: one narrow quantize+posexplode per side → per-side
+    * two-phase agg onto |dim| keys (map-side combine bounds every
+    * task's shuffle output at |dim| rows) → a |dim|-row join → 1-row
+    * final agg. State is dimension-bounded, corpus-unbounded-safe.
+    * Ragged or mismatched dimensions FAIL the job in-plan (a missing
+    * dimension on one side or a per-dim row-count disagreement would
+    * silently skew every moment).
+    *
+    * @return ONE row: (dims, n_a, n_b, mean_term_micro,
+    *         var_term_micro, fd_micro) with fd_micro = mean + var
+    *         terms (each already floor-quantized per dimension) */
+  def embedFrechetDiag(a: DataFrame, b: DataFrame, vecCol: String,
+      scale: Int = 1024): DataFrame = {
+    require(scale >= 1, s"scale=$scale must be >= 1")
+    def stats(df: DataFrame, n: String, s: String, ss: String) =
+      df.where(col(vecCol).isNotNull)
+        .select(posexplode(KMeans.quantize(col(vecCol), scale))
+          .as(Seq("dim", "q")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as(n), sum("q").as(s),
+          sum(expr("q * q")).as(ss))
+    val sq = scale.toLong * scale
+    def moments(side: String) = {
+      val mu = col(s"s_$side").cast("double") /
+        col(s"n_$side").cast("double")
+      val vr = greatest(
+        col(s"ss_$side").cast("double") /
+          col(s"n_$side").cast("double") - mu * mu, lit(0.0))
+      (mu, vr)
+    }
+    val joined = stats(a, "n_a", "s_a", "ss_a")
+      .join(stats(b, "n_b", "s_b", "ss_b"), Seq("dim"), "full_outer")
+    val (muA, varA) = moments("a")
+    val (muB, varB) = moments("b")
+    val dMu = muA - muB
+    val dSd = sqrt(varA) - sqrt(varB)
+    val perDim = joined.select(
+      // a dimension present on only one side = mismatched embedding
+      // widths — fail loudly, never an intersection-only distance
+      when(col("n_a").isNull || col("n_b").isNull,
+        raise_error(concat(lit("embedFrechetDiag: dimension "),
+          coalesce(col("dim").cast("string"), lit("null")),
+          lit(" present on only one side — mismatched embedding " +
+            "dims")))
+          .cast("long")).otherwise(col("n_a")).as("n_a"),
+      col("n_b"),
+      floor(dMu * dMu * 1000000.0 / sq.toDouble).cast("long")
+        .as("mean_q"),
+      floor(dSd * dSd * 1000000.0 / sq.toDouble).cast("long")
+        .as("var_q"))
+    perDim.agg(
+        count(lit(1)).as("dims"),
+        // ragged-corpus guard: every dimension must have seen every
+        // row of its side
+        when(min("n_a") === max("n_a"), min("n_a"))
+          .otherwise(raise_error(
+            lit("embedFrechetDiag: ragged vectors on side A — " +
+              "per-dimension row counts disagree")).cast("long"))
+          .as("n_a"),
+        when(min("n_b") === max("n_b"), min("n_b"))
+          .otherwise(raise_error(
+            lit("embedFrechetDiag: ragged vectors on side B — " +
+              "per-dimension row counts disagree")).cast("long"))
+          .as("n_b"),
+        sum("mean_q").as("mean_term_micro"),
+        sum("var_q").as("var_term_micro"))
+      .withColumn("fd_micro",
+        expr("mean_term_micro + var_term_micro"))
+      .select("dims", "n_a", "n_b", "mean_term_micro",
+        "var_term_micro", "fd_micro")
+  }
+
   /** Character error rate per pair: native `levenshtein` (identical
     * unit-cost edit distance in Spark and DuckDB — no UDF, no
     * quantization question) over whitespace-NORMALIZED strings (runs

@@ -1659,6 +1659,26 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- diagonal-Fréchet embedding-distribution distance (the FID
+    // construction, per-dim covariance): the DISTRIBUTION-level
+    // generation signal — corpus drift in embedding space with no
+    // pairing at all. Fixture: even-id embeddings vs odd-id
+    // embeddings under a deterministic affine shift (x·1.02 + 0.01),
+    // so both the mean and the variance terms are exercised. Exact
+    // integer (n, Σq, Σq²) moments per dimension; one fixed double
+    // tree on top — the oracle replays it bit-for-bit ----
+    "q_embed_fd" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val aSide = e.where(col("vec_id") % 2 === 0)
+      val bSide = e.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x * 1.02 + 0.01).as("embedding"))
+      graft.operators.EvalMetrics.embedFrechetDiag(aSide, bSide,
+        "embedding")
+    }),
+
     // ---- sentence BLEU in LOG space (+1-smoothed, effective-order
     // mean, log brevity penalty): exp() never runs — ln over
     // identical IEEE doubles is the proven q_tfidf/q_ccnet floor(ln)
@@ -4875,6 +4895,64 @@ ORDER BY src_id"""
          |    ELSE 2 * prec_ppm * rec_ppm // (prec_ppm + rec_ppm) END
          |    AS BIGINT) AS f1_ppm
          |FROM pr ORDER BY doc_id""".stripMargin,
+
+    // diagonal-Fréchet: exact integer per-dim moments (the Spark side
+    // quantizes first, so Σq/Σq² commute), then the identical double
+    // tree — μ, population var (greatest-0 clamped), (√va − √vb)²,
+    // per-dim floor to micro units de-quantized by scale², integer
+    // cross-dim sums
+    "q_embed_fd" ->
+      """WITH ea AS (
+        |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1024) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 2 = 0
+        |), eb AS (
+        |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor((x * 1.02 + 0.01) * 1024) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 2 = 1
+        |), sa AS (
+        |  SELECT j AS dim, CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(sum(q[j]) AS BIGINT) AS s_a,
+        |    CAST(sum(q[j] * q[j]) AS BIGINT) AS ss_a
+        |  FROM ea CROSS JOIN range(1, 65) r(j) GROUP BY j
+        |), sb AS (
+        |  SELECT j AS dim, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(q[j]) AS BIGINT) AS s_b,
+        |    CAST(sum(q[j] * q[j]) AS BIGINT) AS ss_b
+        |  FROM eb CROSS JOIN range(1, 65) r(j) GROUP BY j
+        |), pd AS (
+        |  SELECT n_a, n_b,
+        |    CAST(floor((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      * 1000000.0 / 1048576.0) AS BIGINT) AS mean_q,
+        |    CAST(floor((sqrt(greatest(
+        |        CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |          * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)), 0.0))
+        |      - sqrt(greatest(
+        |        CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |        - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |          * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)), 0.0)))
+        |      * (sqrt(greatest(
+        |        CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |          * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)), 0.0))
+        |      - sqrt(greatest(
+        |        CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |        - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |          * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)), 0.0)))
+        |      * 1000000.0 / 1048576.0) AS BIGINT) AS var_q
+        |  FROM sa JOIN sb USING (dim)
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS dims,
+        |  CAST(min(n_a) AS BIGINT) AS n_a,
+        |  CAST(min(n_b) AS BIGINT) AS n_b,
+        |  CAST(sum(mean_q) AS BIGINT) AS mean_term_micro,
+        |  CAST(sum(var_q) AS BIGINT) AS var_term_micro,
+        |  CAST(sum(mean_q) + sum(var_q) AS BIGINT) AS fd_micro
+        |FROM pd""".stripMargin,
 
     // log-BLEU: token n-gram clipped counts per order via the chrF
     // union-count shape, then the SAME double expression tree (ln of

@@ -294,6 +294,29 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(canon(spark.table("f1_stream")) ==
       canon(EvalMetrics.tokenF1(rows.toDF("id", "hyp", "ref"),
         "id", "hyp", "ref")))
+    // the r14 members are the same narrow shape — rougeL's DP kernel
+    // and rougeN's gram arrays are row-local, so both stream as-is
+    val input2 = MemoryStream[(Long, String, String)]
+    val q2 = EvalMetrics.rougeL(
+        input2.toDS().toDF("id", "hyp", "ref"), "id", "hyp", "ref")
+      .writeStream.format("memory").queryName("rl_stream")
+      .outputMode("append").start()
+    val input3 = MemoryStream[(Long, String, String)]
+    val q3 = EvalMetrics.rougeN(
+        input3.toDS().toDF("id", "hyp", "ref"), "id", "hyp", "ref",
+        n = 2)
+      .writeStream.format("memory").queryName("r2_stream")
+      .outputMode("append").start()
+    try {
+      input2.addData(rows: _*); q2.processAllAvailable()
+      input3.addData(rows: _*); q3.processAllAvailable()
+    } finally { q2.stop(); q3.stop() }
+    assert(canon(spark.table("rl_stream")) ==
+      canon(EvalMetrics.rougeL(rows.toDF("id", "hyp", "ref"),
+        "id", "hyp", "ref")))
+    assert(canon(spark.table("r2_stream")) ==
+      canon(EvalMetrics.rougeN(rows.toDF("id", "hyp", "ref"),
+        "id", "hyp", "ref", n = 2)))
   }
 
   test("id/group columns named like a metric's outputs fail fast " +
@@ -335,6 +358,56 @@ class EvalMetricsSpec extends AnyFunSuite {
         .toDF("est_q", "text"), "est_q", "text")
     }
     assert(e7.getMessage.contains("collides"))
+  }
+
+  test("embedFrechetDiag: identical corpora score 0; hand-computed " +
+      "mean-only and variance-only shifts; ragged and mismatched " +
+      "dims fail in-plan") {
+    import spark.implicits._
+    def df(rows: Seq[Seq[Double]]) =
+      rows.toDF("embedding")
+    def run(a: Seq[Seq[Double]], b: Seq[Seq[Double]]) =
+      EvalMetrics.embedFrechetDiag(df(a), df(b), "embedding")
+        .collect().head
+    val same = run(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    assert(same.getAs[Long]("fd_micro") == 0L &&
+      same.getAs[Long]("dims") == 2L, same.toString)
+    // pure mean shift: A dims (μ=2, μ=0), B dims (μ=3, μ=1), all
+    // variances equal per dim -> mean term = (1² + 1²)·10⁶, var 0
+    val shift = run(Seq(Seq(1.0, 0.0), Seq(3.0, 0.0)),
+      Seq(Seq(2.0, 1.0), Seq(4.0, 1.0)))
+    assert(shift.getAs[Long]("mean_term_micro") == 2000000L,
+      shift.toString)
+    assert(shift.getAs[Long]("var_term_micro") == 0L)
+    assert(shift.getAs[Long]("fd_micro") == 2000000L)
+    assert(shift.getAs[Long]("n_a") == 2L &&
+      shift.getAs[Long]("n_b") == 2L)
+    // pure spread shift: same means (1), sd 1 vs 0 -> var term 10⁶
+    val spread = run(Seq(Seq(0.0), Seq(2.0)), Seq(Seq(1.0), Seq(1.0)))
+    assert(spread.getAs[Long]("mean_term_micro") == 0L, spread.toString)
+    assert(spread.getAs[Long]("var_term_micro") == 1000000L)
+    // null vectors are dropped, not scored
+    val withNull = EvalMetrics.embedFrechetDiag(
+      Seq(Some(Seq(0.0)), Some(Seq(2.0)), None).toDF("embedding"),
+      df(Seq(Seq(1.0), Seq(1.0))), "embedding").collect().head
+    assert(withNull.getAs[Long]("n_a") == 2L &&
+      withNull.getAs[Long]("var_term_micro") == 1000000L)
+    // ragged side: per-dim counts disagree (B carries both dims, so
+    // this exercises the count guard, not the width guard) -> in-plan
+    // failure
+    val rag = intercept[Exception] {
+      run(Seq(Seq(1.0), Seq(1.0, 2.0)),
+        Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    }
+    assert((rag.getMessage + Option(rag.getCause).map(_.getMessage)
+      .getOrElse("")).contains("ragged"), rag.getMessage)
+    // mismatched widths: a dimension on one side only -> failure
+    val mis = intercept[Exception] {
+      run(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)), Seq(Seq(1.0), Seq(2.0)))
+    }
+    assert((mis.getMessage + Option(mis.getCause).map(_.getMessage)
+      .getOrElse("")).contains("dims"), mis.getMessage)
   }
 
   test("distinctNApprox: HLL estimates track the exact distinct-n " +

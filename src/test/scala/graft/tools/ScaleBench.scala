@@ -52,7 +52,8 @@ object ScaleBench {
       // supra-linear-vocab ratio collapsing toward linear (bounded
       // register state); rouge-l is pair-bounded (flat expected);
       // the migrate cycle is the probe cycle + pure file moves
-      "q_distinct_ngrams_approx", "q_rouge_l", "q_dedup_index_migrate"))
+      "q_distinct_ngrams_approx", "q_rouge_l", "q_rouge_2",
+      "q_dedup_index_migrate", "q_semdedup_probe2", "q_embed_fd"))
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"
