@@ -75,11 +75,17 @@ object Bench {
     def sentinel[T](label: String)(body: => T): T = {
       val l0 = loadAvg(); val c0 = processCpuSec()
       val t0 = System.nanoTime()
-      val r = body
-      val wall = (System.nanoTime() - t0) / 1e9
-      passLoads += PassLoad(label, l0, loadAvg(), wall,
-        if (c0 >= 0) processCpuSec() - c0 else -1.0)
-      r
+      var failed = true
+      // record in a finally: the pass whose load evidence matters MOST
+      // is one that dies mid-measurement — its loadavg window must
+      // still reach BENCH_DETAIL
+      try { val r = body; failed = false; r }
+      finally {
+        val wall = (System.nanoTime() - t0) / 1e9
+        passLoads += PassLoad(
+          if (failed) s"$label(failed)" else label, l0, loadAvg(), wall,
+          if (c0 >= 0) processCpuSec() - c0 else -1.0)
+      }
     }
     def newSession(): SparkSession = {
       val s = SparkSession.builder()

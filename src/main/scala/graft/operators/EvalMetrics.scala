@@ -516,7 +516,7 @@ object EvalMetrics {
         raise_error(concat(lit("embedFrechetDiag: dimension "),
           coalesce(col("dim").cast("string"), lit("null")),
           lit(" present on only one side — mismatched embedding " +
-            "dims")))
+            "dims or an empty side")))
           .cast("long")).otherwise(col("n_a")).as("n_a"),
       col("n_b"),
       floor(dMu * dMu * 1000000.0 / sq.toDouble).cast("long")
@@ -526,13 +526,21 @@ object EvalMetrics {
     perDim.agg(
         count(lit(1)).as("dims"),
         // ragged-corpus guard: every dimension must have seen every
-        // row of its side
-        when(min("n_a") === max("n_a"), min("n_a"))
+        // row of its side. The empty-input branch comes FIRST: with
+        // zero perDim rows min/max are NULL, the ragged condition is
+        // NULL, and CaseWhen would fall through to the ragged raise —
+        // a misleading diagnosis for "both corpora empty"
+        when(count(lit(1)) === 0, raise_error(
+            lit("embedFrechetDiag: no vector rows on either side — " +
+              "both corpora empty after the null filter"))
+            .cast("long"))
+          .when(min("n_a") === max("n_a"), min("n_a"))
           .otherwise(raise_error(
             lit("embedFrechetDiag: ragged vectors on side A — " +
               "per-dimension row counts disagree")).cast("long"))
           .as("n_a"),
-        when(min("n_b") === max("n_b"), min("n_b"))
+        when(count(lit(1)) === 0, lit(null).cast("long"))
+          .when(min("n_b") === max("n_b"), min("n_b"))
           .otherwise(raise_error(
             lit("embedFrechetDiag: ragged vectors on side B — " +
               "per-dimension row counts disagree")).cast("long"))
@@ -668,17 +676,15 @@ object EvalMetrics {
     requireNoCollision("group", groupCol, Seq("n", "total_ngrams",
       "n_present", "s_scaled", "est_raw_q", "est_q",
       "distinct_ppm_est", "s", "bucket", "bucket_count", "min_len"))
-    import graft.functions.Hashing
-    val remMod = 1L << 44 // 56-bit hash = 12 bucket bits + 44 suffix
-    explodedGrams(docs, groupCol, textCol, orders)
-      .select(col(groupCol), col("s.n").as("n"),
-        Hashing.md5Long56(col("s.g")).as("_h"))
-      .select(col(groupCol), col("n"),
-        expr(s"_h DIV $remMod").as("bucket"),
-        expr(s"_h % $remMod").as("_rem"))
-      .select(col(groupCol), col("n"), col("bucket"),
-        when(col("_rem") === 0, 0L)
-          .otherwise(length(bin(col("_rem"))).cast("long")).as("_len"))
+    // ONE shared hash→bucket→rank projection (Hll.bucketLens) — the
+    // sketch layout constants live in Hll only, so a P/RemMod change
+    // there cannot silently desynchronize these registers from the
+    // estimator they feed
+    Hll.bucketLens(
+        explodedGrams(docs, groupCol, textCol, orders)
+          .select(col(groupCol), col("s.n").as("n"),
+            col("s.g").as("_g")),
+        Seq(groupCol, "n"), col("_g"))
       .groupBy(col(groupCol), col("n"), col("bucket"))
       .agg(count(lit(1)).as("bucket_count"), min("_len").as("min_len"))
   }

@@ -55,6 +55,18 @@ object Hll {
     * ≤ |groups|·4096 rows before the exchange. */
   def registersBy(df: DataFrame, groupCols: Seq[String],
       key: Column): DataFrame =
+    bucketLens(df, groupCols, key)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(min("_len").as("min_len"))
+
+  /** The per-row hash → bucket → scaled-rank projection every register
+    * aggregation builds on — (groupCols..., bucket, _len). ONE source
+    * for the md5-56 split and the P/RemMod constants, so a sketch
+    * layout change cannot desynchronize a consumer that aggregates
+    * the projection differently (EvalMetrics.gramRegisters carries
+    * bucket counts beside the min-rank registers). */
+  private[graft] def bucketLens(df: DataFrame, groupCols: Seq[String],
+      key: Column): DataFrame =
     df.select(groupCols.map(col) :+
         Hashing.md5Long56(key.cast("string")).as("_h"): _*)
       .select(groupCols.map(col) ++ Seq(
@@ -64,8 +76,6 @@ object Hll {
         when(col("_rem") === 0, 0L)
           .otherwise(length(bin(col("_rem"))).cast("long"))
           .as("_len")): _*)
-      .groupBy((groupCols :+ "bucket").map(col): _*)
-      .agg(min("_len").as("min_len"))
 
   /** One estimate row per group from keyed registers — the group-level
     * twin of [[estimateFromRegisters]] (identical estimator expression,

@@ -72,8 +72,6 @@ object KMeans {
       .orderBy("_m", "_i").limit(k)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
 
-  /** Nearest centroid by exact integer squared distance; ties break to
-    * the lowest cluster index (strict `<`). */
   /** The n nearest centroid indexes by exact integer squared distance,
     * ties to the LOWER index (so head == [[nearest]] — the assignment
     * convention) — the multi-probe primitive
@@ -109,6 +107,8 @@ object KMeans {
     df.withColumn(outCol, assignU(quantize(col(vecCol), scale)))
   }
 
+  /** Nearest centroid by exact integer squared distance; ties break to
+    * the lowest cluster index (strict `<`). */
   private[operators] def nearest(q: Seq[Long],
       cs: Array[Array[Long]]): Int = {
     var best = 0

@@ -131,11 +131,24 @@ object SemDedup {
     // persistTracked: the assignment feeds the hot-cell probe (an
     // eager collect), both sides of the pair join, the component
     // vertex list, AND the returned keep-pick plan — without the cache
-    // the KMeans.assign nearest-centroid scan re-evaluates 4-5×.
-    // Registered with Caches, released by the session's post-consume
-    // Caches.clear() sweep (the multi-consumer convention).
+    // the nearest-centroid scan re-evaluates 4-5×. Registered with
+    // Caches, released by the session's post-consume Caches.clear()
+    // sweep (the multi-consumer convention). With probeCells > 1 the
+    // corpus is scanned through the centroid UDF exactly ONCE
+    // (assignN), and the 1-nearest assignment is a projection of the
+    // same cached frame — element 0 of the probe list IS assign's
+    // cluster (nearestN's documented head contract).
     import Caches.Persisted
-    val assigned = KMeans.assign(v, "v", scale, cs).persistTracked
+    val probed =
+      if (probeCells == 1) None
+      else Some(KMeans.assignN(v, "v", scale, cs, probeCells, "_cells")
+        .persistTracked)
+    val assigned = probed match {
+      case None => KMeans.assign(v, "v", scale, cs).persistTracked
+      case Some(p) =>
+        p.withColumn("cluster", element_at(col("_cells"), 1))
+          .drop("_cells")
+    }
     val thresholdQ = math.floor(threshold * 1e6).toLong
     val cq = floor(SimilaritySearch.cosine(col("va"), col("vb")) * 1e6)
       .cast("long")
@@ -152,14 +165,10 @@ object SemDedup {
     // SMALLEST shared cell (array_intersect over two probeCells-sized
     // lists — a row-local filter, not a distinct shuffle). Default 1 =
     // the r13 plan, byte-identical.
-    // (persistTracked for the same reason as `assigned`: the exploded
-    // domain feeds the hot-cell probe's collect plus both join sides —
-    // without the cache the assignN UDF re-scans the centroids 3×)
-    val domain =
-      if (probeCells == 1) assigned
-      else KMeans.assignN(v, "v", scale, cs, probeCells, "_cells")
-        .withColumn("cluster", explode(col("_cells")))
-        .persistTracked
+    val domain = probed match {
+      case None => assigned
+      case Some(p) => p.withColumn("cluster", explode(col("_cells")))
+    }
     // the single-meet filter: a multi-probed pair sharing several
     // cells is kept exactly once — at the smallest shared cell; with
     // probeCells = 1 this is Literal(true) and PruneFilters removes

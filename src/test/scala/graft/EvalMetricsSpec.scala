@@ -408,6 +408,18 @@ class EvalMetricsSpec extends AnyFunSuite {
     }
     assert((mis.getMessage + Option(mis.getCause).map(_.getMessage)
       .getOrElse("")).contains("dims"), mis.getMessage)
+    // empty inputs get their OWN diagnostic, not the ragged one
+    val empty = intercept[Exception] {
+      run(Seq.empty, Seq.empty)
+    }
+    assert((empty.getMessage + Option(empty.getCause).map(_.getMessage)
+      .getOrElse("")).contains("empty"), empty.getMessage)
+    val oneEmpty = intercept[Exception] {
+      run(Seq.empty, Seq(Seq(1.0), Seq(2.0)))
+    }
+    assert((oneEmpty.getMessage + Option(oneEmpty.getCause)
+      .map(_.getMessage).getOrElse("")).contains("empty side"),
+      oneEmpty.getMessage)
   }
 
   test("distinctNApprox: HLL estimates track the exact distinct-n " +
