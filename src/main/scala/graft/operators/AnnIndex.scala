@@ -52,7 +52,13 @@ object AnnIndex {
     // the ONE shared training body ([[SimilaritySearch.trainOnSample]]):
     // same inputs ⇒ the index and a live ivfTopK train identical cells
     val centroids = SimilaritySearch.trainOnSample(c, nlist, seed, maxTrain)
-    Seq((MetaVersion, Metric, centroids.head.length, nlist))
+    // record centroids.length, NOT the requested nlist (r14 advice):
+    // trainOnSample can return fewer cells than requested on a tiny
+    // corpus, and checkedCentroids compares the meta against the
+    // STORED centroids — recording the request would make a fresh
+    // build's own meta violate its contract (and disagree with a
+    // rebuildFrom-minted meta, which mints from the centroids)
+    Seq((MetaVersion, Metric, centroids.head.length, centroids.length))
       .toDF("version", "metric", "dim", "nlist")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     centroids.zipWithIndex

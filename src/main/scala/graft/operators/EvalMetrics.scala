@@ -491,6 +491,19 @@ object EvalMetrics {
       df.where(col(vecCol).isNotNull)
         .select(posexplode(KMeans.quantize(col(vecCol), scale))
           .as(Seq("dim", "q")))
+        // null ELEMENT guard (r14 advice): count(1) counts the exploded
+        // row while sum(q)/sum(q·q) would skip a null q, so μ/var would
+        // be computed over mismatched n — silently, on both engines.
+        // Fail the job instead; the ragged/mismatched guards below
+        // cannot see this case (the row IS counted on its side).
+        .select(col("dim"),
+          when(col("q").isNotNull, col("q"))
+            .otherwise(raise_error(concat(
+              lit("embedFrechetDiag: null element at dimension "),
+              col("dim").cast("string"),
+              lit(" — a null inside a vector would skew the moments " +
+                "(the row counts toward n but not toward the sums)")))
+              .cast("long")).as("q"))
         .groupBy("dim")
         .agg(count(lit(1)).as(n), sum("q").as(s),
           sum(expr("q * q")).as(ss))

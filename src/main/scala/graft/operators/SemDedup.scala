@@ -158,8 +158,9 @@ object SemDedup {
     // keep-pick stay on the 1-nearest assignment, so the verdict
     // semantics are unchanged and only the examined pair set grows. A
     // near-dup pair whose members quantize into adjacent cells (the
-    // documented cross-cell recall trade) is examined iff either
-    // member's probe list reaches the other's cell — SCALING.md
+    // documented cross-cell recall trade) is examined iff the members'
+    // probe lists SHARE a cell — including a third cell neither member
+    // is assigned to (the join is on shared probed cell) — SCALING.md
     // measures the recall/cost pair on a planted boundary fixture. A
     // pair sharing SEVERAL probed cells is kept exactly once, at the
     // SMALLEST shared cell (array_intersect over two probeCells-sized

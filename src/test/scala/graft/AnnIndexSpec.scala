@@ -99,6 +99,29 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ne.getMessage.contains("nprobe"))
   }
 
+  test("a tiny corpus that trains fewer cells than requested records " +
+      "the TRAINED count in meta (r14 advice): the fresh build's own " +
+      "meta honors the centroids.length == nlist contract") {
+    import spark.implicits._
+    val path = tmp()
+    // 3 vectors, nlist = 8: trainCentroids caps k at the sample size
+    val tiny = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(0.5, 0.5)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.build(tiny, "vec_id", "embedding", path, nlist = 8)
+    val cells = spark.read.parquet(s"$path/centroids").count()
+    assert(cells < 8, s"expected fewer than the requested 8, got $cells")
+    val m = spark.read.parquet(s"$path/meta").head()
+    assert(m.getAs[Int]("nlist").toLong == cells,
+      s"meta nlist ${m.getAs[Int]("nlist")} != stored cells $cells")
+    // the contract check passes — probe works instead of declaring
+    // the index tree inconsistent
+    val got = AnnIndex.probe(spark, path,
+      Seq((9L, Seq(1.0, 0.1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2, nprobe = 1).collect()
+    assert(got.nonEmpty)
+  }
+
   test("rebuildFrom migrates a v1 (meta-less) index in place: meta " +
       "minted from the persisted centroids, append + probe equal a " +
       "fresh build, crashed mints recover, live metas are refused") {

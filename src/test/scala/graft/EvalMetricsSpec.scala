@@ -393,6 +393,18 @@ class EvalMetricsSpec extends AnyFunSuite {
       df(Seq(Seq(1.0), Seq(1.0))), "embedding").collect().head
     assert(withNull.getAs[Long]("n_a") == 2L &&
       withNull.getAs[Long]("var_term_micro") == 1000000L)
+    // a null ELEMENT inside a vector fails loudly (r14 advice): the
+    // row would count toward n while the sums skip the null — a
+    // silent moment skew the ragged guard cannot see
+    val nullElem = intercept[Exception] {
+      EvalMetrics.embedFrechetDiag(
+        Seq(Seq(Some(0.0), Some(1.0)), Seq(Some(2.0), None))
+          .toDF("embedding"),
+        df(Seq(Seq(1.0, 1.0), Seq(1.0, 1.0))), "embedding").collect()
+    }
+    assert((nullElem.getMessage + Option(nullElem.getCause)
+      .map(_.getMessage).getOrElse("")).contains("null element"),
+      nullElem.getMessage)
     // ragged side: per-dim counts disagree (B carries both dims, so
     // this exercises the count guard, not the width guard) -> in-plan
     // failure
