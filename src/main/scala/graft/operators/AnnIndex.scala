@@ -162,6 +162,107 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(metaDir.toString)
   }
 
+  /** Compact the cell directories: every [[append]] adds one-or-more
+    * part files per touched cell, so a continuously-fed index
+    * accumulates small files a probe's partition-pruned scan must
+    * still enumerate and open — the [[DedupIndex.compact]] small-files
+    * cliff at the vector table. Unlike DedupIndex, the assignments
+    * table is NOT derived data (it is the only copy of the vectors),
+    * so the swap protocol must never hold the data solely in a state
+    * it could discard. Protocol — one code path for commit AND crash
+    * recovery, correct from every interruption point:
+    *
+    *  1. finish any crashed compaction (a stage with a `_FILES`
+    *     manifest is complete → run step 4 on it; without one it is
+    *     incomplete → delete);
+    *  2. snapshot the live data files (relative `cell=K/part-...`
+    *     paths) — the `_FILES` manifest;
+    *  3. read assignments, range-partition on (cell, id) to
+    *     `targetFiles` output partitions, write cell-partitioned to an
+    *     `assignments_compact-<uuid>` stage; write `_FILES` LAST (the
+    *     completion marker);
+    *  4. commit = recover: delete whichever manifest files still exist
+    *     (their rows live in the stage), MOVE each stage part file
+    *     into its live cell directory (additive, the [[append]]
+    *     shape), delete the stage.
+    *
+    * Files appended after a crash are not in the manifest and survive;
+    * part-file names embed the writing job's UUID, so moved stage
+    * files can collide with neither live nor appended files. Like
+    * [[DedupIndex.compact]] (and the reference's VACUUM FULL
+    * analogue), the pass itself assumes exclusive access. */
+  def compact(spark: SparkSession, path: String,
+      targetFiles: Int = 8): Unit = {
+    require(targetFiles >= 1, s"targetFiles=$targetFiles must be >= 1")
+    val dir = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$path/assignments_compact-*")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .foreach { st =>
+        if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_FILES")))
+          commitAssignmentsStage(fs, dir, st.getPath)
+        else fs.delete(st.getPath, true)
+      }
+    val files = listCellFiles(fs, dir)
+    if (files.isEmpty) return // fresh recovery left nothing to compact
+    val stage = new org.apache.hadoop.fs.Path(path,
+      s"assignments_compact-${java.util.UUID.randomUUID().toString}")
+    // range-partition on (cell, id): each output partition spans few
+    // cells, so the partitionBy write produces ~targetFiles files
+    // total while keeping targetFiles-way write parallelism
+    spark.read.parquet(dir.toString)
+      .repartitionByRange(targetFiles, col("cell"), col("id"))
+      .write.partitionBy("cell").parquet(stage.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(stage, "_FILES"),
+      false)
+    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    commitAssignmentsStage(fs, dir, stage)
+  }
+
+  /** Relative `cell=K/<file>` data paths under the assignments dir. */
+  private def listCellFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[String] =
+    Option(fs.listStatus(dir))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap { cd =>
+        Option(fs.listStatus(cd.getPath))
+          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => s"${cd.getPath.getName}/${f.getPath.getName}")
+      }.toSeq
+
+  /** Commit a COMPLETE assignments stage: delete surviving manifest
+    * files, move the stage's part files into the live cell dirs,
+    * delete the stage. Idempotent across crashes at any point. */
+  private def commitAssignmentsStage(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      stage: org.apache.hadoop.fs.Path): Unit = {
+    val manifestPath = new org.apache.hadoop.fs.Path(stage, "_FILES")
+    val in = fs.open(manifestPath)
+    val manifest = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    } finally in.close()
+    manifest.foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, rel), false)
+    }
+    listCellFiles(fs, stage).foreach { rel =>
+      val dest = new org.apache.hadoop.fs.Path(dir, rel)
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(new org.apache.hadoop.fs.Path(stage, rel), dest),
+        s"compact: failed to move $rel into $dir")
+    }
+    fs.delete(stage, true)
+  }
+
   /** v1 (pre-versioned) indexes have NO meta directory → None, checks
     * skipped. Anything else that goes wrong reading an EXISTING meta
     * dir — partial write, empty dir, schema drift — is corruption and

@@ -221,6 +221,189 @@ object DedupIndex {
       s"rebuildFrom: failed to commit the v2 meta $metaStage -> $metaDir")
   }
 
+  /** Compact the index's accumulated epochs into ONE epoch and rewrite
+    * the bands table — the maintenance verb a long-lived index needs:
+    * every [[append]] (and every [[graft.streaming.StreamingDedupGate]]
+    * micro-batch) commits a fresh `grams/epoch=<uuid>` directory and
+    * adds per-partition band files, so a month of ingest is thousands
+    * of tiny files every probe must enumerate and read — the classic
+    * small-files cliff. This is the engine's counterpart of the
+    * reference's Postgres VACUUM/ANALYZE maintenance pass
+    * (`01_ingest_raw_telemetry.py:141-167` runs it after every bulk
+    * load), including its locking model: like VACUUM FULL, compaction
+    * assumes EXCLUSIVE access — no concurrent appends or probes while
+    * it runs (crash recovery below is still append-safe: an append
+    * that lands between a crash and the recovering call survives,
+    * because recovery only ever deletes state it holds a copy of).
+    *
+    * Protocol (pure data movement — no shingling, no re-hashing; the
+    * gram sets and band keys are byte-identical before and after):
+    *
+    *  1. finish any CRASHED compaction first (see recovery below);
+    *  2. snapshot the current epoch list E;
+    *  3. read the grams rows of E, coalesce to `targetFiles` files,
+    *     and write them to a `grams_compact-<uuid>` stage; the
+    *     `_EPOCHS` manifest (the epoch uuids of E, one per line) is
+    *     written LAST and is the stage's completion marker;
+    *  4. commit: delete each epoch dir in E, then rename the stage to
+    *     `grams/epoch=<stage-uuid>`;
+    *  5. rebuild the bands table FROM the compacted grams (bands are
+    *     derived data — [[writeTables]] computes them from the staged
+    *     gram hashes, so a rebuild is always consistent by
+    *     construction), staged to `bands_compact-<uuid>` and swapped
+    *     in by two renames (bands → `bands_old-<uuid>`, stage →
+    *     bands), old dir deleted last.
+    *
+    * Crash recovery — every interrupted state is completed or
+    * discarded by the NEXT compact() call (the [[rebuildFrom]]
+    * convention):
+    *  - a stage without `_EPOCHS` is incomplete → deleted;
+    *  - a stage WITH `_EPOCHS` is a committed-but-unswapped
+    *    compaction → recovery deletes whichever manifest epochs still
+    *    exist (their rows live in the stage) and renames the stage in;
+    *    epochs appended AFTER the crash are not in the manifest and
+    *    survive untouched;
+    *  - bands stages are always discarded (bands rebuild from grams —
+    *    step 5 runs unconditionally);
+    *  - a missing bands dir beside a `bands_old-*` dir (a crash
+    *    between the two swap renames) restores the old dir so probes
+    *    work again until step 5 replaces it.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFiles: Int = 8): Unit = {
+    require(targetFiles >= 1, s"targetFiles=$targetFiles must be >= 1")
+    val meta = readMeta(spark, path)
+    require(meta.version >= 2,
+      s"index at $path has the v1 (pre-epoch) grams layout — " +
+        "migrate with DedupIndex.rebuildFrom before compacting")
+    val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
+    val fs = gramsDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, path)
+    val epochs = Option(fs.listStatus(gramsDir))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch="))
+    require(epochs.nonEmpty,
+      s"index at $path has no grams epochs — nothing to compact")
+    val stageUuid = java.util.UUID.randomUUID().toString
+    val stage = new org.apache.hadoop.fs.Path(path,
+      s"grams_compact-$stageUuid")
+    // coalesce, not repartition: file-count control without shuffling
+    // the whole gram volume (rows have no required order or key)
+    spark.read.parquet(s"$path/grams")
+      .where(col("epoch").isin(epochs.toSeq: _*))
+      .select("id", "gram_hashes")
+      .coalesce(targetFiles)
+      .write.parquet(stage.toString)
+    writeLines(fs, new org.apache.hadoop.fs.Path(stage, "_EPOCHS"),
+      epochs.toSeq)
+    commitGramsStage(fs, path, stage)
+    rebuildBands(spark, path, meta, targetFiles)
+  }
+
+  /** Step 1 of [[compact]]: complete or discard residue of a crashed
+    * compaction. Also runs standalone-safe — a no-op on a clean tree. */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    def glob(pattern: String) =
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(pattern)))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+    glob(s"$path/grams_compact-*").foreach { st =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_EPOCHS")))
+        commitGramsStage(fs, path, st.getPath)
+      else fs.delete(st.getPath, true)
+    }
+    // bands stages are never trusted across a crash — bands rebuild
+    // from grams unconditionally, so a stale stage is just disk
+    glob(s"$path/bands_compact-*").foreach(s => fs.delete(s.getPath, true))
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val olds = glob(s"$path/bands_old-*")
+    if (!fs.exists(bandsDir) && olds.nonEmpty) {
+      // crash between the two swap renames: restore the old bands so
+      // the index probes again; the caller's rebuild replaces it
+      require(fs.rename(olds.head.getPath, bandsDir),
+        s"compact recovery: failed to restore bands at $path")
+      olds.drop(1).foreach(s => fs.delete(s.getPath, true))
+    } else olds.foreach(s => fs.delete(s.getPath, true))
+  }
+
+  /** Commit a COMPLETE grams stage (has `_EPOCHS`): delete whatever
+    * manifest epochs still exist — their rows live in the stage — and
+    * rename the stage in as one new epoch. Idempotent: a re-run after
+    * any crash point finishes the remaining deletes and the rename. */
+  private def commitGramsStage(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, stage: org.apache.hadoop.fs.Path): Unit = {
+    val epochs = readLines(fs,
+      new org.apache.hadoop.fs.Path(stage, "_EPOCHS"))
+    epochs.foreach { e =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/grams/epoch=$e"),
+        true)
+    }
+    val uuid = stage.getName.stripPrefix("grams_compact-")
+    val committed = new org.apache.hadoop.fs.Path(
+      s"$path/grams/epoch=$uuid")
+    fs.mkdirs(committed.getParent)
+    require(fs.rename(stage, committed),
+      s"compact: failed to commit grams stage $stage -> $committed")
+    // tidy the manifest out of the live epoch (underscore files are
+    // invisible to parquet readers — losing this delete is harmless)
+    fs.delete(new org.apache.hadoop.fs.Path(committed, "_EPOCHS"), false)
+  }
+
+  /** Step 5 of [[compact]]: derive a fresh bands table from the live
+    * grams and swap it in. Bands keys are a pure function of the
+    * stored gram hashes ([[Dedup.minhashSigFromHashes]]), so the
+    * rebuild is provably consistent with the verification sets —
+    * which is also why recovery can always discard a bands stage. */
+  private def rebuildBands(spark: SparkSession, path: String,
+      meta: Meta, targetFiles: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(path,
+      s"bands_compact-${java.util.UUID.randomUUID().toString}")
+    val g = spark.read.parquet(s"$path/grams")
+      .select("id", "gram_hashes")
+    // range-partition on (band, bh): each output partition spans one
+    // or two band values, so the partitionBy write produces
+    // ~targetFiles files TOTAL (a hash repartition on `band` alone
+    // would collapse parallelism to |bands| tasks; no repartition at
+    // all would re-create input-partitions × bands small files — the
+    // very problem being compacted away)
+    Dedup.bandTriplesFromHashes(g, "id", "gram_hashes", meta.bands,
+        meta.rowsPerBand)
+      .repartitionByRange(targetFiles, col("band"), col("bh"))
+      .write.partitionBy("band").parquet(stage.toString)
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val old = new org.apache.hadoop.fs.Path(path,
+      s"bands_old-${java.util.UUID.randomUUID().toString}")
+    require(fs.rename(bandsDir, old),
+      s"compact: failed to retire the old bands at $path")
+    require(fs.rename(stage, bandsDir),
+      s"compact: failed to commit the new bands at $path")
+    fs.delete(old, true)
+  }
+
+  private def writeLines(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
+    val out = fs.create(p, false)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    } finally in.close()
+  }
+
   /** Probe: near-dup pairs (id, batch_id, jaccard) between the indexed
     * corpus and `batch`, jaccard ≥ `threshold` — same candidate
     * generation + exact-verify contract as
@@ -354,9 +537,13 @@ object DedupIndex {
     if (overwrite) {
       fs.delete(gramsDir, true)
       // also clear any crash-leaked staging dirs from prior appends
-      val stale = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$path/grams_staging-*"))
-      if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
+      // and compactions — a rebuild supersedes every stage
+      Seq("grams_staging-*", "grams_compact-*", "bands_compact-*",
+          "bands_old-*").foreach { pat =>
+        val stale = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$path/$pat"))
+        if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
+      }
     }
     // staging lives BESIDE grams (probes read only <path>/grams, so
     // the stage is invisible by path): a dot-prefixed dir inside grams

@@ -1496,6 +1496,40 @@ object DocQueries {
       }
     }),
 
+    // ---- the SAME ingest cycle driven through COMPACTION (the
+    // maintenance verb, r14 verdict #1): build → FIVE separate appends
+    // (one tiny epoch each — the per-micro-batch accumulation shape a
+    // streaming ingest gate produces) → compact (epochs merge to one,
+    // bands rewritten from the compacted grams) → probe. Compaction is
+    // pure data movement — no shingling, no re-hashing — so the
+    // output shares the same all-pairs trigram truth as the
+    // fresh-build cycle (the q_dedup_index_migrate precedent) ----
+    "q_dedup_index_compact" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      val docs = docsPar(s, d).select("doc_id", "text")
+        .where(col("text").isNotNull)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dedup_idx_cmp_").toString
+      try {
+        DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", tmp, bands = 16, rowsPerBand = 2)
+        Seq(1, 3, 5, 7, 9).foreach { r =>
+          DedupIndex.append(docs.where(col("doc_id") % 10 === r),
+            "doc_id", "text", tmp)
+        }
+        DedupIndex.compact(s, tmp)
+        val batch = docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" crawl extra tail")).as("text"))
+        DedupIndex.probe(s, tmp, batch, "doc_id", "text",
+            threshold = 0.5)
+          .select(col("id"), col("batch_id"),
+            (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
+          .orderBy("id", "batch_id")
+          .localCheckpoint()
+      } finally deleteRecursively(new java.io.File(tmp))
+    }),
+
     // ---- curriculum ordering (Bengio 2009): easy-to-hard difficulty
     // bands with sources round-robin interleaved inside each band —
     // the curriculum is the lexicographic order of the emitted sort
@@ -4324,6 +4358,7 @@ ORDER BY src_id"""
     // migration is metadata-only, so the migrated+appended index must
     // serve the identical pair set: same all-pairs trigram truth
     "q_dedup_index_migrate" -> dedupIndexProbeOracle,
+    "q_dedup_index_compact" -> dedupIndexProbeOracle,
 
     // same integer difficulty (prefScoreSql), same fixed-threshold
     // banding (integer //, both operands non-negative), same

@@ -162,6 +162,78 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(le.getMessage.contains("nothing to migrate"), le.getMessage)
   }
 
+  test("compact merges appended cell files (fewer files, identical " +
+      "probes) and a crashed compaction recovers without losing a " +
+      "post-crash append") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp()
+    def dataFiles(): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/assignments"))
+        .filter(f => !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(_.getAbsolutePath)
+    }
+    AnnIndex.build(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nlist = 8)
+    // several small appends — the accumulation shape
+    (1 to 3).foreach { r =>
+      AnnIndex.append(emb.where(col("vec_id") % 8 === (2 * r - 1)),
+        "vec_id", "embedding", path)
+    }
+    def run() = AnnIndex.probe(spark, path, queries,
+        "vec_id", "embedding", k = 10, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val before = run()
+    val filesBefore = dataFiles().size
+    AnnIndex.compact(spark, path, targetFiles = 4)
+    assert(dataFiles().size < filesBefore,
+      s"files $filesBefore -> ${dataFiles().size}")
+    assert(run() == before,
+      "compaction is pure data movement — probes must not change")
+    // crash simulation: a COMPLETE stage (byte-copy of the live cell
+    // files + _FILES manifest) that never committed, then an append
+    // lands before recovery — recovery must apply the stage (dedup
+    // against the manifest) and keep the appended vectors
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$path/assignments")
+    val stage = new Path(path, "assignments_compact-crashed")
+    fs.mkdirs(stage)
+    val rels = fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap { cd =>
+        fs.listStatus(cd.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => s"${cd.getPath.getName}/${f.getPath.getName}")
+      }.toSeq
+    rels.foreach { rel =>
+      fs.mkdirs(new Path(stage, rel).getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(dir, rel), fs,
+        new Path(stage, rel), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    val out = fs.create(new Path(stage, "_FILES"), false)
+    out.write(rels.mkString("\n").getBytes("UTF-8")); out.close()
+    AnnIndex.append(emb.where(col("vec_id") % 8 === 7),
+      "vec_id", "embedding", path)
+    AnnIndex.compact(spark, path, targetFiles = 4)
+    assert(fs.globStatus(new Path(s"$path/assignments_compact-*")).isEmpty)
+    // the full corpus (7 of 8 residues) probes like a fresh build
+    val fresh = tmp()
+    AnnIndex.build(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", fresh, nlist = 8)
+    AnnIndex.append(emb.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", fresh)
+    def probed(p: String) = AnnIndex.probe(spark, p, queries,
+        "vec_id", "embedding", k = 10, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probed(path) == probed(fresh))
+  }
+
   test("a PRESENT but corrupt meta dir fails the probe loudly; only " +
       "a genuinely absent meta reads as a legacy pre-versioned index") {
     import spark.implicits._

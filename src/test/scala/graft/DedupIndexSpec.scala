@@ -274,6 +274,111 @@ class DedupIndexSpec extends AnyFunSuite {
       "a stale partial stage must be cleared while meta is present")
   }
 
+  private def epochDirs(path: String): Seq[String] = {
+    val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
+    val fs = gramsDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(gramsDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName).toSeq
+  }
+
+  private def dataFileCount(path: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(path)).count(f =>
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
+
+  test("compact merges many appended epochs into one, shrinks the " +
+      "file count, keeps probes byte-identical, and the index still " +
+      "grows afterwards") {
+    val path = tmp()
+    val fresh = tmp()
+    DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    // five tiny appends — the per-micro-batch streaming-gate shape
+    Seq(1, 3, 5, 7, 9).foreach { r =>
+      DedupIndex.append(docs.where(col("doc_id") % 10 === r),
+        "doc_id", "text", path)
+    }
+    assert(epochDirs(path).size == 6)
+    def run(p: String) = DedupIndex.probe(spark, p, batch(),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("id"), col("batch_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+      .map(_.toString).sorted.toSeq
+    val before = run(path)
+    val gramsFilesBefore = dataFileCount(s"$path/grams")
+    val bandsFilesBefore = dataFileCount(s"$path/bands")
+    DedupIndex.compact(spark, path, targetFiles = 2)
+    assert(epochDirs(path).size == 1, "epochs must merge to one")
+    assert(dataFileCount(s"$path/grams") < gramsFilesBefore &&
+      dataFileCount(s"$path/grams") <= 2,
+      s"grams files $gramsFilesBefore -> ${dataFileCount(s"$path/grams")}")
+    assert(dataFileCount(s"$path/bands") < bandsFilesBefore,
+      s"bands files $bandsFilesBefore -> ${dataFileCount(s"$path/bands")}")
+    assert(run(path) == before,
+      "compaction is pure data movement — probes must not change")
+    // the compacted index still grows: append the batch itself, then
+    // a self-probe of it must hit at jaccard 1.0
+    DedupIndex.build(docs, "doc_id", "text", fresh)
+    assert(run(path) == run(fresh))
+    DedupIndex.append(batch(), "doc_id", "text", path)
+    assert(DedupIndex.probe(spark, path, batch(), "doc_id", "text",
+        threshold = 0.99)
+      .where(col("id") === col("batch_id")).count() == batch().count())
+  }
+
+  test("interrupted compaction recovers at every crash point, " +
+      "including with an append landing between crash and recovery") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp()
+    val fresh = tmp()
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    DedupIndex.build(evens.where(col("doc_id") % 4 === 0),
+      "doc_id", "text", path)
+    DedupIndex.append(evens.where(col("doc_id") % 4 === 2),
+      "doc_id", "text", path)
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // crash state A: a COMPLETE stage (data + _EPOCHS manifest) with
+    // the manifest epochs still live (crash before any delete), plus
+    // an INCOMPLETE stage (no manifest) from an earlier attempt
+    val epochs = epochDirs(path).map(_.stripPrefix("epoch="))
+    val stage = new Path(path, "grams_compact-crashA")
+    spark.read.parquet(s"$path/grams").select("id", "gram_hashes")
+      .coalesce(1).write.parquet(stage.toString)
+    val out = fs.create(new Path(stage, "_EPOCHS"), false)
+    out.write(epochs.mkString("\n").getBytes("UTF-8")); out.close()
+    fs.mkdirs(new Path(path, "grams_compact-incomplete"))
+    // an append lands AFTER the crash, BEFORE recovery — its epoch is
+    // not in the manifest and must survive the recovering compact
+    DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", path)
+    DedupIndex.compact(spark, path)
+    assert(epochDirs(path).size == 1)
+    assert(fs.globStatus(new Path(s"$path/grams_compact-*")).isEmpty)
+    def run(p: String) = DedupIndex.probe(spark, p, batch(),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("id"), col("batch_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+      .map(_.toString).sorted.toSeq
+    DedupIndex.build(docs, "doc_id", "text", fresh)
+    assert(run(path).nonEmpty && run(path) == run(fresh),
+      "recovered + appended index must probe exactly like a fresh build")
+    // crash state B: the bands swap died between its two renames —
+    // bands gone, bands_old present; the next compact restores and
+    // then rebuilds
+    val bandsDir = new Path(s"$path/bands")
+    assert(fs.rename(bandsDir, new Path(path, "bands_old-crashB")))
+    DedupIndex.compact(spark, path)
+    assert(fs.exists(bandsDir) &&
+      fs.globStatus(new Path(s"$path/bands_old-*")).isEmpty)
+    assert(run(path) == run(fresh))
+  }
+
   test("probe fails fast below the index's banding design threshold") {
     val path = tmp()
     DedupIndex.build(docs.limit(10), "doc_id", "text", path,
