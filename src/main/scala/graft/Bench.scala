@@ -282,6 +282,7 @@ object Bench {
       "q_url_canonical", "q_neg_samples", "q_fim", "q_span_corrupt",
       "q_sft_render", "q_sft_render_n", "q_dpo_pairs", "q_grpo_adv", "q_mmr", "q_bt_rank", "q_curriculum", "q_cluster_balance", "q_semdedup",
       "q_semdedup_planned", "q_semdedup_probe2",
+      "q_semdedup_probe2_planned",
       "q_label_prop", "q_kanon", "q_kanon_rows", "q_dedup_index_probe",
       "q_dedup_index_backfill", "q_dedup_index_migrate",
       "q_dedup_index_compact",

