@@ -485,28 +485,60 @@ object EvalMetrics {
     *         var_term_micro, fd_micro) with fd_micro = mean + var
     *         terms (each already floor-quantized per dimension) */
   def embedFrechetDiag(a: DataFrame, b: DataFrame, vecCol: String,
+      scale: Int = 1024): DataFrame =
+    fdFromMoments(vecMoments(a, vecCol, scale),
+      vecMoments(b, vecCol, scale), scale)
+
+  /** The per-dimension EXACT integer moment registers BOTH
+    * diagonal-Fréchet execution modes aggregate to: (dim, n, s, ss) —
+    * |dim| rows at any corpus size. Narrow quantize + posexplode +
+    * ONE keyed agg, so it is stream-legal unchanged
+    * ([[graft.streaming.StreamingEmbedDrift]] delegates here — the
+    * gramRegisters one-key-function/two-execution-modes discipline),
+    * and moment frames from batch shards or stream snapshots merge by
+    * re-aggregating sum(n)/sum(s)/sum(ss) (exact integers commute
+    * under any partitioning). */
+  def vecMoments(df: DataFrame, vecCol: String,
       scale: Int = 1024): DataFrame = {
     require(scale >= 1, s"scale=$scale must be >= 1")
-    def stats(df: DataFrame, n: String, s: String, ss: String) =
-      df.where(col(vecCol).isNotNull)
-        .select(posexplode(KMeans.quantize(col(vecCol), scale))
-          .as(Seq("dim", "q")))
-        // null ELEMENT guard (r14 advice): count(1) counts the exploded
-        // row while sum(q)/sum(q·q) would skip a null q, so μ/var would
-        // be computed over mismatched n — silently, on both engines.
-        // Fail the job instead; the ragged/mismatched guards below
-        // cannot see this case (the row IS counted on its side).
-        .select(col("dim"),
-          when(col("q").isNotNull, col("q"))
-            .otherwise(raise_error(concat(
-              lit("embedFrechetDiag: null element at dimension "),
-              col("dim").cast("string"),
-              lit(" — a null inside a vector would skew the moments " +
-                "(the row counts toward n but not toward the sums)")))
-              .cast("long")).as("q"))
-        .groupBy("dim")
-        .agg(count(lit(1)).as(n), sum("q").as(s),
-          sum(expr("q * q")).as(ss))
+    df.where(col(vecCol).isNotNull)
+      .select(posexplode(KMeans.quantize(col(vecCol), scale))
+        .as(Seq("dim", "q")))
+      // null ELEMENT guard (r14 advice): count(1) counts the exploded
+      // row while sum(q)/sum(q·q) would skip a null q, so μ/var would
+      // be computed over mismatched n — silently, on both engines.
+      // Fail the job instead; the ragged/mismatched guards in
+      // [[fdFromMoments]] cannot see this case (the row IS counted on
+      // its side).
+      .select(col("dim"),
+        when(col("q").isNotNull, col("q"))
+          .otherwise(raise_error(concat(
+            lit("embedFrechetDiag: null element at dimension "),
+            col("dim").cast("string"),
+            lit(" — a null inside a vector would skew the moments " +
+              "(the row counts toward n but not toward the sums)")))
+            .cast("long")).as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("s"),
+        sum(expr("q * q")).as("ss"))
+  }
+
+  /** The diagonal-Fréchet distance from ANY two [[vecMoments]] frames
+    * — a batch build, a union of shard moments, or a snapshot of the
+    * streaming twin's state vs a persisted reference table. `scale`
+    * must be the one the moments were built with (it de-quantizes the
+    * micro terms); [[graft.streaming.StreamingEmbedDrift]] persists it
+    * beside the reference moments and checks. Same output row and
+    * guards as [[embedFrechetDiag]]. */
+  def fdFromMoments(a: DataFrame, b: DataFrame,
+      scale: Int = 1024): DataFrame = {
+    require(scale >= 1, s"scale=$scale must be >= 1")
+    // re-alias both sides (the approxFromRegisters convention): two
+    // frames derived from the SAME named snapshot view carry identical
+    // attribute ids, and the join only resolves on fresh ones
+    def side(df: DataFrame, suf: String) = df.select(col("dim"),
+      col("n").as(s"n_$suf"), col("s").as(s"s_$suf"),
+      col("ss").as(s"ss_$suf"))
     val sq = scale.toLong * scale
     def moments(side: String) = {
       val mu = col(s"s_$side").cast("double") /
@@ -516,8 +548,8 @@ object EvalMetrics {
           col(s"n_$side").cast("double") - mu * mu, lit(0.0))
       (mu, vr)
     }
-    val joined = stats(a, "n_a", "s_a", "ss_a")
-      .join(stats(b, "n_b", "s_b", "ss_b"), Seq("dim"), "full_outer")
+    val joined = side(a, "a").join(side(b, "b"), Seq("dim"),
+      "full_outer")
     val (muA, varA) = moments("a")
     val (muB, varB) = moments("b")
     val dMu = muA - muB
