@@ -249,6 +249,7 @@ object Bench {
       "q_heavy_hitters", "q_simhash_pairs", "q_bm25", "q_ranking_metrics", "q_ranking_metrics_at", "q_mixture",
       "q_chrf", "q_cer", "q_distinct_ngrams", "q_distinct_ngrams_approx",
       "q_token_f1", "q_log_bleu", "q_rouge_l", "q_rouge_2",
+      "q_rouge_lsum",
       "q_embed_fd",
       "q_grouping_sets", "q_percentiles", "q_ngram_span_dedup",
       "q_embed_quantize", "q_dedup_clusters", "q_gap_fill", "q_merge",

@@ -413,6 +413,72 @@ object EvalMetrics {
             "2L * prec_ppm * rec_ppm div (prec_ppm + rec_ppm)")))
   }
 
+  /** ROUGE-Lsum per (hypothesis, reference) pair (Lin 2004 §3.2, the
+    * rouge-score library's newline-split convention): summary-level
+    * union-LCS — texts split into sentences on '\n', and each
+    * reference-sentence position counts once if it participates in an
+    * optimal LCS with ANY candidate sentence:
+    *
+    *   rec_ppm  = hits·10⁶ div Σ|ref sents|;
+    *   prec_ppm = hits·10⁶ div Σ|hyp sents|;
+    *   rouge_lsum_ppm = F1
+    *
+    * This is the rougeLsum summarization evals quote next to
+    * [[rougeL]] (whole-text LCS ignores sentence structure; Lsum
+    * rewards per-sentence coverage). Union membership uses the
+    * alignment-independent ∃-optimal test rather than rouge-score's
+    * implementation-defined backtrack, and hits are not clipped
+    * across sentences — both documented on the kernel
+    * ([[graft.plans.SentenceUnionLcsExpression]]); on inputs without
+    * repeated cross-sentence tokens the two definitions coincide
+    * (Lin's own w1..w5 example scores identically). prec_ppm can
+    * exceed 10⁶ on degenerate inputs — the [[cer]] convention.
+    *
+    * Plan: zero-shuffle narrow projection (the [[rougeL]] argument) —
+    * sentence token arrays built in-row, the union-LCS is the native
+    * row-local kernel, O(Σ_i Σ_j m_i·n_j) per pair. `maxTokens > 0`
+    * truncates every SENTENCE to its first maxTokens tokens, bounding
+    * each sentence pair's DP; 0 (default) scores full sentences.
+    * Empty sentences (consecutive newlines) are dropped; a side with
+    * zero tokens scores 0 and every input pair emits a row (the
+    * [[tokenF1]] convention).
+    *
+    * @return (idCol, union_hits, n_hyp, n_ref, prec_ppm, rec_ppm,
+    *         rouge_lsum_ppm) */
+  def rougeLsum(pairs: DataFrame, idCol: String, hypCol: String,
+      refCol: String, maxTokens: Int = 0): DataFrame = {
+    require(maxTokens >= 0, s"maxTokens=$maxTokens must be >= 0")
+    requireNoCollision("id", idCol, Seq("union_hits", "n_hyp", "n_ref",
+      "prec_ppm", "rec_ppm", "rouge_lsum_ppm", "_hs", "_rs"))
+    graft.plans.GraftExtensions.register(pairs.sparkSession)
+    def sentToks(c: Column) = {
+      val sents = transform(split(c, "\n"), s => {
+        val t = filter(split(lower(trim(s)), "\\s+"), x => length(x) > 0)
+        if (maxTokens > 0) slice(t, 1, maxTokens) else t
+      })
+      filter(sents, a => size(a) > 0)
+    }
+    def tokTotal(c: Column) =
+      coalesce(aggregate(c, lit(0L),
+        (acc, s) => acc + size(s).cast("long")), lit(0L))
+    pairs.select(col(idCol).as(idCol),
+        sentToks(col(hypCol)).as("_hs"), sentToks(col(refCol)).as("_rs"))
+      .select(col(idCol),
+        coalesce(graft.plans.SentenceUnionLcsExpression
+          .unionLcsNative(col("_hs"), col("_rs")), lit(0L))
+          .as("union_hits"),
+        tokTotal(col("_hs")).as("n_hyp"),
+        tokTotal(col("_rs")).as("n_ref"))
+      .withColumn("prec_ppm", when(col("n_hyp") === 0, lit(0L))
+        .otherwise(expr("union_hits * 1000000L div n_hyp")))
+      .withColumn("rec_ppm", when(col("n_ref") === 0, lit(0L))
+        .otherwise(expr("union_hits * 1000000L div n_ref")))
+      .withColumn("rouge_lsum_ppm",
+        when(expr("prec_ppm + rec_ppm") === 0, lit(0L))
+          .otherwise(expr(
+            "2L * prec_ppm * rec_ppm div (prec_ppm + rec_ppm)")))
+  }
+
   /** Column-level LCS length in PREFIX-MAX row form — the
     * bit-identity cross-check for [[rougeL]]'s native kernel (the
     * chrFViaAgg convention) and the SAME recurrence the DuckDB oracle

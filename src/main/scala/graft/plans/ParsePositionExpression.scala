@@ -203,6 +203,14 @@ object GraftExtensions {
       (exprs: Seq[Expression]) =>
         ArrayLcsLengthExpression(exprs(0), exprs(1)))
 
+  val sentenceUnionLcsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("sentence_union_lcs"),
+      new ExpressionInfo(classOf[SentenceUnionLcsExpression].getName,
+        "sentence_union_lcs"),
+      (exprs: Seq[Expression]) =>
+        SentenceUnionLcsExpression(exprs(0), exprs(1)))
+
   /** Register into an already-built session (builder extensions only apply
     * to sessions constructed with `withExtensions`; `getOrCreate` on an
     * existing session ignores them). */
@@ -213,7 +221,8 @@ object GraftExtensions {
     Seq(parsePositionDescriptor, pointInPolygonDescriptor,
         vecCosineDescriptor, vecDotDescriptor, lshSignatureDescriptor,
         unicodeNormalizeDescriptor, charNgramMatchesDescriptor,
-        arrayClippedMatchesDescriptor, arrayLcsLengthDescriptor).foreach {
+        arrayClippedMatchesDescriptor, arrayLcsLengthDescriptor,
+        sentenceUnionLcsDescriptor).foreach {
       case (id, info, builder) => registry.registerFunction(id, info, builder)
     }
   }

@@ -305,3 +305,180 @@ object ArrayLcsLengthExpression {
   def lcsNative(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("array_lcs_length", a, b)
 }
+
+/** `sentence_union_lcs(hyp_sents, ref_sents)`: the summary-level
+  * union-LCS hit count of ROUGE-Lsum (Lin 2004 §3.2) over two
+  * sentence-token arrays (array<array<string>>) — Σ over reference
+  * sentences r_i of |{p : position p of r_i participates in SOME
+  * optimal LCS of (r_i, c_j) for SOME candidate sentence c_j}|.
+  *
+  * Determinism contract: Lin's LCS_∪ unions "the" LCS token positions,
+  * which are ambiguous when several optimal alignments exist — the
+  * rouge-score library resolves the ambiguity with one
+  * implementation-defined backtrack. This kernel instead uses the
+  * alignment-INDEPENDENT membership test (position p is in the union
+  * iff ∃q: x_p = y_q ∧ fwd(p−1, q−1) + 1 + bwd(p+1, q+1) = LCS — the
+  * classic prefix/suffix decomposition), which depends only on DP
+  * VALUES, never on a tie-break rule, so Spark kernel, the spec's
+  * Scala reference, and the DuckDB recursive-CTE oracle provably agree
+  * on every input. On Lin's own w1..w5 example both definitions give
+  * 4. Documented deviation: the union can be a superset of one fixed
+  * backtrack's positions, and (like rouge-score before clipping)
+  * Σ hits can exceed the candidate length on degenerate inputs — the
+  * [[graft.operators.EvalMetrics.cer]] "can exceed 10⁶" convention.
+  *
+  * O(Σ_i Σ_j m_i·n_j) per pair (two full DP tables per sentence pair —
+  * prefix and suffix), row-local; the caller bounds sentence token
+  * counts (rougeLsum's maxTokens) when inputs can be pathological.
+  * Null ARRAYS propagate null; null sentences/tokens are skipped. */
+case class SentenceUnionLcsExpression(left: Expression,
+    right: Expression) extends BinaryExpression {
+
+  private val sentsType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.ArrayType(StringType))
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(StringType, _), _),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(StringType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sentence_union_lcs expects (array<array<string>>, " +
+          s"array<array<string>>), got (${left.dataType.sql}, " +
+          s"${right.dataType.sql})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SentenceUnionLcsExpression.unionLcs(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cls = SentenceUnionLcsExpression.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = $cls.unionLcs($a, $b);"
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SentenceUnionLcsExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def unionLcs(hyp: ArrayData, ref: ArrayData): Long = {
+    val hs = sentences(hyp)
+    val rs = sentences(ref)
+    var hits = 0L
+    var i = 0
+    while (i < rs.length) {
+      val x = rs(i)
+      val m = x.length
+      if (m > 0 && hs.length > 0) {
+        val marked = new Array[Boolean](m + 1)
+        var j = 0
+        while (j < hs.length) {
+          if (hs(j).length > 0) markPositions(x, hs(j), marked)
+          j += 1
+        }
+        var p = 1
+        while (p <= m) { if (marked(p)) hits += 1; p += 1 }
+      }
+      i += 1
+    }
+    hits
+  }
+
+  /** Mark every position of `x` that participates in SOME optimal LCS
+    * of (x, y): fwd(p−1)(q−1) + 1 + bwd(m−p)(n−q) == L for some q with
+    * x_p = y_q, where bwd is the prefix DP of the reversed sequences
+    * (bwd(i)(j) = LCS of the last i of x and last j of y). */
+  private def markPositions(x: Array[UTF8String], y: Array[UTF8String],
+      marked: Array[Boolean]): Unit = {
+    val m = x.length
+    val n = y.length
+    val fwd = lcsTable(x, y, rev = false)
+    val bwd = lcsTable(x, y, rev = true)
+    val total = fwd(m)(n)
+    var p = 1
+    while (p <= m) {
+      if (!marked(p)) {
+        val xp = x(p - 1)
+        var q = 1
+        while (q <= n && !marked(p)) {
+          if (xp.equals(y(q - 1)) &&
+            fwd(p - 1)(q - 1) + 1 + bwd(m - p)(n - q) == total)
+            marked(p) = true
+          q += 1
+        }
+      }
+      p += 1
+    }
+  }
+
+  /** Full (m+1)×(n+1) LCS prefix table; `rev = true` computes it over
+    * the reversed sequences (indexing from the tails) without copying. */
+  private def lcsTable(x: Array[UTF8String], y: Array[UTF8String],
+      rev: Boolean): Array[Array[Int]] = {
+    val m = x.length
+    val n = y.length
+    val dp = Array.ofDim[Int](m + 1, n + 1)
+    var i = 1
+    while (i <= m) {
+      val xi = if (rev) x(m - i) else x(i - 1)
+      val prev = dp(i - 1)
+      val cur = dp(i)
+      var j = 1
+      while (j <= n) {
+        val yj = if (rev) y(n - j) else y(j - 1)
+        cur(j) =
+          if (xi.equals(yj)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      i += 1
+    }
+    dp
+  }
+
+  /** Outer array → per-sentence token arrays; null sentences dropped,
+    * null tokens skipped (the [[ArrayLcsLengthExpression]] convention). */
+  private def sentences(a: ArrayData): Array[Array[UTF8String]] = {
+    val n = a.numElements()
+    val out = new Array[Array[UTF8String]](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val inner = a.getArray(i)
+        val k = inner.numElements()
+        val toks = new Array[UTF8String](k)
+        var j = 0
+        var t = 0
+        while (j < k) {
+          if (!inner.isNullAt(j)) { toks(t) = inner.getUTF8String(j); t += 1 }
+          j += 1
+        }
+        out(m) =
+          if (t == k) toks else java.util.Arrays.copyOf(toks, t)
+        m += 1
+      }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** Column form via the registered SQL function
+    * (see [[GraftExtensions]]). */
+  def unionLcsNative(hypSents: Column, refSents: Column): Column =
+    org.apache.spark.sql.functions.call_function("sentence_union_lcs",
+      hypSents, refSents)
+}

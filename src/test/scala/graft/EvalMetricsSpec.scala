@@ -230,6 +230,129 @@ class EvalMetricsSpec extends AnyFunSuite {
       s"native rougeL must be shuffle-free:\n$plan")
   }
 
+  test("rougeLsum: hand-computed union-LCS fixtures incl. Lin 2004's " +
+      "own example, multi-newline and empty-sentence edges, the " +
+      "documented superset-of-one-backtrack case, maxTokens") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String, String)], maxTokens: Int = 0) =
+      EvalMetrics.rougeLsum(rows.toDF("id", "hyp", "ref"), "id", "hyp",
+          "ref", maxTokens = maxTokens)
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("union_hits"), r.getAs[Long]("n_hyp"),
+            r.getAs[Long]("n_ref"), r.getAs[Long]("prec_ppm"),
+            r.getAs[Long]("rec_ppm"), r.getAs[Long]("rouge_lsum_ppm")))
+        .toMap
+    val got = run(Seq(
+      // Lin 2004 §3.2's example: r = w1..w5, c1 = w1 w2 w6 w7 w8,
+      // c2 = w1 w3 w8 w9 w5 — union {w1, w2, w3, w5} = 4
+      (1L, "w1 w2 w6 w7 w8\nw1 w3 w8 w9 w5", "w1 w2 w3 w4 w5"),
+      // consecutive newlines mint an empty sentence — dropped, and
+      // sentence-split coverage still reaches every token
+      (2L, "a b c\n\nd e", "a b\nc d e"),
+      // single sentence both sides, perfect match
+      (3L, "same line only", "same line only"),
+      (4L, "", "x y z"),          // empty hyp: zeros, row kept
+      (5L, "x y", ""),            // empty ref: zeros, row kept
+      (6L, null, "a b"),          // null hyp: zeros, row kept
+      // case/whitespace noise normalizes away
+      (7L, "The  Cat \n sat", "the cat\nSAT down"),
+      // the DOCUMENTED superset case: both 'a's of the ref are in
+      // SOME optimal LCS with the 1-token hypothesis, so hits = 2 >
+      // LCS = 1 and prec exceeds 10^6 (the cer convention) — one
+      // fixed backtrack (rouge-score) would count 1
+      (8L, "a", "a a")))
+    assert(got(1L) == ((4L, 10L, 5L, 400000L, 800000L, 533333L)),
+      got.toString)
+    assert(got(2L) == ((5L, 5L, 5L, 1000000L, 1000000L, 1000000L)),
+      got.toString)
+    assert(got(3L) == ((3L, 3L, 3L, 1000000L, 1000000L, 1000000L)))
+    assert(got(4L) == ((0L, 0L, 3L, 0L, 0L, 0L)))
+    assert(got(5L) == ((0L, 2L, 0L, 0L, 0L, 0L)))
+    assert(got(6L) == ((0L, 0L, 2L, 0L, 0L, 0L)))
+    assert(got(7L) == ((3L, 3L, 4L, 1000000L, 750000L, 857142L)),
+      got.toString)
+    assert(got(8L) == ((2L, 1L, 2L, 2000000L, 1000000L, 1333333L)),
+      got.toString)
+    assert(got.size == 8)
+    // maxTokens truncates every SENTENCE: the matched tail tokens
+    // fall off both sides' sentences
+    val capped = run(Seq((1L, "a b c\nd e f", "c\nf")), maxTokens = 2)
+    assert(capped(1L) == ((0L, 4L, 2L, 0L, 0L, 0L)), capped.toString)
+    val full = run(Seq((1L, "a b c\nd e f", "c\nf")))
+    assert(full(1L) == ((2L, 6L, 2L, 333333L, 1000000L, 499999L)),
+      full.toString)
+  }
+
+  test("rougeLsum: the native kernel equals an independent Scala " +
+      "reference (prefix/suffix DP membership) on folded corpus " +
+      "pairs, and the metric is shuffle-free") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // reference implementation: full DP tables, ∃-optimal membership
+    def toks(s: String): Array[String] =
+      s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    def sents(t: String): Array[Array[String]] =
+      t.split("\n", -1).map(toks).filter(_.nonEmpty)
+    def table(x: Array[String], y: Array[String]): Array[Array[Int]] = {
+      val dp = Array.ofDim[Int](x.length + 1, y.length + 1)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        dp(i)(j) = if (x(i - 1) == y(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp
+    }
+    def refHits(hyp: String, ref: String): Long = {
+      val hs = sents(hyp)
+      hs.length match {
+        case 0 => 0L
+        case _ => sents(ref).map { x =>
+          val m = x.length
+          val marked = new Array[Boolean](m + 1)
+          hs.foreach { y =>
+            val n = y.length
+            val fwd = table(x, y)
+            val bwd = table(x.reverse, y.reverse)
+            val tot = fwd(m)(n)
+            for (p <- 1 to m; q <- 1 to n)
+              if (x(p - 1) == y(q - 1) &&
+                fwd(p - 1)(q - 1) + 1 + bwd(m - p)(n - q) == tot)
+                marked(p) = true
+          }
+          (1 to m).count(marked).toLong
+        }.sum
+      }
+    }
+    // fold word-soup docs into 6-word lines (the q_rouge_lsum shape)
+    val docs = graft.Tables.documents(spark, sf)
+      .where(col("text").isNotNull).limit(60)
+    def fold(c: org.apache.spark.sql.Column) = {
+      val ws = split(c, " ")
+      val nLines = ceil(size(ws) / lit(6.0)).cast("int")
+      array_join(
+        transform(sequence(lit(0), greatest(nLines - 1, lit(0))),
+          j => array_join(slice(ws, j * 6 + 1, lit(6)), " ")), "\n")
+    }
+    val pairs = docs.select(col("doc_id"), col("text").as("h"))
+      .join(docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("r")), Seq("doc_id"))
+      .select(col("doc_id"), fold(col("h")).as("hyp"),
+        fold(col("r")).as("ref"))
+    val gotRows = EvalMetrics.rougeLsum(pairs, "doc_id", "hyp", "ref")
+      .join(pairs, Seq("doc_id"))
+      .select("doc_id", "union_hits", "hyp", "ref")
+      .collect()
+    assert(gotRows.length >= 50)
+    gotRows.foreach { r =>
+      val want = refHits(r.getAs[String]("hyp"), r.getAs[String]("ref"))
+      assert(r.getAs[Long]("union_hits") == want,
+        s"doc ${r.get(0)}: kernel ${r.get(1)} != reference $want")
+    }
+    val lit2 = Seq((1L, "a b\nc", "b a")).toDF("doc_id", "hyp", "ref")
+    val plan = EvalMetrics.rougeLsum(lit2, "doc_id", "hyp", "ref")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"native rougeLsum must be shuffle-free:\n$plan")
+  }
+
   test("cer: native levenshtein over whitespace-normalized strings; " +
       "empty references are not emitted") {
     import spark.implicits._
