@@ -58,6 +58,7 @@ object Bench {
     * regression keeps both flat round-over-round. */
   private case class PassLoad(label: String, loadBefore: Double,
       loadAfter: Double, wallSec: Double, cpuSec: Double) {
+    def loadMax: Double = math.max(loadBefore, loadAfter)
     def json: String = {
       val ratio = if (wallSec > 0 && cpuSec >= 0) cpuSec / wallSec else -1.0
       f"""{"pass":"$label","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"wall_sec":$wallSec%.2f,"cpu_sec":$cpuSec%.2f,"cpu_wall":$ratio%.2f}"""
@@ -72,6 +73,23 @@ object Bench {
     // its loadavg window and cpu/wall into BENCH_DETAIL so an
     // environmental slowdown is machine-readable from the artifact
     val passLoads = scala.collection.mutable.ArrayBuffer[PassLoad]()
+    // quiet-pass classification (r14 verdict #2): a pass is QUIET when
+    // its boundary loadavg stays within threads × factor. The factor
+    // defaults to 0.5 from this bench's own committed quiet-box
+    // snapshots: the bench's footprint peaks at ~0.45× its thread
+    // count at these SFs (load_max 13.6 on 32 threads, r14), because
+    // no single query holds all threads across a whole pass window —
+    // while the contaminated driver runs read 0.9×+ (30.0/32, with
+    // cpu_wall collapsing to 3.6). So boundary load above half the
+    // thread count means co-tenant load at least comparable to the
+    // bench's own, and a min taken there is not a quiet-box number.
+    val quietLoad = cpus.toInt *
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD_FACTOR", "0.5").toDouble
+    def passQuiet(label: String): Boolean =
+      passLoads.find(_.label == label) // failed passes carry "(failed)"
+        .exists(_.loadMax <= quietLoad)
+    def passLoadOf(label: String): Double =
+      passLoads.find(_.label == label).map(_.loadMax).getOrElse(-1.0)
     def sentinel[T](label: String)(body: => T): T = {
       val l0 = loadAvg(); val c0 = processCpuSec()
       val t0 = System.nanoTime()
@@ -116,27 +134,46 @@ object Bench {
     // prototype of this block measured 11.7 s vs 26.6 s back-to-back).
     // The min is the code's capability; the reps expose the noise.
     val warmDir = "/root/testdata/sf0.001"
-    val anchorRuns = (1 to 5).flatMap { i =>
+    def anchorRep(label: String, rep: Int = 32): Seq[(String, AnchorTimes)] = {
       val s = newSession()
-      try sentinel(s"anchor_$i") {
+      try sentinel(label) {
         throughputAnchors(s, warmDir)
         s.catalog.clearCache(); graft.operators.Caches.clear()
-        throughputAnchors(s, sfDir)
-      } finally s.stop()
+        throughputAnchors(s, sfDir, rep = rep)
+      }.map(label -> _).toSeq
+      finally s.stop()
+    }
+    val anchorRuns = {
+      val base = (1 to 5).flatMap(i => anchorRep(s"anchor_$i"))
+      // bounded rescue (r14 verdict #2): when NO rep ran on a quiet
+      // box, one extra rep buys a chance at a flaggable-quiet min
+      if (base.exists { case (l, _) => passQuiet(l) }) base
+      else base ++ anchorRep("anchor_6")
     }
     // ONE anchor-JSON builder for both payloads (derived + sf1):
-    // per-metric min over the runs, every raw rep recorded
-    def anchorJson(runs: Seq[AnchorTimes]): String =
+    // per-metric min over the runs, every raw rep + its pass load
+    // recorded, and a per-metric quiet flag saying whether the MIN
+    // came from a quiet pass (min-of-reps itself stays min over ALL
+    // reps — contamination is additive, so a rep observed under load
+    // is still a valid upper bound and discarding it could only
+    // report a slower number than was measured)
+    def anchorJson(runs: Seq[(String, AnchorTimes)]): String =
       if (runs.isEmpty) "{}"
       else {
         def reps(xs: Seq[Double]): String =
           xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-        val rows = runs.head.rows
-        val nCsv = runs.head.ingestRows
-        val tSec = runs.map(_.transformSec).min
-        val cSec = runs.map(_.cpdSec).min
-        val iSec = runs.map(_.ingestSec).min
-        f"""{"rows":$rows,"transform_sec":$tSec%.3f,"transform_rows_per_s":${rows / tSec}%.0f,"features_cpd_sec":$cSec%.3f,"features_cpd_rows_per_s":${rows / cSec}%.0f,"ingest_rows":$nCsv,"ingest_sec":$iSec%.3f,"ingest_rows_per_s":${nCsv / iSec}%.0f,"transform_reps":${reps(runs.map(_.transformSec))},"features_cpd_reps":${reps(runs.map(_.cpdSec))},"ingest_reps":${reps(runs.map(_.ingestSec))}}"""
+        def minQ(get: AnchorTimes => Double): (Double, Boolean) = {
+          val (label, t) = runs.minBy { case (_, at) => get(at) }
+          (get(t), passQuiet(label))
+        }
+        val rows = runs.head._2.rows
+        val nCsv = runs.head._2.ingestRows
+        val (tSec, tQuiet) = minQ(_.transformSec)
+        val (cSec, cQuiet) = minQ(_.cpdSec)
+        val (iSec, iQuiet) = minQ(_.ingestSec)
+        val repLoads = runs.map { case (l, _) => f"${passLoadOf(l)}%.1f" }
+          .mkString("[", ",", "]")
+        f"""{"rows":$rows,"transform_sec":$tSec%.3f,"transform_rows_per_s":${rows / tSec}%.0f,"features_cpd_sec":$cSec%.3f,"features_cpd_rows_per_s":${rows / cSec}%.0f,"ingest_rows":$nCsv,"ingest_sec":$iSec%.3f,"ingest_rows_per_s":${nCsv / iSec}%.0f,"transform_quiet":$tQuiet,"features_cpd_quiet":$cQuiet,"ingest_quiet":$iQuiet,"transform_reps":${reps(runs.map(_._2.transformSec))},"features_cpd_reps":${reps(runs.map(_._2.cpdSec))},"ingest_reps":${reps(runs.map(_._2.ingestSec))},"rep_loads":$repLoads}"""
       }
     val derived = anchorJson(anchorRuns)
 
@@ -154,14 +191,13 @@ object Bench {
     // the 100× replication would produce a wholly different scale while
     // still labeled "sf1_anchor" (r11 review) — emit {} instead.
     val sf1Runs =
-      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Seq.empty
-      else (1 to 2).flatMap { i =>
-        val s = newSession()
-        try sentinel(s"sf1_anchor_$i") {
-          throughputAnchors(s, warmDir)
-          s.catalog.clearCache(); graft.operators.Caches.clear()
-          throughputAnchors(s, sfDir, rep = 100)
-        } finally s.stop()
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1"))
+        Seq.empty[(String, AnchorTimes)]
+      else {
+        val base = (1 to 2).flatMap(i =>
+          anchorRep(s"sf1_anchor_$i", rep = 100))
+        if (base.exists { case (l, _) => passQuiet(l) }) base
+        else base ++ anchorRep("sf1_anchor_3", rep = 100)
       }
     val sf1Json = anchorJson(sf1Runs)
 
@@ -216,15 +252,32 @@ object Bench {
     def timedReps(tag: String,
         names: Seq[String]): Seq[(String, Seq[Double])] = {
       val present = names.filter(qs.contains)
-      val passes = (1 to 3).map(p =>
-        sentinel(s"${tag}_pass$p")(present.map(timeOne)))
-      present.zipWithIndex.map { case (n, i) => n -> passes.map(_(i)) }
+      val passes = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+      (1 to 3).foreach(p =>
+        passes += sentinel(s"${tag}_pass$p")(present.map(timeOne)))
+      // bounded rescue (r14 verdict #2): when none of the three passes
+      // ran on a quiet box, ONE extra pass buys a chance at a
+      // flaggable-quiet min instead of certifying a contaminated one
+      if ((1 to 3).forall(p => !passQuiet(s"${tag}_pass$p")))
+        passes += sentinel(s"${tag}_pass4")(present.map(timeOne))
+      present.zipWithIndex.map { case (n, i) =>
+        n -> passes.toSeq.map(_(i))
+      }
     }
-    // min of the SUCCESSFUL runs; -1 only when every run failed
-    def minOf(reps: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
+    // min of the SUCCESSFUL runs (-1 only when every run failed), plus
+    // whether that min's pass was quiet. The min stays min over ALL
+    // passes — contamination is additive, so a loaded pass's rep is
+    // still a valid upper bound; the flag tells the reader whether the
+    // reported number doubles as a quiet-box number
+    def minOf(tag: String, reps: Seq[(String, Seq[Double])])
+        : Seq[(String, Double, Boolean)] =
       reps.map { case (n, rs) =>
-        val good = rs.filter(_ >= 0)
-        n -> (if (good.isEmpty) -1.0 else good.min)
+        val good = rs.zipWithIndex.filter(_._1 >= 0)
+        if (good.isEmpty) (n, -1.0, false)
+        else {
+          val (v, idx) = good.minBy(_._1)
+          (n, v, passQuiet(s"${tag}_pass${idx + 1}"))
+        }
       }
     def toJson(r: Seq[(String, Double)]): String =
       r.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -233,11 +286,20 @@ object Bench {
         "\"" + k + "\":" + rs.map(x => f"$x%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
 
+    def quietJson(r: Seq[(String, Double, Boolean)]): String =
+      r.map { case (k, _, q) => "\"" + k + s"\":$q" }
+        .mkString("{", ",", "}")
+    def dropQuiet(r: Seq[(String, Double, Boolean)]): Seq[(String, Double)] =
+      r.map { case (k, v, _) => (k, v) }
+
     warm(headline)
     val headlineReps = timedReps("headline", headline)
-    val results = minOf(headlineReps)
-    val qJson = toJson(results)
+    val results = minOf("headline", headlineReps)
+    val qJson = toJson(dropQuiet(results))
     val total = results.map(_._2).filter(_ >= 0).sum
+    // the headline total is quiet iff EVERY contributing min came from
+    // a quiet pass
+    val totalQuiet = results.filter(_._2 >= 0).forall(_._3)
 
     // breadth block: the LLM-pipeline operator family timed at the same
     // SF (same warmup discipline), reported separately so the headline
@@ -294,8 +356,8 @@ object Bench {
       "q_tpch_q20", "q_tpch_q21", "q_tpch_q22")
     warm(extraNames)
     val extraReps = timedReps("extra", extraNames)
-    val extraResults = minOf(extraReps)
-    val extraJson = toJson(extraResults)
+    val extraResults = minOf("extra", extraReps)
+    val extraJson = toJson(dropQuiet(extraResults))
 
     // The driver captures only the LAST 2000 characters of stdout and
     // parses the JSON line out of that window. Round 8's single line with
@@ -320,7 +382,15 @@ object Bench {
     }
     val loadSummary =
       f""""load_max":$loadMax%.1f,"cpu_wall_min":$cpuWallMin%.1f"""
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"sf1_anchor":$sf1Json,"extra":$extraJson,"queries_reps":${repsJson(headlineReps)},"extra_reps":${repsJson(extraReps)},$loadSummary,"load_passes":$loadPassesJson}"""
+    // per-pass load attached to the reps (r14 verdict #2): rep i of
+    // every query in queries_reps/extra_reps belongs to pass i+1 —
+    // these arrays carry that pass's boundary loadavg, index-aligned
+    def passLoadsJsonFor(tag: String, nPasses: Int): String =
+      (1 to nPasses).map(p => f"${passLoadOf(s"${tag}_pass$p")}%.1f")
+        .mkString("[", ",", "]")
+    val nHeadlinePasses = headlineReps.headOption.map(_._2.size).getOrElse(0)
+    val nExtraPasses = extraReps.headOption.map(_._2.size).getOrElse(0)
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","quiet":{"total":$totalQuiet},"queries":$qJson,"queries_quiet":${quietJson(results)},"sf":"$sfDir","derived":$derived,"sf1_anchor":$sf1Json,"extra":$extraJson,"extra_quiet":${quietJson(extraResults)},"queries_reps":${repsJson(headlineReps)},"extra_reps":${repsJson(extraReps)},"headline_pass_load":${passLoadsJsonFor("headline", nHeadlinePasses)},"extra_pass_load":${passLoadsJsonFor("extra", nExtraPasses)},"quiet_load_threshold":$quietLoad%.1f,$loadSummary,"load_passes":$loadPassesJson}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         fullJson.getBytes("UTF-8"))
@@ -330,8 +400,15 @@ object Bench {
     }
     val extraGood = extraResults.filter(_._2 >= 0)
     val extraTotal = extraGood.map(_._2).sum
-    val slowest = extraGood.sortBy(-_._2).take(8)
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","derived":$derived,"sf1_anchor":$sf1Json,"extra_total":$extraTotal%.3f,"extra_n":${extraGood.size},"extra_slowest":${toJson(slowest)},$loadSummary,"detail":"BENCH_DETAIL.json"}"""
+    val extraQuiet = extraGood.forall(_._3)
+    val slowest = dropQuiet(extraGood.sortBy(-_._2).take(8))
+    // derived-metric quiet flags ride the compact line (r14 verdict
+    // #2): a reader can now tell whether each headline number came
+    // from a quiet window without re-deriving it from load_passes —
+    // the anchor flags live inside derived/sf1_anchor
+    val quietBlock =
+      s""""quiet":{"total":$totalQuiet,"extra_total":$extraQuiet}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$quietBlock,"queries":$qJson,"sf":"$sfDir","derived":$derived,"sf1_anchor":$sf1Json,"extra_total":$extraTotal%.3f,"extra_n":${extraGood.size},"extra_slowest":${toJson(slowest)},$loadSummary,"detail":"BENCH_DETAIL.json"}"""
     println(compact)
     spark.stop()
   }

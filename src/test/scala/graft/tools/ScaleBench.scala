@@ -53,7 +53,13 @@ object ScaleBench {
       // register state); rouge-l is pair-bounded (flat expected);
       // the migrate cycle is the probe cycle + pure file moves
       "q_distinct_ngrams_approx", "q_rouge_l", "q_rouge_2",
-      "q_dedup_index_migrate", "q_semdedup_probe2", "q_embed_fd"))
+      "q_dedup_index_migrate", "q_semdedup_probe2", "q_embed_fd",
+      // r15 additions: the planned 2-probe plan should hold the
+      // single-probe planned ratio (~3.4x) now that the planner
+      // scales k by probeCells; rouge-lsum is pair-bounded (flat);
+      // the compact cycle is the probe cycle + one bounded rewrite
+      "q_semdedup_probe2_planned", "q_rouge_lsum",
+      "q_dedup_index_compact"))
 
   def synthesize(spark: SparkSession, copies: Int): String = {
     val dir = s"$ScaledRoot/x$copies"
@@ -263,7 +269,9 @@ object ScaleBench {
     * straddles). Recall = fraction of planted pairs whose members
     * share a verdict component. Cost rides along so the 2-probe
     * recall gain is priced. */
-  private[tools] def boundaryRecall(spark: SparkSession): Unit = {
+  private[tools] def boundaryRecall(spark: SparkSession,
+      ks: Seq[Int] = Seq(4, 8, 16, 32),
+      probes: Seq[Int] = Seq(1, 2)): Unit = {
     val emb = spark.read.parquet(s"$BaseDir/embeddings.parquet")
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
@@ -287,9 +295,10 @@ object ScaleBench {
     val corpus = emb.unionByName(planted)
     val nPairs = mid.count()
     println(s"| semdedup boundary recall ($nPairs planted near-" +
-      "boundary pairs) | k (straddle%) | probeCells=1 | probeCells=2 " +
-      "| recall gain |")
-    Seq(4, 8, 16, 32).foreach { k =>
+      "boundary pairs) | k (straddle%) | " +
+      probes.map(p => s"probeCells=$p").mkString(" | ") +
+      " | recall gain |")
+    ks.foreach { k =>
       // straddle% — the fraction of planted pairs whose members
       // ASSIGN to different cells: the population the single-cell
       // scan cannot examine directly
@@ -301,7 +310,7 @@ object ScaleBench {
         .select((col("vec_id") % 10000000L).as("pid"), col("cluster"))
         .groupBy("pid").agg(countDistinct("cluster").as("nc"))
         .where(col("nc") > 1).count() / nPairs
-      val r = Seq(1, 2).map { pc =>
+      val r = probes.map { pc =>
         val t0 = System.nanoTime()
         val comp = graft.operators.SemDedup.verdicts(corpus, "vec_id",
             "embedding", k = k, threshold = 0.99, probeCells = pc)
@@ -316,9 +325,10 @@ object ScaleBench {
         spark.catalog.clearCache(); graft.operators.Caches.clear()
         (100.0 * caught / nPairs, sec)
       }
-      println(f"| | k=$k ($straddle%.1f%%) | ${r(0)._1}%.1f%% " +
-        f"(${r(0)._2}%.1f s) | ${r(1)._1}%.1f%% (${r(1)._2}%.1f s) " +
-        f"| +${r(1)._1 - r(0)._1}%.1f pts |")
+      val cells = r.map { case (rec, sec) => f"$rec%.1f%% ($sec%.1f s)" }
+        .mkString(" | ")
+      println(f"| | k=$k ($straddle%.1f%%) | " + cells +
+        f" | +${r.last._1 - r.head._1}%.1f pts |")
     }
   }
 
