@@ -334,9 +334,6 @@ object ArrayLcsLengthExpression {
 case class SentenceUnionLcsExpression(left: Expression,
     right: Expression) extends BinaryExpression {
 
-  private val sentsType = org.apache.spark.sql.types.ArrayType(
-    org.apache.spark.sql.types.ArrayType(StringType))
-
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 

@@ -61,13 +61,34 @@ object StreamingDedupGate {
     * Scope note: the gate rejects duplicates of ADMITTED documents;
     * two near-duplicates arriving in the SAME micro-batch both survive
     * (run [[graft.operators.Dedup.minhashDupPairs]] within the batch
-    * first if intra-batch dedup is also wanted). */
+    * first if intra-batch dedup is also wanted).
+    *
+    * `compactEvery > 0` folds the index's maintenance verb into the
+    * very loop that creates the need for it: every append commits one
+    * tiny `grams/epoch=<uuid>` dir, so an unmaintained gate walks a
+    * month of micro-batches straight into the small-files cliff
+    * ([[DedupIndex.compact]]'s scaladoc; SCALING.md prices 20 epochs
+    * at 4.8× the compacted probe latency). Before ingesting every
+    * compactEvery-th micro-batch the gate runs compact() — legal
+    * because foreachBatch serializes the gate's own batches and the
+    * gate owns the index (compact's exclusive-access contract), and
+    * crash-safe because compact recovers its own interrupted state
+    * FIRST and Structured Streaming replays the failed epoch: a crash
+    * anywhere inside compact re-runs it before the epoch's probe, so
+    * no probe ever sees a half-committed tree. A crash after compact
+    * but mid-ingest re-runs one redundant (correct, bounded)
+    * recompaction on replay — the price of keeping the step inside
+    * the idempotent batch. */
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpoint: String,
-      threshold: Double = 0.5): StreamingQuery = {
+      threshold: Double = 0.5, compactEvery: Int = 0): StreamingQuery = {
+    require(compactEvery >= 0,
+      s"compactEvery=$compactEvery must be >= 0 (0 = never)")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
+          DedupIndex.compact(batch.sparkSession, indexPath)
         ingestBatch(batch.sparkSession, batch, idCol, textCol,
           indexPath, outPath, threshold, epoch)
       }

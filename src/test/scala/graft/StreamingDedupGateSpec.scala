@@ -55,6 +55,59 @@ class StreamingDedupGateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("compactEvery folds index maintenance into the gate loop: " +
+      "epochs stay bounded across many micro-batches and admissions " +
+      "equal the unmaintained gate's") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def epochs(idx: String) =
+      Option(new java.io.File(s"$idx/grams").listFiles())
+        .getOrElse(Array.empty)
+        .count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    def runGate(compactEvery: Int): (String, Seq[Long], Int) = {
+      val idx = tmp(s"gate_idx_c$compactEvery")
+      val out = tmp(s"gate_out_c$compactEvery") + "/accepted"
+      DedupIndex.build(Seq((1L, seedText)).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingDedupGate.start(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+        out, tmp(s"gate_chk_c$compactEvery"), threshold = 0.5,
+        compactEvery = compactEvery)
+      try {
+        // six micro-batches: novel docs, dups of the seed, and dups
+        // of earlier batches' survivors (the admissions must not
+        // change under maintenance — compaction is pure data movement)
+        (0 until 6).foreach { i =>
+          input.addData(
+            (100L + i, s"$novelA unique batch token$i suffix$i"),
+            (200L + i, seedText + " extra tail"),
+            (300L + i, s"$novelA unique batch token$i suffix$i tail"))
+          q.processAllAvailable()
+        }
+        val accepted = spark.read.parquet(out)
+          .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        (idx, accepted, epochs(idx))
+      } finally q.stop()
+    }
+    val (_, baseAccepted, baseEpochs) = runGate(0)
+    val (idx, accepted, nEpochs) = runGate(2)
+    assert(accepted == baseAccepted,
+      s"maintained gate admitted $accepted, unmaintained $baseAccepted")
+    // unmaintained: 1 build + one epoch per admitting batch;
+    // maintained: compaction keeps the count bounded by the interval
+    assert(baseEpochs >= 6, s"fixture must accumulate epochs, got " +
+      s"$baseEpochs")
+    assert(nEpochs <= 3,
+      s"compactEvery=2 must bound the epoch count, got $nEpochs")
+    // and the maintained index still serves: a dup of a survivor is
+    // rejected by a fresh probe
+    val hits = DedupIndex.probe(spark,
+      idx, Seq((999L, s"$novelA unique batch token0 suffix0"))
+        .toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+    assert(hits.count() > 0)
+  }
+
   test("restartable: the index reflects every committed batch, so a " +
       "fresh query over the same index keeps rejecting") {
     import spark.implicits._
