@@ -322,6 +322,7 @@ object Bench {
       "q_ccnet_bands", "q_bpe_encode", "q_bpe_roundtrip",
       "q_exact_substr", "q_exact_substr_keep", "q_gopher_repetition",
       "q_dsir", "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_res",
+      "q_ann_index_compact",
       "q_c4_clean", "q_para_dedup", "q_kmeans_iter", "q_sp_vocab",
       "q_sp_roundtrip", "q_mixture_temperature", "q_corpus_shuffle",
       "q_train_examples", "q_nfc_normalize", "q_token_histogram",

@@ -2058,6 +2058,32 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- the PERSISTED IVF index cycle (r15): AnnIndex.build →
+    // compact (cell files rewritten through the manifest-committed
+    // stage) → partition-pruned probe, driven against the SAME pinned
+    // live-ivfTopK oracle — build trains through the one shared
+    // trainOnSample body, and compaction is pure data movement, so
+    // the persisted, compacted index must rank exactly like the live
+    // operator (the dedup-index family's oracle-sharing convention;
+    // until now the persisted ANN index was spec-gated only) ----
+    "q_ann_index_compact" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ann_idx_cmp_").toString
+      try {
+        AnnIndex.build(emb, "vec_id", "embedding", tmp, nlist = 8)
+        AnnIndex.compact(s, tmp, targetFiles = 4)
+        AnnIndex.probe(s, tmp, queries, "vec_id", "embedding",
+            k = 10, nprobe = 4)
+          .select(col("query_id"), col("id"), col("rank"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint()
+      } finally deleteRecursively(new java.io.File(tmp))
+    }),
+
     // ---- IVF-PQ ANN (IVFADC, the standard FAISS pairing): coarse cell
     // routing makes the quantized ADC ranking probe-bucket sized instead
     // of corpus-sized — the scale rung above q_ann_pq's exhaustive ADC.
@@ -4677,6 +4703,11 @@ ORDER BY src_id"""
     // pinned-centroid replay of the deterministic IVF pipeline (valid at
     // the gate SF; see IvfOracle's scaladoc for the regeneration recipe)
     "q_ann_ivf" -> IvfOracle.sql,
+    // the persisted build→compact→probe cycle serves the identical
+    // ranking (shared quantizer + pure-data-movement compaction), so
+    // it shares the pinned-centroid oracle — the dedupIndexProbeOracle
+    // convention
+    "q_ann_index_compact" -> IvfOracle.sql,
 
     // the q_ann_cosine ranking CTE + same-label truth + metrics; the
     // discount/ideal tables are the SAME Scala-computed literals the
