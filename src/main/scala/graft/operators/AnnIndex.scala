@@ -192,8 +192,9 @@ object AnnIndex {
     * [[DedupIndex.compact]] (and the reference's VACUUM FULL
     * analogue), the pass itself assumes exclusive access. */
   def compact(spark: SparkSession, path: String,
-      targetFiles: Int = 8): Unit = {
-    require(targetFiles >= 1, s"targetFiles=$targetFiles must be >= 1")
+      targetFiles: Int = 0): Unit = {
+    require(targetFiles >= 0,
+      s"targetFiles=$targetFiles must be >= 0 (0 = plan from bytes)")
     val dir = new org.apache.hadoop.fs.Path(s"$path/assignments")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Option(fs.globStatus(
@@ -208,11 +209,18 @@ object AnnIndex {
     if (files.isEmpty) return // fresh recovery left nothing to compact
     val stage = new org.apache.hadoop.fs.Path(path,
       s"assignments_compact-${java.util.UUID.randomUUID().toString}")
+    // file count planned from the table's real bytes unless pinned
+    // (the DedupIndex.compactionFilesFor rationale: a constant makes
+    // TB files at 100 TB and collapses the rewrite's parallelism)
+    val nFiles =
+      if (targetFiles > 0) targetFiles
+      else DedupIndex.compactionFilesFor(
+        fs.getContentSummary(dir).getLength)
     // range-partition on (cell, id): each output partition spans few
-    // cells, so the partitionBy write produces ~targetFiles files
-    // total while keeping targetFiles-way write parallelism
+    // cells, so the partitionBy write produces ~nFiles files total
+    // while keeping nFiles-way write parallelism
     spark.read.parquet(dir.toString)
-      .repartitionByRange(targetFiles, col("cell"), col("id"))
+      .repartitionByRange(nFiles, col("cell"), col("id"))
       .write.partitionBy("cell").parquet(stage.toString)
     val out = fs.create(new org.apache.hadoop.fs.Path(stage, "_FILES"),
       false)

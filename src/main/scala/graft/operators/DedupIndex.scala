@@ -268,10 +268,16 @@ object DedupIndex {
     *  - a missing bands dir beside a `bands_old-*` dir (a crash
     *    between the two swap renames) restores the old dir so probes
     *    work again until step 5 replaces it.
-    */
+    *
+    * `targetFiles = 0` (default) plans the compacted file count from
+    * the table's REAL byte size ([[compactionFilesFor]] — ~256 MB per
+    * file), so both the output layout and the rewrite's parallelism
+    * scale with the index; pass an explicit count only to pin a test
+    * fixture. */
   def compact(spark: SparkSession, path: String,
-      targetFiles: Int = 8): Unit = {
-    require(targetFiles >= 1, s"targetFiles=$targetFiles must be >= 1")
+      targetFiles: Int = 0): Unit = {
+    require(targetFiles >= 0,
+      s"targetFiles=$targetFiles must be >= 0 (0 = plan from bytes)")
     val meta = readMeta(spark, path)
     require(meta.version >= 2,
       s"index at $path has the v1 (pre-epoch) grams layout — " +
@@ -289,12 +295,19 @@ object DedupIndex {
     val stageUuid = java.util.UUID.randomUUID().toString
     val stage = new org.apache.hadoop.fs.Path(path,
       s"grams_compact-$stageUuid")
+    // file count planned from the data's REAL size (the semdedupKFor
+    // convention — derive the scale knob from the corpus): a constant
+    // would produce TB-sized files at a 100 TB index AND collapse the
+    // rewrite to that many tasks
+    val nGrams =
+      if (targetFiles > 0) targetFiles
+      else compactionFilesFor(fs.getContentSummary(gramsDir).getLength)
     // coalesce, not repartition: file-count control without shuffling
     // the whole gram volume (rows have no required order or key)
     spark.read.parquet(s"$path/grams")
       .where(col("epoch").isin(epochs.toSeq: _*))
       .select("id", "gram_hashes")
-      .coalesce(targetFiles)
+      .coalesce(nGrams)
       .write.parquet(stage.toString)
     writeLines(fs, new org.apache.hadoop.fs.Path(stage, "_EPOCHS"),
       epochs.toSeq)
@@ -360,6 +373,15 @@ object DedupIndex {
       meta: Meta, targetFiles: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    val bandsDir0 = new org.apache.hadoop.fs.Path(s"$path/bands")
+    // plan from the CURRENT bands bytes (the rebuild's output is the
+    // same rows re-laid-out); fall back to the grams size when bands
+    // are missing (a crash between the swap renames with no old dir)
+    val nBands =
+      if (targetFiles > 0) targetFiles
+      else compactionFilesFor(fs.getContentSummary(
+        if (fs.exists(bandsDir0)) bandsDir0
+        else new org.apache.hadoop.fs.Path(s"$path/grams")).getLength)
     val stage = new org.apache.hadoop.fs.Path(path,
       s"bands_compact-${java.util.UUID.randomUUID().toString}")
     val g = spark.read.parquet(s"$path/grams")
@@ -372,7 +394,7 @@ object DedupIndex {
     // very problem being compacted away)
     Dedup.bandTriplesFromHashes(g, "id", "gram_hashes", meta.bands,
         meta.rowsPerBand)
-      .repartitionByRange(targetFiles, col("band"), col("bh"))
+      .repartitionByRange(nBands, col("band"), col("bh"))
       .write.partitionBy("band").parquet(stage.toString)
     val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
     val old = new org.apache.hadoop.fs.Path(path,
@@ -382,6 +404,24 @@ object DedupIndex {
     require(fs.rename(stage, bandsDir),
       s"compact: failed to commit the new bands at $path")
     fs.delete(old, true)
+  }
+
+  /** How many bytes of source data one compacted file should hold —
+    * the parquet sweet spot: big enough that footer/rowgroup overhead
+    * and open() costs amortize, small enough that one file is one
+    * sanely-sized task on read-back. */
+  val CompactionFileBytes: Long = 256L * 1024 * 1024
+
+  /** Plan a compacted file count from the data's real byte size:
+    * ⌈bytes / [[CompactionFileBytes]]⌉, min 1. Used by [[compact]]
+    * (and [[AnnIndex.compact]]) when no explicit count is given — at
+    * a 100 TB table this yields ~400 k files and the same rewrite
+    * parallelism, where any constant would produce TB-sized files AND
+    * collapse the rewrite to that many tasks. */
+  def compactionFilesFor(totalBytes: Long): Int = {
+    require(totalBytes >= 0, s"totalBytes=$totalBytes must be >= 0")
+    ((totalBytes + CompactionFileBytes - 1) / CompactionFileBytes)
+      .max(1L).min(Int.MaxValue.toLong).toInt
   }
 
   private def writeLines(fs: org.apache.hadoop.fs.FileSystem,

@@ -331,6 +331,33 @@ class DedupIndexSpec extends AnyFunSuite {
       .where(col("id") === col("batch_id")).count() == batch().count())
   }
 
+  test("compactionFilesFor plans the rewrite from real bytes: ~256 MB " +
+      "per file, min 1, scaling files AND rewrite parallelism with " +
+      "the index") {
+    val mb = 1024L * 1024
+    assert(DedupIndex.compactionFilesFor(0L) == 1)
+    assert(DedupIndex.compactionFilesFor(1L) == 1)
+    assert(DedupIndex.compactionFilesFor(256 * mb) == 1)
+    assert(DedupIndex.compactionFilesFor(256 * mb + 1) == 2)
+    // 100 TB -> ~400k files / 400k-way rewrite, where any constant
+    // would mean TB-sized files and a handful of tasks
+    assert(DedupIndex.compactionFilesFor(100L * 1024 * 1024 * mb)
+      == 409600)
+    intercept[IllegalArgumentException] {
+      DedupIndex.compactionFilesFor(-1L)
+    }
+    // the default (targetFiles = 0) path actually engages the planner
+    val path = tmp()
+    DedupIndex.build(docs.limit(50), "doc_id", "text", path)
+    DedupIndex.append(docs.limit(100).where(col("doc_id") % 2 === 1),
+      "doc_id", "text", path)
+    DedupIndex.compact(spark, path) // tiny index -> 1 grams file
+    assert(epochDirs(path).size == 1)
+    assert(dataFileCount(s"$path/grams") == 1,
+      s"tiny index must compact to one file, got " +
+        s"${dataFileCount(s"$path/grams")}")
+  }
+
   test("interrupted compaction recovers at every crash point, " +
       "including with an append landing between crash and recovery") {
     import org.apache.hadoop.fs.Path
