@@ -59,9 +59,24 @@ object Bench {
   private case class PassLoad(label: String, loadBefore: Double,
       loadAfter: Double, wallSec: Double, cpuSec: Double) {
     def loadMax: Double = math.max(loadBefore, loadAfter)
+    /** This JVM's own average CPU demand inside the pass — the part of
+      * the boundary loadavg the bench itself put there. */
+    def selfLoad: Double =
+      if (wallSec > 0 && cpuSec >= 0) cpuSec / wallSec else 0.0
+    /** Boundary loadavg minus the bench's own footprint: the CO-TENANT
+      * load estimate the quiet rule bounds (r15 verdict #2: a rule on
+      * TOTAL load can never flag the extras block quiet, because the
+      * bench's own ~0.5×threads extras load trips it on an empty box).
+      * Approximate by construction — loadavg is a 1-minute EWMA, so a
+      * boundary sample blends this pass's load with the previous
+      * pass's decay — but the bench runs its passes back-to-back and
+      * they carry similar self-load, so the subtraction removes the
+      * right-sized term; the honest residual error is far below the
+      * threads×0.5 threshold that separates quiet from contaminated. */
+    def cotenantLoad: Double = math.max(0.0, loadMax - selfLoad)
     def json: String = {
       val ratio = if (wallSec > 0 && cpuSec >= 0) cpuSec / wallSec else -1.0
-      f"""{"pass":"$label","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"wall_sec":$wallSec%.2f,"cpu_sec":$cpuSec%.2f,"cpu_wall":$ratio%.2f}"""
+      f"""{"pass":"$label","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"wall_sec":$wallSec%.2f,"cpu_sec":$cpuSec%.2f,"cpu_wall":$ratio%.2f,"cotenant_load":$cotenantLoad%.2f}"""
     }
   }
 
@@ -74,21 +89,24 @@ object Bench {
     // environmental slowdown is machine-readable from the artifact
     val passLoads = scala.collection.mutable.ArrayBuffer[PassLoad]()
     // quiet-pass classification (r14 verdict #2): a pass is QUIET when
-    // its boundary loadavg stays within threads × factor AND this
-    // JVM's cpu/wall inside the pass stays ABOVE threads × cpuFactor.
-    // The load factor defaults to 0.5 from this bench's own committed
-    // quiet-box snapshots: the bench's footprint peaks at ~0.45× its
-    // thread count at these SFs (load_max 13.6 on 32 threads, r14),
-    // because no single query holds all threads across a whole pass
-    // window — while the r14 contaminated driver runs read 0.9×+
-    // (30.0/32, cpu_wall collapsing to 3.6). The cpu/wall floor
-    // (default 0.15×threads = 4.8 on 32) exists because loadavg alone
-    // has a measured blind spot: an r15 run on this box read boundary
-    // loads of only 5.6–11.6 while every query inflated ~1.6× and the
-    // JVM's cpu/wall collapsed to 3.3–4.5 — IO/cgroup-shaped
-    // contention that never parks threads in the run queue. Quiet-box
-    // sf0.1 passes measure 6.2–10.4 across r14/r15, so the floor
-    // separates cleanly at the DRIVER artifact's SF; tiny smoke SFs
+    // its CO-TENANT load — boundary loadavg minus this JVM's own
+    // in-pass cpu/wall (r15 verdict #5: a TOTAL-load rule conflates
+    // self-load with co-tenant load, so the extras block, whose own
+    // footprint is ~0.5×threads, could never flag quiet on an empty
+    // box) — stays within threads × factor AND this JVM's cpu/wall
+    // inside the pass stays ABOVE threads × cpuFactor. The load
+    // factor stays 0.5: the r14 contaminated driver runs read
+    // boundary 30.0/32 with cpu_wall 3.6 → co-tenant ≈ 26 ≫ 16,
+    // while quiet-box passes read co-tenant ≈ 0–4. The cpu/wall
+    // floor (default 0.15×threads = 4.8 on 32) exists because the
+    // load rule alone has a measured blind spot: an r15 run on this
+    // box read boundary loads of only 5.6–11.6 while every query
+    // inflated ~1.6× and the JVM's cpu/wall collapsed to 3.3–4.5 —
+    // IO/cgroup-shaped contention that never parks threads in the
+    // run queue (and ALSO reads as low co-tenant load, which is why
+    // both rules are needed). Quiet-box sf0.1 passes measure
+    // cpu/wall 6.2–10.4 across r14/r15, so the floor separates
+    // cleanly at the DRIVER artifact's SF; tiny smoke SFs
     // under-parallelize (sf0.001 reads ~2.3) and honestly classify
     // not-quiet — the flag is calibrated for the committed artifact.
     val quietLoad = cpus.toInt *
@@ -97,7 +115,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_QUIET_CPU_FACTOR", "0.15").toDouble
     def passQuiet(label: String): Boolean =
       passLoads.find(_.label == label) // failed passes carry "(failed)"
-        .exists(p => p.loadMax <= quietLoad &&
+        .exists(p => p.cotenantLoad <= quietLoad &&
           // unknown cpu (-1, exotic JVMs) does not penalize
           (p.cpuSec < 0 || p.wallSec <= 0 ||
             p.cpuSec / p.wallSec >= quietCpuWall))
@@ -311,8 +329,11 @@ object Bench {
     val qJson = toJson(dropQuiet(results))
     val total = results.map(_._2).filter(_ >= 0).sum
     // the headline total is quiet iff EVERY contributing min came from
-    // a quiet pass
-    val totalQuiet = results.filter(_._2 >= 0).forall(_._3)
+    // a quiet pass — and there IS at least one contributing min: a
+    // fully-failed run must not vacuously certify a quiet measurement
+    // that never happened (r15 advice)
+    val totalQuiet = results.exists(_._2 >= 0) &&
+      results.filter(_._2 >= 0).forall(_._3)
 
     // breadth block: the LLM-pipeline operator family timed at the same
     // SF (same warmup discipline), reported separately so the headline
@@ -414,7 +435,8 @@ object Bench {
     }
     val extraGood = extraResults.filter(_._2 >= 0)
     val extraTotal = extraGood.map(_._2).sum
-    val extraQuiet = extraGood.forall(_._3)
+    // nonEmpty for the same all-failed reason as totalQuiet
+    val extraQuiet = extraGood.nonEmpty && extraGood.forall(_._3)
     val slowest = dropQuiet(extraGood.sortBy(-_._2).take(8))
     // derived-metric quiet flags ride the compact line (r14 verdict
     // #2): a reader can now tell whether each headline number came

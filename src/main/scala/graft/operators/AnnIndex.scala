@@ -23,7 +23,14 @@ import org.apache.spark.sql.functions._
   * assigned to the existing centroids and written into their cell
   * directories (dynamic partition overwrite is deliberately NOT used —
   * appends are additive). Centroid drift under sustained appends is a
-  * re-[[build]] decision, same as any IVF system.
+  * re-[[build]] decision, same as any IVF system — and the index
+  * carries its own instrument for making it: [[build]] freezes the
+  * training corpus's per-dimension moment registers beside the meta
+  * (`<path>/moments` — |dim| rows, deliberately NOT updated by
+  * append: they are the build-time distribution), and
+  * [[driftSince]] scores any incoming batch against them with the
+  * diagonal-Fréchet kernel ([[EvalMetrics.fdFromMoments]]). One
+  * |dim|-row aggregation per check, whatever the batch size.
   */
 object AnnIndex {
 
@@ -67,6 +74,72 @@ object AnnIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     writeAssigned(c, centroids, path, overwrite = true)
+    // drift reference LAST, and from the PERSISTED assignments rather
+    // than another pass over the corpus frame: same rows, and the
+    // corpus plan still executes exactly once (the writeTables
+    // discipline). A crash before this line leaves an index without
+    // moments — probes work; driftSince fails fast and names
+    // freezeMoments as the repair.
+    freezeMoments(spark, path)
+  }
+
+  /** Default quantization scale for the [[freezeMoments]] registers —
+    * [[EvalMetrics.vecMoments]]'s own default, recorded here because
+    * the index persists it and [[driftSince]] re-checks it. */
+  val MomentScale = 1024
+
+  /** (Re)freeze the index's drift reference: the per-dimension exact
+    * integer moment registers (dim, n, s, ss, scale) of everything
+    * CURRENTLY in the assignments table — the same table shape
+    * [[graft.streaming.StreamingEmbedDrift.writeReferenceMoments]]
+    * freezes, so either scorer reads either table. Run it after
+    * [[rebuildFrom]] (v1 indexes predate the instrument), or to reset
+    * the baseline after a deliberate re-train. Cost: one narrow
+    * quantize+posexplode pass over the assignments and a |dim|-row
+    * aggregate. */
+  def freezeMoments(spark: SparkSession, path: String,
+      scale: Int = MomentScale): Unit =
+    EvalMetrics.vecMoments(
+        spark.read.parquet(s"$path/assignments").select("v"),
+        "v", scale)
+      .withColumn("scale", lit(scale))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/moments")
+
+  /** Score an incoming batch's embedding distribution against the
+    * index's frozen build-time moments: the diagonal-Fréchet distance
+    * (one row, the [[EvalMetrics.embedFrechetDiag]] output contract —
+    * batch is side A, the index reference side B). THIS is the
+    * centroid-drift signal the scaladoc's "re-build decision" needs:
+    * ≈ 0 means the batch matches the distribution the quantizer was
+    * trained on; a large score means the centroids no longer fit what
+    * is being appended and recall under [[probe]] will sag. Cost is
+    * one |dim|-row aggregate over the batch — cheap enough to run on
+    * every append. Fails fast when the index has no moments table
+    * (pre-instrument or migrated index → run [[freezeMoments]]) or
+    * when `scale` differs from the frozen one (registers in different
+    * units are not comparable). */
+  def driftSince(spark: SparkSession, path: String, batch: DataFrame,
+      vecCol: String, scale: Int = MomentScale): DataFrame = {
+    val momentsPath = new org.apache.hadoop.fs.Path(s"$path/moments")
+    val fs = momentsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(momentsPath),
+      s"index at $path has no frozen moments — it predates the drift " +
+        "instrument (or was migrated): run AnnIndex.freezeMoments to " +
+        "establish the reference, then score batches against it")
+    val ref = spark.read.parquet(momentsPath.toString)
+    val storedScale = ref.select("scale").limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"moments table at $path is empty — re-run freezeMoments"))
+      .getInt(0)
+    require(storedScale == scale,
+      s"batch quantized at scale=$scale but the index moments were " +
+        s"frozen at scale=$storedScale — rebuild one side")
+    EvalMetrics.fdFromMoments(
+      EvalMetrics.vecMoments(
+        batch.select(col(vecCol).cast("array<double>").as("v")),
+        "v", scale),
+      ref.drop("scale"), scale)
   }
 
   /** Assign a new batch to the EXISTING centroids and append it into
@@ -177,26 +250,38 @@ object AnnIndex {
     *     incomplete → delete);
     *  2. snapshot the live data files (relative `cell=K/part-...`
     *     paths) — the `_FILES` manifest;
-    *  3. read assignments, range-partition on (cell, id) to
-    *     `targetFiles` output partitions, write cell-partitioned to an
-    *     `assignments_compact-<uuid>` stage; write `_FILES` LAST (the
-    *     completion marker);
+    *  3. read ONLY the manifest's files, range-partition on (cell, id)
+    *     to `targetFiles` output partitions, write cell-partitioned to
+    *     an `assignments_compact-<uuid>` stage; write `_FILES` LAST
+    *     and ATOMICALLY (temp + rename — it is the completion marker
+    *     checked by existence, so a partial manifest must be
+    *     impossible, not just unlikely);
     *  4. commit = recover: delete whichever manifest files still exist
     *     (their rows live in the stage), MOVE each stage part file
     *     into its live cell directory (additive, the [[append]]
     *     shape), delete the stage.
     *
-    * Files appended after a crash are not in the manifest and survive;
-    * part-file names embed the writing job's UUID, so moved stage
-    * files can collide with neither live nor appended files. Like
-    * [[DedupIndex.compact]] (and the reference's VACUUM FULL
-    * analogue), the pass itself assumes exclusive access. */
+    * Files appended after a crash are not in the manifest and survive
+    * (the stage read is manifest-scoped, so a mid-run append cannot
+    * smuggle rows into the stage either); part-file names embed the
+    * writing job's UUID, so moved stage files can collide with
+    * neither live nor appended files. Like [[DedupIndex.compact]],
+    * the pass assumes exclusive access from probes and enforces it
+    * fail-fast with the [[DedupIndex.CompactingMarker]]. */
   def compact(spark: SparkSession, path: String,
       targetFiles: Int = 0): Unit = {
     require(targetFiles >= 0,
       s"targetFiles=$targetFiles must be >= 0 (0 = plan from bytes)")
     val dir = new org.apache.hadoop.fs.Path(s"$path/assignments")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // marker up before any mutation, down only on the consistent-tree
+    // exits — probes fail fast instead of racing the commit's
+    // delete-then-move into a mid-scan FileNotFound (the
+    // DedupIndex.CompactingMarker contract; appends stay legal: the
+    // stage read is manifest-scoped, so an append's files survive)
+    val marker = new org.apache.hadoop.fs.Path(path,
+      DedupIndex.CompactingMarker)
+    if (!fs.exists(marker)) fs.create(marker, false).close()
     Option(fs.globStatus(
         new org.apache.hadoop.fs.Path(s"$path/assignments_compact-*")))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
@@ -206,27 +291,47 @@ object AnnIndex {
         else fs.delete(st.getPath, true)
       }
     val files = listCellFiles(fs, dir)
-    if (files.isEmpty) return // fresh recovery left nothing to compact
+    if (files.isEmpty) { // fresh recovery left nothing to compact
+      fs.delete(marker, false)
+      return
+    }
     val stage = new org.apache.hadoop.fs.Path(path,
       s"assignments_compact-${java.util.UUID.randomUUID().toString}")
-    // file count planned from the table's real bytes unless pinned
+    // file count planned from the SNAPSHOT's real bytes unless pinned
     // (the DedupIndex.compactionFilesFor rationale: a constant makes
     // TB files at 100 TB and collapses the rewrite's parallelism)
     val nFiles =
       if (targetFiles > 0) targetFiles
-      else DedupIndex.compactionFilesFor(
-        fs.getContentSummary(dir).getLength)
+      else DedupIndex.compactionFilesFor(files.map(rel =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, rel))
+          .getLen).sum)
     // range-partition on (cell, id): each output partition spans few
     // cells, so the partitionBy write produces ~nFiles files total
-    // while keeping nFiles-way write parallelism
-    spark.read.parquet(dir.toString)
+    // while keeping nFiles-way write parallelism. Read ONLY the
+    // manifest's files, never the whole dir (r15 advice): an append
+    // landing between the listing and the job's file enumeration
+    // would otherwise get its rows into the stage while its file
+    // survives the manifest-scoped delete — duplicated vectors. With
+    // the read scoped to the snapshot, a mid-run append is tolerated
+    // exactly the way the dedup twin tolerates it (not in the
+    // manifest → survives untouched). basePath restores the
+    // Hive-style `cell` partition column the leaf-file read loses.
+    spark.read.option("basePath", dir.toString)
+      .parquet(files.map(rel =>
+        new org.apache.hadoop.fs.Path(dir, rel).toString): _*)
       .repartitionByRange(nFiles, col("cell"), col("id"))
       .write.partitionBy("cell").parquet(stage.toString)
-    val out = fs.create(new org.apache.hadoop.fs.Path(stage, "_FILES"),
-      false)
-    try out.write(files.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    // the manifest IS the completion marker, so it must appear
+    // atomically: a crash mid-write must never leave a partial
+    // manifest recovery would trust (deleting only the LISTED files
+    // and renaming the stage in would duplicate every unlisted
+    // file's vectors) — write-to-temp + rename, the same
+    // rename-as-commit discipline as the stage moves themselves
+    // (r15 verdict #2)
+    DedupIndex.writeManifest(fs,
+      new org.apache.hadoop.fs.Path(stage, "_FILES"), files)
     commitAssignmentsStage(fs, dir, stage)
+    fs.delete(marker, false)
   }
 
   /** Relative `cell=K/<file>` data paths under the assignments dir. */
@@ -314,6 +419,14 @@ object AnnIndex {
       nprobe: Int = 4): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
     import org.apache.spark.sql.expressions.Window
+    val marker = new org.apache.hadoop.fs.Path(path,
+      DedupIndex.CompactingMarker)
+    require(!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(marker),
+      s"index at $path is mid-compaction (or a compaction crashed): " +
+        "a probe would race the commit's delete-then-move. Wait for " +
+        "the pass, or re-run AnnIndex.compact to finish crash " +
+        "recovery, then probe again.")
     val centroids = checkedCentroids(spark, path)
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe $nprobe outside [1, nlist=${centroids.length}]")

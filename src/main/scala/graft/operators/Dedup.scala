@@ -324,19 +324,26 @@ object Dedup {
 
   /** [[bandTriples]] over PRE-HASHED shingle sets (the persisted
     * [[DedupIndex]] grams layout) — identical keys by the
-    * [[minhashSigFromHashes]] set-invariance argument. */
+    * [[minhashSigFromHashes]] set-invariance argument. `carry` names
+    * extra input columns to pass through unchanged (the v2→v3 bands
+    * migration carries the grams' `epoch` partition value so each
+    * band row lands back beside its own epoch). */
   private[operators] def bandTriplesFromHashes(g: DataFrame, idCol: String,
-      hashesCol: String, bands: Int, rowsPerBand: Int): DataFrame =
+      hashesCol: String, bands: Int, rowsPerBand: Int,
+      carry: Seq[String] = Nil): DataFrame =
     bandsOf(g, idCol,
       minhashSignatureFromHashes(col(hashesCol), bands * rowsPerBand),
-      bands, rowsPerBand)
+      bands, rowsPerBand, carry)
 
   private def bandsOf(df: DataFrame, idCol: String, sig: Column,
-      bands: Int, rowsPerBand: Int): DataFrame =
-    df.select(col(idCol), sig.as("sig"))
-      .select(col(idCol),
-        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      bands: Int, rowsPerBand: Int, carry: Seq[String] = Nil): DataFrame = {
+    val carried = carry.map(col)
+    df.select(col(idCol) +: carried :+ sig.as("sig"): _*)
+      .select(col(idCol) +: carried :+
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"): _*)
+      .select(col(idCol) +: carried :+ col("bk.band").as("band") :+
+        col("bk.bh").as("bh"): _*)
+  }
 
   /** MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
     * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and

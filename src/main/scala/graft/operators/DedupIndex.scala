@@ -36,8 +36,16 @@ object Shingler {
   *
   *   <path>/meta    (version, bands, rows_per_band,
   *                   shingler, design_threshold)       — one row
-  *   <path>/bands   (id, bh) PARTITIONED BY band       — 8-byte LSH keys
+  *   <path>/bands   (id, bh) PART. BY epoch, band      — 8-byte LSH keys
   *   <path>/grams   (id, gram_hashes) PART. BY epoch   — verification sets
+  *
+  * BOTH tables are epoch-partitioned (v3, the tiered-compaction
+  * layout): every build/append commits one `epoch=<uuid>` unit in each
+  * table, with matching uuids — the invariant that lets maintenance
+  * retire an epoch's band rows by deleting ONE directory, which is
+  * what makes PARTIAL (tiered) compaction possible at all. A bands
+  * epoch with no grams twin is always crash residue (grams commit
+  * last), never live data.
   *
   * The bands table is DERIVED from the grams table: each build/append
   * runs the shingler exactly once, stages the hashed gram sets on
@@ -66,10 +74,23 @@ object Shingler {
   */
 object DedupIndex {
 
-  /** Meta schema version written by [[build]]. v1 indexes (no version
-    * column) predate the shingler/threshold contract and are read with
-    * the identity checks skipped. */
-  val MetaVersion = 2
+  /** Meta schema version written by [[build]].
+    *  - v1 (no version column): flat grams part files — probes work,
+    *    growth requires [[rebuildFrom]].
+    *  - v2: epoch-partitioned grams, bands partitioned by band only —
+    *    growable, but band rows cannot be retired per epoch, so only
+    *    full-rewrite compaction is possible; [[rebuildFrom]] migrates.
+    *  - v3: bands partitioned by (epoch, band) with uuids matching the
+    *    grams epochs — tiered [[compact]] works. */
+  val MetaVersion = 3
+
+  /** Marker file a running (or crashed) [[compact]] leaves at the
+    * index root: [[probe]] fails fast on it instead of racing the
+    * epoch swap into an opaque mid-scan FileNotFound. Appends stay
+    * legal (an epoch not in the compaction manifest survives commit
+    * untouched — the DedupIndexSpec append-between-crash-and-recovery
+    * pin). */
+  val CompactingMarker = "_COMPACTING"
 
   /** Batch row count above which [[probe]] stops broadcasting the
     * batch side and degrades to keyed joins. The binding constraint is
@@ -119,39 +140,48 @@ object DedupIndex {
     // a v1 index stores grams as FLAT part files; appending an
     // epoch=<uuid> partition dir beside them would produce the
     // mixed-depth layout Spark's partition discovery rejects —
-    // bricking every subsequent probe. Probing a v1 index still
-    // works (flat reads fine); growing one requires a rebuild.
-    require(meta.version >= 2,
-      s"index at $path has the v1 (pre-epoch) grams layout — " +
-        "append would corrupt partition discovery for probes; " +
-        "rebuild it with DedupIndex.build")
+    // bricking every subsequent probe. A v2 index has flat
+    // band=<k> bands dirs, which an epoch-tagged bands write would
+    // brick the same way. Probing either still works (reads are
+    // layout-agnostic); growing one requires [[rebuildFrom]].
+    require(meta.version >= 3,
+      s"index at $path has the v${meta.version} " +
+        s"(${if (meta.version < 2) "pre-epoch grams" else "pre-epoch bands"}) " +
+        "layout — append would corrupt partition discovery for " +
+        "probes; migrate it with DedupIndex.rebuildFrom")
     meta.requireShingler(shingler, path, "append")
     writeTables(batch, idCol, textCol, path, shingler, meta.bands,
       meta.rowsPerBand, overwrite = false)
   }
 
-  /** Migrate a v1 (pre-epoch) index IN PLACE to the v2 layout, making
-    * it growable again: v1 stores grams as FLAT part files, which
-    * [[append]] refuses (an epoch dir beside flat files bricks
-    * partition discovery — see the require there). The migration is
-    * pure FILE MOVES — each flat gram part file renames into one new
-    * `grams/epoch=<uuid>` directory — so it costs namenode metadata
-    * ops, not a data rewrite, at any index size. The v2 meta
-    * (version, shingler identity, design threshold) is written LAST:
-    * every intermediate state is either still-v1 (meta untouched;
-    * append still refuses, probes of an untouched grams dir still
-    * work) or mid-move (re-running rebuildFrom completes it — the
-    * file moves are idempotent in aggregate, and a second epoch dir
-    * from a re-run is a normal multi-epoch layout).
+  /** Migrate a v1 or v2 index IN PLACE to the v3 layout, making it
+    * growable (v1) and tiered-compactable (both) again.
     *
-    * `shingler`/`designThreshold` become the index's persisted
-    * contract — a v1 index never recorded them, so the CALLER asserts
-    * what the index was built with. Passing the wrong shingler locks
-    * in the silently-zero-Jaccard failure mode the v2 meta exists to
-    * prevent; there is nothing stored to check it against.
+    * v1 → v3 is pure FILE MOVES — the flat gram part files rename into
+    * ONE new `grams/epoch=<uuid>` directory and the flat `band=<k>`
+    * bands dirs rename under `bands/epoch=<uuid>/` with the SAME uuid
+    * (v1 data is one logical epoch; matching uuids are the tiered-
+    * compaction invariant) — so it costs namenode metadata ops, not a
+    * data rewrite, at any index size. A re-run after a crash reuses
+    * the existing epoch dir and finishes the remaining moves, so every
+    * row's grams and bands land under the one shared epoch.
+    *
+    * v2 → v3 rebuilds the BANDS table only: v2 band files mix rows
+    * from every epoch, so they cannot be split by moves — but bands
+    * are derived data (a pure function of the stored gram hashes, the
+    * [[compact]] argument), so the migration recomputes them FROM the
+    * epoch-partitioned grams, carrying each row's own epoch, in one
+    * job staged to `bands_migrate-<uuid>` and swapped in by two
+    * renames. The grams (the data) are never touched. A v2 meta
+    * already carries the shingler/threshold contract, which is carried
+    * forward unchanged — the `shingler`/`designThreshold` arguments
+    * only apply to v1 indexes, which never recorded them, so the
+    * CALLER asserts what the index was built with (passing the wrong
+    * shingler locks in the silently-zero-Jaccard failure mode the meta
+    * exists to prevent; there is nothing stored to check it against).
     *
     * The meta rewrite itself follows the writeTables stage-then-swap
-    * discipline: the v2 meta is fully written to a `meta_staging-*`
+    * discipline: the v3 meta is fully written to a `meta_staging-*`
     * dir FIRST, then the old meta deletes and the stage renames into
     * place. A crash in the only unsafe window (between delete and
     * rename) leaves no meta but a completed stage — the next
@@ -161,19 +191,19 @@ object DedupIndex {
   def rebuildFrom(spark: SparkSession, path: String,
       shingler: Shingler = Shingler.word(3),
       designThreshold: Double = 0.5): Unit = {
-    import spark.implicits._
     val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
     val fs = gramsDir.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    def glob(pattern: String) =
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(pattern)))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
     val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val staged = Option(fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$path/meta_staging-*")))
-      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+    val staged = glob(s"$path/meta_staging-*")
     if (!fs.exists(metaDir)) {
       // a prior run crashed between meta delete and rename: the only
       // state with no meta dir. Complete the swap (a stage is only
       // ever COMPLETE at that point — the delete happens strictly
-      // after the staging write returns) and the index is v2.
+      // after the staging write returns) and the index is v3.
       val complete = staged.filter(s => fs.exists(
         new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       require(complete.nonEmpty,
@@ -189,134 +219,318 @@ object DedupIndex {
     // invisible to readers (meta still present) — clear them
     staged.foreach(s => fs.delete(s.getPath, true))
     val meta = readMeta(spark, path)
-    require(meta.version < 2,
+    require(meta.version < MetaVersion,
       s"index at $path is already v${meta.version} — nothing to migrate")
-    // the flat v1 part files: skip epoch=* dirs (a prior interrupted
-    // migration) and _SUCCESS/.-prefixed metadata, which Spark's path
-    // filter ignores wherever they sit
-    val flat = Option(fs.listStatus(gramsDir))
-      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-    if (flat.nonEmpty) {
-      val epochDir = new org.apache.hadoop.fs.Path(gramsDir,
-        s"epoch=${java.util.UUID.randomUUID().toString}")
-      fs.mkdirs(epochDir)
-      flat.foreach { st =>
-        val dest = new org.apache.hadoop.fs.Path(epochDir,
-          st.getPath.getName)
-        require(fs.rename(st.getPath, dest),
-          s"rebuildFrom: failed to move ${st.getPath} -> $dest")
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
+    if (meta.version == 1) {
+      // ---- v1: pure file moves into ONE shared epoch ----
+      val existing = Option(fs.listStatus(gramsDir))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("epoch="))
+      // a crashed run created at most one epoch dir (this rule); more
+      // means a hand-edited tree the move plan cannot reason about
+      require(existing.length <= 1,
+        s"index at $path has ${existing.length} epoch dirs under a " +
+          "v1 meta — not a crashed v1 migration; rebuild the index")
+      val epoch = existing.headOption
+        .map(_.getPath.getName.stripPrefix("epoch="))
+        .getOrElse(java.util.UUID.randomUUID().toString)
+      // the flat v1 part files: skip _SUCCESS/.-prefixed metadata,
+      // which Spark's path filter ignores wherever they sit
+      val flat = Option(fs.listStatus(gramsDir))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+      if (flat.nonEmpty) {
+        val epochDir = new org.apache.hadoop.fs.Path(gramsDir,
+          s"epoch=$epoch")
+        fs.mkdirs(epochDir)
+        flat.foreach { st =>
+          val dest = new org.apache.hadoop.fs.Path(epochDir,
+            st.getPath.getName)
+          require(fs.rename(st.getPath, dest),
+            s"rebuildFrom: failed to move ${st.getPath} -> $dest")
+        }
       }
+      // bands: flat band=<k> dirs move under the SAME epoch (matching
+      // uuids are the tiered-compaction retirement invariant); a
+      // re-run after a crash moves only the dirs still at top level
+      val flatBands = Option(fs.listStatus(bandsDir))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("band="))
+      if (flatBands.nonEmpty) {
+        val bandsEpochDir = new org.apache.hadoop.fs.Path(bandsDir,
+          s"epoch=$epoch")
+        fs.mkdirs(bandsEpochDir)
+        flatBands.foreach { st =>
+          val dest = new org.apache.hadoop.fs.Path(bandsEpochDir,
+            st.getPath.getName)
+          require(fs.rename(st.getPath, dest),
+            s"rebuildFrom: failed to move ${st.getPath} -> $dest")
+        }
+      }
+      mintMeta(spark, fs, path, meta.bands, meta.rowsPerBand,
+        shingler.id, designThreshold)
+    } else {
+      // ---- v2: grams already epoch-partitioned; rebuild the bands
+      // with each row's own epoch tag and swap the dir ----
+      // crash recovery first: restore a half-swapped bands dir, then
+      // clear stale stages from interrupted attempts
+      val olds = glob(s"$path/bands_old-*")
+      if (!fs.exists(bandsDir) && olds.nonEmpty) {
+        require(fs.rename(olds.head.getPath, bandsDir),
+          s"rebuildFrom: failed to restore bands at $path")
+        olds.drop(1).foreach(s => fs.delete(s.getPath, true))
+      } else olds.foreach(s => fs.delete(s.getPath, true))
+      glob(s"$path/bands_migrate-*")
+        .foreach(s => fs.delete(s.getPath, true))
+      // a run that crashed between the swap and the meta mint left a
+      // fully-migrated bands tree (the dir only ever changes by whole
+      // renames) — detect it and skip straight to the mint
+      val children = Option(fs.listStatus(bandsDir))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(_.isDirectory).map(_.getPath.getName)
+      val alreadyTagged =
+        children.nonEmpty && children.forall(_.startsWith("epoch="))
+      if (!alreadyTagged) {
+        val uuid = java.util.UUID.randomUUID().toString
+        val stage = new org.apache.hadoop.fs.Path(path,
+          s"bands_migrate-$uuid")
+        // same rows re-laid-out: plan the file count from the CURRENT
+        // bands bytes (the compact planner's argument)
+        val nBands = compactionFilesFor(
+          fs.getContentSummary(bandsDir).getLength)
+        val g = spark.read.parquet(s"$path/grams") // epoch rides along
+        Dedup.bandTriplesFromHashes(g, "id", "gram_hashes", meta.bands,
+            meta.rowsPerBand, carry = Seq("epoch"))
+          .repartitionByRange(nBands, col("epoch"), col("band"),
+            col("bh"))
+          .write.partitionBy("epoch", "band").parquet(stage.toString)
+        val old = new org.apache.hadoop.fs.Path(path, s"bands_old-$uuid")
+        require(fs.rename(bandsDir, old),
+          s"rebuildFrom: failed to retire the v2 bands at $path")
+        require(fs.rename(stage, bandsDir),
+          s"rebuildFrom: failed to commit the v3 bands at $path")
+        fs.delete(old, true)
+      }
+      // v2 metas always carry the contract — carry it forward; the
+      // caller's shingler/threshold args are the v1-only assertion
+      mintMeta(spark, fs, path, meta.bands, meta.rowsPerBand,
+        meta.shingler.getOrElse(shingler.id),
+        meta.designThreshold.getOrElse(designThreshold))
     }
+  }
+
+  /** Stage-then-swap the v3 meta row in (the [[rebuildFrom]] crash
+    * contract: a completed stage with no meta is finished by the next
+    * call). */
+  private def mintMeta(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, bands: Int,
+      rowsPerBand: Int, shinglerId: String, threshold: Double): Unit = {
+    import spark.implicits._
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
     val metaStage = new org.apache.hadoop.fs.Path(path,
       s"meta_staging-${java.util.UUID.randomUUID().toString}")
-    Seq((MetaVersion, meta.bands, meta.rowsPerBand, shingler.id,
-        designThreshold))
+    Seq((MetaVersion, bands, rowsPerBand, shinglerId, threshold))
       .toDF("version", "bands", "rows_per_band", "shingler",
         "design_threshold")
       .coalesce(1).write.mode("overwrite").parquet(metaStage.toString)
     fs.delete(metaDir, true)
     require(fs.rename(metaStage, metaDir),
-      s"rebuildFrom: failed to commit the v2 meta $metaStage -> $metaDir")
+      s"rebuildFrom: failed to commit the meta $metaStage -> $metaDir")
   }
 
-  /** Compact the index's accumulated epochs into ONE epoch and rewrite
-    * the bands table — the maintenance verb a long-lived index needs:
-    * every [[append]] (and every [[graft.streaming.StreamingDedupGate]]
-    * micro-batch) commits a fresh `grams/epoch=<uuid>` directory and
-    * adds per-partition band files, so a month of ingest is thousands
-    * of tiny files every probe must enumerate and read — the classic
+  /** Compact the index's accumulated epochs — the maintenance verb a
+    * long-lived index needs: every [[append]] (and every
+    * [[graft.streaming.StreamingDedupGate]] micro-batch) commits a
+    * fresh epoch in each table, so a month of ingest is thousands of
+    * tiny files every probe must enumerate and read — the classic
     * small-files cliff. This is the engine's counterpart of the
-    * reference's Postgres VACUUM/ANALYZE maintenance pass
-    * (`01_ingest_raw_telemetry.py:141-167` runs it after every bulk
-    * load), including its locking model: like VACUUM FULL, compaction
-    * assumes EXCLUSIVE access — no concurrent appends or probes while
-    * it runs (crash recovery below is still append-safe: an append
-    * that lands between a crash and the recovering call survives,
-    * because recovery only ever deletes state it holds a copy of).
+    * reference's post-ingest maintenance pass
+    * (`01_ingest_raw_telemetry.py:141-167` runs ANALYZE + index builds
+    * once bulk loading completes); its locking model is stricter:
+    * compaction assumes EXCLUSIVE access — no concurrent probes while
+    * it runs, enforced fail-fast by the [[CompactingMarker]] the pass
+    * holds (concurrent APPENDS are tolerated: an epoch not in the
+    * manifest survives commit untouched, and crash recovery below only
+    * ever deletes state it holds a copy of).
+    *
+    * TIERED by `maxEpochBytes` (the LSM/size-tiered discipline): the
+    * merge set is every epoch at or under the threshold, PLUS — the
+    * promotion rule — any larger epoch whose size the merge set's
+    * aggregate has reached (absorbed smallest-first, the aggregate
+    * growing as it absorbs). The two rules together bound BOTH costs
+    * that a maintenance policy must bound:
+    *  - lifetime I/O: a serving loop that calls full-rewrite
+    *    compaction every N micro-batches re-reads and re-writes the
+    *    whole corpus per cycle — O(corpus²/batch) over the index's
+    *    life. Under the tier, a byte is rewritten only while its
+    *    epoch is small; under promotion, a large epoch is rewritten
+    *    only when roughly its OWN size in new data has accumulated,
+    *    so each byte is rewritten O(log(corpus/batch)) times total —
+    *    the classic size-tiered bound;
+    *  - epoch count: a tier WITHOUT promotion parks a fresh
+    *    ~tier-sized epoch forever each time the merge output outgrows
+    *    the threshold — ~400 k epoch directories at 100 TB with a
+    *    256 MB tier, the small-files cliff reborn one level up.
+    *    Promotion folds them geometrically: live epochs stay
+    *    O(log(corpus/tier)) + the unmerged tail (~19 + compactEvery
+    *    at 100 TB/256 MB).
+    * The default (`Long.MaxValue`) merges everything — the one-shot
+    * "defragment this index" verb, and exactly the pre-tier behavior;
+    * [[graft.streaming.StreamingDedupGate]] passes a finite tier.
+    * Retiring just the merged epochs' band rows is possible because
+    * v3 bands are epoch-partitioned with uuids matching their grams
+    * (the layout invariant [[rebuildFrom]] establishes) — which is
+    * why compaction requires v3.
     *
     * Protocol (pure data movement — no shingling, no re-hashing; the
     * gram sets and band keys are byte-identical before and after):
     *
-    *  1. finish any CRASHED compaction first (see recovery below);
-    *  2. snapshot the current epoch list E;
-    *  3. read the grams rows of E, coalesce to `targetFiles` files,
-    *     and write them to a `grams_compact-<uuid>` stage; the
-    *     `_EPOCHS` manifest (the epoch uuids of E, one per line) is
-    *     written LAST and is the stage's completion marker;
-    *  4. commit: delete each epoch dir in E, then rename the stage to
-    *     `grams/epoch=<stage-uuid>`;
-    *  5. rebuild the bands table FROM the compacted grams (bands are
-    *     derived data — [[writeTables]] computes them from the staged
-    *     gram hashes, so a rebuild is always consistent by
-    *     construction), staged to `bands_compact-<uuid>` and swapped
-    *     in by two renames (bands → `bands_old-<uuid>`, stage →
-    *     bands), old dir deleted last.
+    *  1. finish any CRASHED compaction first (see recovery below),
+    *     then GC orphan bands epochs (no grams twin = crash residue);
+    *  2. select the epochs E at or under `maxEpochBytes` (all of them
+    *     at the default); nothing selected, or one already-compact
+    *     epoch → done;
+    *  3. read the grams rows of E, coalesce to the planned file count,
+    *     and write them to a `grams_compact-<uuid>` stage;
+    *  4. derive the merged epoch's BANDS from the staged grams and
+    *     append them under `bands/epoch=<stage-uuid>` (bands before
+    *     manifest: manifest-present ⇒ bands complete, so recovery
+    *     never needs a bands rebuild; until commit the new band rows
+    *     only mint duplicate candidates, which probe dedups);
+    *  5. write the `_EPOCHS` manifest (the epoch uuids of E) — ATOMIC
+    *     via write-to-temp + rename, because the manifest IS the
+    *     stage's completion marker and a trusted partial manifest
+    *     would leave unlisted epochs alive beside their stage copies,
+    *     serving duplicate rows;
+    *  6. commit: delete each epoch in E from grams AND bands, then
+    *     rename the stage to `grams/epoch=<stage-uuid>`.
     *
     * Crash recovery — every interrupted state is completed or
     * discarded by the NEXT compact() call (the [[rebuildFrom]]
     * convention):
-    *  - a stage without `_EPOCHS` is incomplete → deleted;
+    *  - a stage without `_EPOCHS` is incomplete → stage AND its
+    *    `bands/epoch=<stage-uuid>` rows are deleted;
     *  - a stage WITH `_EPOCHS` is a committed-but-unswapped
     *    compaction → recovery deletes whichever manifest epochs still
     *    exist (their rows live in the stage) and renames the stage in;
     *    epochs appended AFTER the crash are not in the manifest and
     *    survive untouched;
-    *  - bands stages are always discarded (bands rebuild from grams —
-    *    step 5 runs unconditionally);
-    *  - a missing bands dir beside a `bands_old-*` dir (a crash
-    *    between the two swap renames) restores the old dir so probes
-    *    work again until step 5 replaces it.
+    *  - the marker from a crashed pass stays until recovery completes,
+    *    keeping probes failing fast instead of scanning a
+    *    half-swapped tree.
     *
     * `targetFiles = 0` (default) plans the compacted file count from
-    * the table's REAL byte size ([[compactionFilesFor]] — ~256 MB per
-    * file), so both the output layout and the rewrite's parallelism
-    * scale with the index; pass an explicit count only to pin a test
-    * fixture. */
+    * the selected epochs' REAL byte size ([[compactionFilesFor]] —
+    * ~256 MB per file), so both the output layout and the rewrite's
+    * parallelism scale with the data being merged; pass an explicit
+    * count only to pin a test fixture. */
   def compact(spark: SparkSession, path: String,
-      targetFiles: Int = 0): Unit = {
+      targetFiles: Int = 0,
+      maxEpochBytes: Long = Long.MaxValue): Unit = {
     require(targetFiles >= 0,
       s"targetFiles=$targetFiles must be >= 0 (0 = plan from bytes)")
+    require(maxEpochBytes > 0,
+      s"maxEpochBytes=$maxEpochBytes must be > 0 " +
+        "(Long.MaxValue = merge every epoch)")
     val meta = readMeta(spark, path)
-    require(meta.version >= 2,
-      s"index at $path has the v1 (pre-epoch) grams layout — " +
-        "migrate with DedupIndex.rebuildFrom before compacting")
+    require(meta.version >= 3,
+      s"index at $path has the v${meta.version} layout — tiered " +
+        "compaction needs epoch-tagged bands; migrate with " +
+        "DedupIndex.rebuildFrom before compacting")
     val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
     val fs = gramsDir.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, CompactingMarker)
+    // the marker guards EVERY mutation below (recovery included): it
+    // goes up first and comes down only on the consistent-tree exits,
+    // so a crash at any point leaves probes failing fast until the
+    // next compact() finishes the recovery
+    touch(fs, marker)
     recoverCompaction(fs, path)
-    val epochs = Option(fs.listStatus(gramsDir))
+    val epochStats = Option(fs.listStatus(gramsDir))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
-      .map(_.getPath.getName.stripPrefix("epoch="))
-    require(epochs.nonEmpty,
+      .map(s => (s.getPath.getName.stripPrefix("epoch="),
+        fs.getContentSummary(s.getPath).getLength))
+      .sortBy(_._2)
+    require(epochStats.nonEmpty,
       s"index at $path has no grams epochs — nothing to compact")
+    // size-tiered selection with promotion: the under-tier prefix
+    // seeds the merge set; larger epochs are absorbed smallest-first
+    // while the aggregate has grown past each one's size — so a big
+    // epoch is rewritten only when ~its own volume of new data has
+    // accumulated (geometric folding, O(log) rewrites per byte AND
+    // O(log) live epochs; see the scaladoc)
+    val (tier, rest) = epochStats.partition(_._2 <= maxEpochBytes)
+    if (tier.isEmpty) { // every epoch already above the tier
+      fs.delete(marker, false)
+      return
+    }
+    var agg = tier.map(_._2).sum
+    val promoted = rest.takeWhile { case (_, bytes) =>
+      val in = bytes <= agg
+      if (in) agg += bytes
+      in
+    }
+    val selected = tier ++ promoted
+    val nGrams =
+      if (targetFiles > 0) targetFiles
+      else compactionFilesFor(selected.map(_._2).sum)
+    if (selected.length == 1 && dataFileCount(fs,
+        new org.apache.hadoop.fs.Path(gramsDir,
+          s"epoch=${selected.head._1}")) <= nGrams) {
+      // one small epoch already at its planned file count: merging it
+      // with itself would re-rewrite the same bytes every maintenance
+      // cycle — the exact cost the tier exists to avoid
+      fs.delete(marker, false)
+      return
+    }
+    val epochs = selected.map(_._1).toSeq
     val stageUuid = java.util.UUID.randomUUID().toString
     val stage = new org.apache.hadoop.fs.Path(path,
       s"grams_compact-$stageUuid")
-    // file count planned from the data's REAL size (the semdedupKFor
-    // convention — derive the scale knob from the corpus): a constant
-    // would produce TB-sized files at a 100 TB index AND collapse the
-    // rewrite to that many tasks
-    val nGrams =
-      if (targetFiles > 0) targetFiles
-      else compactionFilesFor(fs.getContentSummary(gramsDir).getLength)
     // coalesce, not repartition: file-count control without shuffling
-    // the whole gram volume (rows have no required order or key)
+    // the merged gram volume (rows have no required order or key)
     spark.read.parquet(s"$path/grams")
-      .where(col("epoch").isin(epochs.toSeq: _*))
+      .where(col("epoch").isin(epochs: _*))
       .select("id", "gram_hashes")
       .coalesce(nGrams)
       .write.parquet(stage.toString)
-    writeLines(fs, new org.apache.hadoop.fs.Path(stage, "_EPOCHS"),
-      epochs.toSeq)
+    // merged epoch's bands, derived from the staged grams (bands are
+    // a pure function of the stored hashes — provably consistent),
+    // planned from the retired bands' real bytes (same rows re-laid)
+    val bandsBytes = epochs.map { e =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/bands/epoch=$e")
+      if (fs.exists(d)) fs.getContentSummary(d).getLength else 0L
+    }.sum
+    val nBands =
+      if (targetFiles > 0) targetFiles
+      else compactionFilesFor(
+        if (bandsBytes > 0) bandsBytes else selected.map(_._2).sum)
+    // range-partition on (band, bh): each output partition spans one
+    // or two band values, so the partitionBy write produces ~nBands
+    // files TOTAL (a hash repartition on `band` alone would collapse
+    // parallelism to |bands| tasks; no repartition at all would
+    // re-create input-partitions × bands small files — the very
+    // problem being compacted away)
+    Dedup.bandTriplesFromHashes(spark.read.parquet(stage.toString),
+        "id", "gram_hashes", meta.bands, meta.rowsPerBand)
+      .withColumn("epoch", lit(stageUuid))
+      .repartitionByRange(nBands, col("band"), col("bh"))
+      .write.mode("append").partitionBy("epoch", "band")
+      .parquet(s"$path/bands")
+    writeManifest(fs, new org.apache.hadoop.fs.Path(stage, "_EPOCHS"),
+      epochs)
     commitGramsStage(fs, path, stage)
-    rebuildBands(spark, path, meta, targetFiles)
+    fs.delete(marker, false)
   }
 
   /** Step 1 of [[compact]]: complete or discard residue of a crashed
-    * compaction. Also runs standalone-safe — a no-op on a clean tree. */
+    * compaction, then GC orphan bands epochs. A no-op on a clean tree. */
   private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Unit = {
     def glob(pattern: String) =
@@ -325,32 +539,50 @@ object DedupIndex {
     glob(s"$path/grams_compact-*").foreach { st =>
       if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_EPOCHS")))
         commitGramsStage(fs, path, st.getPath)
-      else fs.delete(st.getPath, true)
+      else {
+        // incomplete stage: discard it AND the merged-epoch band rows
+        // it may have appended (they are derived from the discarded
+        // stage — without the GC they would mint duplicate candidates
+        // forever)
+        val uuid = st.getPath.getName.stripPrefix("grams_compact-")
+        fs.delete(st.getPath, true)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/bands/epoch=$uuid"), true)
+      }
     }
-    // bands stages are never trusted across a crash — bands rebuild
-    // from grams unconditionally, so a stale stage is just disk
-    glob(s"$path/bands_compact-*").foreach(s => fs.delete(s.getPath, true))
-    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
-    val olds = glob(s"$path/bands_old-*")
-    if (!fs.exists(bandsDir) && olds.nonEmpty) {
-      // crash between the two swap renames: restore the old bands so
-      // the index probes again; the caller's rebuild replaces it
-      require(fs.rename(olds.head.getPath, bandsDir),
-        s"compact recovery: failed to restore bands at $path")
-      olds.drop(1).foreach(s => fs.delete(s.getPath, true))
-    } else olds.foreach(s => fs.delete(s.getPath, true))
+    // orphan-bands GC: a bands epoch with no grams twin is crash
+    // residue — a failed append (bands commit first, grams last; the
+    // gate replays the batch under a fresh epoch) or a discarded
+    // stage. Never live data, because every committed epoch has both
+    // tables; harmless to probes (duplicate candidates dedup), but
+    // permanent bloat without this sweep.
+    def epochNames(sub: String): Set[String] =
+      Option(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("epoch="))
+        .map(_.getPath.getName.stripPrefix("epoch=")).toSet
+    val live = epochNames("grams")
+    (epochNames("bands") -- live).foreach { e =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands/epoch=$e"),
+        true)
+    }
   }
 
-  /** Commit a COMPLETE grams stage (has `_EPOCHS`): delete whatever
-    * manifest epochs still exist — their rows live in the stage — and
-    * rename the stage in as one new epoch. Idempotent: a re-run after
-    * any crash point finishes the remaining deletes and the rename. */
+  /** Commit a COMPLETE grams stage (has `_EPOCHS`): delete the
+    * manifest epochs from BOTH tables — their gram rows live in the
+    * stage and their band rows were re-derived under the stage uuid
+    * before the manifest was written — then rename the stage in as one
+    * new epoch. Idempotent: a re-run after any crash point finishes
+    * the remaining deletes and the rename. */
   private def commitGramsStage(fs: org.apache.hadoop.fs.FileSystem,
       path: String, stage: org.apache.hadoop.fs.Path): Unit = {
     val epochs = readLines(fs,
       new org.apache.hadoop.fs.Path(stage, "_EPOCHS"))
     epochs.foreach { e =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/grams/epoch=$e"),
+        true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands/epoch=$e"),
         true)
     }
     val uuid = stage.getName.stripPrefix("grams_compact-")
@@ -362,48 +594,6 @@ object DedupIndex {
     // tidy the manifest out of the live epoch (underscore files are
     // invisible to parquet readers — losing this delete is harmless)
     fs.delete(new org.apache.hadoop.fs.Path(committed, "_EPOCHS"), false)
-  }
-
-  /** Step 5 of [[compact]]: derive a fresh bands table from the live
-    * grams and swap it in. Bands keys are a pure function of the
-    * stored gram hashes ([[Dedup.minhashSigFromHashes]]), so the
-    * rebuild is provably consistent with the verification sets —
-    * which is also why recovery can always discard a bands stage. */
-  private def rebuildBands(spark: SparkSession, path: String,
-      meta: Meta, targetFiles: Int): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val bandsDir0 = new org.apache.hadoop.fs.Path(s"$path/bands")
-    // plan from the CURRENT bands bytes (the rebuild's output is the
-    // same rows re-laid-out); fall back to the grams size when bands
-    // are missing (a crash between the swap renames with no old dir)
-    val nBands =
-      if (targetFiles > 0) targetFiles
-      else compactionFilesFor(fs.getContentSummary(
-        if (fs.exists(bandsDir0)) bandsDir0
-        else new org.apache.hadoop.fs.Path(s"$path/grams")).getLength)
-    val stage = new org.apache.hadoop.fs.Path(path,
-      s"bands_compact-${java.util.UUID.randomUUID().toString}")
-    val g = spark.read.parquet(s"$path/grams")
-      .select("id", "gram_hashes")
-    // range-partition on (band, bh): each output partition spans one
-    // or two band values, so the partitionBy write produces
-    // ~targetFiles files TOTAL (a hash repartition on `band` alone
-    // would collapse parallelism to |bands| tasks; no repartition at
-    // all would re-create input-partitions × bands small files — the
-    // very problem being compacted away)
-    Dedup.bandTriplesFromHashes(g, "id", "gram_hashes", meta.bands,
-        meta.rowsPerBand)
-      .repartitionByRange(nBands, col("band"), col("bh"))
-      .write.partitionBy("band").parquet(stage.toString)
-    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
-    val old = new org.apache.hadoop.fs.Path(path,
-      s"bands_old-${java.util.UUID.randomUUID().toString}")
-    require(fs.rename(bandsDir, old),
-      s"compact: failed to retire the old bands at $path")
-    require(fs.rename(stage, bandsDir),
-      s"compact: failed to commit the new bands at $path")
-    fs.delete(old, true)
   }
 
   /** How many bytes of source data one compacted file should hold —
@@ -424,11 +614,40 @@ object DedupIndex {
       .max(1L).min(Int.MaxValue.toLong).toInt
   }
 
-  private def writeLines(fs: org.apache.hadoop.fs.FileSystem,
+  /** Data (non-underscore, non-dot) files directly inside `dir`. */
+  private def dataFileCount(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Int =
+    Option(fs.listStatus(dir))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+
+  private def touch(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(p)) {
+      val out = fs.create(p, false)
+      out.close()
+    }
+  }
+
+  /** Write a manifest ATOMICALLY: full content to `<name>.tmp`, then
+    * rename into place. The manifest doubles as a stage's completion
+    * marker checked by EXISTENCE, so it must appear all-or-nothing — a
+    * crash mid-write must leave a `.tmp` recovery ignores, never a
+    * partial manifest recovery would trust (r15 verdict #2: trusting a
+    * truncated epoch list leaves the unlisted epochs alive beside
+    * their stage copies — duplicate index rows). Shared with
+    * [[AnnIndex.compact]]'s `_FILES`. */
+  private[operators] def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
-    val out = fs.create(p, false)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s"${p.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    require(fs.rename(tmp, p),
+      s"failed to commit manifest $tmp -> $p")
   }
 
   private def readLines(fs: org.apache.hadoop.fs.FileSystem,
@@ -450,10 +669,14 @@ object DedupIndex {
     * [[Dedup.minhashCrossDupPairs]], with the corpus side read from
     * the persisted tables instead of recomputed.
     *
-    * Fails fast on a shingler mismatch with the index meta, and on
+    * Fails fast on a shingler mismatch with the index meta, on
     * `threshold` below the index's design threshold (the persisted
     * banding would silently miss pairs at that level — rebuild with
-    * banding planned for the lower threshold instead).
+    * banding planned for the lower threshold instead), and on a
+    * [[CompactingMarker]] (a compaction is running — or crashed — and
+    * the probe would otherwise race the epoch swap into a mid-scan
+    * FileNotFound, or worse, silently lose pairs from a half-swapped
+    * tree; re-run compact() to finish recovery).
     *
     * Two plans, chosen from the batch's real row count (one cheap
     * count() over the raw batch frame at plan-construction time — the
@@ -473,6 +696,13 @@ object DedupIndex {
   def probe(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
       shingler: Shingler = Shingler.word(3)): DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(path, CompactingMarker)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(marker),
+      s"index at $path is mid-compaction (or a compaction crashed): " +
+        "a probe would race the epoch swap. Wait for the pass, or " +
+        "re-run DedupIndex.compact to finish crash recovery, then " +
+        "probe again.")
     val meta = readMeta(spark, path)
     meta.requireShingler(shingler, path, "probe")
     meta.designThreshold.foreach { t0 =>
@@ -550,8 +780,13 @@ object DedupIndex {
   }
 
   /** ONE pass over the source: shingle → hash → gram sets, written to
-    * a dot-prefixed STAGING directory (invisible to parquet readers);
-    * the bands rows are then computed FROM the staged files and the
+    * a STAGING directory beside the tables (invisible to readers by
+    * path); the bands rows are then computed FROM the staged files —
+    * epoch-tagged and range-planned to ~⌈bytes/256 MB⌉ output files,
+    * so an append adds a handful of files, not input-partitions ×
+    * bands of them (r15 verdict #6: the gate's 20-append fixture used
+    * to mint 10,752 band files; the accumulation rate is now cut at
+    * the source instead of only being repaired by compact) — and the
     * grams epoch is committed LAST by an atomic directory rename into
     * `grams/epoch=<uuid>`. Two properties, both load-bearing:
     *
@@ -560,25 +795,28 @@ object DedupIndex {
     *    sets, and nondeterministic inputs cannot desynchronize them;
     *  - grams-commit-last preserves [[graft.streaming.StreamingDedupGate]]'s
     *    crash-residual contract: a crash mid-append can leave band rows
-    *    without grams rows (harmless — probe dedups candidates, and a
-    *    replayed append re-writes both), never grams without bands,
-    *    which would duplicate probe pairs after a replay. A crash
-    *    before the bands write leaks only a staging dir probes never
-    *    read (glob-cleared by the next overwrite build). */
+    *    without grams rows (harmless — probe dedups candidates, a
+    *    replayed append re-writes both, and [[compact]]'s recovery GCs
+    *    the orphan bands epoch), never grams without bands, which
+    *    would duplicate probe pairs after a replay. A crash before the
+    *    bands write leaks only a staging dir probes never read
+    *    (glob-cleared by the next overwrite build). */
   private def writeTables(df: DataFrame, idCol: String, textCol: String,
       path: String, shingler: Shingler, bands: Int,
       rowsPerBand: Int, overwrite: Boolean): Unit = {
     val spark = df.sparkSession
-    val mode = if (overwrite) "overwrite" else "append"
     val epoch = java.util.UUID.randomUUID().toString
     val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
     val fs = gramsDir.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (overwrite) {
       fs.delete(gramsDir, true)
-      // also clear any crash-leaked staging dirs from prior appends
-      // and compactions — a rebuild supersedes every stage
-      Seq("grams_staging-*", "grams_compact-*", "bands_compact-*",
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(path, CompactingMarker),
+        false)
+      // also clear any crash-leaked staging dirs from prior appends,
+      // compactions, and migrations — a rebuild supersedes every stage
+      Seq("grams_staging-*", "grams_compact-*", "bands_migrate-*",
           "bands_old-*").foreach { pat =>
         val stale = fs.globStatus(
           new org.apache.hadoop.fs.Path(s"$path/$pat"))
@@ -596,9 +834,17 @@ object DedupIndex {
       .select(col("id"), gramHashes(col("_sh")).as("gram_hashes"))
       .write.mode("overwrite").parquet(staging.toString)
     val g = spark.read.parquet(staging.toString)
+    // band file count planned from this batch's REAL staged bytes
+    // (bands rows are smaller than their gram sets, so the files run
+    // under the 256 MB target — bounded, and one append's worth)
+    val nBands = compactionFilesFor(
+      fs.getContentSummary(staging).getLength)
     Dedup.bandTriplesFromHashes(g, "id", "gram_hashes", bands,
-      rowsPerBand)
-      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+        rowsPerBand)
+      .withColumn("epoch", lit(epoch))
+      .repartitionByRange(nBands, col("band"), col("bh"))
+      .write.mode("append").partitionBy("epoch", "band")
+      .parquet(s"$path/bands")
     val committed = new org.apache.hadoop.fs.Path(gramsDir,
       s"epoch=$epoch")
     fs.mkdirs(gramsDir) // first build: the parent must exist to rename into

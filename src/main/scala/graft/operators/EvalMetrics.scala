@@ -415,9 +415,14 @@ object EvalMetrics {
 
   /** ROUGE-Lsum per (hypothesis, reference) pair (Lin 2004 §3.2, the
     * rouge-score library's newline-split convention): summary-level
-    * union-LCS — texts split into sentences on '\n', and each
+    * union-LCS — texts split into sentences on '\n', each
     * reference-sentence position counts once if it participates in an
-    * optimal LCS with ANY candidate sentence:
+    * optimal LCS with ANY candidate sentence, and hits are CLIPPED
+    * per token against the hypothesis's global token supply
+    * (rouge-score's counter-decrement loop in closed form — r15
+    * advice; without it, repeated stopwords/entities matching in more
+    * reference sentences than the hypothesis holds them inflated the
+    * score on ordinary text):
     *
     *   rec_ppm  = hits·10⁶ div Σ|ref sents|;
     *   prec_ppm = hits·10⁶ div Σ|hyp sents|;
@@ -425,14 +430,15 @@ object EvalMetrics {
     *
     * This is the rougeLsum summarization evals quote next to
     * [[rougeL]] (whole-text LCS ignores sentence structure; Lsum
-    * rewards per-sentence coverage). Union membership uses the
+    * rewards per-sentence coverage). Clipping bounds hits by both
+    * sides' token totals, so precision and recall are ≤ 10⁶ ppm,
+    * matching rouge-score. Union membership uses the
     * alignment-independent ∃-optimal test rather than rouge-score's
-    * implementation-defined backtrack, and hits are not clipped
-    * across sentences — both documented on the kernel
+    * implementation-defined backtrack — the residual (clip-bounded)
+    * deviation, documented on the kernel
     * ([[graft.plans.SentenceUnionLcsExpression]]); on inputs without
     * repeated cross-sentence tokens the two definitions coincide
-    * (Lin's own w1..w5 example scores identically). prec_ppm can
-    * exceed 10⁶ on degenerate inputs — the [[cer]] convention.
+    * (Lin's own w1..w5 example scores identically).
     *
     * Plan: zero-shuffle narrow projection (the [[rougeL]] argument) —
     * sentence token arrays built in-row, the union-LCS is the native

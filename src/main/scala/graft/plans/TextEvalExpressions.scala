@@ -307,10 +307,27 @@ object ArrayLcsLengthExpression {
 }
 
 /** `sentence_union_lcs(hyp_sents, ref_sents)`: the summary-level
-  * union-LCS hit count of ROUGE-Lsum (Lin 2004 §3.2) over two
-  * sentence-token arrays (array<array<string>>) — Σ over reference
-  * sentences r_i of |{p : position p of r_i participates in SOME
-  * optimal LCS of (r_i, c_j) for SOME candidate sentence c_j}|.
+  * union-LCS hit count of ROUGE-Lsum (Lin 2004 §3.2, with the
+  * rouge-score library's GLOBAL token clipping) over two
+  * sentence-token arrays (array<array<string>>). Membership first:
+  * a reference position p of sentence r_i is a union member iff it
+  * participates in SOME optimal LCS of (r_i, c_j) for SOME candidate
+  * sentence c_j. Clipping second: per distinct token t, members count
+  * only up to the candidate's total supply of t —
+  *
+  *   hits = Σ_t min(k_t, c_t)
+  *
+  * where k_t = union-member reference positions holding t (across all
+  * reference sentences; ≤ the reference's own supply by construction,
+  * so the reference-side clip never binds separately) and c_t = t's
+  * count over ALL candidate sentences. This is rouge-score's
+  * sequential counter-decrement loop in closed form: tokens consume
+  * independent counters, so consumption order cannot matter (r15
+  * advice — without the clip, a token matching in more reference
+  * sentences than the hypothesis holds it inflated the score on
+  * ordinary text: repeated stopwords, recurring entities). A
+  * consequence worth naming: hits ≤ Σc_t = |hyp| and ≤ |ref|, so
+  * precision and recall are both ≤ 10⁶ ppm now, matching rouge-score.
   *
   * Determinism contract: Lin's LCS_∪ unions "the" LCS token positions,
   * which are ambiguous when several optimal alignments exist — the
@@ -322,10 +339,10 @@ object ArrayLcsLengthExpression {
   * VALUES, never on a tie-break rule, so Spark kernel, the spec's
   * Scala reference, and the DuckDB recursive-CTE oracle provably agree
   * on every input. On Lin's own w1..w5 example both definitions give
-  * 4. Documented deviation: the union can be a superset of one fixed
-  * backtrack's positions, and (like rouge-score before clipping)
-  * Σ hits can exceed the candidate length on degenerate inputs — the
-  * [[graft.operators.EvalMetrics.cer]] "can exceed 10⁶" convention.
+  * 4. Residual documented deviation from rouge-score: the ∃-optimal
+  * union can be a superset of one fixed backtrack's positions, so on
+  * inputs where the backtrack choice matters AND the clip does not
+  * bind, this can read a token higher — bounded by the clip either way.
   *
   * O(Σ_i Σ_j m_i·n_j) per pair (two full DP tables per sentence pair —
   * prefix and suffix), row-local; the caller bounds sentence token
@@ -374,6 +391,20 @@ object SentenceUnionLcsExpression {
   def unionLcs(hyp: ArrayData, ref: ArrayData): Long = {
     val hs = sentences(hyp)
     val rs = sentences(ref)
+    // global candidate token supply — the clipping counters
+    // (rouge-score's token_cnts_c; the ref-side counter is provably
+    // redundant here, see the scaladoc)
+    val supply = new java.util.HashMap[UTF8String, Int]()
+    var j = 0
+    while (j < hs.length) {
+      val y = hs(j)
+      var q = 0
+      while (q < y.length) {
+        supply.merge(y(q), 1, (a, b) => a + b)
+        q += 1
+      }
+      j += 1
+    }
     var hits = 0L
     var i = 0
     while (i < rs.length) {
@@ -381,13 +412,19 @@ object SentenceUnionLcsExpression {
       val m = x.length
       if (m > 0 && hs.length > 0) {
         val marked = new Array[Boolean](m + 1)
-        var j = 0
-        while (j < hs.length) {
-          if (hs(j).length > 0) markPositions(x, hs(j), marked)
-          j += 1
+        var k = 0
+        while (k < hs.length) {
+          if (hs(k).length > 0) markPositions(x, hs(k), marked)
+          k += 1
         }
         var p = 1
-        while (p <= m) { if (marked(p)) hits += 1; p += 1 }
+        while (p <= m) {
+          if (marked(p)) {
+            val left = supply.getOrDefault(x(p - 1), 0)
+            if (left > 0) { hits += 1; supply.put(x(p - 1), left - 1) }
+          }
+          p += 1
+        }
       }
       i += 1
     }

@@ -1455,15 +1455,15 @@ object DocQueries {
       }
     }),
 
-    // ---- the SAME ingest cycle driven through a v1→v2 MIGRATION
+    // ---- the SAME ingest cycle driven through a v1→v3 MIGRATION
     // (DedupIndex.rebuildFrom): a synthesized pre-versioned index —
-    // flat grams part files, version-less meta, the DedupIndexSpec:141
-    // synthesis — is migrated in place (pure file moves + the atomic
-    // meta mint), then appended and probed. The output must equal the
-    // fresh-build cycle, so it shares the all-pairs trigram oracle:
-    // the plan a real migration runs earns its own oracle row instead
-    // of riding a spec-pinned equality (the q_dedup_index_backfill
-    // precedent, r13 verdict #6) ----
+    // flat grams part files, flat band=<k> bands dirs, version-less
+    // meta; the DedupIndexSpec synthesis — is migrated in place (pure
+    // file moves + the atomic meta mint), then appended and probed.
+    // The output must equal the fresh-build cycle, so it shares the
+    // all-pairs trigram oracle: the plan a real migration runs earns
+    // its own oracle row instead of riding a spec-pinned equality
+    // (the q_dedup_index_backfill precedent, r13 verdict #6) ----
     "q_dedup_index_migrate" -> ((s, d) => {
       import graft.operators.DedupIndex
       import s.implicits._
@@ -1475,7 +1475,9 @@ object DocQueries {
         DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
           "doc_id", "text", tmp, bands = 16, rowsPerBand = 2)
         // regress to v1: flatten the grams epoch layout into plain
-        // part files and strip the meta's version/shingler columns
+        // part files, hoist the epoch-tagged band dirs to flat
+        // band=<k> (true v1 never tagged them), and strip the meta's
+        // version/shingler columns
         val fs = new org.apache.hadoop.fs.Path(tmp)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         val gramsDir = new org.apache.hadoop.fs.Path(s"$tmp/grams")
@@ -1485,6 +1487,22 @@ object DocQueries {
         fs.delete(gramsDir, true)
         require(fs.rename(new org.apache.hadoop.fs.Path(flatTmp),
           gramsDir), "v1 synthesis: grams rename failed")
+        val bandsDir = new org.apache.hadoop.fs.Path(s"$tmp/bands")
+        fs.listStatus(bandsDir)
+          .filter(e => e.isDirectory &&
+            e.getPath.getName.startsWith("epoch="))
+          .foreach { e =>
+            fs.listStatus(e.getPath)
+              .filter(b => b.isDirectory &&
+                b.getPath.getName.startsWith("band="))
+              .foreach { b =>
+                require(fs.rename(b.getPath,
+                  new org.apache.hadoop.fs.Path(bandsDir,
+                    b.getPath.getName)),
+                  "v1 synthesis: bands hoist failed")
+              }
+            fs.delete(e.getPath, true)
+          }
         Seq((16, 2)).toDF("bands", "rows_per_band")
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
         // migrate, then grow and serve exactly like the probe cycle
@@ -5017,10 +5035,14 @@ ORDER BY src_id"""
 
     // ROUGE-Lsum: the 6-word fold, then per-(ref sentence, hyp
     // sentence) prefix AND suffix LCS DPs as two recursive CTEs (the
-    // q_rouge_l row DP run forward and over reversed lists), and the
+    // q_rouge_l row DP run forward and over reversed lists), the
     // alignment-independent union membership test fwd(p−1,q−1) + 1 +
     // bwd(m−p,n−q) = L — DP values only, no backtrack, so it provably
-    // equals the Spark kernel on every input
+    // equals the Spark kernel on every input — and rouge-score's
+    // GLOBAL token clipping in closed form: per token, member
+    // positions count only up to the hypothesis's supply
+    // (Σ_t least(k_t, c_t) — token counters are independent, so the
+    // sequential decrement order cannot matter)
     "q_rouge_lsum" ->
       s"""WITH RECURSIVE p AS (
          |  SELECT doc_id,
@@ -5115,9 +5137,20 @@ ORDER BY src_id"""
          |  WHERE f.i < t.m
          |), um AS (
          |  SELECT doc_id, ri, pos, max(hit) AS hit FROM mk GROUP BY 1, 2, 3
+         |), mtok AS (
+         |  SELECT u.doc_id, r.toks[u.pos] AS tok, count(*) AS k
+         |  FROM um u JOIN sentR r ON r.doc_id = u.doc_id AND r.ri = u.ri
+         |  WHERE u.hit = 1
+         |  GROUP BY 1, 2
+         |), hypc AS (
+         |  SELECT doc_id, t AS tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM sentH)
+         |  GROUP BY 1, 2
          |), hits AS (
-         |  SELECT doc_id, CAST(sum(hit) AS BIGINT) AS union_hits
-         |  FROM um GROUP BY 1
+         |  SELECT m.doc_id,
+         |    CAST(sum(least(m.k, h.c)) AS BIGINT) AS union_hits
+         |  FROM mtok m JOIN hypc h USING (doc_id, tok)
+         |  GROUP BY 1
          |), pr AS (
          |  SELECT t.doc_id, coalesce(h.union_hits, 0) AS union_hits,
          |    t.n_hyp, t.n_ref,

@@ -78,17 +78,30 @@ object StreamingDedupGate {
     * no probe ever sees a half-committed tree. A crash after compact
     * but mid-ingest re-runs one redundant (correct, bounded)
     * recompaction on replay — the price of keeping the step inside
-    * the idempotent batch. */
+    * the idempotent batch.
+    *
+    * The gate compacts TIERED (`compactMaxEpochBytes`, default one
+    * [[DedupIndex.CompactionFileBytes]] target file): a repeating
+    * maintenance loop that ran FULL rewrites would re-read and
+    * re-write the whole corpus every compactEvery batches — lifetime
+    * I/O quadratic in ingest (the r15 verdict's cost model) — while
+    * the tier + promotion policy rewrites each byte O(log) times
+    * total and keeps live epochs O(log). Admissions are unaffected
+    * either way: compaction is pure data movement. Pass
+    * `Long.MaxValue` to restore full rewrites. */
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpoint: String,
-      threshold: Double = 0.5, compactEvery: Int = 0): StreamingQuery = {
+      threshold: Double = 0.5, compactEvery: Int = 0,
+      compactMaxEpochBytes: Long = DedupIndex.CompactionFileBytes)
+      : StreamingQuery = {
     require(compactEvery >= 0,
       s"compactEvery=$compactEvery must be >= 0 (0 = never)")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
-          DedupIndex.compact(batch.sparkSession, indexPath)
+          DedupIndex.compact(batch.sparkSession, indexPath,
+            maxEpochBytes = compactMaxEpochBytes)
         ingestBatch(batch.sparkSession, batch, idCol, textCol,
           indexPath, outPath, threshold, epoch)
       }

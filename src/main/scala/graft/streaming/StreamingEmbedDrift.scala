@@ -61,7 +61,16 @@ object StreamingEmbedDrift {
   def driftAgainst(spark: SparkSession, snapshot: DataFrame,
       refPath: String, scale: Int = 1024): DataFrame = {
     val ref = spark.read.parquet(refPath)
-    val storedScale = ref.select("scale").head().getInt(0)
+    // headOption, not head(): an EMPTY reference table (frozen from an
+    // all-null-vector corpus, or a partially-written dir) must fail as
+    // a named contract error, not an opaque NoSuchElementException
+    // (r15 advice)
+    val storedScale = ref.select("scale").limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"reference moments at $refPath are empty — not a frozen " +
+          "vecMoments table (freeze one with writeReferenceMoments " +
+          "over a corpus with at least one non-null vector)"))
+      .getInt(0)
     require(storedScale == scale,
       s"snapshot quantized at scale=$scale but the reference at " +
         s"$refPath was frozen at scale=$storedScale — the moment " +

@@ -234,6 +234,102 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(probed(path) == probed(fresh))
   }
 
+  test("compact under the DEFAULT byte planner (targetFiles = 0) — " +
+      "the planned path the dedup twin already pins: files collapse " +
+      "to the planned count and probes are unchanged") {
+    val path = tmp()
+    def dataFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/assignments")).count(f =>
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    AnnIndex.build(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nlist = 8)
+    (1 to 3).foreach { r =>
+      AnnIndex.append(emb.where(col("vec_id") % 8 === (2 * r - 1)),
+        "vec_id", "embedding", path)
+    }
+    def run() = AnnIndex.probe(spark, path, queries,
+        "vec_id", "embedding", k = 10, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val before = run()
+    val filesBefore = dataFiles()
+    AnnIndex.compact(spark, path) // tiny index -> 1 range partition
+    assert(dataFiles() < filesBefore && dataFiles() <= 8,
+      s"byte-planned compact: $filesBefore -> ${dataFiles()} files " +
+        "(at most one per cell from the single planned partition)")
+    assert(run() == before,
+      "compaction is pure data movement — probes must not change")
+  }
+
+  test("the compaction marker makes probes fail fast with a recovery " +
+      "hint instead of racing the delete-then-move; the next compact " +
+      "clears it") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp()
+    AnnIndex.build(emb, "vec_id", "embedding", path, nlist = 8)
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a crashed pass leaves the marker behind
+    fs.create(new Path(path,
+      graft.operators.DedupIndex.CompactingMarker), false).close()
+    val pe = intercept[IllegalArgumentException] {
+      AnnIndex.probe(spark, path, queries, "vec_id", "embedding",
+        k = 3, nprobe = 2)
+    }
+    assert(pe.getMessage.contains("compact"), pe.getMessage)
+    // the recovering compact owns and clears it
+    AnnIndex.compact(spark, path, targetFiles = 4)
+    assert(!fs.exists(new Path(path,
+      graft.operators.DedupIndex.CompactingMarker)))
+    assert(AnnIndex.probe(spark, path, queries, "vec_id", "embedding",
+      k = 3, nprobe = 2).collect().nonEmpty)
+  }
+
+  test("driftSince scores a batch against the frozen build-time " +
+      "moments: exactly 0 on the training corpus, positive on a " +
+      "shifted batch, fail-fast without moments / on scale mismatch, " +
+      "and freezeMoments repairs a migrated index") {
+    val path = tmp()
+    AnnIndex.build(emb, "vec_id", "embedding", path, nlist = 8)
+    def fd(batch: org.apache.spark.sql.DataFrame): Long =
+      AnnIndex.driftSince(spark, path, batch, "embedding")
+        .head().getAs[Long]("fd_micro")
+    // same rows -> identical integer registers -> exact zero
+    assert(fd(emb) == 0L, "the training corpus must score zero drift")
+    // a mean shift is exactly what stale centroids look like
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => x + lit(3.0)).as("embedding"))
+    assert(fd(shifted) > 0L, "a shifted batch must score positive drift")
+    // the moments table interops with the streaming scorer (same
+    // shape writeReferenceMoments freezes)
+    val viaStream = graft.streaming.StreamingEmbedDrift.driftAgainst(
+        spark,
+        graft.operators.EvalMetrics.vecMoments(
+          emb.select(col("embedding").cast("array<double>").as("v")),
+          "v"),
+        s"$path/moments")
+      .head().getAs[Long]("fd_micro")
+    assert(viaStream == 0L)
+    val se = intercept[IllegalArgumentException] {
+      AnnIndex.driftSince(spark, path, emb, "embedding", scale = 512)
+    }
+    assert(se.getMessage.contains("scale"), se.getMessage)
+    // a pre-instrument (or migrated) index names the repair verb
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/moments"), true)
+    val me = intercept[IllegalArgumentException] {
+      AnnIndex.driftSince(spark, path, emb, "embedding")
+    }
+    assert(me.getMessage.contains("freezeMoments"), me.getMessage)
+    AnnIndex.freezeMoments(spark, path)
+    assert(fd(emb) == 0L)
+  }
+
   test("a PRESENT but corrupt meta dir fails the probe loudly; only " +
       "a genuinely absent meta reads as a legacy pre-versioned index") {
     import spark.implicits._

@@ -24,6 +24,36 @@ class DedupIndexSpec extends AnyFunSuite {
     .select((col("doc_id") + 300000L).as("doc_id"),
       concat(col("text"), lit(" crawl extra tail")).as("text"))
 
+  private def hadoopFs(path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Hoist epoch-tagged band dirs to flat band=<k> — the TRUE v1
+    * bands shape (v1 never tagged them), for migration syntheses. */
+  private def regressBandsToV1(path: String): Unit = {
+    val fs = hadoopFs(path)
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
+    fs.listStatus(bandsDir)
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("epoch="))
+      .foreach { e =>
+        fs.listStatus(e.getPath)
+          .filter(b => b.isDirectory && b.getPath.getName.startsWith("band="))
+          .foreach { b =>
+            val dest = new org.apache.hadoop.fs.Path(bandsDir,
+              b.getPath.getName)
+            if (!fs.exists(dest))
+              assert(fs.rename(b.getPath, dest), s"hoist: ${b.getPath}")
+            else // merge into the existing band dir file by file
+              fs.listStatus(b.getPath).filter(_.isFile).foreach { f =>
+                assert(fs.rename(f.getPath,
+                  new org.apache.hadoop.fs.Path(dest,
+                    f.getPath.getName)), s"hoist: ${f.getPath}")
+              }
+          }
+        fs.delete(e.getPath, true)
+      }
+  }
+
   test("index probe equals the live minhashCrossDupPairs on the same " +
       "corpus and batch") {
     val path = tmp()
@@ -138,26 +168,28 @@ class DedupIndexSpec extends AnyFunSuite {
       "doc_id", "text", threshold = 0.99).count() == 10)
   }
 
-  test("rebuildFrom migrates a synthesized v1 index to the v2 epoch " +
+  test("rebuildFrom migrates a synthesized v1 index to the v3 epoch " +
       "layout — append + probe green afterwards, pairs equal a fresh " +
-      "v2 build") {
+      "v3 build, and grams/bands share ONE epoch uuid (the tiered-" +
+      "compaction retirement invariant)") {
     import spark.implicits._
     val path = tmp()
     val fresh = tmp()
     val half = docs.where(col("doc_id") % 2 === 0)
     val rest = docs.where(col("doc_id") % 2 === 1)
-    // synthesize a TRUE v1 index: build v2, then flatten the grams
-    // epoch dir into flat part files and regress the meta schema
+    // synthesize a TRUE v1 index: build v3, then flatten the grams
+    // epoch dir into flat part files, hoist the bands to flat
+    // band=<k>, and regress the meta schema
     DedupIndex.build(half, "doc_id", "text", path)
     val gramsRows = spark.read.parquet(s"$path/grams")
       .select("id", "gram_hashes")
     val flatTmp = tmp() + "/flatgrams"
     gramsRows.write.parquet(flatTmp)
     val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
-    val fs = gramsDir.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = hadoopFs(path)
     fs.delete(gramsDir, true)
     assert(fs.rename(new org.apache.hadoop.fs.Path(flatTmp), gramsDir))
+    regressBandsToV1(path)
     Seq((8, 4)).toDF("bands", "rows_per_band")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     // v1 state: append refuses, probe works
@@ -170,6 +202,15 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(m.getAs[Int]("version") == DedupIndex.MetaVersion)
     assert(m.getAs[String]("shingler") == "word-3")
     assert(m.getAs[Double]("design_threshold") == 0.5)
+    // the migrated epoch is SHARED between the two tables — what lets
+    // a later tiered compact retire a merged epoch's band rows by
+    // deleting one directory (and what the orphan-bands GC assumes)
+    def epochsOf(sub: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/$sub"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName).toSet
+    assert(epochsOf("grams") == epochsOf("bands"),
+      s"${epochsOf("grams")} != ${epochsOf("bands")}")
     DedupIndex.append(rest, "doc_id", "text", path)
     DedupIndex.build(docs, "doc_id", "text", fresh)
     def run(p: String) = DedupIndex.probe(spark, p, batch(),
@@ -178,16 +219,74 @@ class DedupIndexSpec extends AnyFunSuite {
     val migrated = run(path)
     assert(migrated.nonEmpty && migrated == run(fresh),
       "migrated+appended index must probe exactly like a fresh build")
-    // idempotent re-entry: a v2 index refuses a second migration
+    // and the migrated index COMPACTS (the verb that required v3)
+    DedupIndex.compact(spark, path)
+    assert(run(path) == run(fresh))
+    // idempotent re-entry: a v3 index refuses a second migration
     val e = intercept[IllegalArgumentException] {
       DedupIndex.rebuildFrom(spark, path)
     }
     assert(e.getMessage.contains("already"))
   }
 
+  test("rebuildFrom migrates a v2 index (epoch'd grams, flat bands): " +
+      "bands rebuilt per epoch from the grams, contract carried " +
+      "forward, compact + probe equal a fresh v3 build") {
+    import spark.implicits._
+    val path = tmp()
+    val fresh = tmp()
+    // synthesize a TRUE v2: build v3 (two epochs), hoist the bands
+    // flat, regress the meta version to 2 keeping the contract row
+    DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", path)
+    regressBandsToV1(path)
+    Seq((2, 8, 4, "word-3", 0.5))
+      .toDF("version", "bands", "rows_per_band", "shingler",
+        "design_threshold")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // v2 state: append AND compact refuse (flat bands), probe works
+    val ae = intercept[IllegalArgumentException] {
+      DedupIndex.append(batch(), "doc_id", "text", path)
+    }
+    assert(ae.getMessage.contains("v2"), ae.getMessage)
+    val ce = intercept[IllegalArgumentException] {
+      DedupIndex.compact(spark, path)
+    }
+    assert(ce.getMessage.contains("v2"), ce.getMessage)
+    def run(p: String) = DedupIndex.probe(spark, p, batch(),
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    DedupIndex.build(docs, "doc_id", "text", fresh)
+    assert(run(path) == run(fresh), "v2 must still probe correctly")
+    // migrate: bands rebuilt carrying each row's own grams epoch
+    DedupIndex.rebuildFrom(spark, path)
+    val m = spark.read.parquet(s"$path/meta").head()
+    assert(m.getAs[Int]("version") == DedupIndex.MetaVersion)
+    assert(m.getAs[String]("shingler") == "word-3") // carried, not re-asserted
+    val fs = hadoopFs(path)
+    def epochsOf(sub: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/$sub"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName).toSet
+    assert(epochsOf("bands") == epochsOf("grams") &&
+      epochsOf("grams").size == 2,
+      s"bands must re-tag per grams epoch: ${epochsOf("bands")}")
+    assert(run(path) == run(fresh),
+      "migrated index must probe exactly like a fresh build")
+    // the migrated index grows AND compacts
+    DedupIndex.append(batch(), "doc_id", "text", path)
+    DedupIndex.compact(spark, path)
+    assert(DedupIndex.probe(spark, path, batch(), "doc_id", "text",
+        threshold = 0.99)
+      .where(col("id") === col("batch_id")).count() == batch().count())
+  }
+
   test("rebuildFrom completes an INTERRUPTED migration on re-run: a " +
       "crash that moved only some flat files leaves a state the next " +
-      "run finishes (second epoch dir = normal multi-epoch layout)") {
+      "run finishes by REUSING the crashed run's epoch dir — every " +
+      "row's grams and bands land under the one shared v1 epoch") {
     import spark.implicits._
     val path = tmp()
     val fresh = tmp()
@@ -198,10 +297,10 @@ class DedupIndexSpec extends AnyFunSuite {
     spark.read.parquet(s"$path/grams").select("id", "gram_hashes")
       .repartition(2).write.parquet(flatTmp)
     val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
-    val fs = gramsDir.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = hadoopFs(path)
     fs.delete(gramsDir, true)
     assert(fs.rename(new org.apache.hadoop.fs.Path(flatTmp), gramsDir))
+    regressBandsToV1(path)
     Seq((8, 4)).toDF("bands", "rows_per_band")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     // simulate the crash: move ONE flat part file into an epoch dir
@@ -217,18 +316,26 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(fs.rename(flat.head.getPath,
       new org.apache.hadoop.fs.Path(crashedEpoch,
         flat.head.getPath.getName)))
-    // re-run: moves the REMAINING flat files, writes meta v2
+    // re-run: moves the REMAINING flat files and the flat bands into
+    // the crashed run's epoch, writes meta v3
     DedupIndex.rebuildFrom(spark, path)
     assert(spark.read.parquet(s"$path/meta").head()
       .getAs[Int]("version") == DedupIndex.MetaVersion)
+    // reuse, not a second epoch: the shared-uuid invariant holds
+    def epochsOf(sub: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/$sub"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName).toSet
+    assert(epochsOf("grams") == Set("epoch=crashed-run") &&
+      epochsOf("bands") == Set("epoch=crashed-run"),
+      s"${epochsOf("grams")} / ${epochsOf("bands")}")
     DedupIndex.build(docs, "doc_id", "text", fresh)
     def run(p: String) = DedupIndex.probe(spark, p, batch(),
         "doc_id", "text", threshold = 0.5)
       .collect().map(_.toString).sorted.toSeq
     val recovered = run(path)
     assert(recovered.nonEmpty && recovered == run(fresh),
-      "the recovered two-epoch index must probe exactly like a fresh " +
-        "build")
+      "the recovered index must probe exactly like a fresh build")
   }
 
   test("rebuildFrom survives a crash in the meta swap itself: no meta " +
@@ -368,25 +475,43 @@ class DedupIndexSpec extends AnyFunSuite {
       "doc_id", "text", path)
     DedupIndex.append(evens.where(col("doc_id") % 4 === 2),
       "doc_id", "text", path)
-    val fs = new Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    // crash state A: a COMPLETE stage (data + _EPOCHS manifest) with
-    // the manifest epochs still live (crash before any delete), plus
-    // an INCOMPLETE stage (no manifest) from an earlier attempt
+    val fs = hadoopFs(path)
+    // crash state A: a COMPLETE stage — data, the merged epoch's
+    // bands (written BEFORE the manifest in the real protocol), and
+    // the _EPOCHS manifest — with the manifest epochs still live
+    // (crash before any delete), plus an INCOMPLETE stage (no
+    // manifest) from an earlier attempt, and the marker both crashed
+    // runs left behind
     val epochs = epochDirs(path).map(_.stripPrefix("epoch="))
     val stage = new Path(path, "grams_compact-crashA")
     spark.read.parquet(s"$path/grams").select("id", "gram_hashes")
       .coalesce(1).write.parquet(stage.toString)
+    spark.read.parquet(s"$path/bands").select("id", "bh", "band")
+      .withColumn("epoch", lit("crashA"))
+      .write.mode("append").partitionBy("epoch", "band")
+      .parquet(s"$path/bands")
     val out = fs.create(new Path(stage, "_EPOCHS"), false)
     out.write(epochs.mkString("\n").getBytes("UTF-8")); out.close()
     fs.mkdirs(new Path(path, "grams_compact-incomplete"))
+    fs.create(new Path(path, DedupIndex.CompactingMarker), false).close()
+    // the marker makes racing probes fail FAST with a recovery hint
+    // instead of scanning a half-swapped tree into a FileNotFound
+    val pe = intercept[IllegalArgumentException] {
+      DedupIndex.probe(spark, path, batch(), "doc_id", "text",
+        threshold = 0.5)
+    }
+    assert(pe.getMessage.contains("compact"), pe.getMessage)
     // an append lands AFTER the crash, BEFORE recovery — its epoch is
     // not in the manifest and must survive the recovering compact
+    // (appends stay legal under the marker by design)
     DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
       "doc_id", "text", path)
     DedupIndex.compact(spark, path)
-    assert(epochDirs(path).size == 1)
+    // marker cleared, stages gone, epochs = recovered merge + the
+    // post-crash append, re-merged by the recovering compact
+    assert(!fs.exists(new Path(path, DedupIndex.CompactingMarker)))
     assert(fs.globStatus(new Path(s"$path/grams_compact-*")).isEmpty)
+    assert(epochDirs(path).size == 1)
     def run(p: String) = DedupIndex.probe(spark, p, batch(),
         "doc_id", "text", threshold = 0.5)
       .select(col("id"), col("batch_id"),
@@ -395,15 +520,155 @@ class DedupIndexSpec extends AnyFunSuite {
     DedupIndex.build(docs, "doc_id", "text", fresh)
     assert(run(path).nonEmpty && run(path) == run(fresh),
       "recovered + appended index must probe exactly like a fresh build")
-    // crash state B: the bands swap died between its two renames —
-    // bands gone, bands_old present; the next compact restores and
-    // then rebuilds
-    val bandsDir = new Path(s"$path/bands")
-    assert(fs.rename(bandsDir, new Path(path, "bands_old-crashB")))
+  }
+
+  test("a TRUNCATED manifest cannot be trusted: the atomic-rename " +
+      "protocol leaves a crashed mid-write as _EPOCHS.tmp, which " +
+      "recovery discards with the stage — no duplicate index rows") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp()
+    val fresh = tmp()
+    DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", path)
+    val fs = hadoopFs(path)
+    val gramRows = spark.read.parquet(s"$path/grams").count()
+    // crash state: stage holds a FULL copy of the grams plus the
+    // merged-epoch bands, but the manifest write died mid-stream —
+    // under the pre-r16 create-in-place protocol this partial list
+    // (one of two epochs) would be TRUSTED: recovery would delete
+    // only the listed epoch and rename the whole stage in, leaving
+    // the unlisted epoch alive beside its stage copy = duplicates
+    val epochs = epochDirs(path).map(_.stripPrefix("epoch="))
+    assert(epochs.size == 2)
+    val stage = new Path(path, "grams_compact-truncated")
+    spark.read.parquet(s"$path/grams").select("id", "gram_hashes")
+      .coalesce(1).write.parquet(stage.toString)
+    spark.read.parquet(s"$path/bands").select("id", "bh", "band")
+      .withColumn("epoch", lit("truncated"))
+      .write.mode("append").partitionBy("epoch", "band")
+      .parquet(s"$path/bands")
+    val out = fs.create(new Path(stage, "_EPOCHS.tmp"), false)
+    out.write(epochs.head.getBytes("UTF-8")) // one of two = truncated
+    out.close()
     DedupIndex.compact(spark, path)
-    assert(fs.exists(bandsDir) &&
-      fs.globStatus(new Path(s"$path/bands_old-*")).isEmpty)
+    // the stage was discarded (manifest never committed), its orphan
+    // bands epoch GC'd, the live epochs merged normally — and the row
+    // count proves no duplicates survived
+    assert(fs.globStatus(new Path(s"$path/grams_compact-*")).isEmpty)
+    assert(spark.read.parquet(s"$path/grams").count() == gramRows,
+      "a trusted truncated manifest would have duplicated gram rows")
+    def run(p: String) = DedupIndex.probe(spark, p, batch(),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("id"), col("batch_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+      .map(_.toString).sorted.toSeq
+    DedupIndex.build(docs, "doc_id", "text", fresh)
+    assert(run(path).nonEmpty && run(path) == run(fresh))
+  }
+
+  test("tiered compaction: a large epoch above the tier is NOT " +
+      "rewritten while small epochs merge, the promotion rule folds " +
+      "it in once the small aggregate reaches it, and a lone " +
+      "already-compact epoch is not pointlessly re-rewritten") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp()
+    val fresh = tmp()
+    val fs = hadoopFs(path)
+    def epochBytes(): Map[String, Long] = fs.listStatus(
+        new Path(s"$path/grams"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(s => s.getPath.getName ->
+        fs.getContentSummary(s.getPath).getLength).toMap
+    def fileOf(epoch: String): String = fs.listStatus(
+        new Path(s"$path/grams/$epoch"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).sorted.mkString(",")
+    // big epoch: 80% of the corpus; then two tiny appends
+    DedupIndex.build(docs.where(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", path)
+    DedupIndex.compact(spark, path) // big epoch now one compact unit
+    val big = epochBytes()
+    assert(big.size == 1)
+    val (bigEpoch, bigBytes) = big.head
+    val bigFiles = fileOf(bigEpoch)
+    DedupIndex.append(docs.where(col("doc_id") % 10 === 0),
+      "doc_id", "text", path)
+    DedupIndex.append(docs.where(col("doc_id") % 10 === 5),
+      "doc_id", "text", path)
+    // tier below the big epoch: the two tiny appends merge (their
+    // aggregate is far from the big epoch, so promotion leaves it),
+    // the big epoch's directory and file names are UNTOUCHED
+    val smallBytes = epochBytes().filterNot(_._1 == bigEpoch).values.sum
+    assert(smallBytes * 2 < bigBytes, "fixture: tier gap must be real")
+    DedupIndex.compact(spark, path, maxEpochBytes = bigBytes - 1)
+    val afterTiered = epochBytes()
+    assert(afterTiered.size == 2, s"big + merged-small: $afterTiered")
+    assert(afterTiered.contains(bigEpoch) && fileOf(bigEpoch) == bigFiles,
+      "tiered compaction must not rewrite the above-tier epoch")
+    // probes unchanged by maintenance
+    def run(p: String) = DedupIndex.probe(spark, p, batch(),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("id"), col("batch_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+      .map(_.toString).sorted.toSeq
+    DedupIndex.build(docs, "doc_id", "text", fresh)
     assert(run(path) == run(fresh))
+    // a second tiered pass with no new appends: the lone merged small
+    // epoch is already at its planned file count — nothing rewritten
+    // (this is what keeps the serving loop's repeat cost amortized)
+    val merged = afterTiered.keys.filterNot(_ == bigEpoch).head
+    val mergedFiles = fileOf(merged)
+    DedupIndex.compact(spark, path, maxEpochBytes = bigBytes - 1)
+    assert(epochBytes().keySet == afterTiered.keySet &&
+      fileOf(merged) == mergedFiles,
+      "an already-compact small tier must not be re-rewritten")
+    // promotion: once the tier's aggregate reaches the big epoch's
+    // size, the big epoch IS folded in (geometric folding is what
+    // bounds the live epoch count). Fat-margin fixture on a fresh
+    // path: a compacted 3-bucket epoch, then SEVEN 1-bucket appends —
+    // each small epoch is ~⅓ of the big one (safely under the tier),
+    // their aggregate ~2.3× it (safely over the promotion bar)
+    val path2 = tmp()
+    val fs2 = hadoopFs(path2)
+    DedupIndex.build(docs.where(col("doc_id") % 10 < 3),
+      "doc_id", "text", path2)
+    DedupIndex.compact(spark, path2)
+    def epochs2(): Map[String, Long] = fs2.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path2/grams"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(s => s.getPath.getName ->
+        fs2.getContentSummary(s.getPath).getLength).toMap
+    val big2Bytes = epochs2().values.max
+    (3 to 9).foreach { b =>
+      DedupIndex.append(docs.where(col("doc_id") % 10 === b),
+        "doc_id", "text", path2)
+    }
+    assert(epochs2().values.count(_ > big2Bytes - 1) == 1,
+      s"fixture: every append must sit under the tier: ${epochs2()}")
+    DedupIndex.compact(spark, path2, maxEpochBytes = big2Bytes - 1)
+    assert(epochs2().size == 1,
+      s"promotion must fold the big epoch once the small aggregate " +
+        s"reaches it: ${epochs2()}")
+    assert(run(path2) == run(fresh))
+  }
+
+  test("append plans its bands write from the staged bytes: one small " +
+      "append adds at most |bands| band files (a single range " +
+      "partition), not input-partitions × bands — the accumulation " +
+      "rate is cut at the source, not just repaired by compact") {
+    val path = tmp()
+    DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    val before = dataFileCount(s"$path/bands")
+    // 8 input partitions: the pre-r16 write added 8 × 8 = 64 files
+    DedupIndex.append(docs.where(col("doc_id") % 2 === 1).repartition(8),
+      "doc_id", "text", path)
+    val added = dataFileCount(s"$path/bands") - before
+    assert(added <= 8, // default bands = 8: one file per touched band
+      s"one tiny append added $added band files — the range-planned " +
+        "write should add at most one per band")
   }
 
   test("probe fails fast below the index's banding design threshold") {

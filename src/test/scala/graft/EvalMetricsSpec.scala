@@ -232,7 +232,7 @@ class EvalMetricsSpec extends AnyFunSuite {
 
   test("rougeLsum: hand-computed union-LCS fixtures incl. Lin 2004's " +
       "own example, multi-newline and empty-sentence edges, the " +
-      "documented superset-of-one-backtrack case, maxTokens") {
+      "global token clipping (r15 advice), maxTokens") {
     import spark.implicits._
     def run(rows: Seq[(Long, String, String)], maxTokens: Int = 0) =
       EvalMetrics.rougeLsum(rows.toDF("id", "hyp", "ref"), "id", "hyp",
@@ -256,11 +256,19 @@ class EvalMetricsSpec extends AnyFunSuite {
       (6L, null, "a b"),          // null hyp: zeros, row kept
       // case/whitespace noise normalizes away
       (7L, "The  Cat \n sat", "the cat\nSAT down"),
-      // the DOCUMENTED superset case: both 'a's of the ref are in
-      // SOME optimal LCS with the 1-token hypothesis, so hits = 2 >
-      // LCS = 1 and prec exceeds 10^6 (the cer convention) — one
-      // fixed backtrack (rouge-score) would count 1
-      (8L, "a", "a a")))
+      // CLIPPING binds (rouge-score's global token counters, r15
+      // advice): both 'a's of the ref are ∃-optimal members against
+      // the 1-token hypothesis, but the hypothesis supplies only one
+      // 'a' — hits = min(2, 1) = 1, and precision stays ≤ 10⁶
+      (8L, "a", "a a"),
+      // a repeated stopword ACROSS ref sentences with matching hyp
+      // supply: 'the' is a member in both ref sentences (k=2) and the
+      // hyp holds two — min(2,2) + 'cat' min(1,1) = 3 ('dog' never
+      // matches)
+      (10L, "the the cat", "the cat\nthe dog"),
+      // 'x' is a member in THREE ref sentences but the hyp has one:
+      // x min(3,1) + y min(1,1) = 2
+      (11L, "x y z", "x\nx\nx y")))
     assert(got(1L) == ((4L, 10L, 5L, 400000L, 800000L, 533333L)),
       got.toString)
     assert(got(2L) == ((5L, 5L, 5L, 1000000L, 1000000L, 1000000L)),
@@ -271,9 +279,13 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(got(6L) == ((0L, 0L, 2L, 0L, 0L, 0L)))
     assert(got(7L) == ((3L, 3L, 4L, 1000000L, 750000L, 857142L)),
       got.toString)
-    assert(got(8L) == ((2L, 1L, 2L, 2000000L, 1000000L, 1333333L)),
+    assert(got(8L) == ((1L, 1L, 2L, 1000000L, 500000L, 666666L)),
       got.toString)
-    assert(got.size == 8)
+    assert(got(10L) == ((3L, 3L, 4L, 1000000L, 750000L, 857142L)),
+      got.toString)
+    assert(got(11L) == ((2L, 3L, 4L, 666666L, 500000L, 571428L)),
+      got.toString)
+    assert(got.size == 10)
     // maxTokens truncates every SENTENCE: the matched tail tokens
     // fall off both sides' sentences
     val capped = run(Seq((1L, "a b c\nd e f", "c\nf")), maxTokens = 2)
@@ -302,6 +314,10 @@ class EvalMetricsSpec extends AnyFunSuite {
     }
     def refHits(hyp: String, ref: String): Long = {
       val hs = sents(hyp)
+      // rouge-score's global clipping counters (hyp token supply)
+      val supply = scala.collection.mutable.Map.empty[String, Int]
+        .withDefaultValue(0)
+      hs.foreach(_.foreach(t => supply(t) += 1))
       hs.length match {
         case 0 => 0L
         case _ => sents(ref).map { x =>
@@ -317,7 +333,11 @@ class EvalMetricsSpec extends AnyFunSuite {
                 fwd(p - 1)(q - 1) + 1 + bwd(m - p)(n - q) == tot)
                 marked(p) = true
           }
-          (1 to m).count(marked).toLong
+          (1 to m).count { p =>
+            marked(p) && supply(x(p - 1)) > 0 && {
+              supply(x(p - 1)) -= 1; true
+            }
+          }.toLong
         }.sum
       }
     }
