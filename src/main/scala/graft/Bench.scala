@@ -383,7 +383,8 @@ object Bench {
       "q_semdedup_probe2_planned",
       "q_label_prop", "q_kanon", "q_kanon_rows", "q_dedup_index_probe",
       "q_dedup_index_backfill", "q_dedup_index_migrate",
-      "q_dedup_index_compact",
+      "q_dedup_index_compact", "q_dedup_index_compact_tiered",
+      "q_ann_drift",
       "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
       "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",
       "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",

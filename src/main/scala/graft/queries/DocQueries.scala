@@ -1558,6 +1558,50 @@ object DocQueries {
       } finally deleteRecursively(new java.io.File(tmp))
     }),
 
+    // ---- the SAME ingest cycle under TIERED maintenance (r15 verdict
+    // #1, the serving loop's actual policy): build ⅔ of the corpus →
+    // full compact (mints one big epoch) → the remaining ⅓ in five
+    // small appends → compact with the tier set just under the big
+    // epoch's real bytes, so ONLY the appends merge — the small
+    // aggregate is ~half the big epoch, a 2× margin below the
+    // promotion bar, so the big epoch is deterministically left in
+    // place (the spec pins file-identity; this row pins that the
+    // tier-maintained index SERVES exactly the all-pairs trigram
+    // truth — partial maintenance must be invisible to probes) ----
+    "q_dedup_index_compact_tiered" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      val docs = docsPar(s, d).select("doc_id", "text")
+        .where(col("text").isNotNull)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dedup_idx_tier_").toString
+      try {
+        DedupIndex.build(docs.where(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", tmp, bands = 16, rowsPerBand = 2)
+        DedupIndex.compact(s, tmp) // the big (above-tier) epoch
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bigBytes = fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$tmp/grams"))
+          .filter(e => e.isDirectory &&
+            e.getPath.getName.startsWith("epoch="))
+          .map(e => fs.getContentSummary(e.getPath).getLength).max
+        Seq(0, 3, 6, 9, 12).foreach { r => // the %3==0 third, 5 slices
+          DedupIndex.append(docs.where(col("doc_id") % 15 === r),
+            "doc_id", "text", tmp)
+        }
+        DedupIndex.compact(s, tmp, maxEpochBytes = bigBytes - 1)
+        val batch = docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" crawl extra tail")).as("text"))
+        DedupIndex.probe(s, tmp, batch, "doc_id", "text",
+            threshold = 0.5)
+          .select(col("id"), col("batch_id"),
+            (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
+          .orderBy("id", "batch_id")
+          .localCheckpoint()
+      } finally deleteRecursively(new java.io.File(tmp))
+    }),
+
     // ---- curriculum ordering (Bengio 2009): easy-to-hard difficulty
     // bands with sources round-robin interleaved inside each band —
     // the curriculum is the lexicographic order of the emitted sort
@@ -2098,6 +2142,31 @@ object DocQueries {
           .select(col("query_id"), col("id"), col("rank"),
             round(col("cosine"), 6).as("cosine"))
           .orderBy("query_id", "rank")
+          .localCheckpoint()
+      } finally deleteRecursively(new java.io.File(tmp))
+    }),
+
+    // ---- the persisted ANN index's drift instrument (r15 verdict
+    // #4): build freezes the corpus's per-dim moment registers beside
+    // the index; driftSince scores an incoming batch against them —
+    // here the odd-id embeddings under the q_embed_fd affine shift
+    // (x·1.02 + 0.01), so both the mean and variance terms bind. The
+    // moments ride the index tree, but they are a pure function of
+    // the corpus, so the oracle replays the whole score from the
+    // embeddings table directly (the q_embed_fd SQL with the index's
+    // sides: batch = side A, the full build corpus = side B) ----
+    "q_ann_drift" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val emb = embeddings(s, d)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ann_drift_").toString
+      try {
+        AnnIndex.build(emb, "vec_id", "embedding", tmp, nlist = 8)
+        val batch = emb.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              x => x * 1.02 + 0.01).as("embedding"))
+        AnnIndex.driftSince(s, tmp, batch, "embedding")
           .localCheckpoint()
       } finally deleteRecursively(new java.io.File(tmp))
     }),
@@ -4456,6 +4525,9 @@ ORDER BY src_id"""
     // serve the identical pair set: same all-pairs trigram truth
     "q_dedup_index_migrate" -> dedupIndexProbeOracle,
     "q_dedup_index_compact" -> dedupIndexProbeOracle,
+    // tiered maintenance is pure data movement over the same corpus —
+    // the probe truth is the identical all-pairs oracle
+    "q_dedup_index_compact_tiered" -> dedupIndexProbeOracle,
 
     // same integer difficulty (prefScoreSql), same fixed-threshold
     // banding (integer //, both operands non-negative), same
@@ -5185,6 +5257,63 @@ ORDER BY src_id"""
         |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> CAST(floor((x * 1.02 + 0.01) * 1024) AS BIGINT)) AS q
         |  FROM embeddings WHERE vec_id % 2 = 1
+        |), sa AS (
+        |  SELECT j AS dim, CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(sum(q[j]) AS BIGINT) AS s_a,
+        |    CAST(sum(q[j] * q[j]) AS BIGINT) AS ss_a
+        |  FROM ea CROSS JOIN range(1, 65) r(j) GROUP BY j
+        |), sb AS (
+        |  SELECT j AS dim, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(q[j]) AS BIGINT) AS s_b,
+        |    CAST(sum(q[j] * q[j]) AS BIGINT) AS ss_b
+        |  FROM eb CROSS JOIN range(1, 65) r(j) GROUP BY j
+        |), pd AS (
+        |  SELECT n_a, n_b,
+        |    CAST(floor((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      * 1000000.0 / 1048576.0) AS BIGINT) AS mean_q,
+        |    CAST(floor((sqrt(greatest(
+        |        CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |          * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)), 0.0))
+        |      - sqrt(greatest(
+        |        CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |        - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |          * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)), 0.0)))
+        |      * (sqrt(greatest(
+        |        CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |          * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)), 0.0))
+        |      - sqrt(greatest(
+        |        CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |        - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |          * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)), 0.0)))
+        |      * 1000000.0 / 1048576.0) AS BIGINT) AS var_q
+        |  FROM sa JOIN sb USING (dim)
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS dims,
+        |  CAST(min(n_a) AS BIGINT) AS n_a,
+        |  CAST(min(n_b) AS BIGINT) AS n_b,
+        |  CAST(sum(mean_q) AS BIGINT) AS mean_term_micro,
+        |  CAST(sum(var_q) AS BIGINT) AS var_term_micro,
+        |  CAST(sum(mean_q) + sum(var_q) AS BIGINT) AS fd_micro
+        |FROM pd""".stripMargin,
+
+    // AnnIndex.driftSince: the SAME diagonal-Fréchet replay with the
+    // index's sides — side A is the shifted odd-id batch, side B the
+    // full build corpus (whose moments build() froze; moments are a
+    // pure function of the corpus, so the oracle needs no index tree)
+    "q_ann_drift" ->
+      """WITH ea AS (
+        |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor((x * 1.02 + 0.01) * 1024) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 2 = 1
+        |), eb AS (
+        |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1024) AS BIGINT)) AS q
+        |  FROM embeddings
         |), sa AS (
         |  SELECT j AS dim, CAST(count(*) AS BIGINT) AS n_a,
         |    CAST(sum(q[j]) AS BIGINT) AS s_a,

@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   * pair set must be identical before and after (compaction is pure
   * data movement); the file-count collapse and the probe delta are
   * the small-files-cliff evidence.
+  *
+  * Second fixture (r15 verdict #1e, the repeated-maintenance LIFETIME
+  * cost): the same 20 appends with a compaction every 4th — the
+  * streaming gate's compactEvery loop — run twice, full-rewrite vs
+  * tiered, accumulating the bytes each compact actually re-read and
+  * re-wrote (= the grams bytes of the epochs it retired). Full
+  * rewrites re-touch the whole corpus every cycle; the tier +
+  * promotion policy touches each byte O(log) times — the cumulative
+  * ratio is the quadratic-vs-loglinear evidence at fixture scale.
   * Run: sbt "Test/runMain graft.tools.CompactionBench [reps]" */
 object CompactionBench {
   def main(args: Array[String]): Unit = {
@@ -73,12 +82,78 @@ object CompactionBench {
           f"| compact ${compactSec}%.2f s " +
           f"| ${before.head._2} pairs, unchanged |")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
       rm(new java.io.File(path))
     }
+
+    // ---- repeated-maintenance lifetime cost: full vs tiered ----
+    def epochBytes(p: String): Map[String, Long] = {
+      val dir = new org.apache.hadoop.fs.Path(s"$p/grams")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Option(fs.listStatus(dir))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("epoch="))
+        .map(s => s.getPath.getName ->
+          fs.getContentSummary(s.getPath).getLength).toMap
+    }
+    def maintainedRun(tiered: Boolean): (Long, Int, Long) = {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_compaction_cycles_").toString
+      try {
+        DedupIndex.build(docs.where(col("doc_id") % 41 === 0),
+          "doc_id", "text", p, bands = 16, rowsPerBand = 2)
+        var tier = 0L
+        var rewritten = 0L
+        (1 to 40).foreach { r =>
+          val preAppend = epochBytes(p)
+          DedupIndex.append(docs.where(col("doc_id") % 41 === r),
+            "doc_id", "text", p)
+          if (tier == 0L) {
+            // tier = 2 appends' worth: fresh epochs merge, the merged
+            // output parks above the tier, promotion folds parked
+            // epochs geometrically — the gate policy's shape at a
+            // scale where every epoch is far below 256 MB. 20 cycles
+            // so the LIFETIME divergence (full re-touches the whole
+            // corpus per cycle; tiered touches each byte O(log)
+            // times) is visible, not just the first fold
+            val appended = epochBytes(p).values.sum - preAppend.values.sum
+            tier = appended * 2
+          }
+          if (r % 2 == 0) {
+            val before = epochBytes(p)
+            DedupIndex.compact(spark, p,
+              maxEpochBytes = if (tiered) tier else Long.MaxValue)
+            val after = epochBytes(p)
+            // bytes this pass re-read and re-wrote = the epochs it
+            // retired (their rows all moved into the new epoch)
+            rewritten += before.collect {
+              case (e, b) if !after.contains(e) => b
+            }.sum
+          }
+        }
+        val pairs = DedupIndex.probe(spark, p, batch, "doc_id", "text",
+          threshold = 0.5).count()
+        spark.catalog.clearCache(); graft.operators.Caches.clear()
+        (rewritten, epochBytes(p).size, pairs)
+      } finally rm(new java.io.File(p))
+    }
+    val (fullBytes, fullEpochs, fullPairs) = maintainedRun(tiered = false)
+    val (tierBytes, tierEpochs, tierPairs) = maintainedRun(tiered = true)
+    require(fullPairs == tierPairs,
+      s"maintenance policy changed the pair set: $fullPairs != $tierPairs")
+    println(
+      f"| repeated maintenance (40 appends, compact every 2nd = 20 cycles) " +
+        f"| full rewrites ${fullBytes / 1024.0 / 1024.0}%.1f MB " +
+        f"over $fullEpochs final epoch(s) " +
+        f"| tiered rewrites ${tierBytes / 1024.0 / 1024.0}%.1f MB " +
+        f"over $tierEpochs final epoch(s) " +
+        f"| ratio ${fullBytes.toDouble / tierBytes}%.1fx " +
+        f"| $fullPairs pairs, identical |")
     spark.stop()
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+    f.delete(): Unit
   }
 }
