@@ -155,8 +155,31 @@ object AnnIndex {
     writeAssigned(b, centroids, path, overwrite = false)
   }
 
-  private def writeAssigned(c: DataFrame, centroids: Array[Array[Double]],
-      path: String, overwrite: Boolean): Unit = {
+  /** The (id, v, cell) frame an index write or an existence check
+    * needs: vectors routed to their nearest stored centroid —
+    * row-local, centroids ride the closure as a broadcast-sized
+    * array. Package-visible for
+    * [[graft.streaming.StreamingAnnIngest]], whose idempotent append
+    * must assign BEFORE writing (the batch's own cells bound its
+    * existence scan). */
+  private[graft] def assigned(batch: DataFrame, idCol: String,
+      vecCol: String, path: String): DataFrame = {
+    val centroids = checkedCentroids(batch.sparkSession, path)
+    assignCells(batch.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")), centroids, path)
+  }
+
+  /** Additively write a pre-assigned (id, v, cell) frame into the
+    * cell directories — the [[append]] tail for callers that already
+    * routed (and possibly filtered) the batch. */
+  private[graft] def appendAssigned(assignedBatch: DataFrame,
+      path: String): Unit =
+    assignedBatch.select("id", "v", "cell")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assignments")
+
+  private def assignCells(c: DataFrame,
+      centroids: Array[Array[Double]], path: String): DataFrame = {
     val dim = centroids.head.length
     val cellUdf = udf { (v: Seq[Double]) =>
       require(v != null && v.length == dim,
@@ -166,10 +189,14 @@ object AnnIndex {
       nearestCells(centroids, v, 1).head
     }
     c.withColumn("cell", cellUdf(col("v")))
+  }
+
+  private def writeAssigned(c: DataFrame, centroids: Array[Array[Double]],
+      path: String, overwrite: Boolean): Unit =
+    assignCells(c, centroids, path)
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("cell")
       .parquet(s"$path/assignments")
-  }
 
   /** Read the centroids ONCE, failing fast when the persisted
     * contract does not match this build of the library (metric) or
