@@ -84,12 +84,17 @@ object DedupIndex {
     *    grams epochs — tiered [[compact]] works. */
   val MetaVersion = 3
 
-  /** Marker file a running (or crashed) [[compact]] leaves at the
-    * index root: [[probe]] fails fast on it instead of racing the
-    * epoch swap into an opaque mid-scan FileNotFound. Appends stay
-    * legal (an epoch not in the compaction manifest survives commit
-    * untouched — the DedupIndexSpec append-between-crash-and-recovery
-    * pin). */
+  /** Marker file a running (or crashed) [[AnnIndex.compact]] leaves at
+    * its index root: [[AnnIndex.probe]] fails fast on it instead of
+    * racing the commit's delete-then-move into an opaque mid-scan
+    * FileNotFound (the ANN assignments are the only copy of the
+    * vectors and move PHYSICALLY, so the dedup index's
+    * retirement-by-marker snapshot isolation does not transfer).
+    * [[DedupIndex.compact]] itself no longer needs one: retirement is
+    * a marker, the commit order keeps every intermediate state
+    * probe-consistent, and [[vacuum]]'s grace covers long-running
+    * readers. Lives here because the manifest/recovery protocol this
+    * file defines is what both compactors share. */
   val CompactingMarker = "_COMPACTING"
 
   /** Batch row count above which [[probe]] stops broadcasting the
@@ -350,12 +355,14 @@ object DedupIndex {
     * small-files cliff. This is the engine's counterpart of the
     * reference's post-ingest maintenance pass
     * (`01_ingest_raw_telemetry.py:141-167` runs ANALYZE + index builds
-    * once bulk loading completes); its locking model is stricter:
-    * compaction assumes EXCLUSIVE access — no concurrent probes while
-    * it runs, enforced fail-fast by the [[CompactingMarker]] the pass
-    * holds (concurrent APPENDS are tolerated: an epoch not in the
-    * manifest survives commit untouched, and crash recovery below only
-    * ever deletes state it holds a copy of).
+    * once bulk loading completes) — WITHOUT taking the index offline:
+    * retirement-by-marker (below) keeps every probe state consistent,
+    * so probes constructed at ANY point during (or after a crash of)
+    * a compaction serve the correct pair set, and appends are additive
+    * (an epoch not in the manifest survives commit untouched). The
+    * exclusive-access clause of earlier rounds is gone; what remains
+    * is the vacuum grace contract for long-RUNNING probes (see
+    * `retainRetired`).
     *
     * TIERED by `maxEpochBytes` (the LSM/size-tiered discipline): the
     * merge set is every epoch at or under the threshold, PLUS — the
@@ -387,13 +394,16 @@ object DedupIndex {
     * why compaction requires v3.
     *
     * Protocol (pure data movement — no shingling, no re-hashing; the
-    * gram sets and band keys are byte-identical before and after):
+    * gram sets and band keys are byte-identical before and after —
+    * and SNAPSHOT-ISOLATED: retirement is a marker, not a delete, and
+    * the commit order makes every intermediate state probe-consistent):
     *
     *  1. finish any CRASHED compaction first (see recovery below),
-    *     then GC orphan bands epochs (no grams twin = crash residue);
-    *  2. select the epochs E at or under `maxEpochBytes` (all of them
-    *     at the default); nothing selected, or one already-compact
-    *     epoch → done;
+    *     then retire orphan bands epochs (no grams twin = crash
+    *     residue);
+    *  2. select the LIVE (non-retired) epochs E at or under
+    *     `maxEpochBytes` (all of them at the default); nothing
+    *     selected, or one already-compact epoch → done;
     *  3. read the grams rows of E, coalesce to the planned file count,
     *     and write them to a `grams_compact-<uuid>` stage;
     *  4. derive the merged epoch's BANDS from the staged grams and
@@ -406,22 +416,44 @@ object DedupIndex {
     *     stage's completion marker and a trusted partial manifest
     *     would leave unlisted epochs alive beside their stage copies,
     *     serving duplicate rows;
-    *  6. commit: delete each epoch in E from grams AND bands, then
-    *     rename the stage to `grams/epoch=<stage-uuid>`.
+    *  6. commit: rename the stage to `grams/epoch=<stage-uuid>` (the
+    *     manifest rides inside), THEN mark each epoch in E retired in
+    *     both tables ([[RetiredMarker]] touch) and drop the manifest.
+    *     Rename-first is what keeps the window consistent: a probe
+    *     planned between the rename and the marking reads the manifest
+    *     out of the committed epoch and excludes E itself, so it never
+    *     double-counts an id (manifest ∪ markers = the retired set);
+    *  7. unless `retainRetired`, [[vacuum]] with zero grace — the
+    *     retired directories delete and the disk behavior matches the
+    *     pre-snapshot protocol exactly.
+    *
+    * Probe consistency at every point (why no lock is needed):
+    * [[probe]] resolves the LIVE epoch set at plan time — a frame
+    * planned BEFORE a compaction keeps reading the old epochs' files
+    * (which still exist until vacuum), and a frame planned at any
+    * point DURING one sees either the old set (pre-rename) or the
+    * merged epoch with E excluded (post-rename) — the same pair set
+    * in every case. `retainRetired = true` + a scheduled
+    * [[vacuum]](grace ≥ the longest probe) is the serving
+    * configuration: in-flight probes survive the whole maintenance
+    * cycle (the Iceberg/Delta expire-snapshots contract). The default
+    * (immediate vacuum) is for exclusively-owned indexes — batch
+    * pipelines and the streaming gate — where nothing concurrent can
+    * hold the old files.
     *
     * Crash recovery — every interrupted state is completed or
-    * discarded by the NEXT compact() call (the [[rebuildFrom]]
-    * convention):
-    *  - a stage without `_EPOCHS` is incomplete → stage AND its
-    *    `bands/epoch=<stage-uuid>` rows are deleted;
+    * discarded by the NEXT compact() (or [[vacuum]]) call (the
+    * [[rebuildFrom]] convention), and is probe-consistent MEANWHILE:
+    *  - a stage without `_EPOCHS` is incomplete → the stage is deleted
+    *    and its `bands/epoch=<stage-uuid>` rows retired (they were
+    *    probe-visible, so a reader may still hold them — the grace
+    *    applies to them too);
     *  - a stage WITH `_EPOCHS` is a committed-but-unswapped
-    *    compaction → recovery deletes whichever manifest epochs still
-    *    exist (their rows live in the stage) and renames the stage in;
+    *    compaction → recovery renames it in and finishes the marking;
     *    epochs appended AFTER the crash are not in the manifest and
     *    survive untouched;
-    *  - the marker from a crashed pass stays until recovery completes,
-    *    keeping probes failing fast instead of scanning a
-    *    half-swapped tree.
+    *  - a committed epoch still carrying `_EPOCHS` (crash mid-marking)
+    *    → the marking completes idempotently.
     *
     * `targetFiles = 0` (default) plans the compacted file count from
     * the selected epochs' REAL byte size ([[compactionFilesFor]] —
@@ -430,7 +462,8 @@ object DedupIndex {
     * count only to pin a test fixture. */
   def compact(spark: SparkSession, path: String,
       targetFiles: Int = 0,
-      maxEpochBytes: Long = Long.MaxValue): Unit = {
+      maxEpochBytes: Long = Long.MaxValue,
+      retainRetired: Boolean = false): Unit = {
     require(targetFiles >= 0,
       s"targetFiles=$targetFiles must be >= 0 (0 = plan from bytes)")
     require(maxEpochBytes > 0,
@@ -444,21 +477,20 @@ object DedupIndex {
     val gramsDir = new org.apache.hadoop.fs.Path(s"$path/grams")
     val fs = gramsDir.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(path, CompactingMarker)
-    // the marker guards EVERY mutation below (recovery included): it
-    // goes up first and comes down only on the consistent-tree exits,
-    // so a crash at any point leaves probes failing fast until the
-    // next compact() finishes the recovery
-    touch(fs, marker)
     recoverCompaction(fs, path)
+    def finish(): Unit = if (!retainRetired) vacuum(spark, path, 0L)
+    // live = not retired (recovery above resolved every manifest into
+    // markers, so markers are the complete retirement record here)
     val epochStats = Option(fs.listStatus(gramsDir))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .filterNot(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, RetiredMarker)))
       .map(s => (s.getPath.getName.stripPrefix("epoch="),
         fs.getContentSummary(s.getPath).getLength))
       .sortBy(_._2)
     require(epochStats.nonEmpty,
-      s"index at $path has no grams epochs — nothing to compact")
+      s"index at $path has no live grams epochs — nothing to compact")
     // size-tiered selection with promotion: the under-tier prefix
     // seeds the merge set; larger epochs are absorbed smallest-first
     // while the aggregate has grown past each one's size — so a big
@@ -467,7 +499,7 @@ object DedupIndex {
     // O(log) live epochs; see the scaladoc)
     val (tier, rest) = epochStats.partition(_._2 <= maxEpochBytes)
     if (tier.isEmpty) { // every epoch already above the tier
-      fs.delete(marker, false)
+      finish()
       return
     }
     var agg = tier.map(_._2).sum
@@ -486,7 +518,7 @@ object DedupIndex {
       // one small epoch already at its planned file count: merging it
       // with itself would re-rewrite the same bytes every maintenance
       // cycle — the exact cost the tier exists to avoid
-      fs.delete(marker, false)
+      finish()
       return
     }
     val epochs = selected.map(_._1).toSeq
@@ -494,9 +526,11 @@ object DedupIndex {
     val stage = new org.apache.hadoop.fs.Path(path,
       s"grams_compact-$stageUuid")
     // coalesce, not repartition: file-count control without shuffling
-    // the merged gram volume (rows have no required order or key)
-    spark.read.parquet(s"$path/grams")
-      .where(col("epoch").isin(epochs: _*))
+    // the merged gram volume (rows have no required order or key).
+    // Read the SELECTED epoch dirs explicitly — an isin over the dir
+    // listing would also pick up retired-but-unvacuumed epochs' rows
+    spark.read.option("basePath", gramsDir.toString)
+      .parquet(epochs.map(e => s"$path/grams/epoch=$e"): _*)
       .select("id", "gram_hashes")
       .coalesce(nGrams)
       .write.parquet(stage.toString)
@@ -526,11 +560,50 @@ object DedupIndex {
     writeManifest(fs, new org.apache.hadoop.fs.Path(stage, "_EPOCHS"),
       epochs)
     commitGramsStage(fs, path, stage)
-    fs.delete(marker, false)
+    finish()
+  }
+
+  /** Marker file inside a retired epoch directory: the epoch's rows
+    * live on (so probes planned before the retirement keep reading
+    * them) but every NEW plan excludes it; [[vacuum]] deletes marked
+    * epochs once the operator's grace has passed. */
+  val RetiredMarker = "_RETIRED"
+
+  /** Physically delete retired epochs older than `olderThanMillis`
+    * (marker mtime) from both tables — the disk-reclaim half of the
+    * snapshot-isolation contract: [[compact]] only ever MARKS epochs
+    * retired, so probes planned before a compaction keep working;
+    * vacuum is where their files actually go away, and the grace is
+    * the operator's promise about the longest-running probe (the
+    * Iceberg/Delta expire-snapshots shape). Completes any interrupted
+    * retirement marking first, so it is safe to call on a crashed
+    * tree. Zero grace (the [[compact]] default's internal call)
+    * reclaims everything retired. */
+  def vacuum(spark: SparkSession, path: String,
+      olderThanMillis: Long = 0L): Unit = {
+    require(olderThanMillis >= 0,
+      s"olderThanMillis=$olderThanMillis must be >= 0")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    completeRetirement(fs, path)
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    Seq("grams", "bands").foreach { sub =>
+      Option(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("epoch="))
+        .foreach { d =>
+          val m = new org.apache.hadoop.fs.Path(d.getPath, RetiredMarker)
+          if (fs.exists(m) &&
+              fs.getFileStatus(m).getModificationTime <= cutoff)
+            fs.delete(d.getPath, true)
+        }
+    }
   }
 
   /** Step 1 of [[compact]]: complete or discard residue of a crashed
-    * compaction, then GC orphan bands epochs. A no-op on a clean tree. */
+    * compaction, then retire orphan bands epochs. A no-op on a clean
+    * tree. */
   private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Unit = {
     def glob(pattern: String) =
@@ -540,60 +613,83 @@ object DedupIndex {
       if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_EPOCHS")))
         commitGramsStage(fs, path, st.getPath)
       else {
-        // incomplete stage: discard it AND the merged-epoch band rows
-        // it may have appended (they are derived from the discarded
-        // stage — without the GC they would mint duplicate candidates
-        // forever)
+        // incomplete stage: discard it AND retire the merged-epoch
+        // band rows it may have appended (they derive from the
+        // discarded stage; they were probe-visible — harmless
+        // duplicate candidates — so they take the retirement path,
+        // not a hard delete a long-running reader could trip on)
         val uuid = st.getPath.getName.stripPrefix("grams_compact-")
         fs.delete(st.getPath, true)
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$path/bands/epoch=$uuid"), true)
+        retire(fs, new org.apache.hadoop.fs.Path(
+          s"$path/bands/epoch=$uuid"))
       }
     }
-    // orphan-bands GC: a bands epoch with no grams twin is crash
-    // residue — a failed append (bands commit first, grams last; the
-    // gate replays the batch under a fresh epoch) or a discarded
-    // stage. Never live data, because every committed epoch has both
-    // tables; harmless to probes (duplicate candidates dedup), but
-    // permanent bloat without this sweep.
+    completeRetirement(fs, path)
+    // orphan-bands retirement: a bands epoch with no grams twin (live
+    // OR retired) is crash residue — a failed append (bands commit
+    // first, grams last; the gate replays the batch under a fresh
+    // epoch). Never live data, harmless to probes (duplicate
+    // candidates dedup), but permanent bloat unless retired here and
+    // reclaimed by vacuum.
     def epochNames(sub: String): Set[String] =
       Option(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub")))
         .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
         .filter(s => s.isDirectory &&
           s.getPath.getName.startsWith("epoch="))
         .map(_.getPath.getName.stripPrefix("epoch=")).toSet
-    val live = epochNames("grams")
-    (epochNames("bands") -- live).foreach { e =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands/epoch=$e"),
-        true)
+    val twins = epochNames("grams")
+    (epochNames("bands") -- twins).foreach { e =>
+      retire(fs, new org.apache.hadoop.fs.Path(s"$path/bands/epoch=$e"))
     }
   }
 
-  /** Commit a COMPLETE grams stage (has `_EPOCHS`): delete the
-    * manifest epochs from BOTH tables — their gram rows live in the
-    * stage and their band rows were re-derived under the stage uuid
-    * before the manifest was written — then rename the stage in as one
-    * new epoch. Idempotent: a re-run after any crash point finishes
-    * the remaining deletes and the rename. */
+  /** Finish any interrupted retirement marking: a committed epoch
+    * still carrying its `_EPOCHS` manifest names epochs whose markers
+    * may not all be down yet — touch them (idempotent) and drop the
+    * manifest. New probes treat manifest-named epochs as retired even
+    * before this runs, so the window needs no lock. */
+  private def completeRetirement(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit =
+    Option(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/grams")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .foreach { d =>
+        val manifest = new org.apache.hadoop.fs.Path(d.getPath, "_EPOCHS")
+        if (fs.exists(manifest)) {
+          readLines(fs, manifest).foreach { e =>
+            retire(fs, new org.apache.hadoop.fs.Path(
+              s"$path/grams/epoch=$e"))
+            retire(fs, new org.apache.hadoop.fs.Path(
+              s"$path/bands/epoch=$e"))
+          }
+          fs.delete(manifest, false)
+        }
+      }
+
+  private def retire(fs: org.apache.hadoop.fs.FileSystem,
+      epochDir: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(epochDir))
+      touch(fs, new org.apache.hadoop.fs.Path(epochDir, RetiredMarker))
+
+  /** Commit a COMPLETE grams stage (has `_EPOCHS`): rename it in as
+    * one new epoch — the manifest rides inside, so from this instant
+    * new probes exclude the merged epochs by manifest — then finish
+    * the retirement marking. Idempotent: a re-run after any crash
+    * point finishes the rename and/or the marking. */
   private def commitGramsStage(fs: org.apache.hadoop.fs.FileSystem,
       path: String, stage: org.apache.hadoop.fs.Path): Unit = {
-    val epochs = readLines(fs,
-      new org.apache.hadoop.fs.Path(stage, "_EPOCHS"))
-    epochs.foreach { e =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/grams/epoch=$e"),
-        true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands/epoch=$e"),
-        true)
-    }
     val uuid = stage.getName.stripPrefix("grams_compact-")
     val committed = new org.apache.hadoop.fs.Path(
       s"$path/grams/epoch=$uuid")
     fs.mkdirs(committed.getParent)
     require(fs.rename(stage, committed),
       s"compact: failed to commit grams stage $stage -> $committed")
-    // tidy the manifest out of the live epoch (underscore files are
-    // invisible to parquet readers — losing this delete is harmless)
-    fs.delete(new org.apache.hadoop.fs.Path(committed, "_EPOCHS"), false)
+    // marking AFTER the rename: between the two, new probes exclude
+    // the merged epochs via the manifest now inside the committed
+    // epoch (underscore files are invisible to parquet readers, so
+    // the data read is unaffected); completeRetirement drops it once
+    // every marker is down
+    completeRetirement(fs, path)
   }
 
   /** How many bytes of source data one compacted file should hold —
@@ -669,14 +765,21 @@ object DedupIndex {
     * [[Dedup.minhashCrossDupPairs]], with the corpus side read from
     * the persisted tables instead of recomputed.
     *
-    * Fails fast on a shingler mismatch with the index meta, on
+    * Fails fast on a shingler mismatch with the index meta, and on
     * `threshold` below the index's design threshold (the persisted
     * banding would silently miss pairs at that level — rebuild with
-    * banding planned for the lower threshold instead), and on a
-    * [[CompactingMarker]] (a compaction is running — or crashed — and
-    * the probe would otherwise race the epoch swap into a mid-scan
-    * FileNotFound, or worse, silently lose pairs from a half-swapped
-    * tree; re-run compact() to finish recovery).
+    * banding planned for the lower threshold instead).
+    *
+    * SNAPSHOT-ISOLATED vs maintenance: the plan resolves the LIVE
+    * epoch set at construction time — retired epochs (marker or a
+    * committed-but-still-marking compaction's manifest) are excluded
+    * from the explicit path list, and since [[compact]] never deletes
+    * what it retires (that is [[vacuum]]'s job, under the operator's
+    * grace), a frame planned at ANY point before/during/after a
+    * compaction — or after a crash of one, before recovery — reads a
+    * consistent epoch snapshot and serves the same pair set. The one
+    * contract left for the operator is the vacuum grace ≥ the longest
+    * probe.
     *
     * Two plans, chosen from the batch's real row count (one cheap
     * count() over the raw batch frame at plan-construction time — the
@@ -696,13 +799,6 @@ object DedupIndex {
   def probe(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
       shingler: Shingler = Shingler.word(3)): DataFrame = {
-    val marker = new org.apache.hadoop.fs.Path(path, CompactingMarker)
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(marker),
-      s"index at $path is mid-compaction (or a compaction crashed): " +
-        "a probe would race the epoch swap. Wait for the pass, or " +
-        "re-run DedupIndex.compact to finish crash recovery, then " +
-        "probe again.")
     val meta = readMeta(spark, path)
     meta.requireShingler(shingler, path, "probe")
     meta.designThreshold.foreach { t0 =>
@@ -713,19 +809,74 @@ object DedupIndex {
           "Rebuild with banding planned for the lower threshold " +
           "(Dedup.lshPlanFor).")
     }
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val retired = retiredEpochs(fs, path)
+    val gramsT = liveTable(spark, fs, path, "grams", retired)
+      .select("id", "gram_hashes")
+    val bandsT = liveTable(spark, fs, path, "bands", retired)
     if (batch.count() <= maxBroadcastBatch(spark))
-      probeBroadcast(spark, path, batch, idCol, textCol, threshold,
+      probeBroadcast(gramsT, bandsT, batch, idCol, textCol, threshold,
         shingler, meta)
     else
-      probeKeyed(spark, path, batch, idCol, textCol, threshold,
+      probeKeyed(gramsT, bandsT, batch, idCol, textCol, threshold,
         shingler, meta)
+  }
+
+  /** The retirement record a new plan must exclude: epochs carrying a
+    * [[RetiredMarker]] in either table, plus epochs named by any
+    * committed compaction's still-riding `_EPOCHS` manifest (the
+    * rename-then-mark window — treating the manifest as retirement
+    * makes that window need no lock: without it, a probe planned
+    * after the rename but before the markers land would read each
+    * merged id twice and emit duplicate pairs). */
+  private def retiredEpochs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Set[String] = {
+    def epochDirs(sub: String) =
+      Option(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("epoch="))
+    val all = epochDirs("grams") ++ epochDirs("bands")
+    val byMarker = all.filter(d => fs.exists(
+        new org.apache.hadoop.fs.Path(d.getPath, RetiredMarker)))
+      .map(_.getPath.getName.stripPrefix("epoch="))
+    val byManifest = epochDirs("grams").flatMap { d =>
+      val m = new org.apache.hadoop.fs.Path(d.getPath, "_EPOCHS")
+      if (fs.exists(m)) readLines(fs, m) else Seq.empty
+    }
+    (byMarker ++ byManifest).toSet
+  }
+
+  /** One table's LIVE rows: the non-retired epoch directories read as
+    * explicit paths (basePath keeps the partition columns), or the
+    * whole directory for a pre-epoch v1 layout (no epoch dirs — flat
+    * files / flat band=k dirs, nothing is ever retired there). */
+  private def liveTable(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, sub: String,
+      retired: Set[String]): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    val epochs = Option(fs.listStatus(dir))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+    if (epochs.isEmpty) spark.read.parquet(dir.toString)
+    else {
+      val live = epochs.filterNot(e =>
+        retired(e.getPath.getName.stripPrefix("epoch=")))
+      require(live.nonEmpty,
+        s"index at $path has no live $sub epochs — every epoch is " +
+          "retired, which no committed state produces; restore the " +
+          "tree before probing")
+      spark.read.option("basePath", dir.toString)
+        .parquet(live.map(_.getPath.toString): _*)
+    }
   }
 
   /** The crawl-increment plan: batch side computed twice (bands + gram
     * sets) — both passes are over the small side and both ship as
     * broadcasts; the result stays lazy, so there is nothing to
     * pin-and-release here. */
-  private def probeBroadcast(spark: SparkSession, path: String,
+  private def probeBroadcast(gramsT: DataFrame, bandsT: DataFrame,
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingler: Shingler, meta: Meta): DataFrame = {
     val bsh = batch
@@ -733,13 +884,13 @@ object DedupIndex {
       .where(size(col("_sh")) > 0)
     val bb = Dedup.bandTriples(bsh, "batch_id", "_sh", meta.bands,
       meta.rowsPerBand)
-    val cands = spark.read.parquet(s"$path/bands")
+    val cands = bandsT
       .join(broadcast(bb), Seq("band", "bh"))
       .select("id", "batch_id")
       .dropDuplicates("id", "batch_id")
     // candidates broadcast back against the grams table: the (large)
     // index side streams through a BroadcastHashJoin — no shuffle
-    spark.read.parquet(s"$path/grams").select("id", "gram_hashes")
+    gramsT
       .join(broadcast(cands), Seq("id"))
       .join(broadcast(bsh.select(col("batch_id"),
         gramHashes(col("_sh")).as("_bg"))), Seq("batch_id"))
@@ -752,7 +903,7 @@ object DedupIndex {
     * table persists once (it feeds the banding AND the gram sets);
     * the verified-pair result — small by construction — is eagerly
     * materialized so the cache can be released before returning. */
-  private def probeKeyed(spark: SparkSession, path: String,
+  private def probeKeyed(gramsT: DataFrame, bandsT: DataFrame,
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingler: Shingler, meta: Meta): DataFrame = {
     val bsh = batch
@@ -762,12 +913,11 @@ object DedupIndex {
     try {
       val bb = Dedup.bandTriples(bsh, "batch_id", "_sh", meta.bands,
         meta.rowsPerBand)
-      val cands = spark.read.parquet(s"$path/bands")
+      val cands = bandsT
         .join(bb, Seq("band", "bh"))
         .select("id", "batch_id")
         .dropDuplicates("id", "batch_id")
-      val verified = spark.read.parquet(s"$path/grams")
-        .select("id", "gram_hashes")
+      val verified = gramsT
         .join(cands, Seq("id"))
         .join(bsh.select(col("batch_id"),
           gramHashes(col("_sh")).as("_bg")), Seq("batch_id"))

@@ -479,9 +479,8 @@ class DedupIndexSpec extends AnyFunSuite {
     // crash state A: a COMPLETE stage — data, the merged epoch's
     // bands (written BEFORE the manifest in the real protocol), and
     // the _EPOCHS manifest — with the manifest epochs still live
-    // (crash before any delete), plus an INCOMPLETE stage (no
-    // manifest) from an earlier attempt, and the marker both crashed
-    // runs left behind
+    // (crash before the commit rename), plus an INCOMPLETE stage (no
+    // manifest) from an earlier attempt
     val epochs = epochDirs(path).map(_.stripPrefix("epoch="))
     val stage = new Path(path, "grams_compact-crashA")
     spark.read.parquet(s"$path/grams").select("id", "gram_hashes")
@@ -493,33 +492,143 @@ class DedupIndexSpec extends AnyFunSuite {
     val out = fs.create(new Path(stage, "_EPOCHS"), false)
     out.write(epochs.mkString("\n").getBytes("UTF-8")); out.close()
     fs.mkdirs(new Path(path, "grams_compact-incomplete"))
-    fs.create(new Path(path, DedupIndex.CompactingMarker), false).close()
-    // the marker makes racing probes fail FAST with a recovery hint
-    // instead of scanning a half-swapped tree into a FileNotFound
-    val pe = intercept[IllegalArgumentException] {
-      DedupIndex.probe(spark, path, batch(), "doc_id", "text",
-        threshold = 0.5)
-    }
-    assert(pe.getMessage.contains("compact"), pe.getMessage)
-    // an append lands AFTER the crash, BEFORE recovery — its epoch is
-    // not in the manifest and must survive the recovering compact
-    // (appends stay legal under the marker by design)
-    DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
-      "doc_id", "text", path)
-    DedupIndex.compact(spark, path)
-    // marker cleared, stages gone, epochs = recovered merge + the
-    // post-crash append, re-merged by the recovering compact
-    assert(!fs.exists(new Path(path, DedupIndex.CompactingMarker)))
-    assert(fs.globStatus(new Path(s"$path/grams_compact-*")).isEmpty)
-    assert(epochDirs(path).size == 1)
     def run(p: String) = DedupIndex.probe(spark, p, batch(),
         "doc_id", "text", threshold = 0.5)
       .select(col("id"), col("batch_id"),
         round(col("jaccard"), 9).as("j")).collect()
       .map(_.toString).sorted.toSeq
+    // the crashed tree PROBES CORRECTLY before anyone recovers it —
+    // snapshot isolation's availability half: old epochs are intact
+    // (the stage never renamed), the stray merged-bands epoch only
+    // mints duplicate candidates which probe dedups
+    val freshEvens = tmp()
+    DedupIndex.build(evens, "doc_id", "text", freshEvens)
+    assert(run(path) == run(freshEvens),
+      "a crashed-mid-compaction tree must still serve the old snapshot")
+    // an append lands AFTER the crash, BEFORE recovery — its epoch is
+    // not in the manifest and must survive the recovering compact
+    DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", path)
+    DedupIndex.compact(spark, path)
+    // stages gone, retired epochs vacuumed (default), epochs =
+    // recovered merge + the post-crash append, re-merged
+    assert(fs.globStatus(new Path(s"$path/grams_compact-*")).isEmpty)
+    assert(epochDirs(path).size == 1)
     DedupIndex.build(docs, "doc_id", "text", fresh)
     assert(run(path).nonEmpty && run(path) == run(fresh),
       "recovered + appended index must probe exactly like a fresh build")
+  }
+
+  test("snapshot isolation: a probe frame PLANNED before a compaction " +
+      "still executes correctly after it (retainRetired defers the " +
+      "deletes to vacuum), new probes exclude retired epochs, and " +
+      "vacuum reclaims them under the grace contract") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp()
+    val fresh = tmp()
+    DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    Seq(1, 3).foreach { r =>
+      DedupIndex.append(docs.where(col("doc_id") % 4 === r),
+        "doc_id", "text", path)
+    }
+    DedupIndex.build(docs, "doc_id", "text", fresh)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("batch_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+        .map(_.toString).sorted.toSeq
+    // plan (lazily) BEFORE maintenance — the broadcast path returns a
+    // lazy frame whose file index is resolved now
+    val planned = DedupIndex.probe(spark, path, batch(),
+      "doc_id", "text", threshold = 0.5)
+    val truth = rows(DedupIndex.probe(spark, fresh, batch(),
+      "doc_id", "text", threshold = 0.5))
+    DedupIndex.compact(spark, path, retainRetired = true)
+    // the retired epochs still exist (marked, not deleted) …
+    val fs = hadoopFs(path)
+    val retiredDirs = fs.listStatus(new Path(s"$path/grams"))
+      .filter(s => s.isDirectory && fs.exists(
+        new Path(s.getPath, DedupIndex.RetiredMarker)))
+    assert(retiredDirs.length == 3,
+      s"expected the 3 merged epochs retained-retired, got " +
+        s"${retiredDirs.length}")
+    // … so the PRE-compaction frame executes against its snapshot
+    assert(rows(planned) == truth,
+      "a frame planned before compaction must survive it")
+    // new probes read the merged epoch only — same pair set
+    assert(rows(DedupIndex.probe(spark, path, batch(), "doc_id",
+      "text", threshold = 0.5)) == truth)
+    // vacuum with a generous grace keeps them; zero grace reclaims
+    DedupIndex.vacuum(spark, path, olderThanMillis = 3600000L)
+    assert(fs.listStatus(new Path(s"$path/grams")).count(s =>
+      s.isDirectory && fs.exists(new Path(s.getPath,
+        DedupIndex.RetiredMarker))) == 3,
+      "an hour-long grace must retain just-retired epochs")
+    DedupIndex.vacuum(spark, path)
+    assert(fs.listStatus(new Path(s"$path/grams")).count(_.getPath
+      .getName.startsWith("epoch=")) == 1,
+      "zero-grace vacuum must reclaim every retired epoch")
+    assert(rows(DedupIndex.probe(spark, path, batch(), "doc_id",
+      "text", threshold = 0.5)) == truth)
+  }
+
+  test("the rename-then-mark commit window is probe-consistent: a " +
+      "committed epoch still carrying its _EPOCHS manifest excludes " +
+      "the merged epochs from new plans — no duplicate pairs — and " +
+      "the next compact completes the marking") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp()
+    val fresh = tmp()
+    DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", path)
+    DedupIndex.build(docs, "doc_id", "text", fresh)
+    val fs = hadoopFs(path)
+    // synthesize the window: a merged epoch holding ALL current rows
+    // with the manifest still inside (rename done, markers not), its
+    // bands under the same uuid, the old epochs untouched
+    val old = epochDirs(path).map(_.stripPrefix("epoch="))
+    assert(old.size == 2)
+    val mcStage = new Path(path, "grams_stage-midcommit")
+    spark.read.parquet(s"$path/grams").select("id", "gram_hashes")
+      .coalesce(1).write.parquet(mcStage.toString)
+    assert(fs.rename(mcStage, new Path(s"$path/grams/epoch=midcommit")))
+    spark.read.parquet(s"$path/bands")
+      .where(col("epoch").isin(old: _*))
+      .select("id", "bh", "band")
+      .withColumn("epoch", lit("midcommit"))
+      .write.mode("append").partitionBy("epoch", "band")
+      .parquet(s"$path/bands")
+    val out = fs.create(
+      new Path(s"$path/grams/epoch=midcommit/_EPOCHS"), false)
+    out.write(old.mkString("\n").getBytes("UTF-8")); out.close()
+    // a probe in the window: every merged id exists TWICE on disk
+    // (old epochs + the committed copy) — manifest exclusion must
+    // keep the pair set exact, with zero duplicates
+    val got = DedupIndex.probe(spark, path, batch(), "doc_id", "text",
+        threshold = 0.5)
+      .select(col("id"), col("batch_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+      .map(_.toString).sorted.toSeq
+    val truth = DedupIndex.probe(spark, fresh, batch(), "doc_id",
+        "text", threshold = 0.5)
+      .select(col("id"), col("batch_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+      .map(_.toString).sorted.toSeq
+    assert(got == truth,
+      "the mid-commit window must serve the exact pair set (a " +
+        "double-counted id would duplicate pairs)")
+    // recovery (any compact) completes the marking and vacuums
+    DedupIndex.compact(spark, path)
+    assert(epochDirs(path).forall(d => !fs.exists(
+      new Path(s"$path/grams/$d/_EPOCHS"))))
+    val after = DedupIndex.probe(spark, path, batch(), "doc_id",
+        "text", threshold = 0.5)
+      .select(col("id"), col("batch_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+      .map(_.toString).sorted.toSeq
+    assert(after == truth)
   }
 
   test("a TRUNCATED manifest cannot be trusted: the atomic-rename " +
