@@ -57,7 +57,8 @@ object Bench {
     * (the box is busy but this JVM is starved); a genuine plan
     * regression keeps both flat round-over-round. */
   private case class PassLoad(label: String, loadBefore: Double,
-      loadAfter: Double, wallSec: Double, cpuSec: Double) {
+      loadAfter: Double, wallSec: Double, cpuSec: Double,
+      prevSelfLoad: Double) {
     def loadMax: Double = math.max(loadBefore, loadAfter)
     /** This JVM's own average CPU demand inside the pass — the part of
       * the boundary loadavg the bench itself put there. */
@@ -67,13 +68,19 @@ object Bench {
       * load estimate the quiet rule bounds (r15 verdict #2: a rule on
       * TOTAL load can never flag the extras block quiet, because the
       * bench's own ~0.5×threads extras load trips it on an empty box).
-      * Approximate by construction — loadavg is a 1-minute EWMA, so a
-      * boundary sample blends this pass's load with the previous
-      * pass's decay — but the bench runs its passes back-to-back and
-      * they carry similar self-load, so the subtraction removes the
-      * right-sized term; the honest residual error is far below the
-      * threads×0.5 threshold that separates quiet from contaminated. */
-    def cotenantLoad: Double = math.max(0.0, loadMax - selfLoad)
+      * EACH boundary subtracts the self-load that actually fed its
+      * 1-minute EWMA (r16 advice): `load_before` mostly reflects the
+      * PREVIOUS pass (so the previous pass's self-load is subtracted —
+      * 0 for the first pass, conservatively over-counting whatever ran
+      * before the bench), `load_after` reflects THIS pass. Subtracting
+      * this pass's self from a boundary dominated by a heavier
+      * previous pass would otherwise over-correct and certify a
+      * genuinely contaminated pass quiet. Approximate by construction;
+      * the honest residual error is far below the threads×0.5
+      * threshold that separates quiet from contaminated, and the
+      * cpu/wall floor backstops the blind spots. */
+    def cotenantLoad: Double = math.max(0.0,
+      math.max(loadBefore - prevSelfLoad, loadAfter - selfLoad))
     def json: String = {
       val ratio = if (wallSec > 0 && cpuSec >= 0) cpuSec / wallSec else -1.0
       f"""{"pass":"$label","load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"wall_sec":$wallSec%.2f,"cpu_sec":$cpuSec%.2f,"cpu_wall":$ratio%.2f,"cotenant_load":$cotenantLoad%.2f}"""
@@ -133,7 +140,11 @@ object Bench {
         val wall = (System.nanoTime() - t0) / 1e9
         passLoads += PassLoad(
           if (failed) s"$label(failed)" else label, l0, loadAvg(), wall,
-          if (c0 >= 0) processCpuSec() - c0 else -1.0)
+          if (c0 >= 0) processCpuSec() - c0 else -1.0,
+          // the self-load that fed the load_before EWMA is the
+          // PREVIOUS pass's (0 for the first: whatever ran before the
+          // bench counts as co-tenant, the conservative direction)
+          passLoads.lastOption.map(_.selfLoad).getOrElse(0.0))
       }
     }
     def newSession(): SparkSession = {
@@ -357,6 +368,7 @@ object Bench {
       "q_exact_substr", "q_exact_substr_keep", "q_gopher_repetition",
       "q_dsir", "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_res",
       "q_ann_index_compact",
+      "q_ann_retrain",
       "q_c4_clean", "q_para_dedup", "q_kmeans_iter", "q_sp_vocab",
       "q_sp_roundtrip", "q_mixture_temperature", "q_corpus_shuffle",
       "q_train_examples", "q_nfc_normalize", "q_token_histogram",

@@ -66,7 +66,8 @@ object Verify {
         SparkEntry.oracleSql
       else SparkEntry.oracleSql - "q_ann_ivf" - "q_ann_pq" -
         "q_ann_ivfpq" - "q_ann_ivfpq_res" - "q_ann_index_compact" -
-        "q_semdedup_planned" - "q_semdedup_probe2_planned"
+        "q_ann_retrain" - "q_semdedup_planned" -
+        "q_semdedup_probe2_planned"
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -84,17 +84,16 @@ object DedupIndex {
     *    grams epochs — tiered [[compact]] works. */
   val MetaVersion = 3
 
-  /** Marker file a running (or crashed) [[AnnIndex.compact]] leaves at
-    * its index root: [[AnnIndex.probe]] fails fast on it instead of
-    * racing the commit's delete-then-move into an opaque mid-scan
-    * FileNotFound (the ANN assignments are the only copy of the
-    * vectors and move PHYSICALLY, so the dedup index's
-    * retirement-by-marker snapshot isolation does not transfer).
-    * [[DedupIndex.compact]] itself no longer needs one: retirement is
-    * a marker, the commit order keeps every intermediate state
-    * probe-consistent, and [[vacuum]]'s grace covers long-running
-    * readers. Lives here because the manifest/recovery protocol this
-    * file defines is what both compactors share. */
+  /** LEGACY marker file a pre-generation [[AnnIndex]] compaction left
+    * at its index root: that protocol moved the only copy of the
+    * vectors in place, so probes had to fail fast on the marker.
+    * Since the generation-versioned ANN layout (r17), BOTH indexes
+    * serve through maintenance — retirement is a marker, commits are
+    * renames, [[vacuum]]'s grace covers long-running readers — and
+    * the marker is consulted only when probing an un-migrated legacy
+    * ANN tree ([[AnnIndex.rebuildFrom]] migrates). Lives here because
+    * the manifest/recovery protocol this file defines is what both
+    * compactors share. */
   val CompactingMarker = "_COMPACTING"
 
   /** Batch row count above which [[probe]] stops broadcasting the
@@ -359,10 +358,12 @@ object DedupIndex {
     * retirement-by-marker (below) keeps every probe state consistent,
     * so probes constructed at ANY point during (or after a crash of)
     * a compaction serve the correct pair set, and appends are additive
-    * (an epoch not in the manifest survives commit untouched). The
-    * exclusive-access clause of earlier rounds is gone; what remains
-    * is the vacuum grace contract for long-RUNNING probes (see
-    * `retainRetired`).
+    * (an epoch not in the manifest survives commit untouched — and the
+    * recovery GC's [[OrphanGraceMillis]] age gate keeps it from
+    * mistaking an in-flight append's bands-without-grams window for
+    * crash residue). The exclusive-access clause of earlier rounds is
+    * gone; what remains is the vacuum grace contract for long-RUNNING
+    * probes (see `retainRetired`).
     *
     * TIERED by `maxEpochBytes` (the LSM/size-tiered discipline): the
     * merge set is every epoch at or under the threshold, PLUS — the
@@ -491,35 +492,56 @@ object DedupIndex {
       .sortBy(_._2)
     require(epochStats.nonEmpty,
       s"index at $path has no live grams epochs — nothing to compact")
-    // size-tiered selection with promotion: the under-tier prefix
-    // seeds the merge set; larger epochs are absorbed smallest-first
-    // while the aggregate has grown past each one's size — so a big
-    // epoch is rewritten only when ~its own volume of new data has
-    // accumulated (geometric folding, O(log) rewrites per byte AND
-    // O(log) live epochs; see the scaladoc)
-    val (tier, rest) = epochStats.partition(_._2 <= maxEpochBytes)
-    if (tier.isEmpty) { // every epoch already above the tier
+    // size-tiered selection with promotion ([[tieredSelect]], shared
+    // with [[AnnIndex.compact]]): a big epoch is rewritten only when
+    // ~its own volume of new data has accumulated (geometric folding,
+    // O(log) rewrites per byte AND O(log) live epochs; see the scaladoc)
+    val selected = tieredSelect(epochStats, maxEpochBytes)
+    if (selected.isEmpty) { // every epoch already above the tier
       finish()
       return
     }
-    var agg = tier.map(_._2).sum
-    val promoted = rest.takeWhile { case (_, bytes) =>
-      val in = bytes <= agg
-      if (in) agg += bytes
-      in
-    }
-    val selected = tier ++ promoted
     val nGrams =
       if (targetFiles > 0) targetFiles
       else compactionFilesFor(selected.map(_._2).sum)
-    if (selected.length == 1 && dataFileCount(fs,
-        new org.apache.hadoop.fs.Path(gramsDir,
-          s"epoch=${selected.head._1}")) <= nGrams) {
-      // one small epoch already at its planned file count: merging it
-      // with itself would re-rewrite the same bytes every maintenance
-      // cycle — the exact cost the tier exists to avoid
-      finish()
-      return
+    // plan the bands file count HERE (not only at write time) because
+    // the early return below must check it too: a v1-migrated epoch
+    // inherits v1's flat band-file population by pure moves, so it can
+    // be grams-compact while carrying hundreds of band files — an
+    // early return keyed on grams alone would park that small-files
+    // population forever on the tiered path (r16 verdict #2)
+    val selBandsBytes = selected.map { case (e, _) =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/bands/epoch=$e")
+      if (fs.exists(d)) fs.getContentSummary(d).getLength else 0L
+    }.sum
+    val nBands =
+      if (targetFiles > 0) targetFiles
+      else compactionFilesFor(
+        if (selBandsBytes > 0) selBandsBytes else selected.map(_._2).sum)
+    if (selected.length == 1) {
+      val soleBands = new org.apache.hadoop.fs.Path(
+        s"$path/bands/epoch=${selected.head._1}")
+      // the achievable floor for the (epoch, band)-partitioned bands
+      // is one file per band value present — a byte plan below that is
+      // unreachable by ANY rewrite, so gating on nBands alone would
+      // re-rewrite the same epoch every maintenance cycle
+      val bandFloor =
+        if (!fs.exists(soleBands)) 0
+        else Option(fs.listStatus(soleBands))
+          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+          .count(s => s.isDirectory &&
+            s.getPath.getName.startsWith("band="))
+      if (dataFileCount(fs, new org.apache.hadoop.fs.Path(gramsDir,
+            s"epoch=${selected.head._1}")) <= nGrams &&
+          dataFileCountRecursive(fs, soleBands)
+            <= math.max(nBands, bandFloor)) {
+        // one small epoch already at its planned file count in BOTH
+        // tables: merging it with itself would re-rewrite the same
+        // bytes every maintenance cycle — the exact cost the tier
+        // exists to avoid
+        finish()
+        return
+      }
     }
     val epochs = selected.map(_._1).toSeq
     val stageUuid = java.util.UUID.randomUUID().toString
@@ -536,16 +558,9 @@ object DedupIndex {
       .write.parquet(stage.toString)
     // merged epoch's bands, derived from the staged grams (bands are
     // a pure function of the stored hashes — provably consistent),
-    // planned from the retired bands' real bytes (same rows re-laid)
-    val bandsBytes = epochs.map { e =>
-      val d = new org.apache.hadoop.fs.Path(s"$path/bands/epoch=$e")
-      if (fs.exists(d)) fs.getContentSummary(d).getLength else 0L
-    }.sum
-    val nBands =
-      if (targetFiles > 0) targetFiles
-      else compactionFilesFor(
-        if (bandsBytes > 0) bandsBytes else selected.map(_._2).sum)
-    // range-partition on (band, bh): each output partition spans one
+    // planned from the retired bands' real bytes (same rows re-laid;
+    // nBands computed above, where the early return checks it).
+    // Range-partition on (band, bh): each output partition spans one
     // or two band values, so the partitionBy write produces ~nBands
     // files TOTAL (a hash repartition on `band` alone would collapse
     // parallelism to |bands| tasks; no repartition at all would
@@ -575,10 +590,14 @@ object DedupIndex {
     * retired, so probes planned before a compaction keep working;
     * vacuum is where their files actually go away, and the grace is
     * the operator's promise about the longest-running probe (the
-    * Iceberg/Delta expire-snapshots shape). Completes any interrupted
-    * retirement marking first, so it is safe to call on a crashed
-    * tree. Zero grace (the [[compact]] default's internal call)
-    * reclaims everything retired. */
+    * Iceberg/Delta expire-snapshots shape). The floor for that promise
+    * is MEASURED, not guessed: `graft.tools.ProbeGraceBench` reports
+    * worst-case probe plan-to-finish wall time per probe shape at
+    * sf0.1 and 10× (SCALING.md "vacuum-grace floor" table) — set the
+    * grace to a comfortable multiple of the slowest shape served.
+    * Completes any interrupted retirement marking first, so it is
+    * safe to call on a crashed tree. Zero grace (the [[compact]]
+    * default's internal call) reclaims everything retired. */
   def vacuum(spark: SparkSession, path: String,
       olderThanMillis: Long = 0L): Unit = {
     require(olderThanMillis >= 0,
@@ -626,11 +645,21 @@ object DedupIndex {
     }
     completeRetirement(fs, path)
     // orphan-bands retirement: a bands epoch with no grams twin (live
-    // OR retired) is crash residue — a failed append (bands commit
-    // first, grams last; the gate replays the batch under a fresh
-    // epoch). Never live data, harmless to probes (duplicate
-    // candidates dedup), but permanent bloat unless retired here and
-    // reclaimed by vacuum.
+    // OR retired) is USUALLY crash residue — a failed append (bands
+    // commit first, grams last; the gate replays the batch under a
+    // fresh epoch). But an IN-FLIGHT concurrent append is
+    // indistinguishable from that residue by structure alone: it too
+    // has committed bands and not yet grams, and retiring it here
+    // (then vacuuming, on the default path) would leave the index
+    // permanently serving grams-without-bands once its grams epoch
+    // lands — silently missing pairs. The bands→grams gap in a live
+    // append is one directory rename plus job planning (the grams
+    // stage is fully written BEFORE the bands write starts — see
+    // [[writeTables]]), so AGE separates the two cases cleanly: only
+    // orphans whose bands dir has sat unmodified for
+    // [[OrphanGraceMillis]] are retired; younger ones are left for a
+    // later pass. Harmless meanwhile — orphan band rows only mint
+    // duplicate candidates, which probe dedups.
     def epochNames(sub: String): Set[String] =
       Option(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub")))
         .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
@@ -638,10 +667,21 @@ object DedupIndex {
           s.getPath.getName.startsWith("epoch="))
         .map(_.getPath.getName.stripPrefix("epoch=")).toSet
     val twins = epochNames("grams")
+    val cutoff = System.currentTimeMillis() - OrphanGraceMillis
     (epochNames("bands") -- twins).foreach { e =>
-      retire(fs, new org.apache.hadoop.fs.Path(s"$path/bands/epoch=$e"))
+      val d = new org.apache.hadoop.fs.Path(s"$path/bands/epoch=$e")
+      if (fs.getFileStatus(d).getModificationTime <= cutoff)
+        retire(fs, d)
     }
   }
+
+  /** How long an orphan bands epoch (bands without a grams twin) must
+    * sit unmodified before the recovery GC treats it as crash residue
+    * rather than an in-flight append's not-yet-twinned bands. A live
+    * append closes the gap in seconds (grams are staged before the
+    * bands write and commit by one rename); an hour of silence is
+    * residue. */
+  val OrphanGraceMillis: Long = 60L * 60 * 1000
 
   /** Finish any interrupted retirement marking: a committed epoch
     * still carrying its `_EPOCHS` manifest names epochs whose markers
@@ -718,7 +758,45 @@ object DedupIndex {
       .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
 
-  private def touch(fs: org.apache.hadoop.fs.FileSystem,
+  /** Data files anywhere under `dir` (partitioned tables nest them in
+    * value subdirs — bands epochs, ANN cell dirs). 0 for a missing
+    * dir. Shared with [[AnnIndex.compact]]'s early return. */
+  private[operators] def dataFileCountRecursive(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Int =
+    if (!fs.exists(dir)) 0
+    else Option(fs.listStatus(dir))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .map { s =>
+        if (s.isDirectory) dataFileCountRecursive(fs, s.getPath)
+        else if (!s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")) 1
+        else 0
+      }.sum
+
+  /** Size-tiered merge selection with promotion — the policy both
+    * persisted indexes compact under ([[compact]] scaladoc for the
+    * cost model). `stats` must be (epoch, bytes) sorted by bytes
+    * ascending; returns the merge set: every epoch at or under
+    * `maxEpochBytes`, plus larger epochs absorbed smallest-first while
+    * the aggregate has grown past each one's size. Empty when nothing
+    * is under the tier. */
+  private[operators] def tieredSelect(stats: Seq[(String, Long)],
+      maxEpochBytes: Long): Seq[(String, Long)] = {
+    val (tier, rest) = stats.partition(_._2 <= maxEpochBytes)
+    if (tier.isEmpty) Seq.empty
+    else {
+      var agg = tier.map(_._2).sum
+      val promoted = rest.takeWhile { case (_, bytes) =>
+        val in = bytes <= agg
+        if (in) agg += bytes
+        in
+      }
+      tier ++ promoted
+    }
+  }
+
+  private[operators] def touch(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Unit = {
     if (!fs.exists(p)) {
       val out = fs.create(p, false)
@@ -734,7 +812,7 @@ object DedupIndex {
     * truncated epoch list leaves the unlisted epochs alive beside
     * their stage copies — duplicate index rows). Shared with
     * [[AnnIndex.compact]]'s `_FILES`. */
-  private[operators] def writeManifest(
+  private[graft] def writeManifest(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(p.getParent,
@@ -746,7 +824,7 @@ object DedupIndex {
       s"failed to commit manifest $tmp -> $p")
   }
 
-  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readLines(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[String] = {
     val in = fs.open(p)
     try {

@@ -2171,6 +2171,33 @@ object DocQueries {
       } finally deleteRecursively(new java.io.File(tmp))
     }),
 
+    // ---- the drift signal's REMEDY verb (r16 verdict #2): build →
+    // retrain FROM THE STORED VECTORS (the caller no longer holds the
+    // corpus frame — the assignments table IS the corpus) → probe the
+    // new generation. trainOnSample is order-insensitive (hash-filter
+    // + id-ordered take), so retraining over the same logical rows
+    // with the same (nlist, seed) reproduces the fresh build's
+    // quantizer exactly — the retrained index must rank exactly like
+    // the live operator, which is why it shares the pinned-centroid
+    // oracle (the q_ann_index_compact convention) ----
+    "q_ann_retrain" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ann_retrain_").toString
+      try {
+        AnnIndex.build(emb, "vec_id", "embedding", tmp, nlist = 8)
+        AnnIndex.retrain(s, tmp, nlist = 8)
+        AnnIndex.probe(s, tmp, queries, "vec_id", "embedding",
+            k = 10, nprobe = 4)
+          .select(col("query_id"), col("id"), col("rank"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint()
+      } finally deleteRecursively(new java.io.File(tmp))
+    }),
+
     // ---- IVF-PQ ANN (IVFADC, the standard FAISS pairing): coarse cell
     // routing makes the quantized ADC ranking probe-bucket sized instead
     // of corpus-sized — the scale rung above q_ann_pq's exhaustive ADC.
@@ -4798,6 +4825,11 @@ ORDER BY src_id"""
     // it shares the pinned-centroid oracle — the dedupIndexProbeOracle
     // convention
     "q_ann_index_compact" -> IvfOracle.sql,
+    // build→retrain-from-stored-vectors→probe: the deterministic
+    // order-insensitive training body reproduces the same quantizer
+    // from the persisted rows, so the retrained generation serves the
+    // identical ranking — same pinned-centroid oracle
+    "q_ann_retrain" -> IvfOracle.sql,
 
     // the q_ann_cosine ranking CTE + same-label truth + metrics; the
     // discount/ideal tables are the SAME Scala-computed literals the

@@ -815,6 +815,118 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(viaBroadcast.nonEmpty && viaKeyed == viaBroadcast)
   }
 
+  test("the orphan-bands GC is age-gated: a FRESH bands-without-grams " +
+      "epoch (structurally identical to an in-flight append's " +
+      "bands-committed window) survives compact's recovery + vacuum; " +
+      "aged past the grace it is retired and reclaimed") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp()
+    val fresh = tmp()
+    DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", path)
+    DedupIndex.build(docs, "doc_id", "text", fresh)
+    val fs = hadoopFs(path)
+    // the orphan: a bands epoch with no grams twin — exactly what a
+    // concurrent append looks like between its bands commit and its
+    // grams rename (r16 advice: the un-gated GC would retire it, the
+    // default immediate vacuum would delete it, and the index would
+    // permanently serve grams-without-bands once the grams landed)
+    spark.read.parquet(s"$path/bands").select("id", "bh", "band")
+      .withColumn("epoch", lit("orphan"))
+      .write.mode("append").partitionBy("epoch", "band")
+      .parquet(s"$path/bands")
+    val orphan = new Path(s"$path/bands/epoch=orphan")
+    def run(p: String) = DedupIndex.probe(spark, p, batch(),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("id"), col("batch_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+      .map(_.toString).sorted.toSeq
+    val truth = run(fresh)
+    assert(run(path) == truth,
+      "orphan band rows only mint duplicate candidates probe dedups")
+    DedupIndex.compact(spark, path) // default path vacuums immediately
+    assert(fs.exists(orphan) && !fs.exists(
+        new Path(orphan, DedupIndex.RetiredMarker)),
+      "a young orphan could be an in-flight append's bands — the " +
+        "age-gated GC must leave it alone")
+    // age it past the grace: now it is unambiguous crash residue
+    fs.setTimes(orphan, System.currentTimeMillis() -
+      DedupIndex.OrphanGraceMillis - 60000L, -1)
+    DedupIndex.compact(spark, path)
+    assert(!fs.exists(orphan),
+      "an aged orphan bands epoch must be retired and vacuumed")
+    assert(run(path) == truth)
+  }
+
+  test("the tiered early return checks the BANDS file population too " +
+      "(r16 verdict #2): a v1-migrated epoch that is grams-compact " +
+      "but carries v1's flat band-file inheritance is repaired on " +
+      "the tiered path, not parked forever") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = tmp()
+    val fresh = tmp()
+    val fs = hadoopFs(path)
+    // grams-compact single unit first
+    DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    DedupIndex.compact(spark, path)
+    // regress to v1 with a MANY-FILE flat bands population (v1 never
+    // range-planned its band writes): grams flatten as-is, bands
+    // rewrite hash-scattered so every band dir holds ~16 files
+    val gramsRows = spark.read.parquet(s"$path/grams")
+      .select("id", "gram_hashes")
+    val flatTmp = tmp() + "/flatgrams"
+    gramsRows.coalesce(1).write.parquet(flatTmp)
+    val gramsDir = new Path(s"$path/grams")
+    fs.delete(gramsDir, true)
+    assert(fs.rename(new Path(flatTmp), gramsDir))
+    val bandRows = spark.read.parquet(s"$path/bands")
+      .select("id", "bh", "band").localCheckpoint()
+    fs.delete(new Path(s"$path/bands"), true)
+    bandRows.repartition(16).write.partitionBy("band")
+      .parquet(s"$path/bands")
+    Seq((8, 4)).toDF("bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    DedupIndex.rebuildFrom(spark, path, designThreshold = 0.5)
+    // migrated: the sole epoch is grams-compact (1 file) but its
+    // bands inherited ~128 files by pure moves
+    val bandsFilesBefore = dataFileCount(s"$path/bands")
+    assert(bandsFilesBefore > 50,
+      s"fixture must carry a real band-file population: $bandsFilesBefore")
+    // the tiered path (everything under the tier) must NOT early-return
+    // on the grams count alone — the bands population collapses
+    DedupIndex.compact(spark, path)
+    val bandsFilesAfter = dataFileCount(s"$path/bands")
+    assert(bandsFilesAfter <= 8,
+      s"tiered compact must collapse the migrated band files: " +
+        s"$bandsFilesBefore -> $bandsFilesAfter")
+    // … and a SECOND pass early-returns (both tables now at plan):
+    // no rewrite — the amortization guard still holds
+    def bandFileNames(): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/bands")).filter(f =>
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.getAbsolutePath).sorted
+    }
+    val names = bandFileNames()
+    DedupIndex.compact(spark, path)
+    assert(bandFileNames() == names,
+      "an epoch at plan in BOTH tables must not be re-rewritten")
+    DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", fresh)
+    def run(p: String) = DedupIndex.probe(spark, p, batch(),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("id"), col("batch_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+      .map(_.toString).sorted.toSeq
+    assert(run(path) == run(fresh))
+  }
+
   test("probe reads the build-time banding params from the index meta") {
     val path = tmp()
     DedupIndex.build(docs.limit(10), "doc_id", "text", path,

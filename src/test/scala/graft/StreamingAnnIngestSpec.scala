@@ -117,6 +117,69 @@ class StreamingAnnIngestSpec extends AnyFunSuite {
     assert(StreamingAnnIngest.driftSeries(spark, drift).count() == 1)
   }
 
+  test("compactDriftSeries folds closed per-batch dirs into one: the " +
+      "series reads identically, the newest epoch stays unfolded (the " +
+      "replay-rewrite target), a replayed newest epoch still rewrites " +
+      "in place, and a crashed fold commits on the next call") {
+    import spark.implicits._
+    val idx = tmp("ann_ingest_idx3")
+    val drift = tmp("ann_ingest_drift3") + "/series"
+    AnnIndex.build(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idx, nlist = 8)
+    (0 until 5).foreach { i =>
+      StreamingAnnIngest.ingestBatch(spark,
+        emb.where(col("vec_id") % 10 === (2 * i + 1))
+          .select((col("vec_id") + 100000L * (i + 1)).as("vec_id"),
+            col("embedding").cast("array<double>").as("embedding")),
+        "vec_id", "embedding", idx, Some(drift), epoch = i.toLong)
+    }
+    def series(): Seq[(Long, Long)] =
+      StreamingAnnIngest.driftSeries(spark, drift)
+        .select("batch_epoch", "fd_micro").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def dirs(): Seq[String] = new java.io.File(
+        new java.net.URI(s"file:$drift")).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      .map(_.getName).sorted.toSeq
+    val before = series()
+    assert(before.map(_._1) == (0L until 5L) && dirs().size == 5)
+    StreamingAnnIngest.compactDriftSeries(spark, drift)
+    // epochs 0–3 folded into one dir; epoch 4 (the only replayable
+    // one) untouched; the rows read back identically
+    assert(dirs() == Seq("ingest_batch=0", "ingest_batch=4"), dirs())
+    assert(series() == before,
+      "the fold is pure layout — the series must read identically")
+    // a replay of the newest epoch rewrites ITS dir in place — the
+    // idempotence mechanism the fold must preserve
+    StreamingAnnIngest.ingestBatch(spark,
+      emb.where(col("vec_id") % 10 === 9)
+        .select((col("vec_id") + 500000L).as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")),
+      "vec_id", "embedding", idx, Some(drift), epoch = 4L)
+    assert(series().map(_._1) == (0L until 5L) &&
+      series().size == 5, series().toString)
+    // crash recovery: a COMPLETE stage (fold + _DIRS manifest) whose
+    // commit never ran — the next call finishes it without loss
+    StreamingAnnIngest.ingestBatch(spark,
+      emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 600000L).as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")),
+      "vec_id", "embedding", idx, Some(drift), epoch = 5L)
+    val all = series()
+    val fs = new org.apache.hadoop.fs.Path(drift).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(drift, "_compact-crashed")
+    spark.read.parquet(s"$drift/ingest_batch=0", s"$drift/ingest_batch=4")
+      .coalesce(1).write.parquet(stage.toString)
+    graft.operators.DedupIndex.writeManifest(fs,
+      new org.apache.hadoop.fs.Path(stage, "_DIRS"),
+      Seq("ingest_batch=0", "ingest_batch=4"))
+    StreamingAnnIngest.compactDriftSeries(spark, drift)
+    assert(series() == all,
+      "a recovered crashed fold must lose no rows")
+    assert(!fs.exists(stage))
+  }
+
   test("compactEvery folds maintenance into the loop: cell files stay " +
       "bounded across micro-batches and the final index probes like " +
       "its unmaintained twin") {
