@@ -145,7 +145,8 @@ object AnnIndex {
     val fs = fsFor(spark, path)
     // overwrite: clear every v3 AND legacy artifact a prior index (or
     // a crashed build/maintenance pass) could have left
-    Seq("assignments", "meta", "centroids", "moments")
+    Seq("assignments", "meta", "centroids", "moments",
+        DedupIndex.ReadersDir)
       .foreach(sub => fs.delete(new Path(s"$path/$sub"), true))
     fs.delete(new Path(path, CurrentPointer), false)
     fs.delete(new Path(path, CurrentPointer + ".tmp"), false)
@@ -755,6 +756,17 @@ object AnnIndex {
     requireV3(fs, path, "vacuum")
     recover(fs, path)
     val cutoff = System.currentTimeMillis() - olderThanMillis
+    // graced vacuums honor reader leases exactly like the dedup twin
+    // ([[DedupIndex.ReadersDir]]): reclaim only what every live lease
+    // postdates; zero grace is the forced exclusive-ownership path
+    val oldestLease =
+      if (olderThanMillis == 0) None
+      else DedupIndex.oldestLiveLease(fs, path)
+    def reclaimable(marker: Path): Boolean =
+      fs.exists(marker) && {
+        val mt = fs.getFileStatus(marker).getModificationTime
+        mt <= cutoff && oldestLease.forall(_ > mt)
+      }
     Option(fs.globStatus(new Path(s"$path/assignments/gen=*")))
       .getOrElse(Array.empty[FileStatus])
       .filter(_.isDirectory)
@@ -764,9 +776,7 @@ object AnnIndex {
           .filter(s => s.isDirectory &&
             s.getPath.getName.startsWith("epoch="))
           .foreach { d =>
-            val m = new Path(d.getPath, DedupIndex.RetiredMarker)
-            if (fs.exists(m) &&
-                fs.getFileStatus(m).getModificationTime <= cutoff)
+            if (reclaimable(new Path(d.getPath, DedupIndex.RetiredMarker)))
               fs.delete(d.getPath, true)
           }
       }
@@ -774,9 +784,7 @@ object AnnIndex {
       .getOrElse(Array.empty[FileStatus])
       .filter(_.isDirectory)
       .foreach { q =>
-        val m = new Path(q.getPath, DedupIndex.RetiredMarker)
-        if (fs.exists(m) &&
-            fs.getFileStatus(m).getModificationTime <= cutoff) {
+        if (reclaimable(new Path(q.getPath, DedupIndex.RetiredMarker))) {
           val g = q.getPath.getName.stripPrefix("quantizer-")
           fs.delete(new Path(genAssignDir(path, g)), true)
           fs.delete(q.getPath, true)
@@ -1039,7 +1047,13 @@ object AnnIndex {
     import org.apache.spark.sql.expressions.Window
     val fs = fsFor(spark, path)
     val assignedT = currentGen(fs, path) match {
-      case Some(g) => liveAssignmentsV3(spark, fs, path, g)
+      case Some(g) =>
+        // advertise this plan to graced vacuums BEFORE resolving the
+        // generation + live epoch set ([[DedupIndex.ReadersDir]]): no
+        // file live at our plan time can be reclaimed from under the
+        // frame within the lease horizon
+        DedupIndex.leaveLease(fs, path)
+        liveAssignmentsV3(spark, fs, path, g)
       case None =>
         val marker = new Path(path, DedupIndex.CompactingMarker)
         require(!fs.exists(marker),

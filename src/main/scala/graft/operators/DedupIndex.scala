@@ -584,6 +584,60 @@ object DedupIndex {
     * epochs once the operator's grace has passed. */
   val RetiredMarker = "_RETIRED"
 
+  /** Directory of reader leases at the index root: every [[probe]]
+    * (and [[AnnIndex.probe]]) touches `_READERS/<uuid>` at PLAN time,
+    * so the snapshot-isolation grace stops being an unbacked promise —
+    * a graced [[vacuum]] refuses to reclaim a retired directory while
+    * any live lease PREDATES its retirement (that reader's plan may
+    * hold it). Leases are best-effort (a read-only filesystem degrades
+    * silently to the grace-only contract), cannot be released by the
+    * reader (a lazy frame never signals completion), and therefore
+    * expire at [[LeaseHorizonMillis]] — the absolute bound on how long
+    * a probe may run under the lease's protection; vacuum reaps
+    * expired ones. A ZERO-grace vacuum (the [[compact]] default's
+    * internal call — the exclusively-owned-index configuration)
+    * ignores leases entirely: the owner's own immediate-collect probes
+    * leave leases behind that must not wedge its maintenance loop. */
+  val ReadersDir = "_READERS"
+
+  /** How long a reader lease protects its plan-time snapshot. Probes
+    * running longer than this are out of contract (set the vacuum
+    * grace above their duration instead — `tools.ProbeGraceBench`
+    * measures the floor). */
+  val LeaseHorizonMillis: Long = 24L * 3600 * 1000
+
+  /** Advertise a reader whose plan is being constructed NOW —
+    * best-effort: on a filesystem this process cannot write to, the
+    * probe still works and the operator falls back to the grace-only
+    * contract. */
+  private[operators] def leaveLease(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
+    try {
+      val dir = new org.apache.hadoop.fs.Path(path, ReadersDir)
+      fs.mkdirs(dir)
+      fs.create(new org.apache.hadoop.fs.Path(dir,
+        java.util.UUID.randomUUID().toString), false).close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The oldest LIVE lease's plan time (None when no reader is
+    * advertised), reaping expired leases on the way — the one value a
+    * graced vacuum compares retirement times against. */
+  private[operators] def oldestLiveLease(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(path, ReadersDir)
+    if (!fs.exists(dir)) return None
+    val horizon = System.currentTimeMillis() - LeaseHorizonMillis
+    val leases = Option(fs.listStatus(dir))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(_.isFile)
+    val (expired, live) = leases.partition(_.getModificationTime < horizon)
+    expired.foreach { l =>
+      try fs.delete(l.getPath, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    if (live.isEmpty) None else Some(live.map(_.getModificationTime).min)
+  }
+
   /** Physically delete retired epochs older than `olderThanMillis`
     * (marker mtime) from both tables — the disk-reclaim half of the
     * snapshot-isolation contract: [[compact]] only ever MARKS epochs
@@ -595,9 +649,15 @@ object DedupIndex {
     * worst-case probe plan-to-finish wall time per probe shape at
     * sf0.1 and 10× (SCALING.md "vacuum-grace floor" table) — set the
     * grace to a comfortable multiple of the slowest shape served.
-    * Completes any interrupted retirement marking first, so it is
-    * safe to call on a crashed tree. Zero grace (the [[compact]]
-    * default's internal call) reclaims everything retired. */
+    * And the promise is ENFORCED up to the lease horizon: probes
+    * advertise their plan time in [[ReadersDir]], and a graced vacuum
+    * refuses to reclaim anything a live lease predates — a mis-set
+    * grace degrades to deferred reclaim, not a mid-scan
+    * FileNotFound. Completes any interrupted retirement marking
+    * first, so it is safe to call on a crashed tree. Zero grace (the
+    * [[compact]] default's internal call) is the forced
+    * exclusive-ownership path: no lease check, reclaims everything
+    * retired. */
   def vacuum(spark: SparkSession, path: String,
       olderThanMillis: Long = 0L): Unit = {
     require(olderThanMillis >= 0,
@@ -606,6 +666,13 @@ object DedupIndex {
       spark.sparkContext.hadoopConfiguration)
     completeRetirement(fs, path)
     val cutoff = System.currentTimeMillis() - olderThanMillis
+    // a GRACED vacuum also honors reader leases: a retired epoch is
+    // reclaimed only if every live lease was planned AFTER its
+    // retirement (an older lease's plan may hold the epoch's files).
+    // Zero grace = the forced exclusive-ownership path — no leases
+    // (see [[ReadersDir]]).
+    val oldestLease =
+      if (olderThanMillis == 0) None else oldestLiveLease(fs, path)
     Seq("grams", "bands").foreach { sub =>
       Option(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub")))
         .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
@@ -613,9 +680,11 @@ object DedupIndex {
           s.getPath.getName.startsWith("epoch="))
         .foreach { d =>
           val m = new org.apache.hadoop.fs.Path(d.getPath, RetiredMarker)
-          if (fs.exists(m) &&
-              fs.getFileStatus(m).getModificationTime <= cutoff)
-            fs.delete(d.getPath, true)
+          if (fs.exists(m)) {
+            val mt = fs.getFileStatus(m).getModificationTime
+            if (mt <= cutoff && oldestLease.forall(_ > mt))
+              fs.delete(d.getPath, true)
+          }
         }
     }
   }
@@ -889,6 +958,10 @@ object DedupIndex {
     }
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // advertise this plan to graced vacuums (see [[ReadersDir]]) —
+    // BEFORE resolving the live set, so no epoch live at our plan
+    // time can be reclaimed from under the frame within the horizon
+    leaveLease(fs, path)
     val retired = retiredEpochs(fs, path)
     val gramsT = liveTable(spark, fs, path, "grams", retired)
       .select("id", "gram_hashes")
@@ -1042,6 +1115,9 @@ object DedupIndex {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands"), true)
       fs.delete(new org.apache.hadoop.fs.Path(path, CompactingMarker),
         false)
+      // stale reader leases reference the index being replaced — left
+      // behind they would block graced vacuums for a whole horizon
+      fs.delete(new org.apache.hadoop.fs.Path(path, ReadersDir), true)
       // also clear any crash-leaked staging dirs from prior appends,
       // compactions, and migrations — a rebuild supersedes every stage
       Seq("grams_staging-*", "grams_compact-*", "bands_migrate-*",

@@ -362,10 +362,19 @@ class AnnIndexSpec extends AnyFunSuite {
       "a frame planned before compaction must survive it")
     // … and new probes read the merged epoch only — same top-k
     assert(probed(path) == truth)
-    // an hour-long grace retains; zero grace reclaims
+    // an hour-long grace retains; so does a MIS-SET 1 ms grace while
+    // the planned frame's lease (older than the retirement) lives —
+    // the ANN probe advertises itself exactly like the dedup twin
     AnnIndex.vacuum(spark, path, olderThanMillis = 3600000L)
     assert(retiredCount() == 2,
       "an hour-long grace must retain just-retired epochs")
+    Thread.sleep(30)
+    AnnIndex.vacuum(spark, path, olderThanMillis = 1L)
+    assert(retiredCount() == 2,
+      "a graced vacuum must not reclaim epochs a live lease predates")
+    val leases = new Path(path, DedupIndex.ReadersDir)
+    assert(fs.exists(leases) && fs.listStatus(leases).nonEmpty)
+    // zero grace is the forced path: reclaims regardless of leases
     AnnIndex.vacuum(spark, path)
     assert(epochDirs(path).size == 1,
       "zero-grace vacuum must reclaim every retired epoch")

@@ -927,6 +927,64 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(run(path) == run(fresh))
   }
 
+  test("reader leases enforce the vacuum grace: a probe planned " +
+      "before retirement blocks a graced reclaim that would have " +
+      "raced it (mis-set grace), the zero-grace forced path ignores " +
+      "leases, and leases past the horizon reap") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp()
+    DedupIndex.build(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    DedupIndex.append(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", path)
+    val fs = hadoopFs(path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("batch_id"),
+        round(col("jaccard"), 9).as("j")).collect()
+        .map(_.toString).sorted.toSeq
+    // plan BEFORE maintenance → the probe advertises itself
+    val planned = DedupIndex.probe(spark, path, batch(), "doc_id",
+      "text", threshold = 0.5)
+    val truth = rows(planned)
+    val leases = new Path(path, DedupIndex.ReadersDir)
+    assert(fs.exists(leases) && fs.listStatus(leases).nonEmpty,
+      "a probe must leave a plan-time lease")
+    DedupIndex.compact(spark, path, retainRetired = true)
+    def retiredCount(): Int = fs.listStatus(new Path(s"$path/grams"))
+      .count(s => s.isDirectory && fs.exists(
+        new Path(s.getPath, DedupIndex.RetiredMarker)))
+    assert(retiredCount() == 2)
+    Thread.sleep(30)
+    // a mis-set grace (1 ms — far under the probe's lifetime): the
+    // age test passes, but the outstanding lease PREDATES the
+    // retirement, so the graced vacuum must defer the reclaim
+    DedupIndex.vacuum(spark, path, olderThanMillis = 1L)
+    assert(retiredCount() == 2,
+      "a graced vacuum must not reclaim epochs a live lease predates")
+    assert(rows(planned) == truth,
+      "the lease's whole point: the planned frame still executes")
+    // leases expire at the horizon — age every lease file, and the
+    // same graced vacuum reaps them and reclaims
+    fs.listStatus(leases).foreach(l => fs.setTimes(l.getPath,
+      System.currentTimeMillis() -
+        DedupIndex.LeaseHorizonMillis - 60000L, -1))
+    DedupIndex.vacuum(spark, path, olderThanMillis = 1L)
+    assert(retiredCount() == 0,
+      "expired leases must stop blocking the graced reclaim")
+    assert(fs.listStatus(leases).isEmpty,
+      "expired leases must be reaped")
+    // the forced zero-grace path ignores even live leases (the
+    // exclusive-ownership configuration — the owner's own probes
+    // must not wedge its maintenance loop)
+    DedupIndex.append(batch(), "doc_id", "text", path)
+    DedupIndex.probe(spark, path, batch(), "doc_id", "text",
+      threshold = 0.5) // fresh live lease
+    assert(fs.listStatus(leases).nonEmpty)
+    DedupIndex.compact(spark, path) // default: internal vacuum(0)
+    assert(retiredCount() == 0,
+      "the forced path must reclaim regardless of leases")
+  }
+
   test("probe reads the build-time banding params from the index meta") {
     val path = tmp()
     DedupIndex.build(docs.limit(10), "doc_id", "text", path,
