@@ -733,6 +733,22 @@ object AnnIndex {
       }
     completeRetirement(fs, path)
     retireStaleGens(fs, path)
+    // an assignments generation with NO quantizer dir can only arise
+    // from an append that lost the retrain race after the old
+    // generation was already vacuumed (the append re-created the gen
+    // dir to land its epoch, then failed loudly) — invisible to every
+    // probe (not the current generation) but unreclaimable through
+    // the quantizer-marker path. Age-gated like all residue GC.
+    val quantGens = Option(fs.globStatus(new Path(s"$path/quantizer-*")))
+      .getOrElse(Array.empty[FileStatus])
+      .map(_.getPath.getName.stripPrefix("quantizer-")).toSet
+    Option(fs.globStatus(new Path(s"$path/assignments/gen=*")))
+      .getOrElse(Array.empty[FileStatus])
+      .filter(s => s.isDirectory &&
+        !quantGens(s.getPath.getName.stripPrefix("gen=")) &&
+        !gen.contains(s.getPath.getName.stripPrefix("gen=")) &&
+        s.getModificationTime <= cutoff)
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** Physically delete retired epochs and retired GENERATIONS older

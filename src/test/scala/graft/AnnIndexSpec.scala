@@ -505,6 +505,21 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(s"$path/quantizer-$ghost")) &&
       !fs.exists(new Path(s"$path/assignments/gen=$ghost")))
     assert(probed(path) == truth)
+    // an assignments generation with NO quantizer dir (an append that
+    // lost the retrain race after the old generation was vacuumed):
+    // invisible to probes, young residue survives the age-gated GC,
+    // aged residue is reclaimed
+    val orphanGen = new Path(s"$path/assignments/gen=orphangen")
+    fs.mkdirs(new Path(orphanGen, "epoch=x/cell=0"))
+    AnnIndex.compact(spark, path, retainRetired = true)
+    assert(fs.exists(orphanGen),
+      "young quantizer-less gen residue must survive (age gate)")
+    fs.setTimes(orphanGen, System.currentTimeMillis() -
+      DedupIndex.OrphanGraceMillis - 60000L, -1)
+    AnnIndex.compact(spark, path, retainRetired = true)
+    assert(!fs.exists(orphanGen),
+      "aged quantizer-less gen residue must be reclaimed")
+    assert(probed(path) == truth)
     // crash DURING the pointer swap: pointer deleted, complete temp
     // left — readers fall back to the temp, recovery finishes the
     // rename
