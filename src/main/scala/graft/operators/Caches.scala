@@ -53,7 +53,15 @@ object Caches {
   def clear(): Unit = {
     val it = tracked.iterator()
     while (it.hasNext) {
-      it.next().unpersist(false)
+      val df = it.next()
+      // a frame whose SparkContext has already stopped has no blocks
+      // left to free — unpersist would NPE into the dead driver
+      // endpoint (the Bench anchor reps stop a session per rep and
+      // clear() afterwards; any operator that persistTracked'ed inside
+      // that rep leaves its entry behind)
+      try {
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
+      } catch { case scala.util.control.NonFatal(_) => () }
       it.remove()
     }
   }

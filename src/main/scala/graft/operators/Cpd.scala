@@ -75,9 +75,21 @@ object Cpd {
     val spark = features.sparkSession
     import spark.implicits._
 
+    // The 7-column projection feeds TWO branches (the gates aggregate and
+    // the clean filter), and `features` is typically the WHOLE window
+    // stack (one shuffle + sort over the fact table): without a persist
+    // each branch re-executes that stack — a full extra pass at any
+    // scale (guide §1.2: remove redundant passes before anything else).
+    // ~60 bytes/row × 7 narrow columns, MEMORY_AND_DISK; registered with
+    // [[Caches]] so long sessions release it after consuming the result
+    // (Bench/Verify clear between queries). Batch-only by construction:
+    // the streaming caller (StreamingCpd) runs this operator inside
+    // foreachBatch, where the micro-batch frame is a plain batch frame.
+    import graft.operators.Caches.Persisted
     val f = features.select("device_date", "timestamp",
       "load_weight_rate_of_change", "speed_rolling_avg_5s",
       "altitude_rate_of_change", "has_reliable_payload", "raw_event_hash_id")
+      .persistTracked
 
     // Per-device-date gates in ONE aggregation pass: raw count, the branch
     // flag (the reference reads it off the first row), and both branches'

@@ -307,10 +307,11 @@ object DedupIndex {
         val nBands = compactionFilesFor(
           fs.getContentSummary(bandsDir).getLength)
         val g = spark.read.parquet(s"$path/grams") // epoch rides along
-        Dedup.bandTriplesFromHashes(g, "id", "gram_hashes", meta.bands,
-            meta.rowsPerBand, carry = Seq("epoch"))
-          .repartitionByRange(nBands, col("epoch"), col("band"),
-            col("bh"))
+        bandsLayout(
+            Dedup.bandTriplesFromHashes(g, "id", "gram_hashes", meta.bands,
+              meta.rowsPerBand, carry = Seq("epoch")),
+            nBands, fs.getContentSummary(gramsDir).getLength,
+            Seq(col("epoch"), col("band"), col("bh")))
           .write.partitionBy("epoch", "band").parquet(stage.toString)
         val old = new org.apache.hadoop.fs.Path(path, s"bands_old-$uuid")
         require(fs.rename(bandsDir, old),
@@ -566,10 +567,12 @@ object DedupIndex {
     // parallelism to |bands| tasks; no repartition at all would
     // re-create input-partitions × bands small files — the very
     // problem being compacted away)
-    Dedup.bandTriplesFromHashes(spark.read.parquet(stage.toString),
-        "id", "gram_hashes", meta.bands, meta.rowsPerBand)
-      .withColumn("epoch", lit(stageUuid))
-      .repartitionByRange(nBands, col("band"), col("bh"))
+    bandsLayout(
+        Dedup.bandTriplesFromHashes(spark.read.parquet(stage.toString),
+            "id", "gram_hashes", meta.bands, meta.rowsPerBand)
+          .withColumn("epoch", lit(stageUuid)),
+        nBands, fs.getContentSummary(stage).getLength,
+        Seq(col("band"), col("bh")))
       .write.mode("append").partitionBy("epoch", "band")
       .parquet(s"$path/bands")
     writeManifest(fs, new org.apache.hadoop.fs.Path(stage, "_EPOCHS"),
@@ -806,6 +809,28 @@ object DedupIndex {
     * and open() costs amortize, small enough that one file is one
     * sanely-sized task on read-back. */
   val CompactionFileBytes: Long = 256L * 1024 * 1024
+
+  /** Lay a bands frame out for its partitioned write: range-partition
+    * into the planned file count — except when the plan is ONE file and
+    * the staged source fits a single scan split (`srcBytes` ≤
+    * `spark.sql.files.maxPartitionBytes`): then the pipeline is
+    * single-task with or without the exchange, so the range shuffle is
+    * pure overhead and a `coalesce(1)` produces the byte-identical file
+    * layout with one less stage (guide §2.4 — remove shuffles that move
+    * nothing). Larger stages keep the range plan: it is what preserves
+    * the rewrite's parallelism AND the ~`nFiles` total file count under
+    * the `partitionBy` write. */
+  private def bandsLayout(df: DataFrame, nFiles: Int, srcBytes: Long,
+      rangeCols: Seq[Column]): DataFrame =
+    if (nFiles == 1 && srcBytes <= maxSplitBytes(df.sparkSession))
+      df.coalesce(1)
+    else df.repartitionByRange(nFiles, rangeCols: _*)
+
+  /** The session's scan-split size (`spark.sql.files.maxPartitionBytes`,
+    * size-string form — default "128MB"). */
+  private def maxSplitBytes(spark: SparkSession): Long =
+    org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
 
   /** Plan a compacted file count from the data's real byte size:
     * ⌈bytes / [[CompactionFileBytes]]⌉, min 1. Used by [[compact]]
@@ -1133,20 +1158,33 @@ object DedupIndex {
     // every read-back, polluting the bench tail
     val staging = new org.apache.hadoop.fs.Path(path,
       s"grams_staging-$epoch")
+    // REBALANCE before the write (guide §6: aim for 128 MB–1 GB output
+    // files): the shingle/hash work still runs at the input's full
+    // parallelism, then AQE sizes the WRITE tasks from the hashed-gram
+    // bytes actually flowing — a tiny append commits one file instead
+    // of one per input partition (measured 32 × ~10 KB per append at
+    // bench scale: the staging dir's task-commit count, not the
+    // hashing, dominated append wall time), and a huge backfill still
+    // fans out to ~advisory-size files. The hint costs one shuffle of
+    // the batch's hashed grams (not its text) — the Iceberg
+    // write.distribution-mode precedent.
     df.select(col(idCol).as("id"), shingler(col(textCol)).as("_sh"))
       .where(size(col("_sh")) > 0)
       .select(col("id"), gramHashes(col("_sh")).as("gram_hashes"))
+      .hint("rebalance")
       .write.mode("overwrite").parquet(staging.toString)
     val g = spark.read.parquet(staging.toString)
     // band file count planned from this batch's REAL staged bytes
     // (bands rows are smaller than their gram sets, so the files run
     // under the 256 MB target — bounded, and one append's worth)
-    val nBands = compactionFilesFor(
-      fs.getContentSummary(staging).getLength)
-    Dedup.bandTriplesFromHashes(g, "id", "gram_hashes", bands,
-        rowsPerBand)
-      .withColumn("epoch", lit(epoch))
-      .repartitionByRange(nBands, col("band"), col("bh"))
+    val stagedBytes = fs.getContentSummary(staging).getLength
+    val nBands = compactionFilesFor(stagedBytes)
+    bandsLayout(
+        Dedup.bandTriplesFromHashes(g, "id", "gram_hashes", bands,
+            rowsPerBand)
+          .withColumn("epoch", lit(epoch)),
+        nBands, stagedBytes,
+        Seq(col("band"), col("bh")))
       .write.mode("append").partitionBy("epoch", "band")
       .parquet(s"$path/bands")
     val committed = new org.apache.hadoop.fs.Path(gramsDir,
@@ -1176,16 +1214,40 @@ object DedupIndex {
       }
   }
 
+  /** METADATA cache for [[readMeta]] (never row data): one probe/append
+    * cycle reads the 1-row meta parquet 5–10 times, and each read is a
+    * full Spark job — fixed scheduling cost that dwarfs the row. The
+    * cache key is the meta directory's file fingerprint (name, mtime,
+    * length of every file), checked with ONE listStatus per call — a
+    * rebuilt or migrated meta mints new files (uuid-staged rename or a
+    * fresh overwrite), so any writer invalidates the entry. Bounded: one
+    * tiny entry per index path served by this JVM. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Seq[(String, Long, Long)], Meta)]()
+
   private def readMeta(spark: SparkSession, path: String): Meta = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp: Seq[(String, Long, Long)] =
+      Option(fs.listStatus(dir))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(_.isFile)
+        .map(s => (s.getPath.getName, s.getModificationTime, s.getLen))
+        .sortBy(_._1).toSeq
+    val cached = metaCache.get(path)
+    if (cached != null && cached._1 == fp) return cached._2
     val df = spark.read.parquet(s"$path/meta")
     val m = df.head()
     val has = df.columns.toSet
-    Meta(
+    val meta = Meta(
       if (has("version")) m.getAs[Int]("version") else 1,
       m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"),
       if (has("shingler")) Some(m.getAs[String]("shingler")) else None,
       if (has("design_threshold"))
         Some(m.getAs[Double]("design_threshold"))
       else None)
+    metaCache.put(path, (fp, meta))
+    meta
   }
 }

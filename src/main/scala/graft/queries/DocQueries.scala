@@ -73,15 +73,25 @@ object DocQueries {
       |  AND d1.doc_id < 200""".stripMargin
 
   private def docsWithDups(s: SparkSession, d: String): DataFrame = {
-    val docs = docsPar(s, d).select("doc_id", "text", "source")
-    docs
-      .unionByName(docs.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
-          col("source")))
-      .unionByName(docs.where(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"),
+    // ONE scan pass with a per-row explode instead of a 3-branch union:
+    // the union shape re-read the (already repartitioned) scan three
+    // times AND left every downstream cache/self-join with 3 × cores
+    // partitions — the minhash/simhash/CC pipelines inherited ~96-task
+    // map stages over kilobyte partitions (r17 optimization; same rows,
+    // same values, one subtree). The oracle twin (docsWithDupsCte)
+    // stays the UNION ALL form — proving the exploded plan row-identical.
+    docsPar(s, d).select(posexplode(array(
+        struct(col("doc_id"), col("text"), col("source")),
+        struct((col("doc_id") + 100000).as("doc_id"), col("text"),
+          col("source")),
+        struct((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" graft extra tail")).as("text"),
-          col("source")))
+          col("source")))).as(Seq("_copy", "r")),
+      col("doc_id").as("_src_id"))
+      .where(col("_copy") === 0 ||
+        (col("_copy") === 1 && col("_src_id") % 10 === 0) ||
+        (col("_copy") === 2 && col("_src_id") % 7 === 0))
+      .select(col("r.doc_id"), col("r.text"), col("r.source"))
   }
 
   /** Deterministic page structure over the word-soup corpus (which has
@@ -680,9 +690,22 @@ object DocQueries {
       val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
           threshold = 0.5)
         .select("id_a", "id_b")
-      val comp = Dedup.connectedComponents(docs.select("doc_id"), pairs,
-        "doc_id")
-      val pr = Graph.pageRankNanos(pairs, iters = 5)
+      // CC and PR are INDEPENDENT consumers of the (already
+      // materialized, flat-lineage) pair frame, and both are loops of
+      // small driver-sequential jobs — run them from two threads so one
+      // loop's scheduling gaps back-fill the other's (guide §2.6:
+      // overlap independent jobs; FIFO scheduling gives exactly the
+      // back-fill behavior). Deterministic: each loop's result is a
+      // pure function of the pair set, unaffected by co-scheduling.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val compF = Future {
+        Dedup.connectedComponents(docs.select("doc_id"), pairs, "doc_id")
+      }
+      val prF = Future { Graph.pageRankNanos(pairs, iters = 5) }
+      val comp = Await.result(compF, Duration.Inf)
+      val pr = Await.result(prF, Duration.Inf)
       // comp and pr are BOTH eagerly checkpointed with flat lineage, so
       // the pair frame's checkpoint blocks are no longer referenced by
       // anything downstream — release them NOW instead of waiting for

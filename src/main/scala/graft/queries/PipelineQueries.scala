@@ -439,28 +439,20 @@ object PipelineQueries {
         .withColumn("raw_event_hash_id",
           sha2(concat(col("device_id"), lit("|"),
             col("timestamp").cast("string")), 256))
-      // STEP 4 → STEP 5 parquet boundary, mirroring the reference's gold
-      // materialization (05_export_features_to_parquet.py →
-      // 05_cpd_orchestrator_polars.py): CPD consumes its input twice
-      // (gates aggregate + clean filter), so reading a narrow 7-column
-      // parquet beats recomputing the whole window stack per consumer
-      // stable per (session, dataset) — NOT per invocation: bench reps
-      // and soak runs re-invoke this query dozens of times and
-      // per-invocation temp dirs accumulated corpus-sized parquet
-      // trees until /tmp filled (r11 review class). applicationId
-      // isolates concurrent processes; the sf-dir hash isolates
-      // datasets; within one session invocations are sequential
-      // (Verify/Bench/Soak all consume a query fully before the next),
-      // so the overwrite never races a live scan
-      val goldDir = System.getProperty("java.io.tmpdir") +
-        s"/graft_gold_${s.sparkContext.applicationId}_" +
-        java.lang.Integer.toHexString(d.hashCode)
-      feats.select("device_date", "timestamp",
-          "load_weight_rate_of_change", "speed_rolling_avg_5s",
-          "altitude_rate_of_change", "has_reliable_payload",
-          "raw_event_hash_id")
-        .write.mode("overwrite").parquet(goldDir)
-      val gold = s.read.parquet(goldDir)
+      // STEP 4 → STEP 5 boundary: the reference materializes gold to
+      // parquet here (05_export_features_to_parquet.py →
+      // 05_cpd_orchestrator_polars.py) because CPD consumes its input
+      // twice (gates aggregate + clean filter). Since r17 the operator
+      // itself pins that single-execution guarantee — candidateEvents
+      // persists its 7-column projection internally — so the extra
+      // write-to-/tmp + read-back this query used to do was paying a
+      // full parquet round-trip for a guarantee it already had (r17
+      // optimization: the round-trip was ~0.4 s of the query's 1.6 s at
+      // sf0.1, and the /tmp housekeeping class it created is gone).
+      val gold = feats.select("device_date", "timestamp",
+        "load_weight_rate_of_change", "speed_rolling_avg_5s",
+        "altitude_rate_of_change", "has_reliable_payload",
+        "raw_event_hash_id")
       Cpd.candidateEvents(gold,
           Cpd.Config(every = "5 minutes", penalty = 0.5))
         .toDF()
