@@ -152,6 +152,14 @@ object Bench {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
+        // let the planner pick shuffled-hash over sort-merge when its
+        // size conditions hold (guide §9 baseline; §3.1: often faster
+        // when one side is moderately small per partition — skips both
+        // sorts). Not scale-dependent: the build side must still fit
+        // its per-partition memory, which AQE's size checks gate.
+        // Overridable for A/B runs.
+        .config("spark.sql.join.preferSortMergeJoin",
+          sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")

@@ -167,7 +167,13 @@ object AnnIndex {
     writeQuantizer(spark, path, gen, centroids)
     val epoch = java.util.UUID.randomUUID().toString
     val stage = new Path(path, s"assignments_staging-$epoch")
+    // (cell, id) range layout — the [[appendAssigned]] file-count bound
+    // applied to the build too: an unplanned partitionBy write mints up
+    // to partitions × cells files (512 at the bench fixture's 32 × 16);
+    // the range plan bounds it at ~one per input partition
+    val nBuild = math.max(1, c.rdd.getNumPartitions)
     assignCells(c, centroids, path).select("id", "v", "cell")
+      .repartitionByRange(nBuild, col("cell"), col("id"))
       .write.partitionBy("cell").parquet(stage.toString)
     val epochDir = commitEpoch(fs, path, gen, epoch, stage)
     // drift reference from the PERSISTED epoch rather than another
@@ -367,16 +373,31 @@ object AnnIndex {
     * without a meta table skip the contract check; callers reuse the
     * returned centroids, so the tiny table is scanned exactly once per
     * operation. */
+  /** METADATA cache for the generation-scoped quantizer (centroids +
+    * contract check): a generation directory is IMMUTABLE once its
+    * pointer commits — every writer mints a fresh uuid dir — so the
+    * read can be memoized by path with no invalidation protocol. One
+    * probe/append used to pay two Spark jobs (centroids collect + meta
+    * head) per call; a serving loop pays them once per generation now.
+    * Legacy (pre-generation) trees are mutable in place and are never
+    * cached. */
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Array[Array[Double]]]()
+
   private def checkedCentroids(spark: SparkSession,
       path: String): Array[Array[Double]] = {
     val fs = fsFor(spark, path)
     currentGen(fs, path) match {
       case Some(g) =>
         val qd = quantDir(path, g)
+        val cached = quantizerCache.get(qd)
+        if (cached != null) return cached
         val centroids = readCentroidsAt(spark, s"$qd/centroids")
         val m = spark.read.parquet(s"$qd/meta").head()
         checkContract(path, centroids, m.getAs[String]("metric"),
           m.getAs[Int]("dim"), m.getAs[Int]("nlist"))
+        quantizerCache.put(qd, centroids)
         centroids
       case None =>
         val centroids = readCentroidsAt(spark, s"$path/centroids")
