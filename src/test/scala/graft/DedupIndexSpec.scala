@@ -998,4 +998,31 @@ class DedupIndexSpec extends AnyFunSuite {
     // every doc matches itself at jaccard 1.0
     assert(got.where(col("id") === col("batch_id")).count() == 10)
   }
+
+  test("the meta cache invalidates when the index is rebuilt in place " +
+      "(r17: readMeta memoizes on the meta dir's file fingerprint — a " +
+      "stale entry would let a probe skip the NEW design-threshold gate)") {
+    val path = tmp()
+    val corpus = docs.where(col("doc_id") < 100)
+    DedupIndex.build(corpus, "doc_id", "text", path,
+      bands = 16, rowsPerBand = 2, designThreshold = 0.5)
+    // populates the cache for this path
+    DedupIndex.probe(spark, path, batch(), "doc_id", "text",
+      threshold = 0.5).collect()
+    // rebuild IN PLACE with a stricter design threshold: the meta dir's
+    // files change, so the fingerprint must miss and the next probe
+    // must see the new contract
+    DedupIndex.build(corpus, "doc_id", "text", path,
+      bands = 16, rowsPerBand = 2, designThreshold = 0.9)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.probe(spark, path, batch(), "doc_id", "text",
+        threshold = 0.5)
+    }
+    assert(e.getMessage.contains("design threshold"),
+      s"expected the REBUILT meta's threshold gate to fire, got: $e")
+    // and the new meta serves correctly at its own threshold
+    val got = DedupIndex.probe(spark, path, batch(), "doc_id", "text",
+      threshold = 0.9)
+    assert(got.columns.toSet == Set("id", "batch_id", "jaccard"))
+  }
 }
